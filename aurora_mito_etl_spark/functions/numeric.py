@@ -1,0 +1,74 @@
+"""Cross-engine-deterministic numeric aggregation.
+
+Floating-point SUM over a shuffled dataset is order-dependent; two
+engines (or two runs) can disagree in the last ulps. The engine's
+convention for money-like aggregates is: cast each value to an exact
+DECIMAL first, sum exactly, then cast the final result back to DOUBLE.
+The result is bit-identical regardless of partitioning, engine, or
+AQE decisions — which is also what makes results reproducible on a
+1000-executor cluster vs. local[32].
+
+(The reference sidesteps this by being single-threaded pandas —
+reference scripts/finalize_realease.py:591-602; a distributed engine
+has to make determinism explicit.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 18 integer digits / 6 fractional covers TPC-H money values and
+# unit quantities at 100 TB row counts without overflow after
+# Spark's sum-widening (sum of decimal(18,6) -> decimal(28,6)).
+_PRECISION = "decimal(18,6)"
+
+
+def dec(col: Column | str) -> Column:
+    """Exact fixed-point view of a double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(_PRECISION)
+
+
+def dec_to_double(c: Column) -> Column:
+    """Exact-decimal → double via a string round-trip.
+
+    A direct decimal→double cast is engine-dependent (DuckDB divides
+    an int128 by 10^scale — two roundings; the JVM parses the decimal
+    string — one correctly-rounded step), so adjacent-ulp mismatches
+    appear. decimal→string is exact in every engine, and string→double
+    (strtod) is correctly rounded in every engine, so this round-trip
+    yields the bit-identical double everywhere.
+    """
+    return c.cast("string").cast("double")
+
+
+def dec_sum(col: Column | str, alias: str) -> Column:
+    """Order-independent SUM(double) -> double."""
+    return dec_to_double(F.sum(dec(col))).alias(alias)
+
+
+def dec_avg(col: Column | str, alias: str) -> Column:
+    """Order-independent AVG(double) -> double.
+
+    sum and count are both exact; the single final division is one
+    IEEE op on identical operands in any engine.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (dec_to_double(F.sum(dec(c))) / F.count(c).cast("double")).alias(alias)
+
+
+def oracle_dec_sum(expr: str, alias: str) -> str:
+    """DuckDB SQL fragment matching :func:`dec_sum`."""
+    return (
+        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)"
+        f" AS {alias}"
+    )
+
+
+def oracle_dec_avg(expr: str, alias: str) -> str:
+    """DuckDB SQL fragment matching :func:`dec_avg`."""
+    return (
+        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)"
+        f" / CAST(COUNT({expr}) AS DOUBLE) AS {alias}"
+    )

@@ -1,0 +1,319 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star). Five tiers, in
+increasing recall / cost:
+
+1. exact        — hash groupBy on a normalized fingerprint (md5).
+2. ngram-jaccard— shingle explode + self-join + Jaccard; exact
+                  similarity, quadratic only within shared shingles.
+3. bottom-k     — portable MinHash-style sketch from md5 shingle
+                  hashes (oracle-checkable in any SQL engine).
+4. minhash-LSH  — xxhash64 k-permutation signatures, banded into
+                  buckets; candidate pairs verified by exact Jaccard.
+                  The 100 TB path: cost ≈ O(n·bands) shuffle, no n².
+5. simhash      — 64-bit sign-sketch; near-dups = small Hamming
+                  distance on banded buckets.
+
+Everything is Catalyst expressions (xxhash64/md5 are JVM builtins);
+no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from aurora_mito_etl_spark.operators.textstats import fingerprint_md5, shingles
+
+# Deterministic (a, b) parameters for the k min-hash permutations
+# h_i(x) = (a_i * x + b_i) mod p. p = 2^31-1 (Mersenne prime) keeps
+# every intermediate below 2^62 — no long overflow under ANSI mode.
+# Constants fixed (not runtime-random) so results are reproducible
+# across runs and cluster sizes.
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _perm_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    # Small deterministic LCG so we don't depend on runtime RNG state.
+    params, x = [], seed
+    for _ in range(k):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = 1 + (x % (_MERSENNE_P - 1))
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = x % _MERSENNE_P
+        params.append((a, b))
+    return params
+
+
+# ---------------------------------------------------------------------------
+# 1. Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one deterministic representative (min id) per normalized
+    content fingerprint. One shuffle on the fingerprint; at 100 TB the
+    16-byte key keeps shuffle volume minimal (vs. shuffling raw text).
+    """
+    fp = fingerprint_md5(F.col(text_col))
+    winners = (
+        df.select(F.col(id_col), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(winners, id_col, "left_semi")
+
+
+def duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact-dup groups: fingerprint → count + member ids (diagnostic)."""
+    return (
+        df.select(fingerprint_md5(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.count(id_col).alias("n_members"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. N-gram Jaccard (exact similarity on candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs (a < b) with shingle-set Jaccard >= threshold.
+
+    Plan shape: explode distinct shingles → self-equi-join on shingle
+    (co-partitioned shuffle, NOT a cross join) → count intersections →
+    join per-doc set sizes → Jaccard. At scale the explode output is
+    (doc, shingle-hash) longs, and hot shingles can be frequency-capped;
+    here we keep exact semantics.
+    """
+    sh = (
+        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# 3. Portable bottom-k sketch (md5-based — oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+def bottom_k_sketch(df: DataFrame, text_col: str, id_col: str, k: int = 3, sketch_size: int = 8) -> DataFrame:
+    """MinHash-style bottom-k sketch: the `sketch_size` smallest md5
+    hex digests of the doc's k-shingles. md5 is identical in every
+    engine, so this sketch is exactly reproducible by a SQL oracle.
+    """
+    sh = shingles(F.col(text_col), k)
+    hashed = F.transform(sh, lambda s: F.md5(s))
+    sketch = F.slice(F.sort_array(F.array_distinct(hashed)), 1, sketch_size)
+    return df.select(F.col(id_col), sketch.alias("sketch"))
+
+
+# ---------------------------------------------------------------------------
+# 4. MinHash + LSH (the scale path)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(col: Column, k_shingle: int, num_hashes: int) -> Column:
+    """Array<long> of `num_hashes` min-hash values over xxhash64'd
+    shingles. Pure Catalyst: xxhash64 + transform + array_min, all
+    codegen'd; Java long wrap-around keeps it deterministic.
+    """
+    base = F.transform(
+        F.array_distinct(shingles(col, k_shingle)),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)),
+    )
+    sig = []
+    for a, b in _perm_params(num_hashes):
+        sig.append(
+            F.array_min(
+                F.transform(base, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE_P)))
+            )
+        )
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH, verified by exact Jaccard.
+
+    Shuffle cost O(n·bands) on (band_id, band_hash) — this is the
+    operator that replaces the O(n²) join at 100 TB. Candidates from
+    any shared band are verified with exact shingle Jaccard so the
+    output has no false positives (false negatives bounded by the
+    (bands, rows) S-curve).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), k_shingle, num_hashes)
+    with_sig = df.select(F.col(id_col), F.col(text_col), sig.alias("sig"))
+
+    band_cols = [
+        F.xxhash64(F.lit(i), F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band))
+        .alias(f"band_{i}")
+        for i in range(bands)
+    ]
+    banded = with_sig.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band"), F.col(f"band_{i}").alias("bh"))
+                for i in range(bands)
+            ])
+        ).alias("e"),
+    ).select(F.col(id_col), F.col("e.band"), F.col("e.bh"))
+
+    left = stacked.select(F.col(id_col).alias("id_a"), "band", "bh")
+    right = stacked.select(F.col(id_col).alias("id_b"), "band", "bh")
+    candidates = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # Verify candidates with exact Jaccard over distinct shingle sets.
+    sh = df.select(
+        F.col(id_col), F.array_distinct(shingles(F.col(text_col), k_shingle)).alias("shs")
+    )
+    verified = (
+        candidates.join(sh.select(F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b")), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("shs_a", "shs_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.size("shs_a") + F.size("shs_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# 5. SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64_df(
+    df: DataFrame, text_col: str, id_col: str, k_shingle: int = 3
+) -> DataFrame:
+    """(id, sh64): 64-bit SimHash of each document's shingle set.
+
+    Plan shape: explode distinct shingles → xxhash64 → ONE hash
+    aggregate with 64 `sum(±1 per bit)` columns (map-side partial agg,
+    all codegen'd) → fold the 64 sign bits into a long. This replaces
+    a per-row higher-order fold over 64-slot arrays, which built a
+    multi-megabyte expression tree and ran ~100× slower.
+    """
+    hashed = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles(F.col(text_col), k_shingle))
+        ).alias("sh"),
+    ).select(F.col(id_col), F.xxhash64("sh").alias("h"))
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.getbit(F.col("h"), F.lit(b)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    # +2^b for b<63; the two's-complement min-long term for bit 63.
+    acc = F.lit(0).cast("long")
+    for b in range(64):
+        acc = acc + F.when(
+            F.col(f"b{b}") > 0,
+            F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+    # Docs with no shingles (shorter than k words) hash to 0.
+    sh = votes.select(F.col(id_col), acc.alias("sh64"))
+    return df.select(id_col).join(sh, id_col, "left").na.fill({"sh64": 0})
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k_shingle: int = 3,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Candidate generation by 4×16-bit band equality (any doc pair
+    within Hamming ≤ 3 shares at least one exact band; wider radii
+    trade recall) — the banding keeps this O(n) shuffle at scale.
+    """
+    sh = simhash64_df(df, text_col, id_col, k_shingle)
+    bands = sh.select(
+        F.col(id_col),
+        F.col("sh64"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(F.col("sh64"), i * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("bh"),
+                )
+                for i in range(4)
+            ])
+        ).alias("e"),
+    ).select(F.col(id_col), F.col("sh64"), F.col("e.band"), F.col("e.bh"))
+    left = bands.select(F.col(id_col).alias("id_a"), F.col("sh64").alias("h_a"), "band", "bh")
+    right = bands.select(F.col(id_col).alias("id_b"), F.col("sh64").alias("h_b"), "band", "bh")
+    return (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

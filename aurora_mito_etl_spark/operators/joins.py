@@ -1,0 +1,134 @@
+"""Join operators (SURVEY.md §2.3 J1-J6).
+
+The reference implements joins as external sort-merge over TSV
+(`sort -k1,1 | join`, reference scripts/process_pubtator.sh:29-34,
+scripts/merge_filter.sh:68-81). Here each shape is a one-liner whose
+physical strategy Catalyst/AQE picks; we add explicit broadcast()
+hints for dimension-sized sides so the plan is broadcast-hash even
+before AQE statistics exist — at 100 TB the fact side never shuffles
+for these.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def semi_join(df: DataFrame, keys: DataFrame, on: str | list[str]) -> DataFrame:
+    """J2 — keep rows whose key appears in `keys`.
+
+    Reference: key-prefix sort-merge trick, scripts/merge_filter.sh:68-81.
+    """
+    return df.join(F.broadcast(keys) if _small(keys) else keys, on, "left_semi")
+
+
+def anti_join(df: DataFrame, done: DataFrame, on: str | list[str]) -> DataFrame:
+    """J4 — drop rows whose key appears in `done` (resume semantics).
+
+    Reference: done-set replay, scripts/run_gpt_filter.py:81-95,221-222.
+    """
+    return df.join(F.broadcast(done) if _small(done) else done, on, "left_anti")
+
+
+def tag_semi_join_distinct(
+    fact: DataFrame, tags: DataFrame, tag_col: str, out_col: str
+) -> DataFrame:
+    """J1 — PubTator ⋈ MeSH-tags shape: semi join on tag, distinct ids.
+
+    Reference: scripts/process_pubtator.sh:29-34 (external sort +
+    join -j1 + sort -u). The tag list is dimension-sized → broadcast;
+    distinct() is a real semantic step there, kept here.
+    """
+    return (
+        fact.join(F.broadcast(tags), fact[tag_col] == tags[tags.columns[0]], "left_semi")
+        .select(out_col)
+        .distinct()
+    )
+
+
+def lookup_join_two_tier(
+    df: DataFrame,
+    lookup: DataFrame,
+    key: str,
+    lookup_key: str,
+    value: str,
+    out_col: str,
+    default: str | None = "",
+) -> DataFrame:
+    """J5/J6 — exact-match lookup, then case-insensitive fallback,
+    then default.
+
+    Reference intent at scripts/finalize_realease.py:507-512,686-698
+    (the reference's lowercase tier has a latent bug — list instead of
+    dict — we implement the *intended* case-insensitive fallback).
+    Both tiers broadcast: the lookup is a curated dimension.
+    """
+    exact = F.broadcast(
+        lookup.select(F.col(lookup_key).alias("__k"), F.col(value).alias("__v_exact"))
+        .dropDuplicates(["__k"])
+    )
+    lowered = F.broadcast(
+        lookup.select(
+            F.lower(F.col(lookup_key)).alias("__kl"), F.col(value).alias("__v_lower")
+        )
+        # deterministic winner per lowercased key
+        .groupBy("__kl")
+        .agg(F.min("__v_lower").alias("__v_lower"))
+    )
+    out = (
+        df.join(exact, df[key] == exact["__k"], "left")
+        .join(lowered, F.lower(df[key]) == lowered["__kl"], "left")
+        .withColumn(
+            out_col,
+            F.coalesce(
+                F.col("__v_exact"),
+                F.col("__v_lower"),
+                F.lit(default) if default is not None else F.lit(None),
+            ),
+        )
+        .drop("__k", "__v_exact", "__kl", "__v_lower")
+    )
+    return out
+
+
+def broadcast_panel_cross(df: DataFrame, panel: DataFrame) -> DataFrame:
+    """J7/J8 shape — every row × a small reference panel.
+
+    Only valid when the panel is dimension-sized; the preferred scale
+    path for similarity scoring is the vectorized pandas-UDF panel in
+    :mod:`aurora_mito_etl_spark.operators.similarity`.
+    Reference: BulkTanimotoSimilarity vs known-inhibitor panel,
+    scripts/finalize_realease.py:199-218.
+    """
+    return df.crossJoin(F.broadcast(panel))
+
+
+def _small(df: DataFrame) -> bool:
+    """Heuristic: treat explicitly-tiny plans as broadcastable.
+
+    We can't know sizes without statistics; AQE converts to broadcast
+    at runtime anyway. Returning False keeps the hint conservative.
+    """
+    return False
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str | Column,
+    lower: str | Column,
+    upper: str | Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Range join: left rows matched to right rows whose
+    [lower, upper) interval contains left_col. Beyond-reference
+    operator (SURVEY §2.3 notes it absent); provided because training
+    pipelines bucket by ranges constantly. Broadcast the interval side
+    when it is a dimension (bin edges), else Spark falls back to
+    sort-merge on the equality-free condition.
+    """
+    lc = F.col(left_col) if isinstance(left_col, str) else left_col
+    lo = F.col(lower) if isinstance(lower, str) else lower
+    hi = F.col(upper) if isinstance(upper, str) else upper
+    return left.join(F.broadcast(right), (lc >= lo) & (lc < hi), how)

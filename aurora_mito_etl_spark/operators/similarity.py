@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns.
+
+Beyond-reference surface (BASELINE.json north star) generalizing the
+reference's fingerprint-vs-panel scoring (scripts/
+finalize_realease.py:199-218, SURVEY §2.3 J7): the panel becomes an
+arbitrary query set, Tanimoto becomes cosine, and the scale path is
+LSH bucketing instead of a cross join.
+
+All dot products are computed in DOUBLE via Catalyst higher-order
+functions (zip_with + aggregate) — deterministic left-to-right
+summation, no Python, no UDF.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns (double math)."""
+    ad, bd = _to_double(a), _to_double(b)
+    return dot(ad, bd) / (l2_norm(ad) * l2_norm(bd))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The query side is broadcast (a query batch is dimension-sized);
+    the corpus side streams map-side — no shuffle of the big table —
+    then one shuffle on query_id ranks the k winners. This is the
+    correctness baseline; :func:`lsh_bucketed_topk` is the 100 TB path.
+    """
+    scored = vectors.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (Box-Muller over a
+    fixed LCG — no runtime RNG so plans are reproducible)."""
+    x = seed
+
+    def nxt() -> float:
+        nonlocal x
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        return (x >> 11) / float(1 << 52)  # uniform [0,1)
+
+    planes = []
+    for _ in range(n_planes):
+        v = []
+        while len(v) < dim:
+            u1 = max(nxt(), 1e-12)
+            u2 = nxt()
+            r = math.sqrt(-2.0 * math.log(u1))
+            v.append(r * math.cos(2 * math.pi * u2))
+            if len(v) < dim:
+                v.append(r * math.sin(2 * math.pi * u2))
+        planes.append(v)
+    return planes
+
+
+def signed_projection_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: one sign bit per plane."""
+    vd = _to_double(vec)
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(c)) for c in p])
+        bits.append(
+            F.when(dot(vd, plane) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_bucketed_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 5,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's
+    random-hyperplane bucket. At 100 TB, corpus buckets are written
+    bucketed-by(bucket) so a query batch touches only its partitions;
+    multi-probe (flip one bit) can be layered for recall.
+    """
+    planes = _hyperplanes(dim, n_planes)
+    vb = vectors.withColumn("bucket", signed_projection_bucket(F.col(vec_col), planes))
+    qb = queries.withColumn("bucket", signed_projection_bucket(F.col(query_vec_col), planes))
+    scored = vb.join(F.broadcast(qb), "bucket").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucketing: only
+    same-bucket pairs are scored (O(n·bucket_width) not O(n²)),
+    then filtered by exact cosine >= threshold."""
+    planes = _hyperplanes(dim, n_planes)
+    vb = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        signed_projection_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = vb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket")
+    b = vb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,184 @@
+"""Text cleaning / filtering operators (SURVEY.md §2.2 P1-P18).
+
+Re-expresses the reference's per-line awk/sed/iconv pipeline
+(reference scripts/process_pubmed.sh:84-135) as pure Catalyst column
+expressions, so the whole chain fuses into one whole-stage-codegen'd
+projection — no Python in the hot path. The two genuinely
+non-relational steps (NFC normalization P13, ASCII transliteration
+P15) are Arrow-batched pandas UDFs in
+:mod:`aurora_mito_etl_spark.operators.unicode_udfs`.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Column-level building blocks
+# ---------------------------------------------------------------------------
+
+
+def squeeze_ws(col: Column) -> Column:
+    """P10 — collapse runs of whitespace to one space and trim.
+
+    Reference: awk gsub(/[[:space:]]+/," ") + trim,
+    scripts/process_pubmed.sh:95-99; run_gpt_filter.py:72-79.
+    """
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+_INLINE_TAGS = r"(?i)</?(?:sup|sub|i|b|u|em|strong|small|p|br)\b[^>]*/?>"
+
+
+def strip_inline_tags(col: Column) -> Column:
+    """P12 — remove inline HTML markup left in abstracts.
+
+    Reference: sed tag strip, scripts/process_pubmed.sh:117.
+    """
+    return F.regexp_replace(col, _INLINE_TAGS, "")
+
+
+def scrub_special_chars(col: Column) -> Column:
+    """P14 — NBSP→space; drop zero-width chars, BOM, C0 controls, DEL.
+
+    Reference: scripts/process_pubmed.sh:123-132.
+    """
+    c = F.regexp_replace(col, " ", " ")
+    c = F.regexp_replace(c, "[​‌‍﻿]", "")
+    return F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+
+
+def canonicalize_dashes(col: Column) -> Column:
+    """F6 — en dash / em dash / minus sign → ASCII hyphen.
+
+    Reference: scripts/finalize_realease.py:520,650.
+    """
+    return F.translate(col, "–—−", "---")
+
+
+def fix_title_terminator(title: Column) -> Column:
+    """P11 — append '.' when the title lacks a terminator.
+
+    Reference: scripts/process_pubmed.sh:105-106.
+    """
+    return F.when(title.endswith("."), title).otherwise(F.concat(title, F.lit(".")))
+
+
+def clean_text(col: Column) -> Column:
+    """The composed P12→P14→F6→P10 cleaning chain (single projection)."""
+    return squeeze_ws(canonicalize_dashes(scrub_special_chars(strip_inline_tags(col))))
+
+
+def truncate_chars(col: Column, max_chars: int = 6000) -> Column:
+    """P18 — LLM input cap. Reference: run_gpt_filter.py:72-79."""
+    return F.substring(col, 1, max_chars)
+
+
+def truncate_at_unmatched_paren(col: Column) -> Column:
+    """P16 — if '(' appears without ')', keep the prefix before '('.
+
+    Reference `openparanthese`, scripts/finalize_realease.py:542-549.
+    """
+    return F.when(
+        col.contains("(") & ~col.contains(")"),
+        F.trim(F.substring_index(col, "(", 1)),
+    ).otherwise(col)
+
+
+def apply_ordered_substitutions(col: Column, pairs: list[tuple[str, str]]) -> Column:
+    """P17 — ordered find→replace chain (substring, not word, semantics).
+
+    Order matters ('analogs'→'' must precede 'analog'→''); reference
+    scripts/finalize_realease.py:495-504 applies data/reference/typos.txt
+    in file order. Folds into nested regexp_replace calls — still one
+    codegen'd expression.
+    """
+    return reduce(
+        lambda c, pair: F.regexp_replace(c, re.escape(pair[0]), pair[1].replace("$", r"\$")),
+        pairs,
+        col,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Predicates
+# ---------------------------------------------------------------------------
+
+
+def non_empty(col: Column) -> Column:
+    """P2 — reference drops empty title/abstract fields
+    (scripts/process_pubmed.sh:101; process_pubtator.sh:30)."""
+    return col.isNotNull() & (col != "")
+
+
+def not_bracket_prefixed(col: Column) -> Column:
+    """P3 — titles starting '[' mark foreign-language entries
+    (scripts/process_pubmed.sh:102)."""
+    return ~col.startswith("[")
+
+
+def extract_year(raw: Column) -> Column:
+    """P4 — first (19|20)\\d{2} match, NULL when absent
+    (scripts/process_pubmed.sh:103-104)."""
+    y = F.regexp_extract(raw, r"((?:19|20)[0-9]{2})", 1)
+    return F.when(y == "", None).otherwise(y.cast("int"))
+
+
+def topical_filter(col: Column, verb_re: str, *topic_res: str) -> Column:
+    """P5 — verb-regex AND any(topic-regex), all case-insensitive
+    (scripts/process_pubmed.sh:60-68,108-113). Pure rlike — Catalyst
+    pushes it into the scan when the source supports it."""
+    pred = col.rlike(f"(?i){verb_re}")
+    topics = None
+    for t in topic_res:
+        m = col.rlike(f"(?i){t}")
+        topics = m if topics is None else (topics | m)
+    return pred & topics if topics is not None else pred
+
+
+def contains_any(col: Column, terms: list[str], case_insensitive: bool = True) -> Column:
+    """P7 core — multi-pattern fixed-string containment.
+
+    The reference uses ripgrep's Aho-Corasick (`rg -F -f`,
+    scripts/merge_filter.sh:56-62). In Spark we compile ONE alternation
+    regex so the match stays JVM-side in a single rlike; for
+    dictionaries beyond ~10⁴ terms switch to
+    :func:`dictionary_filter_udf` (pyahocorasick path) — see SURVEY §4.
+    """
+    if not terms:
+        return F.lit(False)
+    alternation = "|".join(re.escape(t) for t in terms if t)
+    flags = "(?i)" if case_insensitive else ""
+    return col.rlike(f"{flags}(?:{alternation})")
+
+
+def dictionary_anti_filter(
+    df: DataFrame, col: str, terms: list[str], min_len: int = 3
+) -> DataFrame:
+    """P7/J3 — drop rows whose `col` contains any dictionary term.
+
+    Mirrors the reference's pattern-file cleaning (strip comments,
+    len >= 3: scripts/merge_filter.sh:56-62) then `rg -v -i -F`.
+    """
+    cleaned = [t.strip() for t in terms if t.strip() and not t.startswith("#")]
+    cleaned = [t for t in cleaned if len(t) >= min_len]
+    return df.filter(~contains_any(F.col(col), cleaned))
+
+
+def explode_delimited(
+    df: DataFrame, col: str, out_col: str, sep: str = ";"
+) -> DataFrame:
+    """D6 — one row per `sep`-separated item, trimmed, empties dropped.
+
+    Reference: scripts/finalize_realease.py:558-564.
+    """
+    item = F.explode(F.split(F.col(col), re.escape(sep)))
+    return (
+        df.withColumn(out_col, item)
+        .withColumn(out_col, F.trim(F.col(out_col)))
+        .filter(non_empty(F.col(out_col)))
+    )

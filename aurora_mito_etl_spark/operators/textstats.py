@@ -1,0 +1,105 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond-reference surface (per BASELINE.json north star): language ID,
+quality scoring, token counting, document fingerprinting. All pure
+Catalyst column expressions — they run JVM-side inside whole-stage
+codegen and scale linearly with no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword panels. A real deployment swaps in a
+# larger dictionary; the operator shape (regex-hit counting + argmax)
+# is what matters and is identical at any dictionary size.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "es": ["el", "la", "de", "que", "los", "las", "una", "por"],
+    "fr": ["le", "la", "les", "des", "est", "dans", "pour", "une"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不"],
+}
+
+# A BPE-ish pre-tokenizer: letter runs, digit runs, or single
+# non-space symbols (kept RE2-compatible so the DuckDB oracle can run
+# the identical pattern).
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _word_re(w: str) -> str:
+    # \b word-boundary works identically in Java regex and RE2 for
+    # ASCII words; CJK single chars match bare.
+    return rf"\b{w}\b" if w.isascii() else w
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    """Count of stopword occurrences for one language panel."""
+    pat = "|".join(_word_re(w) for w in LANG_STOPWORDS[lang])
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(f"({pat})"), 1))
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: arg-max of per-language stopword hits,
+    'und' when nothing matches. Deterministic tie-break by language
+    code (greatest(struct(hits, code)) picks the lexicographically
+    largest code on ties — stable across engines)."""
+    candidates = [
+        F.struct(stopword_hits(col, code).alias("h"), F.lit(code).alias("code"))
+        for code in sorted(LANG_STOPWORDS)
+    ]
+    best = F.greatest(*candidates)
+    return F.when(best["h"] > 0, best["code"]).otherwise("und")
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(col), r"\s+"))
+
+
+def token_count_bpe(col: Column) -> Column:
+    """BPE-ish token count via the pre-tokenizer regex."""
+    return F.size(F.regexp_extract_all(col, F.lit(f"({TOKEN_RE})"), 1))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band, alpha ratio,
+    punctuation ratio, mean word length band. The standard cheap
+    pre-filter in LLM data pipelines (C4/Gopher-style rules)."""
+    n = F.length(col).cast("double")
+    alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(col, r"[^.,;:!?]", "")).cast("double")
+    words = token_count_ws(col).cast("double")
+    mean_wl = F.when(words > 0, (n - words + 1) / words).otherwise(F.lit(0.0))
+    len_band = F.when((n >= 50) & (n <= 20000), 1.0).otherwise(0.25)
+    alpha_band = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    punct_band = F.when(
+        n > 0, F.when(punct / n <= 0.1, 1.0).otherwise(0.5)
+    ).otherwise(F.lit(0.0))
+    wl_band = F.when((mean_wl >= 2.0) & (mean_wl <= 12.0), 1.0).otherwise(0.5)
+    return F.round((len_band + alpha_band + punct_band + wl_band) / 4.0, 6)
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Content fingerprint: md5 of the whitespace-normalized,
+    lowercased text. Portable across engines (md5 everywhere), used
+    as the exact-dedup key."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))))
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Array of k-word shingles (space-joined) from lowercased text.
+
+    Built from split+transform so it stays a Catalyst expression:
+    tokens t[0..n-1] → 't[i] t[i+1] … t[i+k-1]' for i ≤ n-k.
+    """
+    toks = F.split(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    return F.when(
+        n >= k,
+        F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+        ),
+    ).otherwise(F.array().cast("array<string>"))

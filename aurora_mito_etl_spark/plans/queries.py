@@ -1,0 +1,989 @@
+"""Named query registry — the driver contract surface.
+
+Every operator family in SURVEY.md §2 has at least one named query
+here exercising it on the driver's catalog tables, paired (when
+SQL-expressible) with a DuckDB oracle that computes the identical
+result. Column names/aliases match exactly on both sides; double
+aggregates use the decimal-cast convention from
+:mod:`aurora_mito_etl_spark.functions.numeric` so values are
+bit-identical across engines.
+
+Queries whose Spark implementation depends on engine-specific hashing
+(xxhash64 minhash/simhash, hyperplane LSH) or on pandas-UDF operators
+(LLM classify) have no oracle — the driver records a rows-only check
+and pytest covers their semantics against ground truth.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aurora_mito_etl_spark.functions.numeric import dec, dec_avg, dec_sum, dec_to_double
+from aurora_mito_etl_spark.operators import aggregates as agg
+from aurora_mito_etl_spark.operators import dedup as dd
+from aurora_mito_etl_spark.operators import joins as j
+from aurora_mito_etl_spark.operators import similarity as sim
+from aurora_mito_etl_spark.operators import text as tx
+from aurora_mito_etl_spark.operators import textstats as ts
+from aurora_mito_etl_spark.sources.catalog import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Relational spine: scans, filters, aggregation (SURVEY §2.1, §2.2, §2.4)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l_discount AS DECIMAL(18,6)) * CAST(1 + l_tax AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(l_extendedprice) AS DOUBLE) AS avg_price,
+           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(l_discount) AS DOUBLE) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped scan→filter→hash-agg (A1/A4 spine).
+
+    One scan, filter pushed to parquet, partial+final hash agg on a
+    2-value key — the canonical 'no shuffle problem at 100 TB' query.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_base_price"),
+            dec_to_double(
+                F.sum(dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount")))
+            ).alias("sum_disc_price"),
+            dec_to_double(
+                F.sum(
+                    dec("l_extendedprice")
+                    * dec(F.lit(1) - F.col("l_discount"))
+                    * dec(F.lit(1) + F.col("l_tax"))
+                )
+            ).alias("sum_charge"),
+            dec_avg("l_quantity", "avg_qty"),
+            dec_avg("l_extendedprice", "avg_price"),
+            dec_avg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "revenue_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l.l_discount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join star query: fact-fact shuffle join + broadcast dims.
+
+    customer⋈orders⋈lineitem shuffle on their keys; nation/region are
+    broadcast (BROADCAST_TABLES) so the fact side never reshuffles for
+    them — the right plan at any scale.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .filter(r.r_name == "ASIA")
+        .groupBy(n.n_name.alias("nation"))
+        .agg(
+            dec_to_double(
+                F.sum(dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount")))
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@_register(
+    "order_priority_counts",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 semi join (EXISTS) + agg — the merge_filter.sh:68-81 shape."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = li.filter(F.col("l_quantity") > 45).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        j.semi_join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ),
+            keys,
+            "o_orderkey",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 anti join — the LLM-resume skip-done shape
+    (run_gpt_filter.py:81-95)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return j.anti_join(
+        c, o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@_register(
+    "order_rollup_per_customer",
+    """
+    WITH big AS (
+      SELECT o_custkey, CAST(o_orderkey AS VARCHAR) AS ok
+      FROM orders WHERE o_totalprice > 400000
+    )
+    SELECT o_custkey AS custkey,
+           COUNT(DISTINCT ok) AS n_orders,
+           string_agg(DISTINCT ok, ';' ORDER BY ok) AS order_ids
+    FROM big GROUP BY o_custkey
+    """,
+)
+def order_rollup_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — the reference's flagship group-agg: count-distinct +
+    ';'-joined lexicographically-sorted distinct ids
+    (finalize_realease.py:591-602)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        o.select(F.col("o_custkey"), F.col("o_orderkey").cast("string").alias("ok"))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.countDistinct("ok").alias("n_orders"),
+            F.concat_ws(";", F.sort_array(F.collect_set("ok"))).alias("order_ids"),
+        )
+    )
+
+
+@_register(
+    "keep_first_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def keep_first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — keep-first-per-key dedup via window row_number
+    (finalize_realease.py:517-536, with a pinned deterministic order)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    return agg.keep_first_per_key(
+        o,
+        F.col("o_custkey"),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        key_alias="__k",
+    ).drop("__k")
+
+
+@_register(
+    "order_value_bins",
+    """
+    SELECT CASE WHEN o_totalprice <= 100000 THEN 'very-low'
+                WHEN o_totalprice <= 200000 THEN 'low'
+                WHEN o_totalprice <= 400000 THEN 'medium'
+                ELSE 'high' END AS value_bin,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def order_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — pd.cut-style right-closed binning
+    (finalize_realease.py:618-623)."""
+    o = load_table(spark, sf_dir, "orders")
+    b = agg.bin_right_closed(
+        F.col("o_totalprice"),
+        [100000, 200000, 400000],
+        ["very-low", "low", "medium", "high"],
+    )
+    return o.groupBy(b.alias("value_bin")).agg(F.count("*").alias("n"))
+
+
+@_register(
+    "union_known_panel",
+    """
+    SELECT c_mktsegment AS segment, COUNT(*) AS n_customers, 'new' AS known_status
+    FROM customer GROUP BY c_mktsegment
+    UNION ALL
+    SELECT * FROM (VALUES ('LEGACY', 100, 'known'), ('PILOT', 100, 'known'))
+      t(segment, n_customers, known_status)
+    """,
+)
+def union_known_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — union of computed stats with a literal curated panel
+    (finalize_realease.py:605-616: knowns get a literal count)."""
+    c = load_table(spark, sf_dir, "customer")
+    stats = (
+        c.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n_customers"))
+        .withColumn("known_status", F.lit("new"))
+    )
+    known = spark.createDataFrame(
+        [("LEGACY", 100, "known"), ("PILOT", 100, "known")],
+        "segment string, n_customers long, known_status string",
+    )
+    return stats.unionByName(known)
+
+
+@_register(
+    "priority_set_ops",
+    """
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT '5-LOW' AS o_orderpriority
+    """,
+)
+def priority_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2/U3 — INTERSECT / EXCEPT set semantics
+    (finalize_realease.py:485,537-540)."""
+    o = load_table(spark, sf_dir, "orders")
+    open_p = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    full_p = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    removed = spark.createDataFrame([("5-LOW",)], "o_orderpriority string")
+    return open_p.intersect(full_p).exceptAll(removed)
+
+
+@_register(
+    "topk_mean_supplier",
+    """
+    WITH ranked AS (
+      SELECT l_suppkey, l_extendedprice,
+             row_number() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rn
+      FROM lineitem
+    )
+    SELECT l_suppkey AS suppkey,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS top3_mean
+    FROM ranked WHERE rn <= 3 GROUP BY l_suppkey
+    """,
+)
+def topk_mean_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/D7 — top-k mean as a relational expression
+    (finalize_realease.py:169-173)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            (
+                dec_to_double(F.sum(dec("l_extendedprice")))
+                / F.count("*").cast("double")
+            ).alias("top3_mean")
+        )
+    )
+
+
+@_register(
+    "best_part_per_brand",
+    """
+    WITH ranked AS (
+      SELECT p_brand, p_name, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_name DESC) AS rn
+      FROM part
+    )
+    SELECT r.p_brand, r.p_name AS best_part, m.best_price
+    FROM ranked r
+    JOIN (SELECT p_brand, MAX(p_retailprice) AS best_price FROM part GROUP BY p_brand) m
+      ON r.p_brand = m.p_brand
+    WHERE r.rn = 1
+    """,
+)
+def best_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — arg-max with a deterministic composite tie-break
+    (finalize_realease.py:215-218 BestRef selection)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        agg.argmax_struct(
+            F.struct(F.col("p_retailprice"), F.col("p_name")), F.col("p_name")
+        ).alias("best_part"),
+        F.max("p_retailprice").alias("best_price"),
+    )
+
+
+@_register(
+    "acctbal_threshold_label",
+    """
+    SELECT CASE WHEN c_acctbal >= 7500 THEN 'high'
+                WHEN c_acctbal >= 5000 THEN 'medium'
+                WHEN c_acctbal >= 2500 THEN 'low'
+                ELSE 'very-low' END AS confidence,
+           COUNT(*) AS n
+    FROM customer GROUP BY 1
+    """,
+)
+def acctbal_threshold_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — ordered >=-threshold labelling
+    (finalize_realease.py:175-182)."""
+    c = load_table(spark, sf_dir, "customer")
+    lab = agg.threshold_label(
+        F.col("c_acctbal"),
+        [(7500, "high"), (5000, "medium"), (2500, "low")],
+        "very-low",
+    )
+    return c.groupBy(lab.alias("confidence")).agg(F.count("*").alias("n"))
+
+
+@_register(
+    "two_tier_lookup",
+    """
+    WITH lk AS (
+      SELECT * FROM (VALUES ('AFRICA','afr'), ('america','ame'), ('ASIA','asi'))
+        t(k, v)
+    ),
+    exact AS (SELECT k, MIN(v) AS v_exact FROM lk GROUP BY k),
+    lowered AS (SELECT lower(k) AS kl, MIN(v) AS v_lower FROM lk GROUP BY lower(k))
+    SELECT r.r_name,
+           COALESCE(e.v_exact, lo.v_lower, '') AS code
+    FROM region r
+    LEFT JOIN exact e ON r.r_name = e.k
+    LEFT JOIN lowered lo ON lower(r.r_name) = lo.kl
+    """,
+)
+def two_tier_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/J6 — exact-then-case-insensitive lookup join with default
+    (intended semantics of finalize_realease.py:507-512,686-698)."""
+    r = load_table(spark, sf_dir, "region")
+    lk = spark.createDataFrame(
+        [("AFRICA", "afr"), ("america", "ame"), ("ASIA", "asi")], "k string, v string"
+    )
+    return j.lookup_join_two_tier(
+        r, lk, key="r_name", lookup_key="k", value="v", out_col="code", default=""
+    ).select("r_name", "code")
+
+
+# ---------------------------------------------------------------------------
+# Window functions & event analytics (SURVEY §2.5, §2.9 extensions)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "window_order_stats",
+    """
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS order_seq,
+           lag(o_totalprice) OVER w AS prev_price,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) AS running_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 — ranking, lag, and running totals (beyond-reference
+    window surface; decimal running sum keeps it engine-exact)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        dec_to_double(
+            F.sum(dec("o_totalprice")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+        ).alias("running_spend"),
+    )
+
+
+@_register(
+    "events_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I-series — tumbling-window aggregation (batch form; the
+    streaming form is aurora_mito_etl_spark.streaming with the same
+    window)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00").alias(
+            "hour"
+        ),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        dec_sum("value", "total_value"),
+    )
+
+
+@_register(
+    "events_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via gap detection — the batch equivalent of a
+    session_window stream (SURVEY §2.9)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull()
+        | (F.col("ts").cast("long") - prev.cast("long") > 1800),
+        1,
+    ).otherwise(0)
+    return (
+        e.withColumn("new_session", new_s)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@_register(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-series — JSON scalar extraction (the engine's from_json/
+    get_json_object surface)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("k_total"),
+        F.count("*").alias("n"),
+    )
+
+
+@_register(
+    "events_moving_avg",
+    """
+    SELECT event_id, user_id,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE)
+             / CAST(COUNT(value) OVER w AS DOUBLE) AS mov_avg3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 — frame-bounded moving average (engine-exact via decimal)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        (
+            dec_to_double(F.sum(dec("value")).over(w))
+            / F.count("value").over(w).cast("double")
+        ).alias("mov_avg3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text operators on `documents` (SURVEY §2.2, textstats extensions)
+# ---------------------------------------------------------------------------
+
+_CLEAN_SQL = r"trim(regexp_replace(translate(regexp_replace(regexp_replace(text, '(?i)</?(?:sup|sub|i|b|u|em|strong|small|p|br)\b[^>]*/?>', '', 'g'), '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'), '–—−', '---'), '\s+', ' ', 'g'))"
+
+
+@_register(
+    "docs_clean_text",
+    f"""
+    SELECT doc_id, {_CLEAN_SQL} AS clean FROM documents
+    """,
+)
+def docs_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10/P12/P14/F6 — the composed cleaning chain as ONE codegen'd
+    projection (vs. the reference's 8-process pipe,
+    process_pubmed.sh:84-135)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.clean_text(F.col("text")).alias("clean"))
+
+
+@_register(
+    "docs_topical_filter",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE regexp_matches(text, '(?i)\\b(?:scan|merge)\\b')
+      AND (regexp_matches(text, '(?i)\\bwindow\\b') OR regexp_matches(text, '(?i)\\bstream\\b'))
+    """,
+)
+def docs_topical_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — verb AND any(topic) regex filter
+    (process_pubmed.sh:60-68,108-113)."""
+    d = load_table(spark, sf_dir, "documents")
+    keep = tx.topical_filter(
+        F.col("text"), r"\b(?:scan|merge)\b", r"\bwindow\b", r"\bstream\b"
+    )
+    return d.filter(keep).select("doc_id", "lang")
+
+
+@_register(
+    "docs_dict_anti_filter",
+    """
+    SELECT doc_id, n_chars FROM documents
+    WHERE NOT regexp_matches(text, '(?i)(?:big\\ batch|slow\\ scan|hash\\ join)')
+    """,
+)
+def docs_dict_anti_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/J3 — dictionary anti-filter via one compiled alternation
+    (merge_filter.sh:56-62; rg -v -i -F equivalent)."""
+    d = load_table(spark, sf_dir, "documents")
+    return tx.dictionary_anti_filter(
+        d, "text", ["big batch", "slow scan", "hash join"]
+    ).select("doc_id", "n_chars")
+
+
+@_register(
+    "docs_token_explode",
+    """
+    SELECT doc_id, t AS token
+    FROM (SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS s FROM documents WHERE doc_id < 20),
+         UNNEST(string_split(s, ' ')) AS u(t)
+    WHERE t <> ''
+    """,
+)
+def docs_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 — explode a delimited column to rows
+    (finalize_realease.py:558-564)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    d = d.withColumn("s", tx.squeeze_ws(F.col("text")))
+    return tx.explode_delimited(d, "s", "token", sep=" ").select("doc_id", "token")
+
+
+@_register(
+    "docs_token_stats",
+    r"""
+    SELECT doc_id,
+           len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS n_tokens_ws,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe,
+           length(text) AS n_chars_actual
+    FROM documents
+    """,
+)
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) — north-star text
+    analysis surface."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(tx.squeeze_ws(F.col("text")), " ")).alias("n_tokens_ws"),
+        ts.token_count_bpe(F.col("text")).alias("n_tokens_bpe"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+@_register(
+    "docs_quality",
+    """
+    WITH q AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+             CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS words
+      FROM (SELECT doc_id, regexp_replace(text, '\\s+', ' ', 'g') AS text FROM documents)
+    )
+    SELECT doc_id,
+           round((
+             (CASE WHEN n >= 50 AND n <= 20000 THEN 1.0 ELSE 0.25 END)
+             + (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END)
+             + (CASE WHEN n > 0 THEN (CASE WHEN punct / n <= 0.1 THEN 1.0 ELSE 0.5 END) ELSE 0.0 END)
+             + (CASE WHEN words > 0 AND (n - words + 1) / words >= 2.0 AND (n - words + 1) / words <= 12.0 THEN 1.0 ELSE 0.5 END)
+           ) / 4.0, 6) AS quality
+    FROM q
+    """,
+)
+def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (length/alpha/punct/word-length bands) — C4/
+    Gopher-style cheap pre-filter."""
+    d = load_table(spark, sf_dir, "documents")
+    # normalize whitespace first so `words` agrees with the oracle
+    d = d.withColumn("text", F.regexp_replace("text", r"\s+", " "))
+    return d.select("doc_id", ts.quality_score(F.col("text")).alias("quality"))
+
+
+@_register(
+    "docs_lang_id",
+    None,  # oracle added below (long SQL, built programmatically)
+)
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: arg-max of stopword-panel hits."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", ts.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+def _lang_id_oracle() -> str:
+    from aurora_mito_etl_spark.operators.textstats import LANG_STOPWORDS, _word_re
+
+    score_cols = []
+    for code in sorted(LANG_STOPWORDS):
+        pat = "|".join(_word_re(w) for w in LANG_STOPWORDS[code])
+        # DuckDB string literals keep backslashes verbatim — only
+        # quotes need escaping.
+        pat_sql = pat.replace("'", "''")
+        score_cols.append(
+            f"len(regexp_extract_all(lower(text), '({pat_sql})')) AS h_{code}"
+        )
+    scores = ",\n             ".join(score_cols)
+    structs = ", ".join(
+        f"{{'h': h_{c}, 'code': '{c}'}}" for c in sorted(LANG_STOPWORDS)
+    )
+    return f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             {scores}
+      FROM documents
+    ),
+    best AS (
+      SELECT doc_id, lang, list_aggregate([{structs}], 'max') AS bp FROM s
+    )
+    SELECT doc_id, lang,
+           CASE WHEN bp.h > 0 THEN bp.code ELSE 'und' END AS lang_pred
+    FROM best
+    """
+
+
+ORACLES["docs_lang_id"] = _lang_id_oracle()
+
+
+@_register(
+    "docs_fingerprint",
+    """
+    SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+    FROM documents
+    """,
+)
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable content fingerprint (md5 of normalized text)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", ts.fingerprint_md5(F.col("text")).alias("fp"))
+
+
+@_register(
+    "docs_exact_dedup",
+    """
+    SELECT MIN(doc_id) AS doc_id
+    FROM documents
+    GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+    """,
+)
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one survivor (min id) per content fingerprint."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup(d, "text", "doc_id").select("doc_id")
+
+
+_SHINGLE_SQL = """
+      SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+      FROM (SELECT doc_id,
+                   string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+            FROM documents),
+           UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+"""
+
+
+@_register(
+    "docs_ngram_jaccard_pairs",
+    f"""
+    WITH sh AS (SELECT DISTINCT * FROM ({_SHINGLE_SQL})),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.id_a = sa.doc_id
+    JOIN sizes sb ON inter.id_b = sb.doc_id
+    WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.15
+    """,
+)
+def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup pairs (exact, via shingle equi-join —
+    co-partitioned shuffle, not a cross join)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.15)
+
+
+@_register(
+    "docs_bottom_k_sketch",
+    f"""
+    WITH sh AS (SELECT DISTINCT doc_id, md5(sh) AS h FROM ({_SHINGLE_SQL})),
+    ranked AS (
+      SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+      FROM sh
+    )
+    SELECT doc_id, string_agg(h, ',' ORDER BY h) AS sketch
+    FROM ranked WHERE rn <= 8 GROUP BY doc_id
+    """,
+)
+def docs_bottom_k_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable MinHash-style bottom-k sketch (md5 — reproducible in
+    any engine; the xxhash64 banded-LSH variant is the scale path)."""
+    d = load_table(spark, sf_dir, "documents")
+    out = dd.bottom_k_sketch(d, "text", "doc_id", k=3, sketch_size=8)
+    return out.select("doc_id", F.concat_ws(",", F.col("sketch")).alias("sketch"))
+
+
+@_register("docs_minhash_lsh_pairs")  # engine-hash based: rows-only check
+def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, Jaccard-verified — the 100 TB dedup
+    path (O(n·bands) shuffle). Semantics pytest-verified against exact
+    Jaccard ground truth."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(
+        d, "text", "doc_id", k_shingle=3, num_hashes=16, bands=4, threshold=0.3
+    )
+
+
+@_register("docs_simhash_pairs")  # engine-hash based: rows-only check
+def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via 16-bit band blocking + Hamming
+    filter."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.simhash_pairs(d, "text", "doc_id", k_shingle=3, max_hamming=16)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_COS_SQL = """
+      list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+"""
+
+
+@_register(
+    "emb_cosine_topk",
+    f"""
+    WITH scored AS (
+      SELECT b.vec_id AS query_id, a.vec_id,
+             round({_COS_SQL}, 6) AS score
+      FROM embeddings a, embeddings b
+      WHERE b.vec_id % 100 = 0
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (exact ANN baseline): corpus streams
+    map-side against a broadcast query batch."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim.brute_force_topk(e, q, k=5)
+
+
+@_register(
+    "emb_near_dup_exact",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS_SQL}, 6) AS cos_sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND {_COS_SQL} >= 0.95
+    """,
+)
+def emb_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs — exact O(n²) baseline
+    (correctness oracle for the LSH variant)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim_raw", sim.cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos_sim_raw") >= 0.95)
+        .select(
+            "id_a", "id_b", F.round(F.col("cos_sim_raw"), 6).alias("cos_sim")
+        )
+    )
+
+
+@_register("emb_lsh_near_dup")  # approximate: rows-only check
+def emb_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via random-hyperplane LSH bucketing — the
+    100 TB path (recall pytest-checked against the exact variant)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.embedding_near_dup_pairs(e, threshold=0.95, n_planes=8, dim=64)
+
+
+@_register("emb_lsh_topk")  # approximate: rows-only check
+def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed approximate top-k over embeddings."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim.lsh_bucketed_topk(e, q, dim=64, k=5, n_planes=8)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the reference's analytical spine on text (entry())
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_BLACKLIST = ("the", "and", "for", "with")
+
+
+@_register(
+    "flagship_compound_mentions",
+    f"""
+    WITH f AS (
+      SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS s
+      FROM documents
+      WHERE regexp_matches(text, '(?i)\\b(?:scan|merge|sort)\\b')
+        AND (regexp_matches(text, '(?i)\\bwindow\\b') OR regexp_matches(text, '(?i)\\bbatch\\b'))
+    ),
+    tok AS (
+      SELECT DISTINCT doc_id, t AS mention
+      FROM f, UNNEST(string_split(s, ' ')) AS u(t)
+      WHERE length(t) > 2 AND lower(t) NOT IN {tuple(_FLAGSHIP_BLACKLIST)!r}
+    ),
+    stats AS (
+      SELECT mention,
+             COUNT(DISTINCT doc_id) AS n_docs,
+             string_agg(DISTINCT CAST(doc_id AS VARCHAR), ';' ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids
+      FROM tok GROUP BY mention
+    )
+    SELECT mention, n_docs, doc_ids,
+           CASE WHEN n_docs <= 1 THEN 'very-low' WHEN n_docs <= 2 THEN 'low'
+                WHEN n_docs <= 4 THEN 'medium' ELSE 'high' END AS confidence
+    FROM stats
+    """,
+)
+def flagship_compound_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's analytical spine re-expressed on `documents`:
+    topical regex filter (P5) → explode mentions (D6) → length+
+    blacklist cleaning (P8/P9) → group-agg with sorted id lists (A1)
+    → right-closed confidence bins (A5). Mirrors
+    finalize_realease.py:554-628 stage by stage.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    filtered = d.filter(
+        tx.topical_filter(
+            F.col("text"), r"\b(?:scan|merge|sort)\b", r"\bwindow\b", r"\bbatch\b"
+        )
+    ).withColumn("s", tx.squeeze_ws(F.col("text")))
+    mentions = (
+        tx.explode_delimited(filtered, "s", "mention", sep=" ")
+        .filter(F.length("mention") > 2)
+        .filter(~F.lower(F.col("mention")).isin(*_FLAGSHIP_BLACKLIST))
+        .select("doc_id", "mention")
+        .distinct()
+    )
+    stats = mentions.groupBy("mention").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.concat_ws(
+            ";", F.sort_array(F.collect_set(F.col("doc_id").cast("string")))
+        ).alias("doc_ids"),
+    )
+    return stats.select(
+        "mention",
+        "n_docs",
+        "doc_ids",
+        agg.bin_right_closed(
+            F.col("n_docs"), [1, 2, 4], ["very-low", "low", "medium", "high"]
+        ).alias("confidence"),
+    )
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return flagship_compound_mentions(spark, sf_dir)
