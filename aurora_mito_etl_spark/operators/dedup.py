@@ -148,23 +148,30 @@ def bottom_k_sketch(df: DataFrame, text_col: str, id_col: str, k: int = 3, sketc
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(col: Column, k_shingle: int, num_hashes: int) -> Column:
-    """Array<long> of `num_hashes` min-hash values over xxhash64'd
-    shingles. Pure Catalyst: xxhash64 + transform + array_min, all
-    codegen'd; Java long wrap-around keeps it deterministic.
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, k_shingle: int, num_hashes: int
+) -> DataFrame:
+    """(id, m0..m{k-1}): k-permutation MinHash signature per document.
+
+    Plan shape: explode distinct shingles → xxhash64 → ONE hash
+    aggregate with `num_hashes` min columns (map-side partial agg).
+    An earlier formulation evaluated `num_hashes` array transforms
+    per row, re-deriving the shingle array each time — ~50× slower.
+    Docs with < k words have no shingles and drop out (they cannot be
+    near-duplicates of anything).
     """
-    base = F.transform(
-        F.array_distinct(shingles(col, k_shingle)),
-        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)),
+    hashed = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k_shingle))).alias("sh"),
+    ).select(F.col(id_col), F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE_P)).alias("h"))
+    return hashed.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE_P))
+            ).alias(f"m{i}")
+            for i, (a, b) in enumerate(_perm_params(num_hashes))
+        ]
     )
-    sig = []
-    for a, b in _perm_params(num_hashes):
-        sig.append(
-            F.array_min(
-                F.transform(base, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE_P)))
-            )
-        )
-    return F.array(*sig)
 
 
 def minhash_lsh_pairs(
@@ -185,15 +192,16 @@ def minhash_lsh_pairs(
     (bands, rows) S-curve).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), k_shingle, num_hashes)
-    with_sig = df.select(F.col(id_col), F.col(text_col), sig.alias("sig"))
+    sigs = minhash_signatures(df, text_col, id_col, k_shingle, num_hashes)
 
     band_cols = [
-        F.xxhash64(F.lit(i), F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band))
-        .alias(f"band_{i}")
+        F.xxhash64(
+            F.lit(i),
+            *[F.col(f"m{i * rows_per_band + r}") for r in range(rows_per_band)],
+        ).alias(f"band_{i}")
         for i in range(bands)
     ]
-    banded = with_sig.select(F.col(id_col), *band_cols)
+    banded = sigs.select(F.col(id_col), *band_cols)
     stacked = banded.select(
         F.col(id_col),
         F.explode(

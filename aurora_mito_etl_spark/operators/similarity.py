@@ -39,6 +39,17 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(ad, bd) / (l2_norm(ad) * l2_norm(bd))
 
 
+def with_norm(
+    df: DataFrame, vec_col: str, out_vec: str, out_norm: str
+) -> DataFrame:
+    """Project (vec as double[], ||vec||) ONCE per row, so pairwise
+    scoring later costs a single dot product instead of recomputing
+    both norms per pair (3× the array traffic at n² pairs)."""
+    return df.withColumn(out_vec, _to_double(F.col(vec_col))).withColumn(
+        out_norm, l2_norm(F.col(out_vec))
+    )
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -52,13 +63,18 @@ def brute_force_topk(
 
     The query side is broadcast (a query batch is dimension-sized);
     the corpus side streams map-side — no shuffle of the big table —
-    then one shuffle on query_id ranks the k winners. This is the
-    correctness baseline; :func:`lsh_bucketed_topk` is the 100 TB path.
+    then one shuffle on query_id ranks the k winners. Norms are
+    precomputed per row (not per pair). This is the correctness
+    baseline; :func:`lsh_bucketed_topk` is the 100 TB path.
     """
-    scored = vectors.crossJoin(F.broadcast(queries)).select(
+    v = with_norm(vectors, vec_col, "__v", "__vn")
+    q = with_norm(queries, query_vec_col, "__q", "__qn")
+    scored = v.crossJoin(F.broadcast(q)).select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("score"),
+        F.round(
+            dot(F.col("__v"), F.col("__q")) / (F.col("__vn") * F.col("__qn")), 6
+        ).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("score"), F.asc(id_col)
@@ -155,20 +171,33 @@ def embedding_near_dup_pairs(
     same-bucket pairs are scored (O(n·bucket_width) not O(n²)),
     then filtered by exact cosine >= threshold."""
     planes = _hyperplanes(dim, n_planes)
-    vb = vectors.select(
+    vb = with_norm(vectors, vec_col, "__v", "__vn").select(
         F.col(id_col),
-        F.col(vec_col),
+        F.col("__v"),
+        F.col("__vn"),
         signed_projection_bucket(F.col(vec_col), planes).alias("bucket"),
     )
-    a = vb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket")
-    b = vb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket")
+    a = vb.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__v").alias("v_a"),
+        F.col("__vn").alias("n_a"),
+        "bucket",
+    )
+    b = vb.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__v").alias("v_b"),
+        F.col("__vn").alias("n_b"),
+        "bucket",
+    )
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

