@@ -1,0 +1,148 @@
+"""Dedup tiers and similarity search vs. ground truth.
+
+The approximate operators (MinHash-LSH, SimHash, hyperplane LSH)
+have no SQL oracle; these tests pin their semantics against exact
+computations on small corpora.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from aurora_mito_etl_spark.operators import dedup as dd
+from aurora_mito_etl_spark.operators import similarity as sim
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("quick", "rapid")),  # near dup of 0
+        (3, "completely different text about spark shuffle partitions and joins"),
+        (4, "another unrelated document mentioning window aggregation only"),
+        (5, base + " with a small suffix appended"),  # near dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _shingle_set(text: str, k: int = 3) -> set[str]:
+    toks = text.lower().split()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _jaccard(a: set, b: set) -> float:
+    return len(a & b) / len(a | b)
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = dd.exact_dedup(_docs(spark), "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [0, 2, 3, 4, 5]  # doc 1 removed, doc 0 (min id) kept
+
+
+def test_duplicate_groups(spark):
+    out = dd.duplicate_groups(_docs(spark), "text", "doc_id").collect()
+    assert len(out) == 1
+    assert out[0]["member_ids"] == [0, 1]
+
+
+def test_ngram_jaccard_matches_python_ground_truth(spark):
+    out = dd.ngram_jaccard_pairs(_docs(spark), "text", "doc_id", k=3, threshold=0.3)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    rows = {r["doc_id"]: r["text"] for r in _docs(spark).collect()}
+    expect = {}
+    for a, b in itertools.combinations(sorted(rows), 2):
+        jj = _jaccard(_shingle_set(rows[a]), _shingle_set(rows[b]))
+        if jj >= 0.3:
+            expect[(a, b)] = round(jj, 6)
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k] == pytest.approx(expect[k], abs=1e-6)
+
+
+def test_minhash_lsh_finds_near_dups_no_false_positives(spark):
+    out = dd.minhash_lsh_pairs(
+        _docs(spark), "text", "doc_id", k_shingle=3, num_hashes=16, bands=8, threshold=0.3
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    # verification step guarantees no false positives
+    rows = {r["doc_id"]: r["text"] for r in _docs(spark).collect()}
+    for (a, b), jj in got.items():
+        true_j = _jaccard(_shingle_set(rows[a]), _shingle_set(rows[b]))
+        assert jj == pytest.approx(round(true_j, 6))
+        assert true_j >= 0.3
+    # the exact dup pair must always be found (identical signatures)
+    assert (0, 1) in got
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    out = dd.simhash_pairs(_docs(spark), "text", "doc_id", max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert got.get((0, 1)) == 0
+
+
+def test_simhash64_deterministic(spark):
+    a = dd.simhash64_df(_docs(spark), "text", "doc_id").collect()
+    b = dd.simhash64_df(_docs(spark), "text", "doc_id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def _vectors(spark, n=40, dim=8):
+    rows = []
+    for i in range(n):
+        v = [math.sin(i * 0.7 + j) for j in range(dim)]
+        rows.append((i, v))
+    # plant a near-duplicate of vector 0
+    v0 = rows[0][1]
+    rows.append((n, [x + 1e-4 for x in v0]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+
+def test_brute_force_topk_matches_python(spark):
+    vecs = _vectors(spark)
+    q = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = sim.brute_force_topk(vecs, q, k=3).collect()
+    rows = {r["vec_id"]: r["embedding"] for r in vecs.collect()}
+    scores = sorted(
+        ((round(_cos(rows[0], v), 6), -i) for i, v in rows.items()),
+        reverse=True,
+    )
+    expect_ids = [-s[1] for s in scores[:3]]
+    got_ids = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert got_ids == expect_ids
+    assert got_ids[0] == 0  # self first
+
+
+def test_embedding_near_dup_finds_planted_pair(spark):
+    vecs = _vectors(spark)
+    out = sim.embedding_near_dup_pairs(
+        vecs, threshold=0.999, n_planes=4, dim=8
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (0, 40) in pairs  # planted near-dup lands in same bucket
+
+
+def test_lsh_topk_is_subset_of_bucket_and_ranked(spark):
+    vecs = _vectors(spark)
+    q = vecs.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = sim.lsh_bucketed_topk(vecs, q, dim=8, k=3, n_planes=4)
+    for (qid,), grp in itertools.groupby(
+        sorted(out.collect(), key=lambda r: (r["query_id"], r["rank"])),
+        key=lambda r: (r["query_id"],),
+    ):
+        ranks = [r["rank"] for r in grp]
+        assert ranks == list(range(1, len(ranks) + 1))

@@ -1,0 +1,115 @@
+"""SURVEY §2.2 operator semantics, branch by branch.
+
+Fixture rows mirror the reference's edge cases (FIXTURES.md): empty
+abstract, '['-prefixed title, year<2000, HTML tags, zero-width chars,
+unmatched parens, ordered typo substitution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aurora_mito_etl_spark.operators import text as tx
+
+
+def _one(spark, value: str, expr) -> str | None:
+    df = spark.createDataFrame([(value,)], "s string")
+    return df.select(expr(F.col("s")).alias("v")).collect()[0]["v"]
+
+
+def test_squeeze_ws(spark):
+    assert _one(spark, "  a \t b\n\nc ", tx.squeeze_ws) == "a b c"
+
+
+def test_strip_inline_tags(spark):
+    assert (
+        _one(spark, "x <sup>2</sup> and <i>term</i><br/>", tx.strip_inline_tags)
+        == "x 2 and term"
+    )
+    # non-listed tags survive (reference strips a fixed list)
+    assert _one(spark, "<table>x</table>", tx.strip_inline_tags) == "<table>x</table>"
+
+
+def test_scrub_special_chars(spark):
+    s = "a b​c\x01d\x7fe"
+    assert _one(spark, s, tx.scrub_special_chars) == "a bcde"
+
+
+def test_canonicalize_dashes(spark):
+    assert _one(spark, "a–b—c−d", tx.canonicalize_dashes) == "a-b-c-d"
+
+
+def test_fix_title_terminator(spark):
+    assert _one(spark, "Title", tx.fix_title_terminator) == "Title."
+    assert _one(spark, "Title.", tx.fix_title_terminator) == "Title."
+
+
+def test_truncate_at_unmatched_paren(spark):
+    assert _one(spark, "metformin (unclosed", tx.truncate_at_unmatched_paren) == "metformin"
+    assert (
+        _one(spark, "metformin (closed)", tx.truncate_at_unmatched_paren)
+        == "metformin (closed)"
+    )
+    assert _one(spark, "plain", tx.truncate_at_unmatched_paren) == "plain"
+
+
+def test_ordered_substitutions_order_matters(spark):
+    # 'analogs'→'' must run before 'analog'→'' (reference typos.txt order)
+    pairs = [("analogs", ""), ("analog", "")]
+    assert _one(
+        spark, "drug analogs analog", lambda c: tx.apply_ordered_substitutions(c, pairs)
+    ) == "drug  "
+    # reversed order leaves a dangling 's'
+    rev = [("analog", ""), ("analogs", "")]
+    assert _one(
+        spark, "drug analogs", lambda c: tx.apply_ordered_substitutions(c, rev)
+    ) == "drug s"
+
+
+def test_extract_year(spark):
+    df = spark.createDataFrame(
+        [("published 1999-01",), ("2024 Jan",), ("no year",), ("1899",)], "s string"
+    )
+    got = [r["y"] for r in df.select(tx.extract_year(F.col("s")).alias("y")).collect()]
+    assert got == [1999, 2024, None, None]
+
+
+def test_topical_filter(spark):
+    df = spark.createDataFrame(
+        [
+            ("Rotenone INHIBITS mitochondrial complex I",),  # verb+topic → keep
+            ("inhibition without any topic",),  # verb only → drop
+            ("complex I discussed, nothing inhibited... wait it is",),
+            ("unrelated text",),
+        ],
+        "s string",
+    )
+    keep = tx.topical_filter(F.col("s"), r"\binhibit\w*", r"complex\s+I\b", r"NADH")
+    got = df.filter(keep).count()
+    assert got == 2
+
+
+def test_dictionary_anti_filter_and_contains_any(spark):
+    df = spark.createDataFrame(
+        [("has Rotenone inside",), ("clean row",), ("PIERICIDIN uppercase",)],
+        "s string",
+    )
+    out = tx.dictionary_anti_filter(
+        df, "s", ["rotenone", "piericidin", "# comment", "ab"]
+    )
+    assert [r["s"] for r in out.collect()] == ["clean row"]
+
+
+def test_explode_delimited(spark):
+    df = spark.createDataFrame([(1, "a; b ;;c"), (2, " ")], "id int, s string")
+    out = tx.explode_delimited(df, "s", "item")
+    assert [(r["id"], r["item"]) for r in out.collect()] == [
+        (1, "a"),
+        (1, "b"),
+        (1, "c"),
+    ]
+
+
+def test_clean_text_composition(spark):
+    s = "A <b>bold</b>  move – with​  controls\x02"
+    assert _one(spark, s, tx.clean_text) == "A bold move - with controls"
