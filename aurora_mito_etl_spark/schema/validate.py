@@ -1,0 +1,95 @@
+"""Distributed schema/CHECK validation (SURVEY §5 item 1).
+
+The reference validates row-by-row in Python against JSON Schemas
+(reference etl/schema/validate.py:39-48). The Spark form is a single
+pass computing, per named check, the count of violating rows — one
+aggregate job, no collect of the data itself. `strict` raises on any
+violation (the reference exits non-zero); otherwise you get a report.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aurora_mito_etl_spark.schema.registry import schema_for
+
+
+class CheckViolation(Exception):
+    def __init__(self, table: str, counts: dict[str, int]):
+        self.table = table
+        self.counts = counts
+        super().__init__(f"{table}: CHECK violations {counts}")
+
+
+@dataclass(frozen=True)
+class ValidationReport:
+    table: str
+    total_rows: int
+    violations: dict[str, int]
+    missing_columns: list[str]
+
+    @property
+    def ok(self) -> bool:
+        return not self.missing_columns and all(
+            v == 0 for v in self.violations.values()
+        )
+
+
+def validate(df: DataFrame, schema_name: str, strict: bool = False) -> ValidationReport:
+    """Validate `df` against the registered schema's columns + CHECKs.
+
+    One aggregation job: count(*) plus one conditional count per
+    check — identical cost profile at any scale (map-side partial).
+    """
+    ts = schema_for(schema_name)
+    expected = [f.name for f in ts.struct.fields]
+    missing = [c for c in expected if c not in df.columns]
+    runnable = {
+        name: pred
+        for name, pred in ((n, factory()) for n, factory in ts.checks.items())
+        # a check is runnable iff its input columns exist
+        if not missing or all(c in df.columns for c in _cols_of(pred))
+    }
+    aggs = [F.count(F.lit(1)).alias("__total")] + [
+        F.count(F.when(~pred, 1)).alias(name) for name, pred in runnable.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    violations = {name: row[name] for name in runnable}
+    report = ValidationReport(
+        table=schema_name,
+        total_rows=row["__total"],
+        violations=violations,
+        missing_columns=missing,
+    )
+    if strict and not report.ok:
+        raise CheckViolation(schema_name, {**violations, "__missing_columns": len(missing)})
+    return report
+
+
+def violations_df(df: DataFrame, schema_name: str) -> DataFrame:
+    """The violating rows themselves, tagged by failed check — the
+    debugging companion to :func:`validate`."""
+    ts = schema_for(schema_name)
+    failed = F.array_compact(
+        F.array(
+            *[
+                F.when(~factory(), F.lit(name)).otherwise(F.lit(None))
+                for name, factory in ts.checks.items()
+            ]
+        )
+    )
+    return (
+        df.withColumn("__failed_checks", failed)
+        .filter(F.size("__failed_checks") > 0)
+    )
+
+
+def _cols_of(pred) -> list[str]:
+    # Column expressions don't expose referenced columns via public
+    # API; parse the string form conservatively.
+    import re
+
+    return re.findall(r"'([A-Za-z_][A-Za-z0-9_]*)'", str(pred))

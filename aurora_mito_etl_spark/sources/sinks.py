@@ -1,0 +1,158 @@
+"""Sinks + provenance (SURVEY §2.1 K1-K4).
+
+The reference's release step writes TSV + Excel into a dated
+directory and appends YAML-ish provenance blocks with sha256 per
+artifact (reference scripts/finalize_realease.py:57-113,726-798).
+Engine form: Parquet is the canonical staged format; TSV/Excel are
+edge exports; provenance is structured JSON written per sink call.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import hashlib
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_parquet_stage(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """K5 — stage materialization. Partitioning keys become directory
+    partitions so downstream reads prune (date/source at 100 TB)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_tsv(
+    df: DataFrame,
+    path: str,
+    columns: list[str] | None = None,
+    single_file: bool = False,
+    null_value: str = "",
+) -> None:
+    """K1 — TSV sink with fixed column order and header.
+
+    Reference: to_csv(sep="\\t") (finalize_realease.py:582,726).
+    `single_file=True` mirrors the reference's one-file artifact —
+    only valid for result-sized data (it coalesces to 1 task); leave
+    False for big outputs so every executor writes its own part.
+    """
+    if columns:
+        df = df.select(*columns)
+    if single_file:
+        df = df.coalesce(1)
+    (
+        df.write.mode("overwrite")
+        .option("sep", "\t")
+        .option("header", True)
+        .option("nullValue", null_value)
+        .option("emptyValue", "")
+        .csv(path)
+    )
+
+
+def release_dir(base: str, date: str | None = None) -> str:
+    """K3 — dated release directory `base/date=YYYY-MM-DD`.
+
+    The date is an injected parameter, never today() inside a query
+    (determinism, SURVEY §7 / F13); default falls back to the driver
+    clock at call time only.
+    """
+    d = date or _dt.date.today().isoformat()
+    return os.path.join(base, f"date={d}")
+
+
+def overwrite_release(
+    df: DataFrame, base: str, name: str, date: str, fmt: str = "tsv"
+) -> str:
+    """I3 — idempotent re-release: rewrite exactly this date's
+    partition of one artifact (reference deletes + rebuilds the dated
+    dir, finalize_realease.py:102-113)."""
+    path = os.path.join(release_dir(base, date), name)
+    if fmt == "tsv":
+        write_tsv(df, path, single_file=True)
+    else:
+        write_parquet_stage(df, path)
+    return path
+
+
+def sha256_of_dir(path: str) -> str:
+    """F11 — stable content hash of a written artifact (sorted file
+    walk, so it is independent of filesystem listing order)."""
+    h = hashlib.sha256()
+    for root, _dirs, files in sorted(os.walk(path)):
+        for fn in sorted(files):
+            if fn.startswith(("_", ".")):
+                continue  # _SUCCESS, checksums
+            with open(os.path.join(root, fn), "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+    return h.hexdigest()
+
+
+def write_provenance(
+    provenance_path: str,
+    artifact_path: str,
+    step: str,
+    sources: list[str],
+    parameters: dict[str, Any] | None = None,
+    date: str | None = None,
+) -> dict[str, Any]:
+    """K4 — append one structured lineage record (JSON lines).
+
+    Reference appends YAML-ish blocks with file/sha256/date/step/
+    sources/parameters (finalize_realease.py:64-97). JSONL keeps it
+    append-only and machine-readable.
+    """
+    record = {
+        "file": artifact_path,
+        "sha256": sha256_of_dir(artifact_path)
+        if os.path.isdir(artifact_path)
+        else _sha256_file(artifact_path),
+        "date": date or _dt.date.today().isoformat(),
+        "step": step,
+        "sources": sources,
+        "parameters": parameters or {},
+    }
+    os.makedirs(os.path.dirname(provenance_path) or ".", exist_ok=True)
+    with open(provenance_path, "a", encoding="utf-8") as f:
+        f.write(json.dumps(record, sort_keys=True) + "\n")
+    return record
+
+
+def _sha256_file(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def to_excel(df: DataFrame, path: str, link_col: str | None = None, url_template: str | None = None):
+    """K2 — Excel export, driver-side, result-sized data ONLY.
+
+    Reference adds a HYPERLINK formula column (finalize_realease.py:
+    585-587). openpyxl may be absent in minimal images → ImportError
+    surfaces to the caller; the engine's canonical artifact remains
+    TSV/Parquet.
+    """
+    pdf = df.toPandas()
+    if link_col and url_template:
+        pdf[link_col] = [
+            url_template.format(**row) for row in pdf.to_dict("records")
+        ]
+    pdf.to_excel(path, index=False)
+
+
+def add_link_column(df: DataFrame, id_col: str, out_col: str = "link") -> DataFrame:
+    """The reference's URL column as an engine-side expression
+    (finalize_realease.py:586): one string concat per row."""
+    return df.withColumn(
+        out_col,
+        F.concat(F.lit("https://pubmed.ncbi.nlm.nih.gov/?term="), F.col(id_col)),
+    )

@@ -1,0 +1,89 @@
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aurora_mito_etl_spark.operators import unicode_udfs as uu
+from aurora_mito_etl_spark.schema import CheckViolation, validate
+from aurora_mito_etl_spark.schema.validate import violations_df
+from aurora_mito_etl_spark.sources import sinks
+
+
+def test_validate_clean_table(spark):
+    df = spark.createDataFrame(
+        [("123", "YES", "metformin"), ("456", "probablyYES", None)],
+        "pmid string, confidence string, compound string",
+    )
+    rep = validate(df, "pubmed_gpt")
+    assert rep.ok and rep.total_rows == 2
+
+
+def test_validate_reports_violations(spark):
+    df = spark.createDataFrame(
+        [("abc", "YES", "x"), ("123", "maybe", "y")],
+        "pmid string, confidence string, compound string",
+    )
+    rep = validate(df, "pubmed_gpt")
+    assert rep.violations == {"pmid_digits": 1, "confidence_enum": 1}
+    with pytest.raises(CheckViolation):
+        validate(df, "pubmed_gpt", strict=True)
+    bad = violations_df(df, "pubmed_gpt").collect()
+    assert sorted(r["pmid"] for r in bad) == ["123", "abc"]
+
+
+def test_nfc_and_ascii_transliterate(spark):
+    # e + combining acute (decomposed) vs precomposed é
+    df = spark.createDataFrame([("Café – naïve",), (None,)], "s string")
+    out = df.select(
+        uu.nfc_normalize(F.col("s")).alias("nfc"),
+        uu.ascii_transliterate(F.col("s")).alias("ascii"),
+        uu.normalize_text_full(F.col("s")).alias("full"),
+    ).collect()
+    assert out[0]["nfc"] == "Café – naïve"
+    assert out[0]["ascii"] == "Cafe  naive"
+    assert out[0]["full"] == "Cafe  naive"
+    assert out[1]["nfc"] is None and out[1]["ascii"] is None
+
+
+def test_normalize_compound_name(spark):
+    df = spark.createDataFrame(
+        [("Metformin analogs",), (" IACS-010759 ",), ("Rotenones",), ("Citrus",), ("gas",)],
+        "s string",
+    )
+    got = [
+        r["n"]
+        for r in df.select(uu.normalize_compound_name(F.col("s")).alias("n")).collect()
+    ]
+    assert got == ["metforminanalog", "iacs010759", "rotenone", "citrus", "gas"]
+
+
+def test_tsv_sink_and_provenance(spark, tmp_path):
+    df = spark.createDataFrame([("1", 2.5), ("3", 4.0)], "pmid string, v double")
+    base = str(tmp_path / "release")
+    path = sinks.overwrite_release(df, base, "table.tsv", date="2026-01-15")
+    assert "date=2026-01-15" in path
+    files = [f for f in os.listdir(path) if f.endswith(".csv")]
+    assert len(files) == 1
+    body = open(os.path.join(path, files[0])).read()
+    assert body.splitlines()[0] == "pmid\tv"
+
+    prov = str(tmp_path / "release_info.jsonl")
+    rec = sinks.write_provenance(
+        prov, path, step="finalize", sources=["pubmed_gpt"], parameters={"k": 1},
+        date="2026-01-15",
+    )
+    assert rec["sha256"] == sinks.sha256_of_dir(path)
+    lines = [json.loads(line) for line in open(prov)]
+    assert lines[0]["step"] == "finalize"
+    # idempotent re-release: same content → same hash
+    sinks.overwrite_release(df, base, "table.tsv", date="2026-01-15")
+    assert sinks.sha256_of_dir(path) == rec["sha256"]
+
+
+def test_add_link_column(spark):
+    df = spark.createDataFrame([("42",)], "pmid string")
+    out = sinks.add_link_column(df, "pmid").collect()[0]["link"]
+    assert out == "https://pubmed.ncbi.nlm.nih.gov/?term=42"
