@@ -81,7 +81,8 @@ _register(
             [_s("Type", False), _s("MeSH_UI", False), _s("Name", False), _s("OneTreeNumber")]
         ),
         {
-            "type_enum": lambda: F.col("Type").isin("Descriptor", "SCR"),
+            # 'D' = Descriptor, 'C' = Supplemental Concept Record
+            "type_enum": lambda: F.col("Type").isin("D", "C"),
             "ui_shape": lambda: F.col("MeSH_UI").rlike(r"^[CD][0-9]+$"),
         },
     )
@@ -121,25 +122,26 @@ _register(
 _register(
     TableSchema(
         "processed_all",
+        # column order per reference etl/schema/DATA_DICTIONARY.md:31-49
         T.StructType(
             [
                 _s("compound", False),
                 T.StructField("pubmed_references", T.IntegerType(), False),
-                _s("compound_other_names"),
-                _s("pmids"),
                 _s("known_status", False),
                 _s("confidence_pubmed", False),
+                _s("pubmed_ids"),
                 T.StructField("MaxSim_all", T.DoubleType(), True),
                 T.StructField("TopKMean_all", T.DoubleType(), True),
                 _s("BestRef_name"),
                 _s("confidence_similarity"),
-                T.StructField("Tversky_biguanide", T.DoubleType(), True),
-                T.StructField("Dice_biguanide", T.DoubleType(), True),
-                _s("BestBiguanideRef"),
                 T.StructField("has_biguanide_core", T.BooleanType(), True),
                 T.StructField("has_biguanide_motif", T.BooleanType(), True),
-                _s("confidence_biguanide"),
-                _s("link"),
+                T.StructField("sim_biguanide_tversky", T.DoubleType(), True),
+                T.StructField("sim_biguanide_dice", T.DoubleType(), True),
+                T.StructField("best_biguanide_like_tversky", T.DoubleType(), True),
+                _s("best_ref_name_tversky"),
+                T.StructField("best_biguanide_like_dice", T.DoubleType(), True),
+                _s("best_ref_name_dice"),
                 _s("SMILES"),
             ]
         ),
