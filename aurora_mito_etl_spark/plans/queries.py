@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from aurora_mito_etl_spark.functions.numeric import dec, dec_avg, dec_sum, dec_to_double
 from aurora_mito_etl_spark.operators import aggregates as agg
+from aurora_mito_etl_spark.operators import unicode_udfs as uu
 from aurora_mito_etl_spark.operators import dedup as dd
 from aurora_mito_etl_spark.operators import joins as j
 from aurora_mito_etl_spark.operators import similarity as sim
@@ -923,6 +924,184 @@ def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return sim.lsh_bucketed_topk(e, q, dim=64, k=5, n_planes=8)
+
+
+# ---------------------------------------------------------------------------
+# Reference-pipeline operators on catalog tables (P16/P17, D1+A3,
+# range join, rollup, outer join)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "docs_paren_truncate",
+    """
+    SELECT doc_id,
+           CASE WHEN contains(s, '(') AND NOT contains(s, ')')
+                THEN trim(string_split(s, '(')[1]) ELSE s END AS fixed
+    FROM (SELECT doc_id, concat(source, ' (', CAST(doc_id AS VARCHAR)) AS s
+          FROM documents WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT doc_id, concat(source, ' (', CAST(doc_id AS VARCHAR), ')') AS s
+          FROM documents WHERE doc_id % 2 = 1)
+    """,
+)
+def docs_paren_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P16 — truncate-at-unmatched-paren over a synthesized mix of
+    matched/unmatched paren strings (finalize_realease.py:542-549)."""
+    d = load_table(spark, sf_dir, "documents")
+    even = d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.concat("source", F.lit(" ("), F.col("doc_id").cast("string")).alias("s")
+    )
+    odd = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.concat("source", F.lit(" ("), F.col("doc_id").cast("string"), F.lit(")")).alias("s"),
+    )
+    u = even.unionByName(odd)
+    return u.select("doc_id", tx.truncate_at_unmatched_paren(F.col("s")).alias("fixed"))
+
+
+@_register(
+    "docs_ordered_typos",
+    """
+    SELECT doc_id,
+           replace(replace(replace(source, 'src11', 'S'), 'src1', 'T'), 'src', 'base') AS fixed
+    FROM documents
+    """,
+)
+def docs_ordered_typos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P17 — ordered substring substitution chain; order matters
+    ('src11' before 'src1' before 'src',
+    finalize_realease.py:495-504)."""
+    d = load_table(spark, sf_dir, "documents")
+    fixed = tx.apply_ordered_substitutions(
+        F.col("source"), [("src11", "S"), ("src1", "T"), ("src", "base")]
+    )
+    return d.select("doc_id", fixed.alias("fixed"))
+
+
+@_register(
+    "part_normalize_dedup",
+    """
+    WITH normed AS (
+      SELECT p_partkey, p_name, p_retailprice,
+             CASE WHEN length(n) > 4 AND n LIKE '%s'
+                       AND NOT (n LIKE '%us' OR n LIKE '%is' OR n LIKE '%os' OR n LIKE '%gas')
+                  THEN substring(n, 1, length(n) - 1) ELSE n END AS norm
+      FROM (SELECT p_partkey, p_name, p_retailprice,
+                   regexp_replace(translate(lower(trim(p_name)), '–—−', '---'), '[\\s\\-]+', '', 'g') AS n
+            FROM part)
+    )
+    SELECT norm, p_partkey, p_name FROM (
+      SELECT norm, p_partkey, p_name,
+             row_number() OVER (PARTITION BY norm ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+      FROM normed
+    ) WHERE rn = 1
+    """,
+)
+def part_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 + A3 — normalize-name key (lower/strip/de-pluralize) then
+    keep-first-per-key dedup with a pinned order
+    (finalize_realease.py:517-536)."""
+    p = load_table(spark, sf_dir, "part")
+    normed = p.withColumn("norm", uu.normalize_compound_name(F.col("p_name")))
+    return agg.keep_first_per_key(
+        normed.select("norm", "p_partkey", "p_name", "p_retailprice"),
+        F.col("norm"),
+        [F.desc("p_retailprice"), F.asc("p_partkey")],
+        key_alias="__k",
+    ).select("norm", "p_partkey", "p_name")
+
+
+@_register(
+    "lineitem_qty_range_join",
+    """
+    SELECT b.lab AS qty_band, COUNT(*) AS n
+    FROM lineitem l
+    JOIN (VALUES (0, 10, 'small'), (10, 25, 'mid'), (25, 1000, 'large')) b(lo, hi, lab)
+      ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.lab
+    """,
+)
+def lineitem_qty_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (beyond-reference §2.3): fact rows matched to
+    broadcast [lo, hi) interval dimension."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bins = spark.createDataFrame(
+        [(0, 10, "small"), (10, 25, "mid"), (25, 1000, "large")],
+        "lo int, hi int, lab string",
+    )
+    joined = j.range_join(li, bins, "l_quantity", "lo", "hi")
+    return joined.groupBy(F.col("lab").alias("qty_band")).agg(
+        F.count("*").alias("n")
+    )
+
+
+@_register(
+    "pricing_rollup",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+           COALESCE(l_linestatus, 'ALL') AS lstatus,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-sets aggregation (absent in the reference;
+    free engine surface per SURVEY §2.4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "n",
+        )
+    )
+
+
+@_register(
+    "customer_order_full_outer",
+    """
+    SELECT
+      CAST(SUM(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS customers_without_orders,
+      CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orders_without_customers,
+      COUNT(*) AS total_rows
+    FROM customer c
+    FULL OUTER JOIN (SELECT DISTINCT o_custkey FROM orders) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def customer_order_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join surface (absent in the reference; SURVEY §2.3
+    'for free')."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    joined = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return joined.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("customers_without_orders"),
+        F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("orders_without_customers"),
+        F.count("*").alias("total_rows"),
+    )
+
+
+@_register("docs_classify_stub")  # deterministic pandas-UDF operator: rows-only
+def docs_classify_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 — the LLM batch-classify operator over `documents` with the
+    deterministic stub client (semantics pytest-pinned; the driver
+    records a rows-only check since the stub is not SQL)."""
+    from aurora_mito_etl_spark.operators import llm
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("pmid"),
+        F.col("text").alias("title_abstract"),
+    )
+    return llm.classify_documents(d, llm.stub_classifier)
 
 
 # ---------------------------------------------------------------------------
