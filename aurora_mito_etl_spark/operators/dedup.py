@@ -88,6 +88,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     k: int = 3,
     threshold: float = 0.5,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """All pairs (a < b) with shingle-set Jaccard >= threshold.
 
@@ -96,11 +97,21 @@ def ngram_jaccard_pairs(
     join per-doc set sizes → Jaccard. At scale the explode output is
     (doc, shingle-hash) longs, and hot shingles can be frequency-capped;
     here we keep exact semantics.
+
+    The (id, shingle-hash) table feeds three plan branches (sizes +
+    both join sides); `persist_shingles` caches it so the shingling
+    work runs once — at 100 TB this is the stage you materialize to
+    storage instead.
     """
+    # Join on xxhash64(shingle): 8-byte shuffle keys instead of
+    # multi-word strings (collision odds ~ distinct²/2⁶⁴ — nil).
     sh = (
-        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("sh"))
+        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("s"))
+        .select(F.col(id_col), F.xxhash64("s").alias("sh"))
         .distinct()
     )
+    if persist_shingles:
+        sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "sh")
     b = sh.select(F.col(id_col).alias("id_b"), "sh")
@@ -192,7 +203,25 @@ def minhash_lsh_pairs(
     (bands, rows) S-curve).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, k_shingle, num_hashes)
+    # ONE shingle explode feeds signatures AND verification sets.
+    hashed = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles(F.col(text_col), k_shingle))).alias("s"),
+        )
+        .select(F.col(id_col), F.xxhash64("s").alias("h"))
+        .persist()
+    )
+    sigs = hashed.select(
+        F.col(id_col), F.pmod(F.col("h"), F.lit(_MERSENNE_P)).alias("hm")
+    ).groupBy(id_col).agg(
+        *[
+            F.min(
+                F.pmod(F.lit(a) * F.col("hm") + F.lit(b), F.lit(_MERSENNE_P))
+            ).alias(f"m{i}")
+            for i, (a, b) in enumerate(_perm_params(num_hashes))
+        ]
+    )
 
     band_cols = [
         F.xxhash64(
@@ -221,10 +250,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # Verify candidates with exact Jaccard over distinct shingle sets.
-    sh = df.select(
-        F.col(id_col), F.array_distinct(shingles(F.col(text_col), k_shingle)).alias("shs")
-    )
+    # Verify candidates with exact Jaccard over distinct shingle-hash
+    # sets (same hashed table as the signatures — no re-shingling).
+    sh = hashed.groupBy(id_col).agg(F.collect_set("h").alias("shs"))
     verified = (
         candidates.join(sh.select(F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a")), "id_a")
         .join(sh.select(F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b")), "id_b")

@@ -159,6 +159,67 @@ def lsh_bucketed_topk(
     )
 
 
+def exact_near_dup_pairs_blocked(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold via blocked matrix multiply.
+
+    One side of the O(n²) comparison is broadcast as a normalized
+    numpy matrix; each Arrow batch of the other side computes a
+    (batch × n) similarity block in BLAS and emits only passing pairs
+    (id_a < id_b). ~100× the per-pair cost of expression-tree dot
+    products. Valid while the broadcast side fits in executor memory
+    (n·dim·8 bytes — 1M×128d ≈ 1 GB); beyond that, use
+    :func:`embedding_near_dup_pairs` (LSH) — exact all-pairs at that
+    scale is the wrong query.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    rows = vectors.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    normed = mat / norms[:, None]
+    sc = vectors.sparkSession.sparkContext
+    b_ids, b_mat = sc.broadcast(ids), sc.broadcast(normed)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType(), False),
+            T.StructField("id_b", T.LongType(), False),
+            T.StructField("cos_sim", T.DoubleType(), False),
+        ]
+    )
+
+    def block(batches):
+        import pandas as pd
+
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            bids = pdf[id_col].to_numpy(dtype=np.int64)
+            bmat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            bn = np.linalg.norm(bmat, axis=1)
+            bn[bn == 0] = 1.0
+            sims = (bmat / bn[:, None]) @ all_mat.T
+            bi, aj = np.nonzero(
+                (sims >= threshold) & (bids[:, None] < all_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": bids[bi],
+                    "id_b": all_ids[aj],
+                    "cos_sim": np.round(sims[bi, aj], 6),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(block, out_schema)
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",

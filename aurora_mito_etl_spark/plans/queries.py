@@ -883,29 +883,13 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def emb_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs — exact O(n²) baseline
-    (correctness oracle for the LSH variant). Norms precomputed per
-    row, so each pair costs one dot product. Threshold 0.5 sits in
-    the tail of the testdata's cosine distribution (max ≈ 0.60)."""
-    e = sim.with_norm(load_table(spark, sf_dir, "embeddings"), "embedding", "__v", "__vn")
-    a = e.select(
-        F.col("vec_id").alias("id_a"), F.col("__v").alias("v_a"), F.col("__vn").alias("n_a")
-    )
-    b = e.select(
-        F.col("vec_id").alias("id_b"), F.col("__v").alias("v_b"), F.col("__vn").alias("n_b")
-    )
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos_sim_raw",
-            sim.dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
-        )
-        .filter(F.col("cos_sim_raw") >= 0.5)
-        .select(
-            "id_a", "id_b", F.round(F.col("cos_sim_raw"), 6).alias("cos_sim")
-        )
-    )
+    """Embedding-cosine near-dup pairs — exact all-pairs baseline
+    (correctness oracle for the LSH variant), computed by blocked
+    BLAS matmul against a broadcast normalized matrix. Threshold 0.5
+    sits in the tail of the testdata's cosine distribution
+    (max ≈ 0.60)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.exact_near_dup_pairs_blocked(e, threshold=0.5)
 
 
 @_register("emb_lsh_near_dup")  # approximate: rows-only check
