@@ -163,10 +163,91 @@ def dictionary_anti_filter(
 
     Mirrors the reference's pattern-file cleaning (strip comments,
     len >= 3: scripts/merge_filter.sh:56-62) then `rg -v -i -F`.
+    Dispatches on dictionary size: one compiled alternation rlike
+    (JVM-side, codegen) for small dictionaries, the Aho-Corasick
+    pandas UDF for large ones (SURVEY §4: rg -F is Aho-Corasick —
+    a 10⁵-term alternation regex would be quadratic-ish to match
+    and can exceed regex size limits).
     """
     cleaned = [t.strip() for t in terms if t.strip() and not t.startswith("#")]
     cleaned = [t for t in cleaned if len(t) >= min_len]
+    if len(cleaned) > _AC_THRESHOLD:
+        return df.filter(~contains_any_ac(F.col(col), cleaned))
     return df.filter(~contains_any(F.col(col), cleaned))
+
+
+# Alternation-regex matching cost grows with dictionary size; beyond
+# this many terms the linear-time automaton wins despite Python.
+_AC_THRESHOLD = 256
+
+
+class AhoCorasick:
+    """Minimal Aho-Corasick automaton (dict-of-dicts trie + BFS
+    failure links) for multi-pattern substring search. Pure Python —
+    built once per executor worker inside the UDF, linear scan per
+    document regardless of dictionary size."""
+
+    def __init__(self, patterns: list[str]):
+        self.goto: list[dict[str, int]] = [{}]
+        self.fail: list[int] = [0]
+        self.hit: list[bool] = [False]
+        for p in patterns:
+            self._insert(p)
+        self._build_failures()
+
+    def _insert(self, pattern: str) -> None:
+        state = 0
+        for ch in pattern:
+            nxt = self.goto[state].get(ch)
+            if nxt is None:
+                nxt = len(self.goto)
+                self.goto.append({})
+                self.fail.append(0)
+                self.hit.append(False)
+                self.goto[state][ch] = nxt
+            state = nxt
+        self.hit[state] = True
+
+    def _build_failures(self) -> None:
+        from collections import deque
+
+        queue = deque(self.goto[0].values())
+        while queue:
+            state = queue.popleft()
+            for ch, nxt in self.goto[state].items():
+                queue.append(nxt)
+                f = self.fail[state]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[nxt] = self.goto[f].get(ch, 0) if self.goto[f].get(ch, 0) != nxt else 0
+                self.hit[nxt] = self.hit[nxt] or self.hit[self.fail[nxt]]
+
+    def matches(self, text: str) -> bool:
+        state = 0
+        for ch in text:
+            while state and ch not in self.goto[state]:
+                state = self.fail[state]
+            state = self.goto[state].get(ch, 0)
+            if self.hit[state]:
+                return True
+        return False
+
+
+def contains_any_ac(col: Column, terms: list[str]) -> Column:
+    """P7 at scale — case-insensitive contains-any via an
+    Aho-Corasick automaton in an Arrow pandas UDF. The automaton is
+    built once per worker (closure), then each document is one
+    linear pass — dictionary size only affects build time."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    lowered = [t.lower() for t in terms if t]
+
+    def ac_batch(s):
+        ac = AhoCorasick(lowered)
+        return s.map(lambda v: ac.matches(v.lower()) if v is not None else False)
+
+    return pandas_udf(ac_batch, T.BooleanType())(col)
 
 
 def explode_delimited(

@@ -1,0 +1,102 @@
+"""Physical-plan shape assertions (SURVEY §4): pushdown, pruning,
+broadcast, codegen. These are the 100 TB guarantees — a plan that
+reads all columns or shuffles a dimension join fails here even though
+its values are correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aurora_mito_etl_spark.operators import text as tx
+from aurora_mito_etl_spark.plans.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = QUERIES["pricing_summary"](spark, SF)
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(spark):
+    df = QUERIES["docs_token_stats"](spark, SF)
+    plan = plan_of(df)
+    # only doc_id + text read out of the 5-column table
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = plan_of(QUERIES["revenue_by_nation"](spark, SF))
+    # nation/region joins must be broadcast, never shuffled
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the fact-fact joins shuffle on their keys (sort-merge or
+    # shuffled-hash depending on stats) — but never nested-loop
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semi_and_anti_join_shapes(spark):
+    semi = plan_of(QUERIES["order_priority_counts"](spark, SF))
+    assert "LeftSemi" in semi
+    anti = plan_of(QUERIES["customers_without_orders"](spark, SF))
+    assert "LeftAnti" in anti
+
+
+def test_whole_stage_codegen_covers_clean_chain(spark):
+    plan = plan_of(QUERIES["docs_clean_text"](spark, SF))
+    # the whole P12→P14→F6→P10 chain fuses into one codegen'd
+    # projection ('*'/codegen id markers in formatted explain)
+    assert "[codegen id :" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    plan = plan_of(QUERIES["pricing_summary"](spark, SF))
+    # partial_ aggregate functions on the map side (one per dec_sum)
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_range_join_broadcasts_interval_side(spark):
+    plan = plan_of(QUERIES["lineitem_qty_range_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan  # tiny side broadcast
+
+
+def test_ac_dispatch_small_vs_large(spark):
+    df = spark.createDataFrame([("has rotenone",), ("clean",)], "s string")
+    small = tx.dictionary_anti_filter(df, "s", ["rotenone"])
+    assert "BatchEvalPython" not in plan_of(small)
+    assert "ArrowEvalPython" not in plan_of(small)
+    big_terms = [f"term{i:05d}" for i in range(300)] + ["rotenone"]
+    big = tx.dictionary_anti_filter(df, "s", big_terms)
+    assert "ArrowEvalPython" in plan_of(big)  # pandas-UDF AC path
+    assert [r["s"] for r in big.collect()] == ["clean"]
+
+
+def test_ac_automaton_semantics():
+    ac = tx.AhoCorasick(["he", "she", "hers", "xyz"])
+    assert ac.matches("ushers")  # overlapping patterns via fail links
+    assert ac.matches("xyz at end")
+    assert ac.matches("there")  # 'he' inside 'there'
+    assert not ac.matches("nothing x-ish")
+    assert not ac.matches("")
+    # equivalence with regex path on random-ish inputs
+    import re
+
+    terms = ["abc", "bcd", "cde", "q"]
+    ac2 = tx.AhoCorasick(terms)
+    rx = re.compile("|".join(map(re.escape, terms)))
+    for s in ["zabcz", "xxbcdxx", "cd", "qq", "", "ab cd e", "ccdde"]:
+        assert ac2.matches(s) == bool(rx.search(s)), s
