@@ -11,7 +11,7 @@ for these.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -111,6 +111,102 @@ def _small(df: DataFrame) -> bool:
     at runtime anyway. Returning False keeps the hint conservative.
     """
     return False
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tolerance_s: int | None = None,
+) -> DataFrame:
+    """As-of join: each left row gets the latest right row with
+    right_ts <= left_ts, per `on` key. Beyond-reference operator
+    (SURVEY §2.3 notes it absent) — the standard shape for joining
+    events to slowly-changing state in training pipelines.
+
+    Plan: union both sides tagged, ONE window sort per key carries
+    the last-seen right values forward (last_value ignorenulls), then
+    keep left rows. Cost = one shuffle on the key + one sort — no
+    range join, no per-row lookup; skew-safe under AQE.
+    """
+    lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
+    rt = (
+        right.select(
+            on,
+            F.col(right_ts).alias("__ts"),
+            *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        )
+        .withColumn("__side", F.lit(0))
+    )
+    for c in right_cols:
+        lt = lt.withColumn(f"__r_{c}", F.lit(None).cast(rt.schema[f"__r_{c}"].dataType))
+    for c in left.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    unioned = lt.unionByName(rt.select(*lt.columns))
+    # right rows sort before left rows at the same timestamp, so a
+    # right row with ts == left ts IS visible (<= semantics); right
+    # payloads break same-timestamp ties deterministically.
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__side", *[f"__r_{c}" for c in right_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        *left.columns,
+        "__ts",
+        "__side",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
+            for c in right_cols
+        ],
+        F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True)
+        .over(w)
+        .alias("__rts"),
+    ).filter(F.col("__side") == 1)
+    if tolerance_s is not None:
+        within = (
+            F.col("__rts").isNotNull()
+            & (F.col("__ts").cast("long") - F.col("__rts").cast("long") <= tolerance_s)
+        )
+        carried = carried.select(
+            *left.columns,
+            *[
+                F.when(within, F.col(f"__c_{c}")).alias(c) for c in right_cols
+            ],
+        )
+    else:
+        carried = carried.select(
+            *left.columns, *[F.col(f"__c_{c}").alias(c) for c in right_cols]
+        )
+    return carried
+
+
+def salt_skewed_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Manual key-salting for a skewed equi-join: the fact side gets a
+    random-ish (hash-derived, deterministic) salt, the dim side is
+    exploded ×salt_buckets, and the join key becomes (key, salt) —
+    spreading one hot key over `salt_buckets` tasks.
+
+    AQE skew-join splitting usually makes this unnecessary; provided
+    for engines/joins AQE can't split (e.g. followed by a windowed
+    agg that must co-partition) — SURVEY §4.
+    """
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(*fact.columns), F.lit(salt_buckets))
+    )
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return salted_fact.join(salted_dim, [on, "__salt"]).drop("__salt")
 
 
 def range_join(

@@ -227,10 +227,16 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 8,
     dim: int = 64,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucketing: only
     same-bucket pairs are scored (O(n·bucket_width) not O(n²)),
-    then filtered by exact cosine >= threshold."""
+    then filtered by exact cosine >= threshold.
+
+    `multi_probe` > 0 also probes buckets within that Hamming
+    distance of one side's bucket (bit flips), trading `n_planes
+    choose multi_probe`× candidate volume for recall — the standard
+    lever when a near-dup pair straddles one hyperplane."""
     planes = _hyperplanes(dim, n_planes)
     vb = with_norm(vectors, vec_col, "__v", "__vn").select(
         F.col(id_col),
@@ -244,13 +250,34 @@ def embedding_near_dup_pairs(
         F.col("__vn").alias("n_a"),
         "bucket",
     )
+    if multi_probe > 0:
+        probes = [0] + [
+            1 << i for i in range(n_planes)
+        ]  # self + single-bit flips (Hamming 1)
+        if multi_probe > 1:
+            probes += [
+                (1 << i) | (1 << j)
+                for i in range(n_planes)
+                for j in range(i + 1, n_planes)
+            ]
+        a = a.withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(p)).cast("long")
+                        for p in probes
+                    ]
+                )
+            ),
+        )
     b = vb.select(
         F.col(id_col).alias("id_b"),
         F.col("__v").alias("v_b"),
         F.col("__vn").alias("n_b"),
         "bucket",
     )
-    return (
+    out = (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
@@ -262,3 +289,5 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+    # multi-probe can surface the same pair via several buckets
+    return out.dropDuplicates(["id_a", "id_b"]) if multi_probe > 0 else out

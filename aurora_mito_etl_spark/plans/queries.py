@@ -897,7 +897,9 @@ def emb_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via random-hyperplane LSH bucketing — the
     100 TB path (recall pytest-checked against the exact variant)."""
     e = load_table(spark, sf_dir, "embeddings")
-    return sim.embedding_near_dup_pairs(e, threshold=0.5, n_planes=4, dim=64)
+    return sim.embedding_near_dup_pairs(
+        e, threshold=0.5, n_planes=4, dim=64, multi_probe=1
+    )
 
 
 @_register("emb_lsh_topk")  # approximate: rows-only check
@@ -1072,6 +1074,63 @@ def customer_order_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("orders_without_customers"),
         F.count("*").alias("total_rows"),
     )
+
+
+@_register(
+    "events_asof_join",
+    """
+    SELECT l.event_id, l.user_id,
+           r.event_id AS asof_event_id,
+           CAST(r.value AS DOUBLE) AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (beyond-reference §2.3): each click matched to the
+    user's latest prior-or-simultaneous view. One shuffle + one
+    window sort — no range join. DuckDB's native ASOF JOIN is the
+    oracle."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("asof_event_id"),
+        F.col("value").alias("asof_value"),
+    )
+    out = j.asof_join(
+        clicks,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["asof_event_id", "asof_value"],
+    )
+    return out.select("event_id", "user_id", "asof_event_id", "asof_value")
+
+
+def _ac_dict() -> list[str]:
+    # >256 terms forces the Aho-Corasick pandas-UDF path; only the
+    # last few can actually occur in the synthetic vocabulary.
+    return [f"zzqx{i:04d}" for i in range(300)] + ["slow scan", "big batch"]
+
+
+@_register(
+    "docs_ac_dict_filter",
+    """
+    SELECT doc_id FROM documents
+    WHERE NOT regexp_matches(lower(text), '(?:slow\\ scan|big\\ batch|zzqx)')
+    """,
+)
+def docs_ac_dict_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 at dictionary scale — the Aho-Corasick UDF path (auto
+    dispatch >256 terms), oracle-checked against the equivalent
+    alternation (the 300 synthetic terms share the 'zzqx' prefix so
+    the oracle regex stays finite)."""
+    d = load_table(spark, sf_dir, "documents")
+    return tx.dictionary_anti_filter(d, "text", _ac_dict()).select("doc_id")
 
 
 @_register("docs_classify_stub")  # deterministic pandas-UDF operator: rows-only

@@ -1,0 +1,80 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from aurora_mito_etl_spark.operators import joins as j
+from aurora_mito_etl_spark.operators import similarity as sim
+
+
+def _ts(m):
+    return dt.datetime(2026, 1, 1, 12, m, 0)
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [("u1", _ts(10), "L1"), ("u1", _ts(30), "L2"), ("u2", _ts(5), "L3")],
+        "user_id string, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts(9), 1.0), ("u1", _ts(10), 2.0), ("u1", _ts(20), 3.0),
+         ("u2", _ts(6), 9.0)],
+        "user_id string, ts timestamp, v double",
+    )
+    out = j.asof_join(left, right, "user_id", "ts", "ts", ["v"])
+    got = {r["tag"]: r["v"] for r in out.collect()}
+    # ts == left ts is visible (<=); later right rows are not
+    assert got == {"L1": 2.0, "L2": 3.0, "L3": None}
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame(
+        [("u1", _ts(30), "L")], "user_id string, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts(0), 1.0)], "user_id string, ts timestamp, v double"
+    )
+    wide = j.asof_join(left, right, "user_id", "ts", "ts", ["v"], tolerance_s=3600)
+    tight = j.asof_join(left, right, "user_id", "ts", "ts", ["v"], tolerance_s=60)
+    assert wide.collect()[0]["v"] == 1.0
+    assert tight.collect()[0]["v"] is None  # 30 min > 60 s tolerance
+
+
+def test_salt_skewed_join_values(spark):
+    # one hot key (k=1) dominating the fact side
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(50)] + [(2, 99)], "k int, payload int"
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "cold")], "k int, lab string")
+    out = j.salt_skewed_join(fact, dim, "k", salt_buckets=4)
+    got = [(r["k"], r["payload"], r["lab"]) for r in out.collect()]
+    assert len(got) == 51  # no dup, no loss
+    assert all(lab == ("hot" if k == 1 else "cold") for k, _p, lab in got)
+
+
+def test_multi_probe_lsh_improves_recall(spark):
+    import math
+
+    rows = []
+    for i in range(60):
+        v = [math.sin(i * 1.3 + jj) for jj in range(16)]
+        rows.append((i, v))
+        # a near-identical twin for every 10th vector
+        if i % 10 == 0:
+            rows.append((1000 + i, [x + 1e-5 for x in v]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = sim.embedding_near_dup_pairs(
+        vecs, threshold=0.999, n_planes=6, dim=16, multi_probe=0
+    ).count()
+    probed_df = sim.embedding_near_dup_pairs(
+        vecs, threshold=0.999, n_planes=6, dim=16, multi_probe=1
+    )
+    probed_rows = probed_df.collect()
+    probed_keys = [(r["id_a"], r["id_b"]) for r in probed_rows]
+    assert len(probed_keys) == len(set(probed_keys))  # deduped pairs
+    assert len(probed_keys) >= base  # probing never loses candidates
+    # identical twins always share every sign bit → all 6 planted
+    # pairs found even without probing; with probing still all there
+    planted = {(i, 1000 + i) for i in range(0, 60, 10)}
+    assert planted <= set(probed_keys)
