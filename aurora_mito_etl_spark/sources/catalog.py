@@ -40,6 +40,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     session.py nanosAsLong) and are truncated to microsecond
     timestamps — the same truncation DuckDB applies, so oracles agree.
     """
+    # Defensive: the harness may hand us a session built without this
+    # conf; it is runtime-settable and required to read the events
+    # table's INT64 TIMESTAMP(NANOS) column.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         meta = field.metadata or {}
