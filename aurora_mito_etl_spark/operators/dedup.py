@@ -88,7 +88,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     k: int = 3,
     threshold: float = 0.5,
-    persist_shingles: bool = True,
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """All pairs (a < b) with shingle-set Jaccard >= threshold.
 
@@ -99,9 +99,11 @@ def ngram_jaccard_pairs(
     here we keep exact semantics.
 
     The (id, shingle-hash) table feeds three plan branches (sizes +
-    both join sides); `persist_shingles` caches it so the shingling
-    work runs once — at 100 TB this is the stage you materialize to
-    storage instead.
+    both join sides). Recomputing the (cheap, codegen'd) shingle
+    explode per branch measures FASTER on local[N] than caching it —
+    MEMORY_AND_DISK materialization of the exploded table costs more
+    than the recompute — so `persist_shingles` defaults off; at
+    100 TB materialize the shingle table to Parquet once instead.
     """
     # Join on xxhash64(shingle): 8-byte shuffle keys instead of
     # multi-word strings (collision odds ~ distinct²/2⁶⁴ — nil).
@@ -203,15 +205,13 @@ def minhash_lsh_pairs(
     (bands, rows) S-curve).
     """
     rows_per_band = num_hashes // bands
-    # ONE shingle explode feeds signatures AND verification sets.
-    hashed = (
-        df.select(
-            F.col(id_col),
-            F.explode(F.array_distinct(shingles(F.col(text_col), k_shingle))).alias("s"),
-        )
-        .select(F.col(id_col), F.xxhash64("s").alias("h"))
-        .persist()
-    )
+    # ONE shingle-explode expression feeds signatures AND
+    # verification sets (recompute beats cache materialization here,
+    # same reasoning as ngram_jaccard_pairs).
+    hashed = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k_shingle))).alias("s"),
+    ).select(F.col(id_col), F.xxhash64("s").alias("h"))
     sigs = hashed.select(
         F.col(id_col), F.pmod(F.col("h"), F.lit(_MERSENNE_P)).alias("hm")
     ).groupBy(id_col).agg(
