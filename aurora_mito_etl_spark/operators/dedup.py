@@ -195,6 +195,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH, verified by exact Jaccard.
 
@@ -203,15 +204,26 @@ def minhash_lsh_pairs(
     any shared band are verified with exact shingle Jaccard so the
     output has no false positives (false negatives bounded by the
     (bands, rows) S-curve).
+
+    `portable_hash=True` swaps xxhash64 for a 60-bit md5-prefix hash
+    and the band hash for an md5 string — both computable identically
+    in any SQL engine, making the whole operator (candidates AND
+    verification) DuckDB-oracle-checkable. xxhash64 (the default) is
+    ~3× faster; same semantics up to hash function.
     """
     rows_per_band = num_hashes // bands
     # ONE shingle-explode expression feeds signatures AND
     # verification sets (recompute beats cache materialization here,
     # same reasoning as ngram_jaccard_pairs).
-    hashed = df.select(
+    shingle = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(F.col(text_col), k_shingle))).alias("s"),
-    ).select(F.col(id_col), F.xxhash64("s").alias("h"))
+    )
+    if portable_hash:
+        h_expr = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
+    else:
+        h_expr = F.xxhash64("s")
+    hashed = shingle.select(F.col(id_col), h_expr.alias("h"))
     sigs = hashed.select(
         F.col(id_col), F.pmod(F.col("h"), F.lit(_MERSENNE_P)).alias("hm")
     ).groupBy(id_col).agg(
@@ -223,13 +235,25 @@ def minhash_lsh_pairs(
         ]
     )
 
-    band_cols = [
-        F.xxhash64(
-            F.lit(i),
-            *[F.col(f"m{i * rows_per_band + r}") for r in range(rows_per_band)],
-        ).alias(f"band_{i}")
-        for i in range(bands)
-    ]
+    if portable_hash:
+        band_cols = [
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.lit(str(i)),
+                    *[F.col(f"m{i * rows_per_band + r}") for r in range(rows_per_band)],
+                )
+            ).alias(f"band_{i}")
+            for i in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.xxhash64(
+                F.lit(i),
+                *[F.col(f"m{i * rows_per_band + r}") for r in range(rows_per_band)],
+            ).alias(f"band_{i}")
+            for i in range(bands)
+        ]
     banded = sigs.select(F.col(id_col), *band_cols)
     stacked = banded.select(
         F.col(id_col),
@@ -277,33 +301,47 @@ def minhash_lsh_pairs(
 
 
 def simhash64_df(
-    df: DataFrame, text_col: str, id_col: str, k_shingle: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k_shingle: int = 3,
+    n_bits: int = 64,
+    portable_hash: bool = False,
 ) -> DataFrame:
-    """(id, sh64): 64-bit SimHash of each document's shingle set.
+    """(id, sh64): n_bits-bit SimHash of each document's shingle set.
 
-    Plan shape: explode distinct shingles → xxhash64 → ONE hash
-    aggregate with 64 `sum(±1 per bit)` columns (map-side partial agg,
-    all codegen'd) → fold the 64 sign bits into a long. This replaces
-    a per-row higher-order fold over 64-slot arrays, which built a
+    Plan shape: explode distinct shingles → hash → ONE hash aggregate
+    with `n_bits` `sum(±1 per bit)` columns (map-side partial agg,
+    all codegen'd) → fold the sign bits into a long. This replaces a
+    per-row higher-order fold over 64-slot arrays, which built a
     multi-megabyte expression tree and ran ~100× slower.
+
+    `portable_hash=True` uses the 60-bit md5-prefix hash (n_bits must
+    be ≤ 60) so the sketch is bit-identical in any SQL engine.
     """
+    if portable_hash:
+        assert n_bits <= 60, "md5-prefix hash provides 60 bits"
+        h_expr = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
+    else:
+        h_expr = F.xxhash64("s")
     hashed = df.select(
         F.col(id_col),
         F.explode(
             F.array_distinct(shingles(F.col(text_col), k_shingle))
-        ).alias("sh"),
-    ).select(F.col(id_col), F.xxhash64("sh").alias("h"))
+        ).alias("s"),
+    ).select(F.col(id_col), h_expr.alias("h"))
     votes = hashed.groupBy(id_col).agg(
         *[
             F.sum(
                 F.when(F.getbit(F.col("h"), F.lit(b)) == 1, 1).otherwise(-1)
             ).alias(f"b{b}")
-            for b in range(64)
+            for b in range(n_bits)
         ]
     )
-    # +2^b for b<63; the two's-complement min-long term for bit 63.
+    # +2^b per positive-vote bit; bit 63 (if used) is the
+    # two's-complement min-long term.
     acc = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(n_bits):
         acc = acc + F.when(
             F.col(f"b{b}") > 0,
             F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"),
@@ -319,14 +357,22 @@ def simhash_pairs(
     id_col: str,
     k_shingle: int = 3,
     max_hamming: int = 8,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
-    Candidate generation by 4×16-bit band equality (any doc pair
-    within Hamming ≤ 3 shares at least one exact band; wider radii
-    trade recall) — the banding keeps this O(n) shuffle at scale.
+    Candidate generation by 4-band equality (any doc pair within
+    Hamming ≤ 3 shares at least one exact band; wider radii trade
+    recall) — the banding keeps this O(n) shuffle at scale.
+
+    `portable_hash=True` computes a 60-bit engine-portable sketch
+    (4×15-bit bands) so the whole operator is oracle-checkable.
     """
-    sh = simhash64_df(df, text_col, id_col, k_shingle)
+    n_bits, band_bits = (60, 15) if portable_hash else (64, 16)
+    mask = (1 << band_bits) - 1
+    sh = simhash64_df(
+        df, text_col, id_col, k_shingle, n_bits=n_bits, portable_hash=portable_hash
+    )
     bands = sh.select(
         F.col(id_col),
         F.col("sh64"),
@@ -334,8 +380,8 @@ def simhash_pairs(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("band"),
-                    F.shiftrightunsigned(F.col("sh64"), i * 16)
-                    .bitwiseAND(F.lit(0xFFFF))
+                    F.shiftrightunsigned(F.col("sh64"), i * band_bits)
+                    .bitwiseAND(F.lit(mask))
                     .alias("bh"),
                 )
                 for i in range(4)

@@ -815,23 +815,112 @@ def docs_bottom_k_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.concat_ws(",", F.col("sketch")).alias("sketch"))
 
 
-@_register("docs_minhash_lsh_pairs")  # engine-hash based: rows-only check
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.3) -> str:
+    """Full SQL twin of the portable-hash MinHash-LSH operator:
+    identical 60-bit md5 shingle hashes, identical permutation
+    constants, identical md5 band keys — candidates AND verification
+    reproduced in DuckDB."""
+    from aurora_mito_etl_spark.operators.dedup import _MERSENNE_P, _perm_params
+
+    rows_per_band = num_hashes // bands
+    mins = ",\n         ".join(
+        f"MIN(({a} * hm + {b}) % {_MERSENNE_P}) AS m{i}"
+        for i, (a, b) in enumerate(_perm_params(num_hashes))
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {i} AS band, md5(concat_ws(',', '{i}', {cols})) AS bh FROM sigs".format(
+            i=i,
+            cols=", ".join(f"m{i * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for i in range(bands)
+    )
+    return f"""
+    WITH sh AS (SELECT DISTINCT * FROM ({_SHINGLE_SQL})),
+    h AS (SELECT doc_id, CAST(('0x' || substring(md5(sh),1,15)) AS BIGINT) AS h FROM sh),
+    hm AS (SELECT doc_id, h, h % {_MERSENNE_P} AS hm FROM h),
+    sigs AS (SELECT doc_id, {mins} FROM hm GROUP BY doc_id),
+    bands AS (
+{band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hm GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM hm a JOIN hm b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b,
+           round(CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE), 6) AS jaccard
+    FROM cand c
+    JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+    JOIN sizes sa ON c.id_a = sa.doc_id
+    JOIN sizes sb ON c.id_b = sb.doc_id
+    WHERE CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) >= {threshold}
+    """
+
+
+@_register("docs_minhash_lsh_pairs", _minhash_oracle())
 def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, Jaccard-verified — the 100 TB dedup
-    path (O(n·bands) shuffle). Semantics pytest-verified against exact
-    Jaccard ground truth."""
+    path (O(n·bands) shuffle). Runs with portable md5-derived hashes
+    so the ENTIRE operator (banding + verification) is oracle-checked;
+    the xxhash64 fast path shares every other expression and is
+    pytest-verified against ground truth."""
     d = load_table(spark, sf_dir, "documents")
     return dd.minhash_lsh_pairs(
-        d, "text", "doc_id", k_shingle=3, num_hashes=16, bands=4, threshold=0.3
+        d, "text", "doc_id", k_shingle=3, num_hashes=16, bands=4, threshold=0.3,
+        portable_hash=True,
     )
 
 
-@_register("docs_simhash_pairs")  # engine-hash based: rows-only check
+def _simhash_oracle(n_bits: int = 60, band_bits: int = 15, max_hamming: int = 16) -> str:
+    """SQL twin of the portable 60-bit SimHash pair search: identical
+    md5-prefix shingle hashes, per-bit ±1 votes, sign fold, 4-band
+    blocking, bit_count(xor) Hamming filter."""
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(n_bits)
+    )
+    fold = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(n_bits)
+    )
+    mask = (1 << band_bits) - 1
+    band_selects = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, sh60, {i} AS band, (sh60 >> {i * band_bits}) & {mask} AS bh FROM folded"
+        for i in range(4)
+    )
+    return f"""
+    WITH sh AS (SELECT DISTINCT * FROM ({_SHINGLE_SQL})),
+    h AS (SELECT doc_id, CAST(('0x' || substring(md5(sh),1,15)) AS BIGINT) AS h FROM sh),
+    votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+    folded AS (SELECT doc_id, {fold} AS sh60 FROM votes),
+    bands AS (
+{band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sh60 AS h_a, b.sh60 AS h_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(h_a, h_b)) <= {max_hamming}
+    """
+
+
+@_register("docs_simhash_pairs", _simhash_oracle())
 def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via 16-bit band blocking + Hamming
-    filter."""
+    """SimHash near-dup pairs via band blocking + Hamming filter,
+    run with the portable 60-bit md5 sketch so banding and Hamming
+    verification are both oracle-checked (xxhash64 64-bit variant is
+    the default fast path elsewhere)."""
     d = load_table(spark, sf_dir, "documents")
-    return dd.simhash_pairs(d, "text", "doc_id", k_shingle=3, max_hamming=16)
+    return dd.simhash_pairs(
+        d, "text", "doc_id", k_shingle=3, max_hamming=16, portable_hash=True
+    )
 
 
 # ---------------------------------------------------------------------------
