@@ -986,8 +986,12 @@ def emb_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via random-hyperplane LSH bucketing — the
     100 TB path (recall pytest-checked against the exact variant)."""
     e = load_table(spark, sf_dir, "embeddings")
+    # probe=2 (flip up to 2 of 4 sign bits) recovers 13/14 of the
+    # exact pairs at sf0.1 — the loose 0.5 threshold (60° apart) is
+    # the hard case for sign-LSH; at production thresholds (≥0.9)
+    # probe=1 with more planes is the economical setting.
     return sim.embedding_near_dup_pairs(
-        e, threshold=0.5, n_planes=4, dim=64, multi_probe=1
+        e, threshold=0.5, n_planes=4, dim=64, multi_probe=2
     )
 
 
@@ -1222,11 +1226,41 @@ def docs_ac_dict_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.dictionary_anti_filter(d, "text", _ac_dict()).select("doc_id")
 
 
-@_register("docs_classify_stub")  # deterministic pandas-UDF operator: rows-only
+@_register(
+    "docs_classify_stub",
+    """
+    WITH base AS (
+      SELECT CAST(doc_id AS VARCHAR) AS pmid, text, lower(text) AS low
+      FROM documents
+    ),
+    flagged AS (
+      SELECT pmid, text,
+             CASE WHEN (contains(low, 'complex i') OR contains(low, 'nadh'))
+                       AND contains(low, 'inhibit') THEN 'YES'
+                  WHEN (contains(low, 'complex i') OR contains(low, 'nadh'))
+                       AND (contains(low, 'decrease') OR contains(low, 'reduce'))
+                  THEN 'probablyYES'
+                  ELSE 'NO' END AS confidence
+      FROM base
+    )
+    SELECT pmid, confidence,
+           CASE WHEN confidence = 'NO' THEN 'NA'
+                ELSE COALESCE(
+                  list_filter(
+                    list_transform(string_split(text, ' '),
+                                   w -> trim(w, ' ,.;:()[]{}')),
+                    b -> length(b) > 2 AND regexp_matches(b, '^[A-Z]')
+                  )[1], 'NA')
+           END AS compound
+    FROM flagged
+    """,
+)
 def docs_classify_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5 — the LLM batch-classify operator over `documents` with the
-    deterministic stub client (semantics pytest-pinned; the driver
-    records a rows-only check since the stub is not SQL)."""
+    deterministic stub client. The stub's spec is simple enough to
+    express in SQL, so even this mapInPandas operator is
+    oracle-checked end to end (real model clients obviously are not).
+    """
     from aurora_mito_etl_spark.operators import llm
 
     d = load_table(spark, sf_dir, "documents").select(
