@@ -62,4 +62,10 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Ship the package to executor Python workers so pandas-UDF
+    # closures import regardless of the driver's cwd.
+    from aurora_mito_etl_spark.sources.catalog import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    return spark

@@ -33,6 +33,44 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship the package to executor Python workers via addPyFile.
+
+    pandas-UDF closures are pickled BY REFERENCE to this package, so
+    workers must be able to `import aurora_mito_etl_spark` — true
+    automatically only when the driver's cwd is the repo root. A
+    zip of the package added to the SparkContext makes it
+    cwd-independent (harness-proof); done once per session.
+    """
+    key = id(spark)
+    if key in _SHIPPED_SESSIONS:
+        return
+    import tempfile
+    import zipfile
+
+    import aurora_mito_etl_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"aurora_mito_etl_spark_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.join(
+                            "aurora_mito_etl_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_SESSIONS.add(key)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table from `sf_dir` as a DataFrame.
 
@@ -44,6 +82,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # conf; it is runtime-settable and required to read the events
     # table's INT64 TIMESTAMP(NANOS) column.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_workers_can_import(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         meta = field.metadata or {}
