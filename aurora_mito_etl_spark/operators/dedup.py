@@ -295,6 +295,23 @@ def minhash_lsh_pairs(
     return verified
 
 
+def near_dedup_survivors(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Survivors after near-dup removal: drop every doc that appears
+    as the LARGER id of a pair (pairs carry id_a < id_b), keeping the
+    smallest id of each dup cluster's pairwise edges.
+
+    This is the standard greedy policy of production dedup pipelines
+    (each doc is dropped if ANY smaller near-dup exists) — one anti
+    join, no iterative connected components. For chain a~b~c it drops
+    b and c even if a!~c; the conservative direction for training
+    data (never keeps two near-dups).
+    """
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # 5. SimHash
 # ---------------------------------------------------------------------------

@@ -862,6 +862,34 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.3
     """
 
 
+@_register(
+    "docs_near_dedup_survivors",
+    f"""
+    WITH sh AS (SELECT DISTINCT * FROM ({_SHINGLE_SQL})),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    losers AS (
+      SELECT DISTINCT id_b FROM inter
+      JOIN sizes sa ON inter.id_a = sa.doc_id
+      JOIN sizes sb ON inter.id_b = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.15
+    )
+    SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_b FROM losers)
+    """,
+)
+def docs_near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup survivor selection: exact-Jaccard pairs → drop every
+    doc with a smaller near-duplicate (the production greedy policy),
+    one anti join."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.15)
+    return dd.near_dedup_survivors(d, pairs, "doc_id").select("doc_id")
+
+
 @_register("docs_minhash_lsh_pairs", _minhash_oracle())
 def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, Jaccard-verified — the 100 TB dedup

@@ -42,6 +42,38 @@ def read_staging_table(spark: SparkSession, path: str, table: str) -> DataFrame:
     return read_tsv(spark, path, schema_for(table).struct)
 
 
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """JSON-lines source with explicit schema — the lingua franca of
+    LLM training corpora. Schema-first for the same reasons as TSV;
+    corrupt records land in the permissive-mode NULL row rather than
+    failing the scan."""
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .json(path)
+    )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed table (SURVEY §4): both sides of a recurring
+    equi-join written with the same (cols, num_buckets) join WITHOUT
+    a shuffle — the bucketing IS the exchange, paid once at write
+    time. The lever for repeated fact-fact joins at 100 TB.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def na_to_null(df: DataFrame, columns: list[str], sentinel: str = "NA") -> DataFrame:
     """§1.2 — translate the reference's 'NA' sentinel to real NULLs at
     ingest (run_gpt_filter.py:184-188); sinks translate back."""
