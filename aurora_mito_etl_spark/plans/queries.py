@@ -1198,6 +1198,58 @@ def customer_order_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "orders_pivot_priority",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+           COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium,
+           COUNT(*) FILTER (o_orderpriority = '5-LOW') AS low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def orders_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation) — engine surface beyond
+    the reference; the pivot value list is pinned so the plan is one
+    pass (no distinct-values pre-query)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "3-MEDIUM", "5-LOW"])
+        .count()
+        .na.fill(0)
+        .select(
+            "o_orderstatus",
+            F.col("1-URGENT").alias("urgent"),
+            F.col("3-MEDIUM").alias("medium"),
+            F.col("5-LOW").alias("low"),
+        )
+    )
+
+
+@_register(
+    "lineitem_price_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def lineitem_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — identical definition
+    in both engines). At 100 TB swap `percentile` for
+    `approx_percentile(…, accuracy)`: same plan shape, bounded
+    memory."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99"),
+    )
+
+
+@_register(
     "events_asof_join",
     """
     SELECT l.event_id, l.user_id,
