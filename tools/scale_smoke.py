@@ -1,0 +1,76 @@
+"""Empirical scaling smoke: replicate the sf0.1 documents table Nx
+(distinct ids, shingle distribution preserved) and time the dedup
+tiers. A near-linear fit validates the O(n)/O(n·bands) claims; the
+exact pairwise tiers are expected to bend quadratic in the join-pair
+term. Usage: python tools/scale_smoke.py [factors...]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from aurora_mito_etl_spark.operators import dedup as dd
+from aurora_mito_etl_spark.session import get_spark
+from aurora_mito_etl_spark.sources.catalog import load_table
+
+
+def replicate(df, times: int):
+    """times× copies with distinct doc_ids and slightly perturbed text
+    (copy index appended to ~1/4 of docs so replicas are not all
+    exact dups)."""
+    out = None
+    n = 1_000_000
+    for i in range(times):
+        c = df.select(
+            (F.col("doc_id") + i * n).alias("doc_id"),
+            F.when(
+                (F.col("doc_id") % 4 == 0) & (F.lit(i) > 0),
+                F.concat(F.col("text"), F.lit(f" copymark{i}")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def main() -> int:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
+    spark = get_spark(app_name="scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text"
+    )
+    results = {}
+    for f in factors:
+        df = replicate(base, f).repartition(32).cache()
+        n = df.count()  # materialize the cache
+        t = {}
+        t0 = time.perf_counter()
+        dd.exact_dedup(df, "text", "doc_id").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t["exact"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        dd.minhash_lsh_pairs(
+            df, "text", "doc_id", num_hashes=16, bands=4, threshold=0.3
+        ).write.format("noop").mode("overwrite").save()
+        t["minhash_lsh"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        dd.simhash_pairs(df, "text", "doc_id", max_hamming=8).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t["simhash"] = round(time.perf_counter() - t0, 2)
+        df.unpersist()
+        results[f] = {"rows": n, **t}
+        print(json.dumps({"factor": f, **results[f]}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
