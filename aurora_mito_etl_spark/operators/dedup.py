@@ -363,9 +363,11 @@ def simhash64_df(
             F.col(f"b{b}") > 0,
             F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
-    # Docs with no shingles (shorter than k words) hash to 0.
-    sh = votes.select(F.col(id_col), acc.alias("sh64"))
-    return df.select(id_col).join(sh, id_col, "left").na.fill({"sh64": 0})
+    # Docs with no shingles (< k words) drop out — they have no
+    # content signature, and keeping them at sh64=0 would make every
+    # pair of short docs a spurious hamming-0 "duplicate" (same
+    # contract as minhash_signatures).
+    return votes.select(F.col(id_col), acc.alias("sh64"))
 
 
 def simhash_pairs(

@@ -66,7 +66,10 @@ def lookup_join_two_tier(
     """
     exact = F.broadcast(
         lookup.select(F.col(lookup_key).alias("__k"), F.col(value).alias("__v_exact"))
-        .dropDuplicates(["__k"])
+        # deterministic winner per key (dropDuplicates would pick an
+        # arbitrary row, diverging run-to-run and from the oracle)
+        .groupBy("__k")
+        .agg(F.min("__v_exact").alias("__v_exact"))
     )
     lowered = F.broadcast(
         lookup.select(

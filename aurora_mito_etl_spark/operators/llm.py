@@ -88,10 +88,12 @@ def parse_result_line(line: str, expected_pmid: str) -> tuple[str, str, str] | N
     parts = line.strip().split("\t")
     if len(parts) < 3:
         return None
-    got_pmid, got_flag, got_names = (p.strip() for p in parts[:3])
-    pmid = extract_pmid(got_pmid) or expected_pmid
-    if pmid != expected_pmid:
-        pmid = expected_pmid
+    _got_pmid, got_flag, got_names = (p.strip() for p in parts[:3])
+    # The reply's PMID field is advisory only: batch order is the
+    # ground truth, so the output is unconditionally force-aligned
+    # (models drift; extract_pmid remains public for callers that DO
+    # trust the field).
+    pmid = expected_pmid
     flag = got_flag.lower()
     if flag not in {"yes", "probablyyes", "no"}:
         return None

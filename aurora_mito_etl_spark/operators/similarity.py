@@ -144,12 +144,18 @@ def lsh_bucketed_topk(
     multi-probe (flip one bit) can be layered for recall.
     """
     planes = _hyperplanes(dim, n_planes)
-    vb = vectors.withColumn("bucket", signed_projection_bucket(F.col(vec_col), planes))
-    qb = queries.withColumn("bucket", signed_projection_bucket(F.col(query_vec_col), planes))
+    vb = with_norm(vectors, vec_col, "__v", "__vn").withColumn(
+        "bucket", signed_projection_bucket(F.col(vec_col), planes)
+    )
+    qb = with_norm(queries, query_vec_col, "__q", "__qn").withColumn(
+        "bucket", signed_projection_bucket(F.col(query_vec_col), planes)
+    )
     scored = vb.join(F.broadcast(qb), "bucket").select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("score"),
+        F.round(
+            dot(F.col("__v"), F.col("__q")) / (F.col("__vn") * F.col("__qn")), 6
+        ).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
     return (

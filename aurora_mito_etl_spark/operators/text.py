@@ -97,8 +97,14 @@ def apply_ordered_substitutions(col: Column, pairs: list[tuple[str, str]]) -> Co
     in file order. Folds into nested regexp_replace calls — still one
     codegen'd expression.
     """
+    # Java replaceAll treats '\' and '$' specially in the REPLACEMENT
+    # string — escape backslashes first, then dollars.
     return reduce(
-        lambda c, pair: F.regexp_replace(c, re.escape(pair[0]), pair[1].replace("$", r"\$")),
+        lambda c, pair: F.regexp_replace(
+            c,
+            re.escape(pair[0]),
+            pair[1].replace("\\", "\\\\").replace("$", r"\$"),
+        ),
         pairs,
         col,
     )
@@ -169,8 +175,10 @@ def dictionary_anti_filter(
     a 10⁵-term alternation regex would be quadratic-ish to match
     and can exceed regex size limits).
     """
-    cleaned = [t.strip() for t in terms if t.strip() and not t.startswith("#")]
-    cleaned = [t for t in cleaned if len(t) >= min_len]
+    # comment detection on the STRIPPED line (an indented '# …' line
+    # must not become a live term)
+    cleaned = [t.strip() for t in terms]
+    cleaned = [t for t in cleaned if t and not t.startswith("#") and len(t) >= min_len]
     if len(cleaned) > _AC_THRESHOLD:
         return df.filter(~contains_any_ac(F.col(col), cleaned))
     return df.filter(~contains_any(F.col(col), cleaned))

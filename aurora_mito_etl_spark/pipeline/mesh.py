@@ -146,8 +146,8 @@ def kept_scrs(scr: DataFrame, desc: DataFrame) -> DataFrame:
         F.col("dui").alias("mdui"), F.element_at("trees", 1).alias("one_tree")
     )
     exploded = scr.select(
-        "cui", F.explode_outer("mapped_duis").alias("mdui"), F.posexplode_outer("mapped_duis").alias("pos", "_dup")
-    ).select("cui", "mdui", "pos")
+        "cui", F.posexplode_outer("mapped_duis").alias("pos", "mdui")
+    )
     hits = (
         exploded.join(F.broadcast(eligible), "mdui")
         .groupBy("cui")

@@ -126,12 +126,14 @@ def extract_fields(df: DataFrame) -> DataFrame:
     pubmed-status date → DateRevised, process_pubmed.sh:50-55) and
     multi-paragraph abstract concat."""
     cit = F.col("MedlineCitation")
-    history_year = F.element_at(
+    # F.get (0-based) is null-safe on empty arrays — element_at would
+    # throw under ANSI mode when no history entry has PubStatus=pubmed.
+    history_year = F.get(
         F.filter(
             F.col("PubmedData.History.PubMedPubDate"),
             lambda d: d["_PubStatus"] == "pubmed",
         ),
-        1,
+        0,
     )["Year"]
     return df.select(
         cit["PMID"]["_VALUE"].alias("pmid"),

@@ -47,14 +47,27 @@ def validate(df: DataFrame, schema_name: str, strict: bool = False) -> Validatio
     ts = schema_for(schema_name)
     expected = [f.name for f in ts.struct.fields]
     missing = [c for c in expected if c not in df.columns]
-    runnable = {
-        name: pred
-        for name, pred in ((n, factory()) for n, factory in ts.checks.items())
-        # a check is runnable iff its input columns exist
-        if not missing or all(c in df.columns for c in _cols_of(pred))
-    }
+    if missing:
+        # structural failure: don't attempt CHECKs (their columns may
+        # be among the missing — Column exprs can't be introspected)
+        report = ValidationReport(
+            table=schema_name, total_rows=-1, violations={}, missing_columns=missing
+        )
+        if strict:
+            raise CheckViolation(schema_name, {"__missing_columns": len(missing)})
+        return report
+    runnable = {name: factory() for name, factory in ts.checks.items()}
+    # declared-non-nullable columns get implicit NOT NULL checks
+    for field in ts.struct.fields:
+        if not field.nullable:
+            runnable.setdefault(
+                f"not_null_{field.name}", F.col(field.name).isNotNull()
+            )
     aggs = [F.count(F.lit(1)).alias("__total")] + [
-        F.count(F.when(~pred, 1)).alias(name) for name, pred in runnable.items()
+        # NULL predicate results count as VIOLATIONS (a CHECK that
+        # cannot evaluate true has not passed)
+        F.count(F.when(~F.coalesce(pred, F.lit(False)), 1)).alias(name)
+        for name, pred in runnable.items()
     ]
     row = df.agg(*aggs).collect()[0]
     violations = {name: row[name] for name in runnable}
@@ -65,7 +78,7 @@ def validate(df: DataFrame, schema_name: str, strict: bool = False) -> Validatio
         missing_columns=missing,
     )
     if strict and not report.ok:
-        raise CheckViolation(schema_name, {**violations, "__missing_columns": len(missing)})
+        raise CheckViolation(schema_name, dict(violations))
     return report
 
 
@@ -87,9 +100,3 @@ def violations_df(df: DataFrame, schema_name: str) -> DataFrame:
     )
 
 
-def _cols_of(pred) -> list[str]:
-    # Column expressions don't expose referenced columns via public
-    # API; parse the string form conservatively.
-    import re
-
-    return re.findall(r"'([A-Za-z_][A-Za-z0-9_]*)'", str(pred))

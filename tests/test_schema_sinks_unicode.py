@@ -27,11 +27,34 @@ def test_validate_reports_violations(spark):
         "pmid string, confidence string, compound string",
     )
     rep = validate(df, "pubmed_gpt")
-    assert rep.violations == {"pmid_digits": 1, "confidence_enum": 1}
+    assert rep.violations["pmid_digits"] == 1
+    assert rep.violations["confidence_enum"] == 1
+    assert rep.violations["not_null_pmid"] == 0  # implicit NOT NULL check
     with pytest.raises(CheckViolation):
         validate(df, "pubmed_gpt", strict=True)
     bad = violations_df(df, "pubmed_gpt").collect()
     assert sorted(r["pmid"] for r in bad) == ["123", "abc"]
+
+
+def test_validate_null_rows_are_violations(spark):
+    # NULL predicate results (rlike(NULL)) must count as failures,
+    # and non-nullable schema fields get implicit NOT NULL checks.
+    df = spark.createDataFrame(
+        [(None, "YES", "x")], "pmid string, confidence string, compound string"
+    )
+    rep = validate(df, "pubmed_gpt")
+    assert rep.violations["pmid_digits"] == 1
+    assert rep.violations["not_null_pmid"] == 1
+    assert not rep.ok
+
+
+def test_validate_missing_columns_reported_not_raised(spark):
+    df = spark.createDataFrame([("1",)], "pmid string")
+    rep = validate(df, "pubmed_gpt")
+    assert rep.missing_columns == ["confidence", "compound"]
+    assert not rep.ok
+    with pytest.raises(CheckViolation):
+        validate(df, "pubmed_gpt", strict=True)
 
 
 def test_nfc_and_ascii_transliterate(spark):
