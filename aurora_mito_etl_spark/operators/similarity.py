@@ -226,6 +226,76 @@ def exact_near_dup_pairs_blocked(
     return vectors.select(id_col, vec_col).mapInPandas(block, out_schema)
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a k-means coarse
+    quantizer partitions the corpus into `n_cells` cells; each query
+    scans only its `n_probe` nearest cells.
+
+    The quantizer is Spark ML KMeans (seeded — deterministic); cell
+    assignment is a broadcast-centroid argmax, so building the index
+    is one pass over the corpus. At 100 TB the assigned corpus is
+    written partitioned-by(cell) and a query batch prunes to
+    n_probe/n_cells of the data — the standard disk-ANN layout.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = vectors.select(
+        array_to_vector(_to_double(F.col(vec_col))).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def nearest_cells(vec: Column, n: int) -> Column:
+        """Array of the n cell-ids with largest dot(vec, centroid)."""
+        scored = F.array(
+            *[
+                F.struct(
+                    dot(
+                        _to_double(vec),
+                        F.array(*[F.lit(x) for x in c]),
+                    ).alias("s"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        top = F.slice(F.sort_array(scored, asc=False), 1, n)
+        return F.transform(top, lambda t: t["cell"])
+
+    vb = with_norm(vectors, vec_col, "__v", "__vn").withColumn(
+        "cell", nearest_cells(F.col(vec_col), 1)[0]
+    )
+    qb = with_norm(queries, query_vec_col, "__q", "__qn").withColumn(
+        "cell", F.explode(nearest_cells(F.col(query_vec_col), n_probe))
+    )
+    scored = vb.join(F.broadcast(qb), "cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(
+            dot(F.col("__v"), F.col("__q")) / (F.col("__vn") * F.col("__qn")), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",

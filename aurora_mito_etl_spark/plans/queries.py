@@ -1033,6 +1033,18 @@ def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_bucketed_topk(e, q, dim=64, k=5, n_planes=8)
 
 
+@_register("emb_ivf_topk")  # approximate (k-means index): rows-only check
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: seeded k-means coarse quantizer, each
+    query probes its 4 nearest of 16 cells (recall pytest-pinned vs
+    brute force)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim.ivf_topk(e, q, dim=64, k=5, n_cells=16, n_probe=4)
+
+
 # ---------------------------------------------------------------------------
 # Reference-pipeline operators on catalog tables (P16/P17, D1+A3,
 # range join, rollup, outer join)

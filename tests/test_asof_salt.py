@@ -78,3 +78,29 @@ def test_multi_probe_lsh_improves_recall(spark):
     # pairs found even without probing; with probing still all there
     planted = {(i, 1000 + i) for i in range(0, 60, 10)}
     assert planted <= set(probed_keys)
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    import math
+
+    rows = [
+        (i, [math.sin(i * 0.9 + j) for j in range(8)]) for i in range(80)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = vecs.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = sim.brute_force_topk(vecs, q, k=3).collect()
+    approx = sim.ivf_topk(vecs, q, dim=8, k=3, n_cells=8, n_probe=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hit = total = 0
+    for r in approx:
+        total += 1
+        hit += r["vec_id"] in exact_sets.get(r["query_id"], set())
+    assert total > 0
+    assert hit / total >= 0.5  # probing half the cells recovers most
+    # rank-1 must always be the query itself (it lives in its own cell)
+    firsts = {r["query_id"]: r["vec_id"] for r in approx if r["rank"] == 1}
+    assert all(qid == vid for qid, vid in firsts.items())
