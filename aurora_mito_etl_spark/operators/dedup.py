@@ -295,6 +295,74 @@ def minhash_lsh_pairs(
     return verified
 
 
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """(id, component): connected components over near-dup pair edges
+    by iterative min-label propagation — the principled clustering
+    behind transitive dedup (chain a~b~c lands in ONE component even
+    when a!~c directly).
+
+    Each iteration: every node adopts the smallest label among itself
+    and its neighbors; converges in O(diameter) rounds (near-dup
+    clusters are shallow). localCheckpoint() per round truncates the
+    lineage so the plan doesn't grow exponentially. One shuffle per
+    round on the edge key — the standard Spark formulation; switch to
+    large-star/small-star for graphs with giant components.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Transitive near-dedup: keep the minimum id of each connected
+    component (plus all unpaired docs)."""
+    comp = connected_components(pairs)
+    winners = comp.groupBy("component").agg(F.min("id").alias(id_col))
+    losers = comp.join(
+        winners.select(F.col(id_col).alias("id")), "id", "left_anti"
+    ).select(F.col("id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")
+
+
 def near_dedup_survivors(
     df: DataFrame, pairs: DataFrame, id_col: str
 ) -> DataFrame:

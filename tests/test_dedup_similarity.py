@@ -146,3 +146,35 @@ def test_lsh_topk_is_subset_of_bucket_and_ranked(spark):
     ):
         ranks = [r["rank"] for r in grp]
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_connected_components_chain(spark):
+    # chain 1-2-3 plus isolated pair 7-8: two components
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.9), (7, 8, 0.8)],
+        "id_a long, id_b long, jaccard double",
+    )
+    comp = {r["id"]: r["component"] for r in dd.connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[7] == comp[8] == 7
+
+
+def test_dedup_clusters_transitive(spark):
+    df = spark.createDataFrame(
+        [(i, "t") for i in (1, 2, 3, 7, 8, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.9), (7, 8, 0.8)],
+        "id_a long, id_b long, jaccard double",
+    )
+    out = sorted(r["doc_id"] for r in dd.dedup_clusters(df, pairs, "doc_id").collect())
+    # one survivor per component + untouched 9
+    assert out == [1, 7, 9]
+
+
+def test_register_views_sql_surface(spark):
+    from aurora_mito_etl_spark.sources.catalog import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    n = spark.sql("SELECT COUNT(*) AS n FROM region").collect()[0]["n"]
+    assert n == 5
