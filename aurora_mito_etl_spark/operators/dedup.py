@@ -347,6 +347,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausted max_iter while labels were still moving: the
+        # result would silently split long-diameter components —
+        # refuse instead (duplicates surviving defeats the operator).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (diameter of the dup graph exceeds it)"
+        )
     return labels
 
 

@@ -76,14 +76,7 @@ def brute_force_topk(
             dot(F.col("__v"), F.col("__q")) / (F.col("__vn") * F.col("__qn")), 6
         ).alias("score"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("score"), F.asc(id_col)
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "score", "rank")
-    )
+    return _rank_topk(scored, query_id_col, id_col, k)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -157,12 +150,7 @@ def lsh_bucketed_topk(
             dot(F.col("__v"), F.col("__q")) / (F.col("__vn") * F.col("__qn")), 6
         ).alias("score"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "score", "rank")
-    )
+    return _rank_topk(scored, query_id_col, id_col, k)
 
 
 def exact_near_dup_pairs_blocked(
@@ -226,10 +214,20 @@ def exact_near_dup_pairs_blocked(
     return vectors.select(id_col, vec_col).mapInPandas(block, out_schema)
 
 
+def _rank_topk(scored: DataFrame, query_id_col: str, id_col: str, k: int) -> DataFrame:
+    """Shared tail of every top-k path: rank candidates per query by
+    (score desc, id asc), keep k."""
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
-    dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -238,42 +236,55 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a k-means coarse
     quantizer partitions the corpus into `n_cells` cells; each query
     scans only its `n_probe` nearest cells.
 
-    The quantizer is Spark ML KMeans (seeded — deterministic); cell
-    assignment is a broadcast-centroid argmax, so building the index
-    is one pass over the corpus. At 100 TB the assigned corpus is
-    written partitioned-by(cell) and a query batch prunes to
-    n_probe/n_cells of the data — the standard disk-ANN layout.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    By default the quantizer is Spark ML KMeans — seeded, but
+    k-means|| initialization samples per partition, so centroids can
+    differ across cluster layouts; pass `centroids` explicitly for a
+    fully pinned index (at 100 TB you persist the trained centroids
+    alongside the partitioned-by(cell) corpus anyway — the standard
+    disk-ANN layout).
 
-    train = vectors.select(
-        array_to_vector(_to_double(F.col(vec_col))).alias("features")
-    )
-    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    Cell assignment is TRUE nearest-centroid: argmax of
+    dot(v, c) − ‖c‖²/2 ≡ argmin ‖v−c‖² — a raw-dot argmax would pile
+    vectors into whichever centroid has the largest norm. Zero-norm
+    vectors score 0 (not NaN) so they can never displace real
+    neighbors.
+    """
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = vectors.select(
+            array_to_vector(_to_double(F.col(vec_col))).alias("features")
+        )
+        model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
+        centroids = [list(map(float, c)) for c in model.clusterCenters()]
 
     def nearest_cells(vec: Column, n: int) -> Column:
-        """Array of the n cell-ids with largest dot(vec, centroid)."""
-        scored = F.array(
+        """The n cell-ids by smallest squared distance, via the
+        dot(v,c) − ‖c‖²/2 identity (one dot per centroid)."""
+        scored_cells = F.array(
             *[
                 F.struct(
-                    dot(
-                        _to_double(vec),
-                        F.array(*[F.lit(x) for x in c]),
+                    (
+                        dot(_to_double(vec), F.array(*[F.lit(x) for x in c]))
+                        - F.lit(sum(x * x for x in c) / 2.0)
                     ).alias("s"),
                     F.lit(i).alias("cell"),
                 )
                 for i, c in enumerate(centroids)
             ]
         )
-        top = F.slice(F.sort_array(scored, asc=False), 1, n)
+        top = F.slice(F.sort_array(scored_cells, asc=False), 1, n)
         return F.transform(top, lambda t: t["cell"])
+
+    def safe_norm(c: Column) -> Column:
+        return F.when(c == 0, F.lit(1.0)).otherwise(c)
 
     vb = with_norm(vectors, vec_col, "__v", "__vn").withColumn(
         "cell", nearest_cells(F.col(vec_col), 1)[0]
@@ -285,15 +296,12 @@ def ivf_topk(
         F.col(query_id_col),
         F.col(id_col),
         F.round(
-            dot(F.col("__v"), F.col("__q")) / (F.col("__vn") * F.col("__qn")), 6
+            dot(F.col("__v"), F.col("__q"))
+            / (safe_norm(F.col("__vn")) * safe_norm(F.col("__qn"))),
+            6,
         ).alias("score"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "score", "rank")
-    )
+    return _rank_topk(scored, query_id_col, id_col, k)
 
 
 def embedding_near_dup_pairs(

@@ -1042,7 +1042,7 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return sim.ivf_topk(e, q, dim=64, k=5, n_cells=16, n_probe=4)
+    return sim.ivf_topk(e, q, k=5, n_cells=16, n_probe=4)
 
 
 # ---------------------------------------------------------------------------

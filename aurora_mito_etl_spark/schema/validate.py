@@ -54,7 +54,9 @@ def validate(df: DataFrame, schema_name: str, strict: bool = False) -> Validatio
             table=schema_name, total_rows=-1, violations={}, missing_columns=missing
         )
         if strict:
-            raise CheckViolation(schema_name, {"__missing_columns": len(missing)})
+            raise CheckViolation(
+                schema_name, {f"__missing_column:{c}": 1 for c in missing}
+            )
         return report
     runnable = {name: factory() for name, factory in ts.checks.items()}
     # declared-non-nullable columns get implicit NOT NULL checks
@@ -84,13 +86,21 @@ def validate(df: DataFrame, schema_name: str, strict: bool = False) -> Validatio
 
 def violations_df(df: DataFrame, schema_name: str) -> DataFrame:
     """The violating rows themselves, tagged by failed check — the
-    debugging companion to :func:`validate`."""
+    debugging companion to :func:`validate`. Mirrors validate()'s
+    semantics exactly: NULL predicate results are violations, and
+    declared-non-nullable fields carry implicit NOT NULL checks."""
     ts = schema_for(schema_name)
+    checks = {name: factory() for name, factory in ts.checks.items()}
+    for field in ts.struct.fields:
+        if not field.nullable and field.name in df.columns:
+            checks.setdefault(f"not_null_{field.name}", F.col(field.name).isNotNull())
     failed = F.array_compact(
         F.array(
             *[
-                F.when(~factory(), F.lit(name)).otherwise(F.lit(None))
-                for name, factory in ts.checks.items()
+                F.when(~F.coalesce(pred, F.lit(False)), F.lit(name)).otherwise(
+                    F.lit(None)
+                )
+                for name, pred in checks.items()
             ]
         )
     )

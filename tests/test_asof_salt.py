@@ -91,7 +91,7 @@ def test_ivf_topk_recall_vs_brute_force(spark):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     exact = sim.brute_force_topk(vecs, q, k=3).collect()
-    approx = sim.ivf_topk(vecs, q, dim=8, k=3, n_cells=8, n_probe=4).collect()
+    approx = sim.ivf_topk(vecs, q, k=3, n_cells=8, n_probe=4).collect()
     exact_sets = {}
     for r in exact:
         exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])

@@ -21,11 +21,13 @@ from aurora_mito_etl_spark.sources.catalog import load_table
 
 
 def replicate(df, times: int):
-    """times× copies with distinct doc_ids and slightly perturbed text
+    """times x copies with distinct doc_ids and slightly perturbed text
     (copy index appended to ~1/4 of docs so replicas are not all
     exact dups)."""
     out = None
-    n = 1_000_000
+    # id offset derived from the data — a hardcoded stride would
+    # collide once max(doc_id) exceeds it
+    n = df.agg(F.max("doc_id")).collect()[0][0] + 1
     for i in range(times):
         c = df.select(
             (F.col("doc_id") + i * n).alias("doc_id"),
