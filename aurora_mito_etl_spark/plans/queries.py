@@ -1210,6 +1210,49 @@ def customer_order_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "scalar_function_parity",
+    """
+    SELECT c_custkey,
+           lower(trim(c_name)) AS f1_lower,
+           regexp_extract(c_name, '([0-9]+)', 1) AS f2_extract,
+           regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS f2_replace,
+           string_split(c_name, '#')[1] AS f3_split,
+           CASE WHEN instr(c_name, '0') > 0 THEN instr(c_name, '0') ELSE 0 END AS f4_locate,
+           concat(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR)) AS f5_concat,
+           translate(c_name, '#', '-') AS f6_translate,
+           round(CAST(c_acctbal AS DOUBLE) / 7.0, 3) AS f9_round,
+           CAST(length(c_name) AS BIGINT) AS len,
+           substring(c_name, 1, 8) AS f4_substr,
+           CASE WHEN lower(c_mktsegment) IN ('building', 'machinery') THEN 1 ELSE 0 END AS f14_enum
+    FROM customer
+    """,
+)
+def scalar_function_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 scalar-function battery (F1-F14 representatives) computed
+    identically in both engines in one projection — the parity proof
+    for the string/math function surface."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower(F.trim("c_name")).alias("f1_lower"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("f2_extract"),
+        F.regexp_replace("c_mktsegment", "[AEIOU]", "_").alias("f2_replace"),
+        F.split("c_name", "#")[0].alias("f3_split"),
+        F.locate("0", F.col("c_name")).cast("int").alias("f4_locate"),
+        F.concat("c_mktsegment", F.lit("#"), F.col("c_nationkey").cast("string")).alias(
+            "f5_concat"
+        ),
+        F.translate("c_name", "#", "-").alias("f6_translate"),
+        F.round(F.col("c_acctbal").cast("double") / 7.0, 3).alias("f9_round"),
+        F.length("c_name").cast("long").alias("len"),
+        F.substring("c_name", 1, 8).alias("f4_substr"),
+        F.when(F.lower("c_mktsegment").isin("building", "machinery"), 1)
+        .otherwise(0)
+        .alias("f14_enum"),
+    )
+
+
+@_register(
     "orders_pivot_priority",
     """
     SELECT o_orderstatus,
