@@ -42,10 +42,19 @@ HEADLINE = [
     "docs_ngram_jaccard_pairs",
     "docs_minhash_lsh_pairs",
     "docs_simhash_pairs",
+    "docs_near_dedup_survivors",
     # similarity search
     "emb_cosine_topk",
     "emb_near_dup_exact",
     "emb_lsh_near_dup",
+    # joins / function surface
+    "events_asof_join",
+    "lineitem_qty_range_join",
+    "pricing_rollup",
+    "lineitem_price_percentiles",
+    "part_normalize_dedup",
+    "docs_ac_dict_filter",
+    "scalar_function_parity",
     # flagship
     "flagship_compound_mentions",
 ]
