@@ -142,6 +142,94 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l.l_discount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5 shape: the full 6-table star including supplier, with
+    the local-supplier (c_nationkey = s_nationkey) theta condition —
+    three fact shuffles, three broadcast dims, one agg."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .filter(
+            (r.r_name == "EUROPE")
+            & (o.o_orderdate >= F.lit("1995-01-01").cast("timestamp"))
+            & (o.o_orderdate < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy(n.n_name.alias("nation"))
+        .agg(
+            dec_to_double(
+                F.sum(dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount")))
+            ).alias("revenue")
+        )
+    )
+
+
+@_register(
+    "events_interval_join",
+    """
+    SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts
+     AND c.ts < v.ts + INTERVAL 5 MINUTE
+    """,
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (time-window) join: clicks within 5 minutes after a
+    view, per user — the batch twin of a stream-stream join with a
+    time constraint. Equi-join on user + range predicates on time;
+    at scale, bucket both sides by time window to co-partition."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("v_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        v.join(
+            c,
+            (v.user_id == c.c_user)
+            & (c.c_ts >= v.v_ts)
+            & (c.c_ts < v.v_ts + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .select("view_id", "click_id", "user_id")
+    )
+
+
+@_register(
     "order_priority_counts",
     """
     SELECT o_orderpriority, COUNT(*) AS n
