@@ -1449,6 +1449,27 @@ def docs_ac_dict_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.dictionary_anti_filter(d, "text", _ac_dict()).select("doc_id")
 
 
+@_register("docs_media_features")  # synthetic-decode backend: rows-only
+def docs_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing through the driver gate: documents' text
+    bytes become binary payloads; image_features runs the full
+    mapInPandas decode→feature path with the deterministic synthetic
+    backend (real codecs are pluggable, SURVEY north-star)."""
+    from aurora_mito_etl_spark.operators import multimodal as mm
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(None).cast(mm.MEDIA_META_SCHEMA).alias("meta"),
+    )
+    out = mm.image_features(d, mm.fake_media_backend)
+    return out.select(
+        "media_id",
+        F.round(F.element_at("mean_rgb", 1), 6).alias("mean_r"),
+        "phash",
+    )
+
+
 @_register(
     "docs_classify_stub",
     """
