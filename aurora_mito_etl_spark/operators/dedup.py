@@ -446,6 +446,59 @@ def simhash64_df(
     return votes.select(F.col(id_col), acc.alias("sh64"))
 
 
+def banded_hamming_pairs(
+    hashed: DataFrame,
+    id_col: str,
+    hash_col: str,
+    band_bits: int,
+    n_bands: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Shared candidate generation for Hamming-similarity search over
+    a 64-bit-or-less hash column: explode n_bands bit-slices, self-join
+    on (band, slice), verify with bit_count(xor).
+
+    Recall guarantee: any pair within Hamming ≤ n_bands−1 shares at
+    least one exact band (pigeonhole); pairs with distance in
+    (n_bands−1, max_hamming] are found only if their differing bits
+    cluster outside one band — callers trading recall at wider radii
+    should say so (see simhash_pairs / phash_near_dup_pairs).
+    """
+    mask = (1 << band_bits) - 1
+    bands = hashed.select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col(hash_col), i * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bh"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("e"),
+    ).select(F.col(id_col), F.col(hash_col), F.col("e.band"), F.col("e.bh"))
+    left = bands.select(
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"), "band", "bh"
+    )
+    right = bands.select(
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("h_b"), "band", "bh"
+    )
+    return (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str,
@@ -464,33 +517,9 @@ def simhash_pairs(
     (4×15-bit bands) so the whole operator is oracle-checkable.
     """
     n_bits, band_bits = (60, 15) if portable_hash else (64, 16)
-    mask = (1 << band_bits) - 1
     sh = simhash64_df(
         df, text_col, id_col, k_shingle, n_bits=n_bits, portable_hash=portable_hash
     )
-    bands = sh.select(
-        F.col(id_col),
-        F.col("sh64"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.shiftrightunsigned(F.col("sh64"), i * band_bits)
-                    .bitwiseAND(F.lit(mask))
-                    .alias("bh"),
-                )
-                for i in range(4)
-            ])
-        ).alias("e"),
-    ).select(F.col(id_col), F.col("sh64"), F.col("e.band"), F.col("e.bh"))
-    left = bands.select(F.col(id_col).alias("id_a"), F.col("sh64").alias("h_a"), "band", "bh")
-    right = bands.select(F.col(id_col).alias("id_b"), F.col("sh64").alias("h_b"), "band", "bh")
-    return (
-        left.join(right, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "h_a", "h_b")
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    return banded_hamming_pairs(
+        sh, id_col, "sh64", band_bits=band_bits, n_bands=4, max_hamming=max_hamming
     )

@@ -252,7 +252,11 @@ def phash_near_dup_pairs(
     banded like SimHash (4×16-bit bands over the 64-bit phash) so the
     shuffle stays O(n) — the image twin of text SimHash dedup.
     Input is :func:`image_features` output (phash as 16-hex-char
-    string)."""
+    string).
+
+    Recall caveat (as in simhash_pairs): 4 bands GUARANTEE candidates
+    only up to Hamming 3; pairs at distance 4..max_hamming are found
+    only when their differing bits avoid one full band."""
     # hex → long via two 32-bit halves: a direct 16-hex-digit conv
     # overflows signed BIGINT under ANSI for hashes ≥ 2^63; bitwise
     # shift wraps into the sign bit, which is exactly two's-complement.
@@ -262,33 +266,10 @@ def phash_near_dup_pairs(
     base = features.filter(F.col(phash_col).isNotNull()).select(
         F.col(id_col), h.alias("h64")
     )
-    bands = base.select(
-        id_col,
-        "h64",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col("h64"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("bh"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("e"),
-    ).select(F.col(id_col), F.col("h64"), F.col("e.band"), F.col("e.bh"))
-    left = bands.select(F.col(id_col).alias("id_a"), F.col("h64").alias("h_a"), "band", "bh")
-    right = bands.select(F.col(id_col).alias("id_b"), F.col("h64").alias("h_b"), "band", "bh")
-    return (
-        left.join(right, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "h_a", "h_b")
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    from aurora_mito_etl_spark.operators.dedup import banded_hamming_pairs
+
+    return banded_hamming_pairs(
+        base, id_col, "h64", band_bits=16, n_bands=4, max_hamming=max_hamming
     )
 
 

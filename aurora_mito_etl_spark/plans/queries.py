@@ -1308,7 +1308,7 @@ def customer_order_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN instr(c_name, '0') > 0 THEN instr(c_name, '0') ELSE 0 END AS f4_locate,
            concat(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR)) AS f5_concat,
            translate(c_name, '#', '-') AS f6_translate,
-           round(CAST(c_acctbal AS DOUBLE) / 7.0, 3) AS f9_round,
+           floor(CAST(c_acctbal AS DOUBLE) / 7.0 * 1000) / 1000 AS f9_fixed3,
            CAST(length(c_name) AS BIGINT) AS len,
            substring(c_name, 1, 8) AS f4_substr,
            CASE WHEN lower(c_mktsegment) IN ('building', 'machinery') THEN 1 ELSE 0 END AS f14_enum
@@ -1331,7 +1331,13 @@ def scalar_function_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f5_concat"
         ),
         F.translate("c_name", "#", "-").alias("f6_translate"),
-        F.round(F.col("c_acctbal").cast("double") / 7.0, 3).alias("f9_round"),
+        # fixed-point via floor, not round(): double round() is
+        # engine-dependent at tie digits (Spark BigDecimal HALF_UP vs
+        # DuckDB scaled std::round) — floor of identical IEEE bits is
+        # bit-identical everywhere (F9 parity without the flake)
+        (F.floor(F.col("c_acctbal").cast("double") / 7.0 * 1000) / 1000).alias(
+            "f9_fixed3"
+        ),
         F.length("c_name").cast("long").alias("len"),
         F.substring("c_name", 1, 8).alias("f4_substr"),
         F.when(F.lower("c_mktsegment").isin("building", "machinery"), 1)

@@ -25,9 +25,14 @@ def main() -> int:
     n_bad = 0
     for name, fn in QUERIES.items():
         runs = []
-        for _ in range(2):
-            df = fn(spark, sf_dir)
-            runs.append(canonical([tuple(r) for r in df.collect()], df.columns))
+        try:
+            for _ in range(2):
+                df = fn(spark, sf_dir)
+                runs.append(canonical([tuple(r) for r in df.collect()], df.columns))
+        except Exception as e:  # noqa: BLE001 — report, keep sweeping
+            print(f"ERROR {name}: {e}")
+            n_bad += 1
+            continue
         if runs[0] != runs[1]:
             diff = [(a, b) for a, b in zip(runs[0], runs[1]) if a != b][:2]
             print(f"NONDETERMINISTIC {name}: {len(runs[0])} vs {len(runs[1])} rows; {diff}")

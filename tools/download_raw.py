@@ -31,9 +31,14 @@ DEFAULT_SOURCES = [
 
 
 def land(url: str, dest_dir: str, dry_run: bool) -> str:
+    path = os.path.join(dest_dir, url.rsplit("/", 1)[-1].split("?")[0])
+    if dry_run:
+        print(f"WOULD FETCH {url} -> {path}")
+        return path
     os.makedirs(dest_dir, exist_ok=True)
-    path = os.path.join(dest_dir, url.rsplit("/", 1)[-1])
     if os.path.exists(path):
+        # skip ONLY when the server confirms the local size; a failed
+        # HEAD must not bless a possibly-truncated partial download
         try:
             with urllib.request.urlopen(
                 urllib.request.Request(url, method="HEAD"), timeout=30
@@ -42,14 +47,14 @@ def land(url: str, dest_dir: str, dry_run: bool) -> str:
             if remote_size == os.path.getsize(path):
                 print(f"SKIP (complete) {path}")
                 return path
-        except Exception:  # noqa: BLE001 — offline: keep local file
-            print(f"SKIP (offline, local copy kept) {path}")
-            return path
-    if dry_run:
-        print(f"WOULD FETCH {url} -> {path}")
-        return path
+        except Exception as e:  # noqa: BLE001
+            print(f"HEAD failed ({e}); refetching {url}")
     print(f"FETCH {url} -> {path}")
-    urllib.request.urlretrieve(url, path)
+    # fetch to a temp name, rename on success — an interrupted run
+    # never leaves a truncated file under the final name
+    tmp = path + ".part"
+    urllib.request.urlretrieve(url, tmp)
+    os.replace(tmp, path)
     return path
 
 
@@ -62,8 +67,13 @@ def main() -> int:
 
     plan: list[tuple[str, str]] = list(DEFAULT_SOURCES)
     for u in args.urls:
+        # dir=url only when the value is itself a URL — bare URLs may
+        # legitimately contain '=' in query strings
         sub, _, url = u.partition("=")
-        plan.append((sub, url) if url else ("pubmed", sub))
+        if url.startswith(("http://", "https://", "ftp://")):
+            plan.append((sub, url))
+        else:
+            plan.append(("pubmed", u))
     for sub, url in plan:
         land(url, os.path.join(args.dest, sub), args.dry_run)
     return 0
