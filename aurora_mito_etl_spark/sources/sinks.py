@@ -81,6 +81,38 @@ def overwrite_release(
     return path
 
 
+def upsert_parquet_by_key(
+    spark,
+    path: str,
+    new_rows: DataFrame,
+    key: str,
+) -> None:
+    """Upsert into a parquet-backed lookup table: existing rows whose
+    key collides with `new_rows` are replaced, everything else kept.
+
+    Completes the S7 cache loop (operators/rest.py returns new cache
+    rows; this lands them so the next run joins instead of fetching).
+    Parquet has no MERGE — the table is read, anti-joined, unioned,
+    and atomically swapped via a temp dir rename. Fine for
+    dimension-scale caches; at fact scale use a real table format.
+    """
+    import shutil
+
+    if os.path.isdir(path) and any(
+        not f.startswith(("_", ".")) for f in os.listdir(path)
+    ):
+        existing = spark.read.parquet(path)
+        kept = existing.join(new_rows.select(key).distinct(), key, "left_anti")
+        merged = kept.unionByName(new_rows)
+    else:
+        merged = new_rows
+    tmp = path.rstrip("/") + ".__tmp__"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.replace(tmp, path)
+
+
 def sha256_of_dir(path: str) -> str:
     """F11 — stable content hash of a written artifact (sorted file
     walk, so it is independent of filesystem listing order)."""

@@ -110,3 +110,17 @@ def test_add_link_column(spark):
     df = spark.createDataFrame([("42",)], "pmid string")
     out = sinks.add_link_column(df, "pmid").collect()[0]["link"]
     assert out == "https://pubmed.ncbi.nlm.nih.gov/?term=42"
+
+
+def test_upsert_parquet_by_key(spark, tmp_path):
+    path = str(tmp_path / "smiles_cache")
+    v1 = spark.createDataFrame(
+        [("Metformin", "OLD"), ("Rotenone", "R1")], "key string, value string"
+    )
+    sinks.upsert_parquet_by_key(spark, path, v1, "key")
+    v2 = spark.createDataFrame(
+        [("Metformin", "NEW"), ("Piericidin", "P1")], "key string, value string"
+    )
+    sinks.upsert_parquet_by_key(spark, path, v2, "key")
+    got = {r["key"]: r["value"] for r in spark.read.parquet(path).collect()}
+    assert got == {"Metformin": "NEW", "Rotenone": "R1", "Piericidin": "P1"}
