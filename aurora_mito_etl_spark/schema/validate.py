@@ -84,6 +84,41 @@ def validate(df: DataFrame, schema_name: str, strict: bool = False) -> Validatio
     return report
 
 
+def validate_path(
+    spark, path: str, schema_name: str, fmt: str = "parquet"
+) -> ValidationReport:
+    """Validate a staged file/dir against a registered schema — the
+    engine twin of the reference's standalone CLI
+    (etl/schema/validate.py:5-7). `fmt`: parquet | tsv."""
+    if fmt == "tsv":
+        from aurora_mito_etl_spark.sources.io import read_tsv
+
+        df = read_tsv(spark, path, schema_for(schema_name).struct)
+    else:
+        df = spark.read.parquet(path)
+    return validate(df, schema_name)
+
+
+def _cli() -> int:
+    """python -m aurora_mito_etl_spark.schema.validate <schema> <path> [fmt]"""
+    import sys
+
+    from aurora_mito_etl_spark.session import get_spark
+
+    if len(sys.argv) < 3:
+        print(__doc__)
+        print("usage: ... <schema_name> <path> [parquet|tsv]")
+        return 2
+    schema_name, path = sys.argv[1], sys.argv[2]
+    fmt = sys.argv[3] if len(sys.argv) > 3 else "parquet"
+    spark = get_spark(app_name="schema-validate")
+    spark.sparkContext.setLogLevel("ERROR")
+    report = validate_path(spark, path, schema_name, fmt)
+    print(report)
+    spark.stop()
+    return 0 if report.ok else 1
+
+
 def violations_df(df: DataFrame, schema_name: str) -> DataFrame:
     """The violating rows themselves, tagged by failed check — the
     debugging companion to :func:`validate`. Mirrors validate()'s
@@ -110,3 +145,5 @@ def violations_df(df: DataFrame, schema_name: str) -> DataFrame:
     )
 
 
+if __name__ == "__main__":  # pragma: no cover — thin CLI shim
+    raise SystemExit(_cli())
