@@ -606,6 +606,124 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "customer_balance_quartiles",
+    """
+    SELECT c_custkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 ranking-family windows: ntile / percent_rank / rank /
+    dense_rank over one global ordering (tie-broken by key). A global
+    window is a single-partition sort — fine for dimension tables,
+    never for facts (partition it or use approx quantiles there)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+@_register(
+    "events_hourly_gap_filled",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events
+    ),
+    spine AS (
+      SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ),
+    counts AS (
+      SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT strftime(s.hour, '%Y-%m-%d %H:00:00') AS hour,
+           COALESCE(c.n, 0) AS n_purchases
+    FROM spine s LEFT JOIN counts c ON s.hour = c.hour
+    """,
+)
+def events_hourly_gap_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled time series: an hour spine generated with sequence()
+    left-joined to sparse hourly counts, so empty hours appear as 0 —
+    the resample/fill shape every monitoring pipeline needs. The
+    spine is one row → broadcast; no extra shuffle of the fact side
+    beyond its own aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    counts = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count("*").alias("n"))
+    )
+    return spine.join(counts, "hour", "left").select(
+        F.date_format("hour", "yyyy-MM-dd HH:00:00").alias("hour"),
+        F.coalesce("n", F.lit(0)).alias("n_purchases"),
+    )
+
+
+@_register(
+    "events_session_windows",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True session_window() aggregation (30-minute gap): Spark's
+    builtin produces [min_ts, last_ts + gap) windows; the oracle
+    reproduces that with a gap-flag cumulative sum. Second-truncated
+    strings because session boundaries are timestamp arithmetic, not
+    floats."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@_register(
     "events_json_extract",
     """
     SELECT event_type,
