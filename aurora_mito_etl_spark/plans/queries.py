@@ -606,6 +606,57 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "orders_above_segment_avg",
+    """
+    SELECT o.o_orderkey, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > (
+      SELECT AVG(o2.o_totalprice)
+      FROM orders o2 JOIN customer c2 ON o2.o_custkey = c2.c_custkey
+      WHERE c2.c_mktsegment = c.c_mktsegment
+    )
+    """,
+)
+def orders_above_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (orders above their segment's
+    average) — expressed as window average so Catalyst never executes
+    a per-row subquery: one shuffle on segment, one comparison. The
+    oracle keeps the correlated form; same semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(c, o.o_custkey == c.c_custkey)
+    w = Window.partitionBy("c_mktsegment")
+    return (
+        joined.withColumn("__seg_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > F.col("__seg_avg"))
+        .select("o_orderkey", "c_mktsegment")
+    )
+
+
+@_register(
+    "docs_token_positions",
+    """
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token
+    FROM (SELECT doc_id, string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS toks
+          FROM documents WHERE doc_id < 10),
+         UNNEST(generate_series(1, len(toks))) AS u(i)
+    WHERE toks[i] <> ''
+    """,
+)
+def docs_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode — positional token explode (UNNEST WITH ORDINALITY
+    in the oracle); positions are 0-based on the Spark side and
+    aligned in the SQL."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    toks = F.split(tx.squeeze_ws(F.col("text")), " ")
+    return (
+        d.select("doc_id", F.posexplode(toks).alias("pos", "token"))
+        .filter(F.col("token") != "")
+        .select("doc_id", F.col("pos").cast("int"), "token")
+    )
+
+
+@_register(
     "customer_balance_quartiles",
     """
     SELECT c_custkey,
