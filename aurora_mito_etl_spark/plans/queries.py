@@ -606,6 +606,48 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "emb_array_ops",
+    """
+    SELECT vec_id,
+           round(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                             (a, b) -> a + b), 6) AS sq_norm,
+           len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS n_positive,
+           round(embedding[1]::DOUBLE + embedding[2]::DOUBLE, 6) AS first_two_sum,
+           round(list_reduce(list_transform(embedding[1:8]::DOUBLE[], x -> x),
+                             (a, b) -> CASE WHEN b > a THEN b ELSE a END), 6) AS max_of_8
+    FROM embeddings WHERE vec_id < 200
+    """,
+)
+def emb_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function battery (transform / filter /
+    aggregate / slice / element access) — the engine surface behind
+    every vector operator, oracle-checked against DuckDB's list_*
+    twins. Left-to-right fold order matches in both engines so float
+    sums are bit-identical."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    arr = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.round(
+            F.aggregate(
+                F.transform(arr, lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+            ),
+            6,
+        ).alias("sq_norm"),
+        F.size(F.filter(arr, lambda x: x > 0)).alias("n_positive"),
+        F.round(arr[0] + arr[1], 6).alias("first_two_sum"),
+        F.round(
+            F.aggregate(
+                F.slice(arr, 2, 7),
+                arr[0],
+                lambda a, b: F.when(b > a, b).otherwise(a),
+            ),
+            6,
+        ).alias("max_of_8"),
+    )
+
+
+@_register(
     "orders_above_segment_avg",
     """
     SELECT o.o_orderkey, c.c_mktsegment
