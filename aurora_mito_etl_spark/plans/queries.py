@@ -652,7 +652,8 @@ def emb_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o.o_orderkey, c.c_mktsegment
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    WHERE o.o_totalprice > (
+    WHERE c.c_mktsegment IS NOT NULL
+      AND o.o_totalprice > (
       SELECT AVG(o2.o_totalprice)
       FROM orders o2 JOIN customer c2 ON o2.o_custkey = c2.c_custkey
       WHERE c2.c_mktsegment = c.c_mktsegment
@@ -662,11 +663,15 @@ def emb_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orders_above_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-subquery shape (orders above their segment's
     average) — expressed as window average so Catalyst never executes
-    a per-row subquery: one shuffle on segment, one comparison. The
-    oracle keeps the correlated form; same semantics."""
+    a per-row subquery: one shuffle on segment, one comparison. NULL
+    segments are excluded on both sides (a correlated equality never
+    matches NULL, but a window partition WOULD group NULLs — the one
+    semantic gap between the two forms)."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    joined = o.join(c, o.o_custkey == c.c_custkey)
+    joined = o.join(c, o.o_custkey == c.c_custkey).filter(
+        F.col("c_mktsegment").isNotNull()
+    )
     w = Window.partitionBy("c_mktsegment")
     return (
         joined.withColumn("__seg_avg", F.avg("o_totalprice").over(w))
@@ -679,7 +684,7 @@ def orders_above_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_token_positions",
     """
     SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token
-    FROM (SELECT doc_id, string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS toks
+    FROM (SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
           FROM documents WHERE doc_id < 10),
          UNNEST(generate_series(1, len(toks))) AS u(i)
     WHERE toks[i] <> ''
@@ -775,7 +780,7 @@ def events_hourly_gap_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_session_windows",
     """
     WITH marked AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
@@ -784,7 +789,7 @@ def events_hourly_gap_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, ts,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM marked
     )

@@ -93,10 +93,15 @@ def upsert_parquet_by_key(
     Completes the S7 cache loop (operators/rest.py returns new cache
     rows; this lands them so the next run joins instead of fetching).
     Parquet has no MERGE — the table is read, anti-joined, unioned,
-    and atomically swapped via a temp dir rename. Fine for
-    dimension-scale caches; at fact scale use a real table format.
+    and swapped in via directory renames. SINGLE-WRITER only (no
+    locking; concurrent upserts into one cache need an external
+    mutex or a real table format). Crash-safe in the sense that some
+    complete copy of the data always exists on disk: the new table is
+    fully written under a unique temp name before the old one is
+    moved aside, and the old copy is deleted only after the swap.
     """
     import shutil
+    import uuid
 
     if os.path.isdir(path) and any(
         not f.startswith(("_", ".")) for f in os.listdir(path)
@@ -106,11 +111,16 @@ def upsert_parquet_by_key(
         merged = kept.unionByName(new_rows)
     else:
         merged = new_rows
-    tmp = path.rstrip("/") + ".__tmp__"
+    token = uuid.uuid4().hex[:12]
+    tmp = f"{path.rstrip('/')}.__tmp_{token}"
     merged.write.mode("overwrite").parquet(tmp)
+    old = None
     if os.path.isdir(path):
-        shutil.rmtree(path)
+        old = f"{path.rstrip('/')}.__old_{token}"
+        os.replace(path, old)
     os.replace(tmp, path)
+    if old:
+        shutil.rmtree(old)
 
 
 def sha256_of_dir(path: str) -> str:
