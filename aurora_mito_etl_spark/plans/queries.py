@@ -1313,10 +1313,54 @@ def emb_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.exact_near_dup_pairs_blocked(e, threshold=0.5)
 
 
-@_register("emb_lsh_near_dup")  # approximate: rows-only check
+def _lsh_near_dup_oracle(
+    n_planes: int = 4, dim: int = 64, threshold: float = 0.5, multi_probe: int = 2
+) -> str:
+    """Full SQL twin of the hyperplane-LSH near-dup search. Valid
+    because both engines fold dot products left-to-right over
+    identical doubles, so every sign bit (hence bucket) is
+    bit-identical — the same parity the cosine oracles rely on."""
+    from aurora_mito_etl_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(e, [{', '.join(repr(x) for x in p)}]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    probes = [0] + [1 << i for i in range(n_planes)]
+    if multi_probe > 1:
+        probes += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    probe_list = ", ".join(str(p) for p in probes)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    b AS (SELECT vec_id, e, nrm, {bucket_terms} AS bucket FROM v),
+    probed AS (
+      SELECT vec_id, e, nrm, xor(bucket::BIGINT, p) AS bucket
+      FROM b, UNNEST([{probe_list}]) AS u(p)
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+             round(list_dot_product(a.e, bb.e) / (a.nrm * bb.nrm), 6) AS cos_sim
+      FROM probed a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+    )
+    SELECT DISTINCT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
+    """
+
+
+@_register("emb_lsh_near_dup", _lsh_near_dup_oracle())
 def emb_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via random-hyperplane LSH bucketing — the
-    100 TB path (recall pytest-checked against the exact variant)."""
+    100 TB path. Fully oracle-checked: sign buckets are bit-portable
+    because both engines fold dot products in the same order."""
     e = load_table(spark, sf_dir, "embeddings")
     # probe=2 (flip up to 2 of 4 sign bits) recovers 13/14 of the
     # exact pairs at sf0.1 — the loose 0.5 threshold (60° apart) is
@@ -1327,9 +1371,43 @@ def emb_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("emb_lsh_topk")  # approximate: rows-only check
+def _lsh_topk_oracle(n_planes: int = 8, dim: int = 64, k: int = 5) -> str:
+    from aurora_mito_etl_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(e, [{', '.join(repr(x) for x in p)}]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    b AS (SELECT vec_id, e, nrm, {bucket_terms} AS bucket FROM v),
+    q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, bucket
+          FROM b WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.query_id, b.vec_id,
+             round(list_dot_product(b.e, q.qe) / (b.nrm * q.qn), 6) AS score
+      FROM b JOIN q ON b.bucket = q.bucket
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@_register("emb_lsh_topk", _lsh_topk_oracle())
 def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed approximate top-k over embeddings."""
+    """Bucketed approximate top-k over embeddings — oracle-checked
+    (sign buckets are bit-portable, see emb_lsh_near_dup)."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
