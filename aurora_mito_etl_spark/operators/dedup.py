@@ -15,7 +15,12 @@ increasing recall / cost:
                   distance on banded buckets.
 
 Everything is Catalyst expressions (xxhash64/md5 are JVM builtins);
-no Python in any hot path.
+no Python in any hot path. Tiers 4-5 accept ``portable_hash=True``
+to swap xxhash64 for a 60-bit md5-prefix hash reproducible in any
+SQL engine, which is how their registered queries are fully
+DuckDB-oracle-checked. Pair outputs feed
+:func:`near_dedup_survivors` (greedy) or :func:`dedup_clusters`
+(transitive, via :func:`connected_components`).
 """
 
 from __future__ import annotations

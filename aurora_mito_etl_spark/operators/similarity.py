@@ -6,9 +6,13 @@ finalize_realease.py:199-218, SURVEY §2.3 J7): the panel becomes an
 arbitrary query set, Tanimoto becomes cosine, and the scale path is
 LSH bucketing instead of a cross join.
 
-All dot products are computed in DOUBLE via Catalyst higher-order
-functions (zip_with + aggregate) — deterministic left-to-right
-summation, no Python, no UDF.
+Per-pair dot products are computed in DOUBLE via Catalyst
+higher-order functions (zip_with + aggregate) — deterministic
+left-to-right summation, which makes hyperplane sign buckets and
+cosine scores bit-identical to any engine that folds sequentially
+(the basis of the DuckDB oracles). The one exception is
+:func:`exact_near_dup_pairs_blocked`, which deliberately drops to a
+blocked BLAS matmul in mapInPandas for the exact all-pairs case.
 """
 
 from __future__ import annotations
