@@ -1749,6 +1749,39 @@ def docs_ac_dict_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.dictionary_anti_filter(d, "text", _ac_dict()).select("doc_id")
 
 
+@_register(
+    "docs_chunked",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents WHERE doc_id < 50
+    ),
+    meta AS (
+      SELECT doc_id, t, len(t) AS L,
+             CASE WHEN len(t) <= 8 THEN 1
+                  ELSE CAST(ceil((len(t) - 8) / 6.0) AS INT) + 1 END AS n
+      FROM toks
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           array_to_string(t[i*6 + 1 : least(i*6 + 8, L)], ' ') AS chunk,
+           CAST(least(i*6 + 8, L) - i*6 AS INT) AS n_tokens
+    FROM meta, UNNEST(generate_series(0, n - 1)) AS u(i)
+    """,
+)
+def docs_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDTF chunker (chunk_size=8, overlap=2 → stride 6) driven
+    through lateralJoin, oracle-checked against the closed-form
+    stride-window SQL — a Python table function whose output is still
+    value-verified."""
+    from aurora_mito_etl_spark.operators import udtfs
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d = d.withColumn("text", tx.squeeze_ws(F.col("text")))
+    return d.lateralJoin(udtfs.chunks(F.col("text").outer(), 8, 2)).select(
+        "doc_id", "chunk_idx", "chunk", "n_tokens"
+    )
+
+
 @_register("docs_media_features")  # synthetic-decode backend: rows-only
 def docs_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing through the driver gate: documents' text
