@@ -107,6 +107,21 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def probe_masks(n_planes: int, multi_probe: int) -> list[int]:
+    """Bucket-XOR masks for multi-probe LSH: self, then all 1-bit
+    flips, then (if multi_probe > 1) all 2-bit flips. Shared by the
+    operator and its SQL oracle builders so the probe schedule can
+    never silently diverge."""
+    masks = [0] + [1 << i for i in range(n_planes)]
+    if multi_probe > 1:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    return masks
+
+
 def signed_projection_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: one sign bit per plane."""
     vd = _to_double(vec)
@@ -339,15 +354,7 @@ def embedding_near_dup_pairs(
         "bucket",
     )
     if multi_probe > 0:
-        probes = [0] + [
-            1 << i for i in range(n_planes)
-        ]  # self + single-bit flips (Hamming 1)
-        if multi_probe > 1:
-            probes += [
-                (1 << i) | (1 << j)
-                for i in range(n_planes)
-                for j in range(i + 1, n_planes)
-            ]
+        probes = probe_masks(n_planes, multi_probe)
         a = a.withColumn(
             "bucket",
             F.explode(

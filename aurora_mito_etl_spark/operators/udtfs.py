@@ -59,17 +59,22 @@ def split_sentences(text: str) -> list[str]:
 
 def chunk_tokens(
     tokens: list[str], chunk_size: int, overlap: int
-) -> list[tuple[int, str]]:
+) -> list[tuple[int, str, int]]:
     """Overlapping token windows — the standard LLM-ingestion chunker
-    (stride = chunk_size − overlap)."""
-    stride = max(chunk_size - overlap, 1)
+    (stride = chunk_size − overlap). Yields (idx, text, n_tokens)."""
+    if overlap >= chunk_size:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_size ({chunk_size}) — "
+            "stride would collapse to 1 and fan out one chunk per token"
+        )
+    stride = chunk_size - overlap
     out = []
     idx = 0
     for start in range(0, max(len(tokens) - overlap, 1), stride):
         window = tokens[start : start + chunk_size]
         if not window:
             break
-        out.append((idx, " ".join(window)))
+        out.append((idx, " ".join(window), len(window)))
         idx += 1
         if start + chunk_size >= len(tokens):
             break
@@ -80,7 +85,7 @@ def chunk_tokens(
 def _sentences_udtf():
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="sent_idx int, sentence string")
+    @udtf(returnType="sent_idx int, sentence string", useArrow=True)
     class Sentences:
         def eval(self, text: str):  # noqa: D401
             for i, s in enumerate(split_sentences(text or "")):
@@ -93,12 +98,12 @@ def _sentences_udtf():
 def _chunks_udtf():
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="chunk_idx int, chunk string, n_tokens int")
+    @udtf(returnType="chunk_idx int, chunk string, n_tokens int", useArrow=True)
     class Chunks:
         def eval(self, text: str, chunk_size: int, overlap: int):
             tokens = (text or "").split()
-            for idx, chunk in chunk_tokens(tokens, chunk_size, overlap):
-                yield idx, chunk, len(chunk.split())
+            for idx, chunk, n in chunk_tokens(tokens, chunk_size, overlap):
+                yield idx, chunk, n
 
     return Chunks
 

@@ -1322,20 +1322,15 @@ def _lsh_near_dup_oracle(
     bit-identical — the same parity the cosine oracles rely on."""
     from aurora_mito_etl_spark.operators.similarity import _hyperplanes
 
+    from aurora_mito_etl_spark.operators.similarity import probe_masks
+
     planes = _hyperplanes(dim, n_planes)
     bucket_terms = " + ".join(
         f"(CASE WHEN list_dot_product(e, [{', '.join(repr(x) for x in p)}]) >= 0 "
         f"THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(planes)
     )
-    probes = [0] + [1 << i for i in range(n_planes)]
-    if multi_probe > 1:
-        probes += [
-            (1 << i) | (1 << j)
-            for i in range(n_planes)
-            for j in range(i + 1, n_planes)
-        ]
-    probe_list = ", ".join(str(p) for p in probes)
+    probe_list = ", ".join(str(p) for p in probe_masks(n_planes, multi_probe))
     return f"""
     WITH v AS (
       SELECT vec_id, embedding::DOUBLE[] AS e,
@@ -1356,7 +1351,7 @@ def _lsh_near_dup_oracle(
     """
 
 
-@_register("emb_lsh_near_dup", _lsh_near_dup_oracle())
+@_register("emb_lsh_near_dup", _lsh_near_dup_oracle(threshold=0.4))
 def emb_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via random-hyperplane LSH bucketing — the
     100 TB path. Fully oracle-checked: sign buckets are bit-portable
@@ -1367,7 +1362,7 @@ def emb_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the hard case for sign-LSH; at production thresholds (≥0.9)
     # probe=1 with more planes is the economical setting.
     return sim.embedding_near_dup_pairs(
-        e, threshold=0.5, n_planes=4, dim=64, multi_probe=2
+        e, threshold=0.4, n_planes=4, dim=64, multi_probe=2
     )
 
 
@@ -1754,7 +1749,7 @@ def docs_ac_dict_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH toks AS (
       SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
-      FROM documents WHERE doc_id < 50
+      FROM documents WHERE doc_id < 50 AND trim(text) <> ''
     ),
     meta AS (
       SELECT doc_id, t, len(t) AS L,
@@ -1775,8 +1770,12 @@ def docs_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-verified."""
     from aurora_mito_etl_spark.operators import udtfs
 
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    d = d.withColumn("text", tx.squeeze_ws(F.col("text")))
+    # non-empty filter keeps parity with the oracle (DuckDB splits ''
+    # into [''] and would emit a phantom chunk; Python split() would
+    # not); no squeeze needed — str.split() collapses runs itself.
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 50) & (F.trim("text") != "")
+    )
     return d.lateralJoin(udtfs.chunks(F.col("text").outer(), 8, 2)).select(
         "doc_id", "chunk_idx", "chunk", "n_tokens"
     )

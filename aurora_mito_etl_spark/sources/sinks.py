@@ -100,8 +100,21 @@ def upsert_parquet_by_key(
     fully written under a unique temp name before the old one is
     moved aside, and the old copy is deleted only after the swap.
     """
+    import glob
     import shutil
     import uuid
+
+    # crash recovery: if a previous run died between the two renames,
+    # the live table is the newest .__old_ sibling — restore it, and
+    # clear any orphaned temp dirs from failed writes.
+    if not os.path.isdir(path):
+        olds = sorted(glob.glob(path.rstrip("/") + ".__old_*"), key=os.path.getmtime)
+        if olds:
+            os.replace(olds[-1], path)
+    for orphan in glob.glob(path.rstrip("/") + ".__tmp_*") + glob.glob(
+        path.rstrip("/") + ".__old_*"
+    ):
+        shutil.rmtree(orphan, ignore_errors=True)
 
     if os.path.isdir(path) and any(
         not f.startswith(("_", ".")) for f in os.listdir(path)

@@ -23,16 +23,21 @@ def test_split_sentences_pure():
 
 
 def test_chunk_tokens_pure():
+    import pytest
+
     toks = [f"t{i}" for i in range(10)]
     got = udtfs.chunk_tokens(toks, chunk_size=4, overlap=2)
-    assert [c for _i, c in got] == [
+    assert [c for _i, c, _n in got] == [
         "t0 t1 t2 t3",
         "t2 t3 t4 t5",
         "t4 t5 t6 t7",
         "t6 t7 t8 t9",
     ]
+    assert all(n == len(c.split()) for _i, c, n in got)
     assert udtfs.chunk_tokens([], 4, 2) == []
-    assert udtfs.chunk_tokens(["a"], 4, 2) == [(0, "a")]
+    assert udtfs.chunk_tokens(["a"], 4, 2) == [(0, "a", 1)]
+    with pytest.raises(ValueError):
+        udtfs.chunk_tokens(toks, chunk_size=4, overlap=4)
 
 
 def test_sentences_udtf_lateral_join(spark):
