@@ -135,55 +135,63 @@ def asof_join(
     keep left rows. Cost = one shuffle on the key + one sort — no
     range join, no per-row lookup; skew-safe under AQE.
     """
+    # Carry ALL right payload columns as ONE struct: the struct is
+    # non-null for every right row even when individual fields are
+    # NULL, so F.last(ignorenulls) picks the whole latest row — never
+    # a column mix of different right rows (a NULL field in the latest
+    # row must NOT resurrect an older row's value for that field).
     lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
     rt = (
         right.select(
             on,
             F.col(right_ts).alias("__ts"),
-            *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+            F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("__r"),
         )
         .withColumn("__side", F.lit(0))
     )
-    for c in right_cols:
-        lt = lt.withColumn(f"__r_{c}", F.lit(None).cast(rt.schema[f"__r_{c}"].dataType))
+    lt = lt.withColumn("__r", F.lit(None).cast(rt.schema["__r"].dataType))
     for c in left.columns:
         if c not in rt.columns:
             rt = rt.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     unioned = lt.unionByName(rt.select(*lt.columns))
     # right rows sort before left rows at the same timestamp, so a
-    # right row with ts == left ts IS visible (<= semantics); right
-    # payloads break same-timestamp ties deterministically.
+    # right row with ts == left ts IS visible (<= semantics); the
+    # struct (field-lexicographic) breaks same-timestamp ties
+    # deterministically.
     w = (
         Window.partitionBy(on)
-        .orderBy("__ts", "__side", *[f"__r_{c}" for c in right_cols])
+        .orderBy("__ts", "__side", "__r")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(
         *left.columns,
         "__ts",
         "__side",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
-            for c in right_cols
-        ],
+        F.last("__r", ignorenulls=True).over(w).alias("__c"),
         F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True)
         .over(w)
         .alias("__rts"),
     ).filter(F.col("__side") == 1)
     if tolerance_s is not None:
-        within = (
-            F.col("__rts").isNotNull()
-            & (F.col("__ts").cast("long") - F.col("__rts").cast("long") <= tolerance_s)
-        )
+        # Native-precision tolerance: timestamp cols compare at
+        # microsecond resolution (cast('long') would truncate to whole
+        # seconds and admit rows up to 1 s past the tolerance).
+        ts_type = dict(unioned.dtypes)["__ts"]
+        if ts_type.startswith("timestamp"):
+            gap_ok = (
+                F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__rts"))
+                <= tolerance_s * 1_000_000
+            )
+        else:
+            gap_ok = F.col("__ts") - F.col("__rts") <= tolerance_s
+        within = F.col("__rts").isNotNull() & gap_ok
         carried = carried.select(
             *left.columns,
-            *[
-                F.when(within, F.col(f"__c_{c}")).alias(c) for c in right_cols
-            ],
+            *[F.when(within, F.col("__c")[c]).alias(c) for c in right_cols],
         )
     else:
         carried = carried.select(
-            *left.columns, *[F.col(f"__c_{c}").alias(c) for c in right_cols]
+            *left.columns, *[F.col("__c")[c].alias(c) for c in right_cols]
         )
     return carried
 

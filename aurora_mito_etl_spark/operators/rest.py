@@ -168,7 +168,14 @@ def resolve_with_cache(
     misses = hit.filter(F.col("__cached").isNull()).select(
         F.col(key_col).alias("key")
     )
-    fetched = fetch_missing(misses, fetcher_factory, "key", config)
+    # Materialize the fetch ONCE before deriving both outputs: the
+    # resolved join and new_cache_rows would otherwise each trigger
+    # their own Spark job over the unpersisted RDD plan — every miss
+    # fetched twice over the network (double-paid API calls that can
+    # also disagree), violating the I4 "never re-pay" invariant.
+    fetched = fetch_missing(misses, fetcher_factory, "key", config).localCheckpoint(
+        eager=True
+    )
     resolved = (
         hit.join(
             F.broadcast(fetched.withColumnRenamed("value", "__fetched")),

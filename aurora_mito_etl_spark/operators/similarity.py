@@ -107,6 +107,17 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def ivf_centroids(dim: int, n_cells: int, seed: int = 7) -> list[list[float]]:
+    """Pinned pseudo-random coarse-quantizer centroids (same
+    LCG-Gaussian generator as :func:`_hyperplanes`, different seed).
+
+    A deterministic index usable verbatim by both the Spark operator
+    and a closed-form SQL oracle — at 100 TB you persist
+    KMeans-trained centroids alongside the partitioned-by(cell)
+    corpus instead; the assignment/probe mechanics are identical."""
+    return _hyperplanes(dim, n_cells, seed=seed)
+
+
 def probe_masks(n_planes: int, multi_probe: int) -> list[int]:
     """Bucket-XOR masks for multi-probe LSH: self, then all 1-bit
     flips, then (if multi_probe > 1) all 2-bit flips. Shared by the

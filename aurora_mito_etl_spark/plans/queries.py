@@ -590,9 +590,13 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
+    # Native-precision gap compare (ts carries sub-second precision;
+    # cast('long') truncates to whole seconds and can flip rows whose
+    # gap straddles the 1800 s boundary within 1 s — must match the
+    # oracle's exact `> INTERVAL 30 MINUTE`).
     new_s = F.when(
         prev.isNull()
-        | (F.col("ts").cast("long") - prev.cast("long") > 1800),
+        | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
         1,
     ).otherwise(0)
     return (
@@ -1410,16 +1414,75 @@ def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_bucketed_topk(e, q, dim=64, k=5, n_planes=8)
 
 
-@_register("emb_ivf_topk")  # approximate (k-means index): rows-only check
+def _ivf_topk_oracle(
+    n_cells: int = 16, n_probe: int = 4, dim: int = 64, k: int = 5
+) -> str:
+    """Closed-form SQL twin of IVF top-k over PINNED centroids: the
+    nearest-cell rule argmax(dot(v,c) − ‖c‖²/2) is plain arithmetic,
+    portable for the same fold-order reason as the LSH oracles. The
+    half-norm constants are computed once in Python and embedded as
+    identical literals in both engines."""
+    cents = sim.ivf_centroids(dim, n_cells)
+    values = ",\n      ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[], "
+        f"{sum(x * x for x in c) / 2.0!r})"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+    WITH cents(cell, c, hn) AS (
+      VALUES
+      {values}
+    ),
+    v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    assigned AS (
+      SELECT vec_id, e, nrm, cell,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_dot_product(e, c) - hn DESC, cell DESC
+             ) AS rn
+      FROM v, cents
+    ),
+    vcell AS (SELECT vec_id, e, nrm, cell FROM assigned WHERE rn = 1),
+    q AS (
+      SELECT vec_id AS query_id, e AS qe,
+             CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END AS qn, cell
+      FROM assigned WHERE rn <= {n_probe} AND vec_id % 100 = 0
+    ),
+    scored AS (
+      SELECT q.query_id, vcell.vec_id,
+             round(list_dot_product(vcell.e, q.qe)
+                   / (CASE WHEN vcell.nrm = 0 THEN 1.0 ELSE vcell.nrm END * q.qn),
+                   6) AS score
+      FROM vcell JOIN q ON vcell.cell = q.cell
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@_register("emb_ivf_topk", _ivf_topk_oracle())
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: seeded k-means coarse quantizer, each
-    query probes its 4 nearest of 16 cells (recall pytest-pinned vs
-    brute force)."""
+    """IVF approximate top-k over PINNED deterministic centroids (the
+    persisted-index posture you'd run at 100 TB); each query probes
+    its 4 nearest of 16 cells. Fully oracle-checked — the KMeans
+    training path is exercised by the pytest recall test instead."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return sim.ivf_topk(e, q, k=5, n_cells=16, n_probe=4)
+    return sim.ivf_topk(
+        e, q, k=5, n_cells=16, n_probe=4,
+        centroids=sim.ivf_centroids(64, 16),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -28,6 +28,40 @@ def test_asof_join_basic(spark):
     assert got == {"L1": 2.0, "L2": 3.0, "L3": None}
 
 
+def test_asof_join_null_payload_not_torn(spark):
+    # The latest matching right row has v=NULL: the join must carry
+    # (E2, NULL) — NOT resurrect v=1.0 from the older row while taking
+    # event_id from the newer one (per-column last(ignorenulls) tearing).
+    left = spark.createDataFrame(
+        [("u1", _ts(30), "L")], "user_id string, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts(10), "E1", 1.0), ("u1", _ts(20), "E2", None)],
+        "user_id string, ts timestamp, eid string, v double",
+    )
+    out = j.asof_join(left, right, "user_id", "ts", "ts", ["eid", "v"]).collect()[0]
+    assert out["eid"] == "E2"
+    assert out["v"] is None
+
+
+def test_asof_join_tolerance_subsecond_precision(spark):
+    # gap = tolerance + 1ms must be excluded (whole-second truncation
+    # would admit it); gap = exactly tolerance must be included
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [("u1", base + dt.timedelta(seconds=60, milliseconds=1), "over"),
+         ("u2", base + dt.timedelta(seconds=60), "exact")],
+        "user_id string, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u1", base, 1.0), ("u2", base, 2.0)],
+        "user_id string, ts timestamp, v double",
+    )
+    out = j.asof_join(left, right, "user_id", "ts", "ts", ["v"], tolerance_s=60)
+    got = {r["tag"]: r["v"] for r in out.collect()}
+    assert got == {"over": None, "exact": 2.0}
+
+
 def test_asof_join_tolerance(spark):
     left = spark.createDataFrame(
         [("u1", _ts(30), "L")], "user_id string, ts timestamp, tag string"

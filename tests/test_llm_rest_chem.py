@@ -123,6 +123,32 @@ def test_resolve_with_cache(spark):
     assert [(r["key"], r["value"]) for r in new_rows.collect()] == [("Rotenone", "FETCHED")]
 
 
+def test_resolve_with_cache_fetches_each_miss_once(spark, tmp_path):
+    # Materializing BOTH outputs (resolved + new_cache_rows) must pay
+    # the network exactly once per miss — the unpersisted-RDD regression
+    # ran a separate job per output, double-fetching every miss.
+    log = tmp_path / "fetch_calls.log"
+
+    def factory():
+        def fetch(key):
+            with open(log, "a") as f:
+                f.write(key + "\n")
+            return "V_" + key
+
+        return fetch
+
+    df = spark.createDataFrame([("Miss1",), ("Miss2",)], "compound string")
+    cache = spark.createDataFrame([], "key string, value string")
+    resolved, new_rows = rest.resolve_with_cache(
+        df, cache, factory, key_col="compound", out_col="smiles",
+        config=rest.FetchConfig(rate_limit_s=0),
+    )
+    assert {r["smiles"] for r in resolved.collect()} == {"V_Miss1", "V_Miss2"}
+    assert new_rows.count() == 2
+    calls = log.read_text().splitlines()
+    assert sorted(calls) == ["Miss1", "Miss2"]  # once per key, total
+
+
 def test_fetch_missing_values_and_case_fallback(spark):
     # (sleep calls happen inside executor workers — not observable
     # from the driver — so this pins resolution semantics only)
