@@ -300,67 +300,91 @@ def minhash_lsh_pairs(
     return verified
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node connects its strictly-larger
+    neighbors to the minimum of its neighborhood (incl. itself)."""
+    both = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = both.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        both.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: edges are oriented (hi, lo); every hi
+    node links each smaller neighbor — and itself — to the minimum."""
+    hi_lo = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = hi_lo.groupBy("u").agg(F.min("v").alias("m"))
+    relinked = (
+        hi_lo.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return relinked
+
+
 def connected_components(
     pairs: DataFrame, max_iter: int = 20
 ) -> DataFrame:
     """(id, component): connected components over near-dup pair edges
-    by iterative min-label propagation — the principled clustering
-    behind transitive dedup (chain a~b~c lands in ONE component even
-    when a!~c directly).
+    via alternating large-star/small-star rounds (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    principled clustering behind transitive dedup (chain a~b~c lands
+    in ONE component even when a!~c directly).
 
-    Each iteration: every node adopts the smallest label among itself
-    and its neighbors; converges in O(diameter) rounds (near-dup
-    clusters are shallow). localCheckpoint() per round truncates the
-    lineage so the plan doesn't grow exponentially. One shuffle per
-    round on the edge key — the standard Spark formulation; switch to
-    large-star/small-star for graphs with giant components.
+    Converges in O(log² n) rounds regardless of component shape —
+    min-label propagation needs O(diameter) rounds, which a giant or
+    chain-shaped dup component (the common web-crawl case: boilerplate
+    connecting millions of docs) turns into dozens of shuffles. Each
+    round is two groupBy-min shuffles; localCheckpoint() truncates
+    lineage. Exact convergence check (exceptAll, not a checksum);
+    refuses rather than silently splitting a component when max_iter
+    is exhausted.
     """
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
+    nodes = (
+        edges.select(F.col("u").alias("id"))
+        .union(edges.select(F.col("v").alias("id")))
         .distinct()
-        .withColumn("component", F.col("id"))
+        .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("component").alias("n_comp"))
+        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        same = (
+            new_edges.count() == edges.count()
+            and new_edges.exceptAll(edges).limit(1).count() == 0
         )
-        new_labels = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
-                ).alias("component"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        edges = new_edges
+        if same:
+            converged = True
             break
-    else:
-        # exhausted max_iter while labels were still moving: the
-        # result would silently split long-diameter components —
-        # refuse instead (duplicates surviving defeats the operator).
+    if not converged:
+        # the result would silently split components — refuse instead
+        # (duplicates surviving defeats the operator).
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
-            "raise max_iter (diameter of the dup graph exceeds it)"
+            "raise max_iter"
         )
-    return labels
+    # at the fixed point edges form stars (child -> component root)
+    star = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    return (
+        nodes.join(star, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
 
 
 def dedup_clusters(

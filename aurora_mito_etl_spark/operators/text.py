@@ -241,18 +241,38 @@ class AhoCorasick:
         return False
 
 
+# Per-process automaton cache: a pandas UDF's batch function runs
+# many times per task (one call per ~10k-row Arrow batch) and Python
+# workers are reused across tasks — rebuilding a 10⁵-term trie per
+# batch would rival the scan cost the automaton exists to avoid.
+# Keyed by the term tuple; bounded (drop-all) so a long-lived worker
+# streaming many distinct dictionaries can't grow without limit.
+_AC_CACHE: dict[tuple[str, ...], "AhoCorasick"] = {}
+_AC_CACHE_MAX = 8
+
+
+def _cached_automaton(lowered: tuple[str, ...]) -> "AhoCorasick":
+    ac = _AC_CACHE.get(lowered)
+    if ac is None:
+        if len(_AC_CACHE) >= _AC_CACHE_MAX:
+            _AC_CACHE.clear()
+        ac = _AC_CACHE[lowered] = AhoCorasick(list(lowered))
+    return ac
+
+
 def contains_any_ac(col: Column, terms: list[str]) -> Column:
     """P7 at scale — case-insensitive contains-any via an
     Aho-Corasick automaton in an Arrow pandas UDF. The automaton is
-    built once per worker (closure), then each document is one
-    linear pass — dictionary size only affects build time."""
+    built once per worker process (module cache keyed by the term
+    tuple — NOT per Arrow batch), then each document is one linear
+    pass — dictionary size only affects the first batch."""
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
 
-    lowered = [t.lower() for t in terms if t]
+    lowered = tuple(t.lower() for t in terms if t)
 
     def ac_batch(s):
-        ac = AhoCorasick(lowered)
+        ac = _cached_automaton(lowered)
         return s.map(lambda v: ac.matches(v.lower()) if v is not None else False)
 
     return pandas_udf(ac_batch, T.BooleanType())(col)

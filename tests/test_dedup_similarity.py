@@ -148,6 +148,49 @@ def test_lsh_topk_is_subset_of_bucket_and_ranked(spark):
         assert ranks == list(range(1, len(ranks) + 1))
 
 
+def test_bucket_arrow_matches_expr_on_testdata(spark):
+    # The Arrow-batched bucket assignment must be BIT-identical to the
+    # Catalyst expression form (the DuckDB oracles hash the resulting
+    # pairs, so even one flipped sign bit is a gate failure) — checked
+    # exhaustively on the real embeddings table.
+    import os
+
+    from aurora_mito_etl_spark.sources.catalog import load_table
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+    e = load_table(spark, sf, "embeddings")
+    planes = sim._hyperplanes(64, 8)
+    both = e.select(
+        sim.signed_projection_bucket(F.col("embedding"), planes).alias("b_expr"),
+        sim.signed_projection_bucket_arrow(F.col("embedding"), planes).alias(
+            "b_arrow"
+        ),
+    )
+    assert both.filter(F.col("b_expr") != F.col("b_arrow")).count() == 0
+
+
+def test_bucket_arrow_edge_rows(spark):
+    # NULL and wrong-length vectors → bucket 0, same as the expression
+    # form (zip_with null-pads, so no sign bit is ever set)
+    planes = sim._hyperplanes(4, 3)
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0]), (1, None), (2, [1.0, 2.0]), (3, [0.0] * 4)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = df.select(
+        "vec_id",
+        sim.signed_projection_bucket(F.col("embedding"), planes).alias("b_expr"),
+        sim.signed_projection_bucket_arrow(F.col("embedding"), planes).alias(
+            "b_arrow"
+        ),
+    ).collect()
+    got = {r["vec_id"]: (r["b_expr"], r["b_arrow"]) for r in rows}
+    assert got[1] == (0, 0)
+    assert got[2] == (0, 0)
+    assert got[3] == (7, 7)  # zero vector: dot==0.0 >= 0 sets every bit
+    assert got[0][0] == got[0][1]
+
+
 def test_connected_components_chain(spark):
     # chain 1-2-3 plus isolated pair 7-8: two components
     pairs = spark.createDataFrame(
@@ -157,6 +200,23 @@ def test_connected_components_chain(spark):
     comp = {r["id"]: r["component"] for r in dd.connected_components(pairs).collect()}
     assert comp[1] == comp[2] == comp[3] == 1
     assert comp[7] == comp[8] == 7
+
+
+def test_connected_components_long_chain_and_giant_star(spark):
+    # A 60-node chain (diameter 59) + a skewed giant star: min-label
+    # propagation needs O(diameter) rounds and would blow max_iter=20;
+    # large/small-star must converge within it (O(log^2 n) rounds).
+    chain = [(i, i + 1, 0.9) for i in range(100, 160)]
+    star = [(0, j, 0.9) for j in range(1, 40)]  # hot hub node 0
+    bridge = [(39, 50, 0.9), (50, 51, 0.9)]
+    pairs = spark.createDataFrame(
+        chain + star + bridge, "id_a long, id_b long, jaccard double"
+    )
+    comp = {r["id"]: r["component"] for r in dd.connected_components(pairs).collect()}
+    assert all(comp[i] == 100 for i in range(100, 161))  # chain is one comp
+    star_ids = list(range(0, 40)) + [50, 51]
+    assert all(comp[i] == 0 for i in star_ids)  # star+bridge is one comp
+    assert len(comp) == 61 + 42  # every node labeled exactly once
 
 
 def test_dedup_clusters_transitive(spark):

@@ -85,6 +85,21 @@ def test_ac_dispatch_small_vs_large(spark):
     assert [r["s"] for r in big.collect()] == ["clean"]
 
 
+def test_ac_automaton_cached_per_process():
+    # The pandas-UDF batch fn must reuse one automaton per term tuple
+    # (a worker sees many Arrow batches; per-batch rebuild of a large
+    # trie rivals scan cost). Same tuple → same object; cache bounded.
+    tx._AC_CACHE.clear()
+    t1 = tuple(["alpha", "beta", "gamma"])
+    a = tx._cached_automaton(t1)
+    assert tx._cached_automaton(t1) is a  # no rebuild on second batch
+    assert tx._cached_automaton(tuple(["alpha", "beta"])) is not a
+    for i in range(tx._AC_CACHE_MAX + 2):  # eviction keeps it bounded
+        tx._cached_automaton((f"t{i}",))
+    assert len(tx._AC_CACHE) <= tx._AC_CACHE_MAX
+    tx._AC_CACHE.clear()
+
+
 def test_ac_automaton_semantics():
     ac = tx.AhoCorasick(["he", "she", "hers", "xyz"])
     assert ac.matches("ushers")  # overlapping patterns via fail links
