@@ -439,6 +439,7 @@ def embedding_near_dup_pairs(
     n_planes: int = 8,
     dim: int = 64,
     multi_probe: int = 0,
+    candidate_budget: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucketing: only
     same-bucket pairs are scored (O(n·bucket_width) not O(n²)),
@@ -447,7 +448,17 @@ def embedding_near_dup_pairs(
     `multi_probe` > 0 also probes buckets within that Hamming
     distance of one side's bucket (bit flips), trading `n_planes
     choose multi_probe`× candidate volume for recall — the standard
-    lever when a near-dup pair straddles one hyperplane."""
+    lever when a near-dup pair straddles one hyperplane.
+
+    `candidate_budget` caps that trade per vector: probe buckets are
+    visited in (Hamming distance, mask) order and a vector stops
+    probing once the cumulative population of its visited buckets
+    reaches the budget (the bucket that crosses the line is still
+    probed, so the self bucket always survives). Deterministic and
+    purely declarative — bucket sizes + one cumulative-sum window —
+    so it is expressible in the SQL oracle too. Recall degrades
+    gracefully: the nearest (low-distance) buckets are always probed
+    first."""
     planes = _hyperplanes(dim, n_planes)
     vb = (
         with_norm(vectors, vec_col, "__v", "__vn")
@@ -476,14 +487,34 @@ def embedding_near_dup_pairs(
     probes = probe_masks(n_planes, multi_probe) if multi_probe > 0 else [0]
     a = vb.select(
         F.col(id_col).alias("id"), "__v", "__vn", "bucket", F.lit(0).alias("side")
-    ).withColumn(
-        "bucket",
-        F.explode(
+    ).select(
+        "id",
+        "__v",
+        "__vn",
+        "side",
+        F.posexplode(
             F.array(
                 *[F.col("bucket").bitwiseXOR(F.lit(p)).cast("long") for p in probes]
             )
-        ),
+        ).alias("probe_rank", "bucket"),
     )
+    if candidate_budget is not None and multi_probe > 0:
+        # probe_masks is (Hamming distance, mask)-ordered, so the
+        # running population sum visits nearest buckets first; keep
+        # every probe whose PRECEDING cumulative population is under
+        # budget (the crossing bucket itself still probes).
+        sizes = vb.groupBy("bucket").agg(F.count("*").alias("__bsize"))
+        w_cum = Window.partitionBy("id").orderBy("probe_rank")
+        a = (
+            a.join(sizes, "bucket", "left")
+            .withColumn("__bsize", F.coalesce("__bsize", F.lit(0)))
+            .withColumn(
+                "__before", F.sum("__bsize").over(w_cum) - F.col("__bsize")
+            )
+            .filter(F.col("__before") < candidate_budget)
+            .drop("__bsize", "__before")
+        )
+    a = a.drop("probe_rank")
     b = vb.select(
         F.col(id_col).alias("id"), "__v", "__vn", "bucket", F.lit(1).alias("side")
     )

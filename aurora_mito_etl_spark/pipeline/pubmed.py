@@ -122,9 +122,14 @@ def read_pubmed_xml(spark: SparkSession, path: str) -> DataFrame:
 
 def extract_fields(df: DataFrame) -> DataFrame:
     """S2 — project (pmid, raw_year, title, abstract) with the
-    reference's 3-node year fallback (DateCompleted → History
-    pubmed-status date → DateRevised, process_pubmed.sh:50-55) and
-    multi-paragraph abstract concat."""
+    reference's 3-node year fallback and multi-paragraph abstract
+    concat.
+
+    The reference's XPath union `(A|B|C)[1]` (process_pubmed.sh:50-55)
+    picks the first match in DOCUMENT order, which is DateCompleted →
+    DateRevised → History (DateRevised lives inside MedlineCitation,
+    BEFORE PubmedData/History) — so the coalesce order here is
+    DateCompleted, DateRevised, history_year."""
     cit = F.col("MedlineCitation")
     # F.get (0-based) is null-safe on empty arrays — element_at would
     # throw under ANSI mode when no history entry has PubStatus=pubmed.
@@ -138,7 +143,7 @@ def extract_fields(df: DataFrame) -> DataFrame:
     return df.select(
         cit["PMID"]["_VALUE"].alias("pmid"),
         F.coalesce(
-            cit["DateCompleted"]["Year"], history_year, cit["DateRevised"]["Year"]
+            cit["DateCompleted"]["Year"], cit["DateRevised"]["Year"], history_year
         ).alias("raw_year"),
         cit["Article"]["ArticleTitle"].alias("title"),
         F.concat_ws(" ", cit["Article"]["Abstract"]["AbstractText"]).alias("abstract"),

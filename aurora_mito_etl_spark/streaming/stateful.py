@@ -71,6 +71,58 @@ def running_totals_stream(
     )
 
 
+def first_seen_stream(
+    df: DataFrame, key_col: str = "user_id", value_cols: list[str] | None = None
+) -> DataFrame:
+    """Streaming per-key first-sighting filter: a key's (first) row is
+    emitted only in the micro-batch where the key first appears —
+    exactly-once-per-key with explicit state, the
+    applyInPandasWithState twin of dropDuplicates([key]) over an
+    unbounded stream (reference done-set semantics,
+    scripts/run_gpt_filter.py:81-95, generalized to any key).
+
+    State is one boolean per key — O(distinct keys) store. Which row
+    of the first batch is emitted is not defined when several arrive
+    at once (same contract as dropDuplicates).
+    """
+    value_cols = value_cols or [c for c in df.columns if c != key_col]
+    out_schema = T.StructType(
+        [df.schema[key_col]] + [df.schema[c] for c in value_cols]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            return
+        state.update((True,))
+        for pdf in pdfs:
+            if len(pdf):
+                yield pdf[[key_col, *value_cols]].iloc[[0]]
+                return
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=T.StructType([T.StructField("seen", T.BooleanType())]),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def first_seen_batch(
+    df: DataFrame, key_col: str = "user_id", value_cols: list[str] | None = None
+) -> DataFrame:
+    """Batch twin of :func:`first_seen_stream` (same output schema)."""
+    value_cols = value_cols or [c for c in df.columns if c != key_col]
+    out_schema = T.StructType(
+        [df.schema[key_col]] + [df.schema[c] for c in value_cols]
+    )
+
+    def first(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf[[key_col, *value_cols]].iloc[[0]]
+
+    return df.groupBy(key_col).applyInPandas(first, out_schema)
+
+
 def running_totals_batch(
     df: DataFrame, key_col: str = "user_id", value_col: str = "value"
 ) -> DataFrame:

@@ -114,6 +114,32 @@ def test_multi_probe_lsh_improves_recall(spark):
     assert planted <= set(probed_keys)
 
 
+def test_candidate_budget_keeps_planted_pairs(spark):
+    import math
+
+    rows = []
+    for i in range(60):
+        v = [math.sin(i * 1.3 + jj) for jj in range(16)]
+        rows.append((i, v))
+        if i % 10 == 0:
+            rows.append((1000 + i, [x + 1e-5 for x in v]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    full = sim.embedding_near_dup_pairs(
+        vecs, threshold=0.999, n_planes=6, dim=16, multi_probe=1
+    )
+    budgeted = sim.embedding_near_dup_pairs(
+        vecs, threshold=0.999, n_planes=6, dim=16, multi_probe=1,
+        candidate_budget=5,
+    )
+    full_keys = {(r["id_a"], r["id_b"]) for r in full.collect()}
+    budg_keys = {(r["id_a"], r["id_b"]) for r in budgeted.collect()}
+    # identical twins share every sign bit → found via the self bucket,
+    # which the budget can never cut (first probe always survives)
+    planted = {(i, 1000 + i) for i in range(0, 60, 10)}
+    assert planted <= budg_keys
+    assert budg_keys <= full_keys  # budget only removes candidates
+
+
 def test_ivf_topk_recall_vs_brute_force(spark):
     import math
 

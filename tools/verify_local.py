@@ -41,15 +41,12 @@ def canonical(rows, cols):
     return out
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-
-    sys.path.insert(0, "/root/repo")
+def run_gate(spark, sf_dir: str, only: set[str] | None = None) -> tuple[int, int]:
+    """Run the oracle gate on an EXISTING SparkSession; returns
+    (n_pass, n_fail). Importable so pytest can smoke a subset with the
+    shared test session (catches stale-artifact drift in-repo)."""
     from aurora_mito_etl_spark.plans.queries import ORACLES, QUERIES
-    from aurora_mito_etl_spark.session import get_spark
 
-    spark = get_spark()
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
@@ -103,6 +100,18 @@ def main() -> int:
             print(f"FAIL {name}: " + "; ".join(msgs))
             n_fail += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
+    return n_pass, n_fail
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    from aurora_mito_etl_spark.session import get_spark
+
+    spark = get_spark()
+    _, n_fail = run_gate(spark, sf_dir, only or None)
     spark.stop()
     return 1 if n_fail else 0
 
