@@ -87,14 +87,30 @@ def unavailable_media_backend() -> MediaBackend:
 
 def fake_media_backend(height: int = 8, width: int = 8) -> MediaBackend:
     """Deterministic synthetic decoder: pixels/samples are a pure
-    function of the payload bytes (crc32-seeded), so tests can assert
-    exact downstream values without any codec."""
+    function of the payload bytes, so tests can assert exact
+    downstream values without any codec.
+
+    Image pixels come from an md5 hash chain over the payload
+    (block b of 16 bytes = md5(payload || '#' || str(b))) — an
+    ENGINE-PORTABLE construction, so the whole decode→feature path is
+    expressible in plain SQL and the driver's DuckDB gate can
+    hash-check it end to end (see docs_media_features' oracle).
+    Audio/video use a seeded RNG (structural tests only)."""
 
     def _rng(data: bytes) -> np.random.Generator:
         return np.random.default_rng(zlib.crc32(data or b""))
 
     def decode_image(data: bytes) -> np.ndarray:
-        return _rng(data).integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+        n = height * width * 3
+        buf = b"".join(
+            hashlib.md5(data + b"#" + str(b).encode()).digest()
+            for b in range((n + 15) // 16)
+        )
+        return (
+            np.frombuffer(buf[:n], dtype=np.uint8)
+            .reshape(height, width, 3)
+            .copy()
+        )
 
     def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
         rng = _rng(data)
@@ -147,11 +163,18 @@ def image_features(
                     continue
                 img = be.decode_image(bytes(data))
                 flat = img.reshape(-1, img.shape[-1]).astype(np.float64)
-                gray = flat.mean(axis=1)
-                # 64-cell mean-threshold signature
-                cells = np.array_split(gray, 64)
+                # 64-cell mean-threshold signature on EXACT integer
+                # sums: cell_mean >= global_mean ⟺ cell_sum·N >=
+                # total_sum·n_cell — no float epsilon at the bit
+                # boundary, identical in any engine (the SQL oracle
+                # relies on this).
+                gray_i = img.reshape(-1, img.shape[-1]).astype(np.int64).sum(axis=1)
+                total_n = gray_i.shape[0]
+                total_sum = int(gray_i.sum())
+                cells = np.array_split(gray_i, 64)
                 bits = "".join(
-                    "1" if c.mean() >= gray.mean() else "0" for c in cells
+                    "1" if int(c.sum()) * total_n >= total_sum * len(c) else "0"
+                    for c in cells
                 )
                 out.append(
                     (

@@ -1844,12 +1844,61 @@ def docs_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("docs_media_features")  # synthetic-decode backend: rows-only
+def _media_features_oracle() -> str:
+    """Full SQL twin of the synthetic decode→feature path: the fake
+    backend's pixels are an md5 hash chain (block b = md5(payload ||
+    '#' || b)), portable to any engine with md5; the phash threshold
+    is exact-integer (cell_sum·N >= total_sum·n), so every bit is
+    engine-independent. 8×8×3 image ⇒ pixel p channel c is byte
+    k=3p+c of the chain: hex pair (k%16) of md5 block (k//16)."""
+
+    def byte(ch: int) -> str:
+        k = f"(t.p*3+{ch})"
+        return (
+            f"CAST('0x' || substr(md5(text || '#' || CAST(({k}//16) AS VARCHAR)),"
+            f" ({k}%16)*2+1, 2) AS INT)"
+        )
+
+    return f"""
+    WITH px AS (
+      SELECT doc_id AS media_id, t.p AS p,
+             {byte(0)} AS r, {byte(1)} AS g, {byte(2)} AS b
+      FROM documents, UNNEST(range(64)) AS t(p)
+    ),
+    agg AS (
+      SELECT media_id, round(avg(r), 6) AS mean_r,
+             SUM(r + g + b) AS s_total
+      FROM px GROUP BY media_id
+    ),
+    bits AS (
+      SELECT px.media_id, px.p,
+             CASE WHEN (px.r + px.g + px.b) * 64 >= agg.s_total
+                  THEN 1 ELSE 0 END AS bit
+      FROM px JOIN agg USING (media_id)
+    ),
+    halves AS (
+      SELECT media_id,
+             SUM(CASE WHEN p < 32 THEN bit * (1::BIGINT << (31 - p))
+                      ELSE 0 END) AS hi,
+             SUM(CASE WHEN p >= 32 THEN bit * (1::BIGINT << (63 - p))
+                      ELSE 0 END) AS lo
+      FROM bits GROUP BY media_id
+    )
+    SELECT h.media_id, a.mean_r,
+           lower(lpad(to_hex(h.hi::BIGINT), 8, '0')
+                 || lpad(to_hex(h.lo::BIGINT), 8, '0')) AS phash
+    FROM halves h JOIN agg a USING (media_id)
+    """
+
+
+@_register("docs_media_features", _media_features_oracle())
 def docs_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing through the driver gate: documents' text
     bytes become binary payloads; image_features runs the full
     mapInPandas decode→feature path with the deterministic synthetic
-    backend (real codecs are pluggable, SURVEY north-star)."""
+    backend (real codecs are pluggable, SURVEY north-star). The md5
+    hash-chain decode + exact-integer phash threshold make the whole
+    path oracle-checkable in DuckDB."""
     from aurora_mito_etl_spark.operators import multimodal as mm
 
     d = load_table(spark, sf_dir, "documents").select(
