@@ -94,14 +94,22 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     persist_shingles: bool = False,
+    max_shingle_docs: int | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with shingle-set Jaccard >= threshold.
 
     Plan shape: explode distinct shingles → self-equi-join on shingle
     (co-partitioned shuffle, NOT a cross join) → count intersections →
-    join per-doc set sizes → Jaccard. At scale the explode output is
-    (doc, shingle-hash) longs, and hot shingles can be frequency-capped;
-    here we keep exact semantics.
+    join per-doc set sizes → Jaccard.
+
+    `max_shingle_docs` caps hot shingles: a shingle occurring in more
+    than that many documents is dropped from the JOIN side (set sizes
+    keep exact semantics). A boilerplate shingle shared by 10⁶ docs
+    otherwise contributes 10¹² join rows — the classic skew killer at
+    scale. Effect on results: intersection counts can only shrink, so
+    Jaccard is underestimated for pairs whose overlap is mostly
+    boilerplate — the desirable direction for dedup (boilerplate
+    overlap is not near-duplication). Default None = exact.
 
     The (id, shingle-hash) table feeds three plan branches (sizes +
     both join sides). Recomputing the (cheap, codegen'd) shingle
@@ -120,8 +128,17 @@ def ngram_jaccard_pairs(
     if persist_shingles:
         sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), "sh")
-    b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    joinable = sh
+    if max_shingle_docs is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_docs)
+            .select("sh")
+        )
+        joinable = sh.join(hot, "sh", "left_anti")
+    a = joinable.select(F.col(id_col).alias("id_a"), "sh")
+    b = joinable.select(F.col(id_col).alias("id_b"), "sh")
     inter = (
         a.join(b, "sh")
         .filter(F.col("id_a") < F.col("id_b"))

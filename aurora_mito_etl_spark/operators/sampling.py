@@ -1,0 +1,78 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): reproducible
+subsampling is how LLM pipelines build ablation sets, data mixtures,
+and holdouts. `rand()` is banned here — a task retry or a different
+partitioning would change the sample. Instead every decision is a pure
+function of (salt, id): stable across runs, partitionings, engines —
+and therefore fully DuckDB-oracle-checkable (md5 everywhere).
+
+Scale notes: hash_sample is a stateless map-side filter (no shuffle,
+pushes through codegen); stratified_sample_fixed is one window sort
+per stratum — the same shuffle a groupBy(stratum) would pay. For a
+global budget over very hot strata, cap with `n_per_stratum` rather
+than re-partitioning by random keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 60-bit md5 prefix → uniform bucket in [0, 1e6): the same portable
+# construction the dedup sketches use (dedup.py portable_hash).
+_BUCKETS = 1_000_000
+
+
+def _hash_bucket(id_col: Column, salt: str) -> Column:
+    h = F.md5(F.concat(F.lit(salt), F.lit("#"), id_col.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % _BUCKETS
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, rate: float, salt: str = "s0"
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff
+    md5(salt#id) mod 1e6 < rate·1e6.
+
+    The same (salt, id) is kept or dropped in every run and on every
+    engine; disjoint salts give independent samples (ablation arms).
+    Granularity is 1/1e6 — rate is quantized to floor(rate·1e6).
+    """
+    return df.filter(_hash_bucket(F.col(id_col), salt) < int(rate * _BUCKETS))
+
+
+def stratified_sample_fixed(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    n_per_stratum: int,
+    salt: str = "s0",
+) -> DataFrame:
+    """Deterministic stratified sample: the `n_per_stratum` rows with
+    the smallest md5(salt#id) per stratum (ties broken by id).
+
+    Equivalent to a uniform without-replacement draw per stratum, but
+    reproducible and engine-portable; the standard way to balance a
+    data mixture across sources. One row_number window per stratum.
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        _hash_bucket(F.col(id_col), salt).asc(),
+        F.md5(F.concat(F.lit(salt), F.lit("#"), F.col(id_col).cast("string"))).asc(),
+        F.col(id_col).asc(),
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
+def split_train_holdout(
+    df: DataFrame, id_col: str, holdout_rate: float, salt: str = "split"
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint, exhaustive, deterministic train/holdout split on the
+    same hash coordinate (a row is in exactly one side, forever)."""
+    cut = int(holdout_rate * _BUCKETS)
+    bucket = _hash_bucket(F.col(id_col), salt)
+    return df.filter(bucket >= cut), df.filter(bucket < cut)

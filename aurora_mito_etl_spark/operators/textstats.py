@@ -88,6 +88,59 @@ def fingerprint_md5(col: Column) -> Column:
     return F.md5(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))))
 
 
+def repetition_signals(df, text_col: str, id_col: str):
+    """Gopher-style within-document repetition signals: duplicate-word
+    fraction (1 − distinct/total) and top-word fraction (most frequent
+    word / total) over lowercased whitespace words. High values mark
+    boilerplate / template / spam documents — the standard repetition
+    filter in LLM data pipelines (Rae et al. 2021 §A1.2).
+
+    Plan: explode words → one partial-agg groupBy (doc, word) → one
+    groupBy doc. Two shuffles on the doc id, both map-side combined;
+    no per-row higher-order folds (50-100× slower at this shape).
+    Docs with no words emit 0.0 signals (not NULL) so a filter on
+    `dup_frac <= x` never silently drops empties.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda w: w != "",
+            )
+        ).alias("w"),
+    )
+    per_word = words.groupBy(id_col, "w").agg(F.count("*").alias("c"))
+    per_doc = per_word.groupBy(id_col).agg(
+        F.sum("c").alias("total_words"),
+        F.count("*").alias("distinct_words"),
+        F.max("c").alias("top_count"),
+    )
+    ids = df.select(id_col).distinct()
+    return (
+        ids.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("total_words", F.lit(0)).alias("total_words"),
+            F.coalesce("distinct_words", F.lit(0)).alias("distinct_words"),
+            F.round(
+                F.when(
+                    F.col("total_words") > 0,
+                    1.0 - F.col("distinct_words") / F.col("total_words"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_word_frac"),
+            F.round(
+                F.when(
+                    F.col("total_words") > 0,
+                    F.col("top_count") / F.col("total_words"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("top_word_frac"),
+        )
+    )
+
+
 def shingles(col: Column, k: int = 3) -> Column:
     """Array of k-word shingles (space-joined) from lowercased text.
 

@@ -8,10 +8,11 @@ aggregates use the decimal-cast convention from
 :mod:`aurora_mito_etl_spark.functions.numeric` so values are
 bit-identical across engines.
 
-Queries whose Spark implementation depends on engine-specific hashing
-(xxhash64 minhash/simhash, hyperplane LSH) or on pandas-UDF operators
-(LLM classify) have no oracle — the driver records a rows-only check
-and pytest covers their semantics against ground truth.
+Every registered query has an oracle: hash-based operators run their
+portable md5-derived variant here (xxhash64 fast paths are
+pytest-verified and bench-timed separately), LSH/IVF run over pinned
+planes/centroids, and pandas-UDF paths (LLM classify, media decode)
+use deterministic SQL-expressible backends.
 """
 
 from __future__ import annotations
@@ -26,6 +27,7 @@ from aurora_mito_etl_spark.operators import aggregates as agg
 from aurora_mito_etl_spark.operators import unicode_udfs as uu
 from aurora_mito_etl_spark.operators import dedup as dd
 from aurora_mito_etl_spark.operators import joins as j
+from aurora_mito_etl_spark.operators import sampling as sp
 from aurora_mito_etl_spark.operators import similarity as sim
 from aurora_mito_etl_spark.operators import text as tx
 from aurora_mito_etl_spark.operators import textstats as ts
@@ -1053,6 +1055,82 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable content fingerprint (md5 of normalized text)."""
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", ts.fingerprint_md5(F.col("text")).alias("fp"))
+
+
+@_register(
+    "docs_repetition",
+    """
+    WITH words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents)
+      WHERE w <> ''
+    ),
+    pw AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w),
+    pd AS (SELECT doc_id, SUM(c) AS total_words, COUNT(*) AS distinct_words,
+                  MAX(c) AS top_count
+           FROM pw GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(total_words, 0) AS BIGINT) AS total_words,
+           CAST(COALESCE(distinct_words, 0) AS BIGINT) AS distinct_words,
+           round(CASE WHEN total_words > 0
+                      THEN 1.0 - distinct_words / total_words
+                      ELSE 0.0 END, 6) AS dup_word_frac,
+           round(CASE WHEN total_words > 0
+                      THEN top_count / total_words
+                      ELSE 0.0 END, 6) AS top_word_frac
+    FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)
+    """,
+)
+def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition signals (dup-word and
+    top-word fractions) — the boilerplate/template filter of LLM data
+    pipelines, as two map-side-combined shuffles on doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    return ts.repetition_signals(d, "text", "doc_id")
+
+
+@_register(
+    "docs_hash_sample",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE CAST('0x' || substr(md5('s0#' || CAST(doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % 1000000 < 250000
+    """,
+)
+def docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% Bernoulli sample keyed on md5(salt#id): the
+    reproducible (run/partitioning/engine-independent) subsampling
+    primitive for mixtures and ablations; a stateless map-side filter
+    at scale — no rand(), no shuffle."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return sp.hash_sample(d, "doc_id", 0.25, salt="s0")
+
+
+@_register(
+    "docs_stratified_sample",
+    """
+    WITH h AS (
+      SELECT doc_id, source,
+             CAST('0x' || substr(md5('s0#' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 1000000 AS b,
+             md5('s0#' || CAST(doc_id AS VARCHAR)) AS hm
+      FROM documents
+    ),
+    r AS (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY b, hm, doc_id) AS rn
+          FROM h)
+    SELECT doc_id, source FROM r WHERE rn <= 20
+    """,
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: the 20 smallest-hash docs per
+    source — the balanced-mixture draw, one row_number window per
+    stratum."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return sp.stratified_sample_fixed(d, "source", "doc_id", 20, salt="s0")
 
 
 @_register(

@@ -65,6 +65,33 @@ def test_ngram_jaccard_matches_python_ground_truth(spark):
         assert got[k] == pytest.approx(expect[k], abs=1e-6)
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    # Every doc shares one boilerplate sentence; capping shingles that
+    # occur in > 3 docs removes the boilerplate edges but keeps the
+    # genuine near-dup pair (whose overlap is doc-specific).
+    boiler = "subscribe to our newsletter for updates every single day"
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta " + boiler),
+        (1, "alpha beta gamma delta epsilon zeta eta " + boiler),  # near dup of 0
+        (2, "totally different content one " + boiler),
+        (3, "totally unrelated content two " + boiler),
+        (4, "yet another separate text three " + boiler),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # set sizes stay EXACT under the cap, so the capped Jaccard of the
+    # genuine pair is 4 shared prefix-shingles / 23-union ≈ 0.174
+    exact = dd.ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.15)
+    capped = dd.ngram_jaccard_pairs(
+        df, "text", "doc_id", threshold=0.15, max_shingle_docs=3
+    )
+    e = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    c = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (0, 1) in c           # genuine pair survives the cap
+    assert c <= e                # capping only removes pairs
+    # the boilerplate-only pairs are gone once the hot shingles drop
+    assert not {(2, 3), (2, 4), (3, 4)} & c
+
+
 def test_minhash_lsh_finds_near_dups_no_false_positives(spark):
     out = dd.minhash_lsh_pairs(
         _docs(spark), "text", "doc_id", k_shingle=3, num_hashes=16, bands=8, threshold=0.3

@@ -92,3 +92,60 @@ def test_fingerprint_normalizes(spark):
     df = spark.createDataFrame([("A  B\tC",), ("a b c",)], "text string")
     got = [r["f"] for r in df.select(ts.fingerprint_md5(F.col("text")).alias("f")).collect()]
     assert got[0] == got[1]
+
+
+def test_repetition_signals(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # 1 distinct / 4 total
+            (2, "all words here are different"),  # no repetition
+            (3, "  "),                            # wordless → zeros
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ts.repetition_signals(df, "text", "doc_id").collect()}
+    assert out[1]["total_words"] == 4 and out[1]["distinct_words"] == 1
+    assert out[1]["dup_word_frac"] == 0.75 and out[1]["top_word_frac"] == 1.0
+    assert out[2]["dup_word_frac"] == 0.0
+    assert out[3]["total_words"] == 0 and out[3]["dup_word_frac"] == 0.0
+
+
+def test_hash_sample_deterministic_and_disjoint_salts(spark):
+    from aurora_mito_etl_spark.operators import sampling as sp
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    a1 = {r["id"] for r in sp.hash_sample(df, "id", 0.3, salt="a").collect()}
+    a2 = {r["id"] for r in sp.hash_sample(df, "id", 0.3, salt="a").collect()}
+    b = {r["id"] for r in sp.hash_sample(df, "id", 0.3, salt="b").collect()}
+    assert a1 == a2                      # reproducible
+    assert 0.2 < len(a1) / 2000 < 0.4    # ~rate
+    assert a1 != b                       # independent arms
+    # nested rates: a 10% sample is a subset of the 30% sample (same salt)
+    c = {r["id"] for r in sp.hash_sample(df, "id", 0.1, salt="a").collect()}
+    assert c <= a1
+
+
+def test_stratified_sample_fixed_counts(spark):
+    from aurora_mito_etl_spark.operators import sampling as sp
+
+    rows = [(i, "s%d" % (i % 3)) for i in range(90)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = sp.stratified_sample_fixed(df, "src", "id", 5).groupBy("src").count()
+    got = {r["src"]: r["count"] for r in out.collect()}
+    assert got == {"s0": 5, "s1": 5, "s2": 5, "tiny": 1}  # capped per stratum
+    # deterministic winners
+    again = sp.stratified_sample_fixed(df, "src", "id", 5)
+    assert {tuple(r) for r in again.collect()} == {
+        tuple(r) for r in sp.stratified_sample_fixed(df, "src", "id", 5).collect()
+    }
+
+
+def test_split_train_holdout_partition(spark):
+    from aurora_mito_etl_spark.operators import sampling as sp
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    train, hold = sp.split_train_holdout(df, "id", 0.2)
+    t = {r["id"] for r in train.collect()}
+    h = {r["id"] for r in hold.collect()}
+    assert t | h == set(range(500)) and not (t & h)  # exhaustive + disjoint
+    assert 50 <= len(h) <= 150
