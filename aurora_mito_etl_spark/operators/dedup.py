@@ -28,7 +28,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from aurora_mito_etl_spark.operators.textstats import fingerprint_md5, shingles
+from aurora_mito_etl_spark.operators.textstats import (
+    fingerprint_md5,
+    shingles,
+    shingles_arrow,
+)
 
 # Deterministic (a, b) parameters for the k min-hash permutations
 # h_i(x) = (a_i * x + b_i) mod p. p = 2^31-1 (Mersenne prime) keeps
@@ -36,6 +40,19 @@ from aurora_mito_etl_spark.operators.textstats import fingerprint_md5, shingles
 # Constants fixed (not runtime-random) so results are reproducible
 # across runs and cluster sizes.
 _MERSENNE_P = (1 << 31) - 1
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow input out to the session's parallelism before
+    CPU-bound per-document work (shingling is the dedup tier's hot
+    loop). A single local parquet file arrives as ONE partition and
+    would pin the whole explode on one core. No-op at scale: a 100 TB
+    input already has far more partitions than cores, and the check
+    inspects only the plan's partitioning (nothing is computed)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def _perm_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -121,7 +138,8 @@ def ngram_jaccard_pairs(
     # Join on xxhash64(shingle): 8-byte shuffle keys instead of
     # multi-word strings (collision odds ~ distinct²/2⁶⁴ — nil).
     sh = (
-        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("s"))
+        _spread(df)
+        .select(F.col(id_col), F.explode(shingles_arrow(F.col(text_col), k)).alias("s"))
         .select(F.col(id_col), F.xxhash64("s").alias("sh"))
         .distinct()
     )
@@ -172,7 +190,7 @@ def bottom_k_sketch(df: DataFrame, text_col: str, id_col: str, k: int = 3, sketc
     hex digests of the doc's k-shingles. md5 is identical in every
     engine, so this sketch is exactly reproducible by a SQL oracle.
     """
-    sh = shingles(F.col(text_col), k)
+    sh = shingles_arrow(F.col(text_col), k)
     hashed = F.transform(sh, lambda s: F.md5(s))
     sketch = F.slice(F.sort_array(F.array_distinct(hashed)), 1, sketch_size)
     return df.select(F.col(id_col), sketch.alias("sketch"))
@@ -195,9 +213,9 @@ def minhash_signatures(
     Docs with < k words have no shingles and drop out (they cannot be
     near-duplicates of anything).
     """
-    hashed = df.select(
+    hashed = _spread(df).select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingles(F.col(text_col), k_shingle))).alias("sh"),
+        F.explode(F.array_distinct(shingles_arrow(F.col(text_col), k_shingle))).alias("sh"),
     ).select(F.col(id_col), F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE_P)).alias("h"))
     return hashed.groupBy(id_col).agg(
         *[
@@ -237,9 +255,9 @@ def minhash_lsh_pairs(
     # ONE shingle-explode expression feeds signatures AND
     # verification sets (recompute beats cache materialization here,
     # same reasoning as ngram_jaccard_pairs).
-    shingle = df.select(
+    shingle = _spread(df).select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingles(F.col(text_col), k_shingle))).alias("s"),
+        F.explode(F.array_distinct(shingles_arrow(F.col(text_col), k_shingle))).alias("s"),
     )
     if portable_hash:
         h_expr = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
@@ -463,10 +481,10 @@ def simhash64_df(
         h_expr = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
     else:
         h_expr = F.xxhash64("s")
-    hashed = df.select(
+    hashed = _spread(df).select(
         F.col(id_col),
         F.explode(
-            F.array_distinct(shingles(F.col(text_col), k_shingle))
+            F.array_distinct(shingles_arrow(F.col(text_col), k_shingle))
         ).alias("s"),
     ).select(F.col(id_col), h_expr.alias("h"))
     votes = hashed.groupBy(id_col).agg(

