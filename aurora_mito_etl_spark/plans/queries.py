@@ -27,6 +27,7 @@ from aurora_mito_etl_spark.operators import aggregates as agg
 from aurora_mito_etl_spark.operators import unicode_udfs as uu
 from aurora_mito_etl_spark.operators import dedup as dd
 from aurora_mito_etl_spark.operators import joins as j
+from aurora_mito_etl_spark.operators import quantize as qz
 from aurora_mito_etl_spark.operators import sampling as sp
 from aurora_mito_etl_spark.operators import similarity as sim
 from aurora_mito_etl_spark.operators import text as tx
@@ -1131,6 +1132,73 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     stratum."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return sp.stratified_sample_fixed(d, "source", "doc_id", 20, salt="s0")
+
+
+@_register(
+    "docs_top_words",
+    """
+    WITH words AS (
+      SELECT source, w FROM (
+        SELECT source,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents)
+      WHERE w <> ''
+    ),
+    c AS (SELECT source, w, COUNT(*) AS n FROM words GROUP BY source, w),
+    r AS (SELECT source, w, n,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n DESC, w ASC) AS rnk
+          FROM c)
+    SELECT source, w AS word, n AS n_occurrences, CAST(rnk AS INT) AS rnk
+    FROM r WHERE rnk <= 10
+    """,
+)
+def docs_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary stats: top-10 words per source (count desc,
+    word asc — deterministic). One partial-agg shuffle + one window;
+    the standard mixture-inspection query over a training corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda w: w != "",
+            )
+        ).alias("word"),
+    )
+    counts = words.groupBy("source", "word").agg(F.count("*").alias("n_occurrences"))
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_occurrences"), F.asc("word")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("source", "word", "n_occurrences", "rnk")
+    )
+
+
+@_register(
+    "emb_quantize_int8",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    s AS (
+      SELECT vec_id, e,
+             CASE WHEN list_aggregate(list_transform(e, x -> abs(x)), 'max') > 0
+                  THEN list_aggregate(list_transform(e, x -> abs(x)), 'max') / 127.0
+                  ELSE 1.0 END AS q_scale
+      FROM v)
+    SELECT vec_id, q_scale,
+           list_transform(e, x -> CAST(floor(x / q_scale + 0.5) AS INT)) AS q
+    FROM s
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding table
+    (4× smaller storage/shuffle at 100 TB). floor(x+0.5) rounding is
+    engine-portable, so the codes are bit-identical in DuckDB."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return qz.quantize_int8(e).select("vec_id", "q_scale", "q")
 
 
 @_register(

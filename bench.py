@@ -37,6 +37,10 @@ HEADLINE = [
     "docs_quality",
     "docs_lang_id",
     "docs_token_stats",
+    "docs_repetition",
+    # sampling / quantization
+    "docs_stratified_sample",
+    "emb_quantize_int8",
     # dedup
     "docs_exact_dedup",
     "docs_ngram_jaccard_pairs",

@@ -1,8 +1,10 @@
 """Dedup tiers and similarity search vs. ground truth.
 
-The approximate operators (MinHash-LSH, SimHash, hyperplane LSH)
-have no SQL oracle; these tests pin their semantics against exact
-computations on small corpora.
+The approximate operators' registered queries ARE oracle-checked (in
+portable-hash / pinned-plane form); these tests additionally pin
+semantics against exact Python computations on small corpora, the
+xxhash64 production variants, and the Arrow/expression parity
+contracts the oracles rely on.
 """
 
 from __future__ import annotations
@@ -295,3 +297,23 @@ def test_register_views_sql_surface(spark):
     register_views(spark, "/root/testdata/sf0.001")
     n = spark.sql("SELECT COUNT(*) AS n FROM region").collect()[0]["n"]
     assert n == 5
+
+
+def test_quantize_int8_roundtrip_bounds(spark):
+    from aurora_mito_etl_spark.operators import quantize as qz
+
+    rows = [
+        (0, [1.0, -2.0, 0.5, 127.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),        # zero vector → all-zero codes
+        (2, [-0.003, 0.001, 0.002, -0.001]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = qz.quantize_int8(df)
+    out = {r["vec_id"]: r for r in qz.quantization_error(q).collect()}
+    for vid, r in out.items():
+        assert all(-127 <= c <= 127 for c in r["q"])
+        assert r["max_abs_err"] <= r["q_scale"] / 2 + 1e-12  # reconstruction bound
+    assert out[1]["q"] == [0, 0, 0, 0] and out[1]["q_scale"] == 1.0
+    assert out[0]["q"][3] == 127  # max magnitude maps to full scale
+    deq = {r["vec_id"]: r["deq"] for r in qz.dequantize(q).collect()}
+    assert abs(deq[0][3] - 127.0) < 1e-9
