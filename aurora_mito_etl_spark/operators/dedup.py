@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from aurora_mito_etl_spark.functions.hashing import md5_prefix60
 from aurora_mito_etl_spark.operators.textstats import (
     fingerprint_md5,
     shingles,
@@ -43,16 +44,46 @@ _MERSENNE_P = (1 << 31) - 1
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Fan a narrow input out to the session's parallelism before
+    """Fan a narrow scan out to the session's parallelism before
     CPU-bound per-document work (shingling is the dedup tier's hot
-    loop). A single local parquet file arrives as ONE partition and
-    would pin the whole explode on one core. No-op at scale: a 100 TB
-    input already has far more partitions than cores, and the check
-    inspects only the plan's partitioning (nothing is computed)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    loop) — a single small local parquet file scans as ONE partition
+    and would pin the whole explode on one core.
+
+    Decides from `df.inputFiles()` only (file-index metadata; no job
+    runs and no `df.rdd`, which under AQE would materialize every
+    upstream stage at plan-build time): repartitions only when the
+    plan is scan-backed, has fewer files than cores, AND the files are
+    small enough that Spark's split logic can't already produce
+    `target` partitions. No-op for derived/joined inputs and at scale,
+    where inputs carry far more partitions than cores."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 - non-scan plans: leave untouched
+        return df
+    if not files or len(files) >= target:
+        return df
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    s = raw.strip().lower().removesuffix("b")
+    max_split = (
+        int(s[:-1]) * units[s[-1]] if s and s[-1] in units else int(s or "134217728")
+    )
+    import os
+
+    total = 0
+    for f in files:
+        if f.startswith("file:"):
+            try:
+                total += os.path.getsize(f[len("file:"):])
+            except OSError:
+                return df
+        else:
+            return df  # remote store: rely on the reader's own splits
+    if total // max_split + 1 >= target:
+        return df  # splittable into enough partitions already
+    return df.repartition(target)
 
 
 def _perm_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -260,7 +291,7 @@ def minhash_lsh_pairs(
         F.explode(F.array_distinct(shingles_arrow(F.col(text_col), k_shingle))).alias("s"),
     )
     if portable_hash:
-        h_expr = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
+        h_expr = md5_prefix60(F.col("s"))
     else:
         h_expr = F.xxhash64("s")
     hashed = shingle.select(F.col(id_col), h_expr.alias("h"))
@@ -478,7 +509,7 @@ def simhash64_df(
     """
     if portable_hash:
         assert n_bits <= 60, "md5-prefix hash provides 60 bits"
-        h_expr = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
+        h_expr = md5_prefix60(F.col("s"))
     else:
         h_expr = F.xxhash64("s")
     hashed = _spread(df).select(

@@ -29,11 +29,18 @@ def quantize_int8(
     scale_col: str = "q_scale",
 ) -> DataFrame:
     """Add (int8-code array, scale) columns: q_i = floor(x_i/scale + 0.5),
-    always in [-127, 127] by construction of the scale."""
+    always in [-127, 127] by construction of the scale.
+
+    The scale is materialized as its own column FIRST and the code
+    lambda references it — embedding the array_max expression inside
+    the per-element lambda would re-evaluate it per element (O(dim²)
+    interpreted ops per row)."""
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    sc = _scale(vec)
-    codes = F.transform(vec, lambda x: F.floor(x / sc + F.lit(0.5)).cast("int"))
-    return df.withColumn(scale_col, sc).withColumn(out_col, codes)
+    out = df.withColumn(scale_col, _scale(vec))
+    codes = F.transform(
+        vec, lambda x: F.floor(x / F.col(scale_col) + F.lit(0.5)).cast("int")
+    )
+    return out.withColumn(out_col, codes)
 
 
 def dequantize(

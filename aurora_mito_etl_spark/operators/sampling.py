@@ -19,14 +19,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from aurora_mito_etl_spark.functions.hashing import md5_prefix60
+
 # 60-bit md5 prefix → uniform bucket in [0, 1e6): the same portable
 # construction the dedup sketches use (dedup.py portable_hash).
 _BUCKETS = 1_000_000
 
 
 def _hash_bucket(id_col: Column, salt: str) -> Column:
-    h = F.md5(F.concat(F.lit(salt), F.lit("#"), id_col.cast("string")))
-    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % _BUCKETS
+    return (
+        md5_prefix60(F.concat(F.lit(salt), F.lit("#"), id_col.cast("string")))
+        % _BUCKETS
+    )
 
 
 def hash_sample(

@@ -220,6 +220,14 @@ def dot_arrow(a: Column, b: Column) -> Column:
     NULL inputs and length-mismatched pairs → NULL (zip_with null-pad
     semantics); rows are grouped by array length per batch so any
     consistent length computes exactly.
+
+    DELIBERATE divergence from the expression form for non-finite
+    inputs: a NaN dot becomes NULL through Arrow, so a NaN-poisoned
+    vector sorts LAST in top-k ranking — the expression form's NaN
+    sorts FIRST under ORDER BY DESC (Spark treats NaN as largest),
+    which ranked garbage vectors as best neighbors. Pinned by
+    test_nan_vector_ranks_last; irrelevant to the oracles (finite
+    test data).
     """
     import numpy as np
     import pandas as pd
@@ -523,38 +531,56 @@ def embedding_near_dup_pairs(
     # exact threshold test stay in Catalyst so round-half-up semantics
     # are Spark's own — the numpy prefilter keeps a safety margin.
     margin = threshold - 1e-6
+    # id columns keep the INPUT id type (string doc ids work too);
+    # only the gram math is numpy
+    id_type = vectors.schema[id_col].dataType
     out_schema = T.StructType(
         [
-            T.StructField("id_a", T.LongType(), False),
-            T.StructField("id_b", T.LongType(), False),
+            T.StructField("id_a", id_type, False),
+            T.StructField("id_b", id_type, False),
             T.StructField("__raw", T.DoubleType(), False),
         ]
     )
+    # Memory per group: rows·dim·8 bytes for the stacked matrices plus
+    # one CHUNK×|B| gram block (A is processed in chunks so the gram
+    # never goes quadratic in the bucket size). Size n_planes so that
+    # expected bucket width keeps rows·dim·8 within executor memory —
+    # the same knob that bounds candidate volume.
+    chunk = 4096
 
     def verify(pdf: "pd.DataFrame") -> "pd.DataFrame":
         asel = pdf[pdf["side"] == 0]
         bsel = pdf[pdf["side"] == 1]
         if asel.empty or bsel.empty:
-            return pd.DataFrame({"id_a": [], "id_b": [], "__raw": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "__raw": "float64"}
+            return pd.DataFrame(
+                {"id_a": asel["id"][:0], "id_b": bsel["id"][:0],
+                 "__raw": np.array([], dtype=np.float64)}
             )
-        A = np.array(asel["__v"].tolist(), dtype=np.float64)
         B = np.array(bsel["__v"].tolist(), dtype=np.float64)
-        ida = asel["id"].to_numpy(dtype=np.int64)
-        idb = bsel["id"].to_numpy(dtype=np.int64)
+        ida = asel["id"].to_numpy()
+        idb = bsel["id"].to_numpy()
         na = asel["__vn"].to_numpy(dtype=np.float64)
         nb = bsel["__vn"].to_numpy(dtype=np.float64)
-        # ordered outer-product accumulation: G[r,c] is the exact
-        # left-to-right fold sum(A[r,j]*B[c,j] for j in order) — the
-        # bit-parity contract with dot()/list_dot_product (no BLAS)
-        G = np.zeros((len(ida), len(idb)), dtype=np.float64)
-        for j in range(A.shape[1]):
-            G += A[:, j : j + 1] * B[:, j]
-        cos = G / (na[:, None] * nb[None, :])
-        ri, ci = np.nonzero((ida[:, None] < idb[None, :]) & (cos >= margin))
-        return pd.DataFrame(
-            {"id_a": ida[ri], "id_b": idb[ci], "__raw": cos[ri, ci]}
-        )
+        parts = []
+        for lo in range(0, len(ida), chunk):
+            hi = min(lo + chunk, len(ida))
+            A = np.array(asel["__v"].iloc[lo:hi].tolist(), dtype=np.float64)
+            # ordered outer-product accumulation: G[r,c] is the exact
+            # left-to-right fold sum(A[r,j]*B[c,j] for j in order) —
+            # the bit-parity contract with dot()/list_dot_product
+            G = np.zeros((hi - lo, len(idb)), dtype=np.float64)
+            for j in range(A.shape[1]):
+                G += A[:, j : j + 1] * B[:, j]
+            cos = G / (na[lo:hi, None] * nb[None, :])
+            ri, ci = np.nonzero(
+                (ida[lo:hi, None] < idb[None, :]) & (cos >= margin)
+            )
+            parts.append(
+                pd.DataFrame(
+                    {"id_a": ida[lo:hi][ri], "id_b": idb[ci], "__raw": cos[ri, ci]}
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
 
     out = (
         both.groupBy("bucket")

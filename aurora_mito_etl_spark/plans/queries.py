@@ -691,7 +691,7 @@ def orders_above_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_token_positions",
     """
     SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token
-    FROM (SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+    FROM (SELECT doc_id, string_split(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ') AS toks
           FROM documents WHERE doc_id < 10),
          UNNEST(generate_series(1, len(toks))) AS u(i)
     WHERE toks[i] <> ''
@@ -879,7 +879,7 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Text operators on `documents` (SURVEY §2.2, textstats extensions)
 # ---------------------------------------------------------------------------
 
-_CLEAN_SQL = r"trim(regexp_replace(translate(regexp_replace(regexp_replace(text, '(?i)</?(?:sup|sub|i|b|u|em|strong|small|p|br)\b[^>]*/?>', '', 'g'), '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'), '–—−', '---'), '\s+', ' ', 'g'))"
+_CLEAN_SQL = r"trim(regexp_replace(translate(regexp_replace(regexp_replace(text, '(?i)</?(?:sup|sub|i|b|u|em|strong|small|p|br)\b[^>]*/?>', '', 'g'), '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'), '–—−', '---'), '[ \t\n\x0b\f\r]+', ' ', 'g'))"
 
 
 @_register(
@@ -934,7 +934,7 @@ def docs_dict_anti_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_token_explode",
     """
     SELECT doc_id, t AS token
-    FROM (SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS s FROM documents WHERE doc_id < 20),
+    FROM (SELECT doc_id, regexp_replace(trim(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS s FROM documents WHERE doc_id < 20),
          UNNEST(string_split(s, ' ')) AS u(t)
     WHERE t <> ''
     """,
@@ -951,7 +951,7 @@ def docs_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_token_stats",
     r"""
     SELECT doc_id,
-           len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS n_tokens_ws,
+           len(string_split(regexp_replace(trim(text), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')) AS n_tokens_ws,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe,
            length(text) AS n_chars_actual
     FROM documents
@@ -978,7 +978,7 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
              CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
              CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS words
-      FROM (SELECT doc_id, regexp_replace(text, '\\s+', ' ', 'g') AS text FROM documents)
+      FROM (SELECT doc_id, regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS text FROM documents)
     )
     SELECT doc_id,
            round((
@@ -1048,7 +1048,7 @@ ORACLES["docs_lang_id"] = _lang_id_oracle()
 @_register(
     "docs_fingerprint",
     """
-    SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+    SELECT doc_id, md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS fp
     FROM documents
     """,
 )
@@ -1064,7 +1064,7 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH words AS (
       SELECT doc_id, w FROM (
         SELECT doc_id,
-               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+               unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS w
         FROM documents)
       WHERE w <> ''
     ),
@@ -1140,7 +1140,7 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH words AS (
       SELECT source, w FROM (
         SELECT source,
-               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+               unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS w
         FROM documents)
       WHERE w <> ''
     ),
@@ -1206,7 +1206,7 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT MIN(doc_id) AS doc_id
     FROM documents
-    GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+    GROUP BY md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))))
     """,
 )
 def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1218,7 +1218,7 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHINGLE_SQL = """
       SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh
       FROM (SELECT doc_id,
-                   string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+                   string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), ' ') AS t
             FROM documents),
            UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
 """
@@ -1693,7 +1693,7 @@ def docs_ordered_typos(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AND NOT (n LIKE '%us' OR n LIKE '%is' OR n LIKE '%os' OR n LIKE '%gas')
                   THEN substring(n, 1, length(n) - 1) ELSE n END AS norm
       FROM (SELECT p_partkey, p_name, p_retailprice,
-                   regexp_replace(translate(lower(trim(p_name)), '–—−', '---'), '[\\s\\-]+', '', 'g') AS n
+                   regexp_replace(translate(lower(trim(p_name)), '–—−', '---'), '[ \\t\\n\\x0b\\f\\r\\-]+', '', 'g') AS n
             FROM part)
     )
     SELECT norm, p_partkey, p_name FROM (
@@ -1957,7 +1957,7 @@ def docs_ac_dict_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_chunked",
     """
     WITH toks AS (
-      SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+      SELECT doc_id, string_split(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ') AS t
       FROM documents WHERE doc_id < 50 AND trim(text) <> ''
     ),
     meta AS (
@@ -2115,7 +2115,7 @@ _FLAGSHIP_BLACKLIST = ("the", "and", "for", "with")
     "flagship_compound_mentions",
     f"""
     WITH f AS (
-      SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS s
+      SELECT doc_id, regexp_replace(trim(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS s
       FROM documents
       WHERE regexp_matches(text, '(?i)\\b(?:scan|merge|sort)\\b')
         AND (regexp_matches(text, '(?i)\\bwindow\\b') OR regexp_matches(text, '(?i)\\bbatch\\b'))

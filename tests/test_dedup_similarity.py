@@ -317,3 +317,39 @@ def test_quantize_int8_roundtrip_bounds(spark):
     assert out[0]["q"][3] == 127  # max magnitude maps to full scale
     deq = {r["vec_id"]: r["deq"] for r in qz.dequantize(q).collect()}
     assert abs(deq[0][3] - 127.0) < 1e-9
+
+
+def test_nan_vector_ranks_last(spark):
+    # A NaN-poisoned corpus vector must NOT surface as a top neighbor:
+    # dot_arrow yields NULL for its score (sorts last under DESC),
+    # unlike the Catalyst NaN which Spark orders as the LARGEST value.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [float("nan"), 1.0, 1.0, 1.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    out = sorted(sim.brute_force_topk(vecs, q, k=3).collect(), key=lambda r: r["rank"])
+    assert [r["vec_id"] for r in out[:2]] == [0, 1]
+    assert out[-1]["vec_id"] == 2 and out[-1]["score"] is None
+
+
+def test_embedding_near_dup_string_ids(spark):
+    # The bucket-group verify must preserve the INPUT id type (the
+    # review caught a hardcoded int64 coercion that crashed on string
+    # doc ids, which the original join formulation handled).
+    rows = [
+        ("doc-a", [1.0, 0.0, 0.0, 0.0]),
+        ("doc-b", [1.0, 1e-6, 0.0, 0.0]),
+        ("doc-z", [0.0, 1.0, 0.0, 0.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = sim.embedding_near_dup_pairs(
+        vecs, threshold=0.999, n_planes=3, dim=4, multi_probe=1
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert ("doc-a", "doc-b") in pairs
+    assert all(isinstance(r["id_a"], str) for r in out)
