@@ -27,6 +27,7 @@ from aurora_mito_etl_spark.operators import aggregates as agg
 from aurora_mito_etl_spark.operators import unicode_udfs as uu
 from aurora_mito_etl_spark.operators import dedup as dd
 from aurora_mito_etl_spark.operators import joins as j
+from aurora_mito_etl_spark.operators import quality as ql
 from aurora_mito_etl_spark.operators import quantize as qz
 from aurora_mito_etl_spark.operators import sampling as sp
 from aurora_mito_etl_spark.operators import similarity as sim
@@ -2175,3 +2176,122 @@ def flagship_compound_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagship_compound_mentions(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Published quality-filter batteries (Gopher / C4) — beyond-reference
+# training-data pipeline surface (operators/quality.py)
+# ---------------------------------------------------------------------------
+
+# The registered query relaxes the required-stopword floor to 1: the
+# synthetic corpus is lowercase word salad whose only panel stopword
+# is 'the' (max hits = 1), so the published floor of 2 would reject
+# every row and the keep verdict would never discriminate. Same
+# override on both sides; the operator's defaults stay the published
+# Gopher values.
+_GOPHER_QUERY_OVERRIDES: dict[str, float] = {"min_stop_hits": 1}
+
+
+def _gopher_oracle(**overrides: float) -> str:
+    """Closed-form SQL twin of quality.gopher_signals: identical
+    regexes (Java∩RE2 subset), identical floor-based fixed-point
+    rounding, rules computed from the rounded columns exactly as the
+    Spark side does."""
+    stop_sum = " + ".join(
+        rf"CAST(regexp_matches(low, '\b{w}\b') AS INT)"
+        for w in ql.GOPHER_STOPWORDS
+    )
+    c = {**ql.GOPHER_DEFAULTS, **overrides}
+    return rf"""
+    WITH base AS (
+      SELECT doc_id,
+             trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS s,
+             coalesce(text, '') AS raw
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CASE WHEN s = '' THEN 0 ELSE len(string_split(s, ' ')) END AS n_words,
+             length(replace(s, ' ', '')) AS word_chars,
+             length(s) - length(replace(s, '#', ''))
+               + len(regexp_extract_all(s, '(\.\.\.|…)', 1)) AS n_symbols,
+             len(regexp_extract_all(s, '([^ ]*[A-Za-z][^ ]*)', 1)) AS alpha_words,
+             lower(s) AS low,
+             list_filter(string_split(raw, chr(10)), l -> trim(l) <> '') AS lines
+      FROM base
+    ),
+    f AS (
+      SELECT doc_id, n_words,
+             floor((CASE WHEN n_words > 0 THEN word_chars::DOUBLE / n_words ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS mean_word_len,
+             floor((CASE WHEN n_words > 0 THEN n_symbols::DOUBLE / n_words ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS symbol_ratio,
+             floor((CASE WHEN n_words > 0 THEN alpha_words::DOUBLE / n_words ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS alpha_word_frac,
+             ({stop_sum}) AS n_stop_hits,
+             floor((CASE WHEN len(lines) > 0 THEN len(list_filter(lines, l -> regexp_matches(l, '^[ \t]*[-*•]')))::DOUBLE / len(lines) ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS bullet_line_frac,
+             floor((CASE WHEN len(lines) > 0 THEN len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)[ \t]*$')))::DOUBLE / len(lines) ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS ellipsis_line_frac
+      FROM m
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+           n_stop_hits, bullet_line_frac, ellipsis_line_frac,
+           (n_words >= {c['min_words']} AND n_words <= {c['max_words']}) AS r_word_count,
+           (mean_word_len >= {c['min_mean_word_len']} AND mean_word_len <= {c['max_mean_word_len']}) AS r_word_len,
+           (symbol_ratio <= {c['max_symbol_ratio']}) AS r_symbols,
+           (bullet_line_frac <= {c['max_bullet_line_frac']}) AS r_bullets,
+           (ellipsis_line_frac <= {c['max_ellipsis_line_frac']}) AS r_ellipsis,
+           (alpha_word_frac >= {c['min_alpha_word_frac']}) AS r_alpha,
+           (n_stop_hits >= {c['min_stop_hits']}) AS r_stopwords,
+           (n_words >= {c['min_words']} AND n_words <= {c['max_words']}
+            AND mean_word_len >= {c['min_mean_word_len']} AND mean_word_len <= {c['max_mean_word_len']}
+            AND symbol_ratio <= {c['max_symbol_ratio']}
+            AND bullet_line_frac <= {c['max_bullet_line_frac']}
+            AND ellipsis_line_frac <= {c['max_ellipsis_line_frac']}
+            AND alpha_word_frac >= {c['min_alpha_word_frac']}
+            AND n_stop_hits >= {c['min_stop_hits']}) AS gopher_keep
+    FROM f
+    """
+
+
+@_register("docs_gopher_quality", _gopher_oracle(**_GOPHER_QUERY_OVERRIDES))
+def docs_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule battery (Rae et al. 2021 A1.1) over documents —
+    one codegen projection, no shuffle (the 100 TB cost is the scan)."""
+    return ql.gopher_signals(
+        load_table(spark, sf_dir, "documents"), **_GOPHER_QUERY_OVERRIDES
+    )
+
+
+_C4_ORACLE = r"""
+    WITH base AS (SELECT doc_id, coalesce(text, '') AS raw FROM documents),
+    k AS (
+      SELECT doc_id, raw,
+             list_filter(
+               string_split(raw, chr(10)),
+               l -> regexp_matches(l, '[.!?"][ \t]*$')
+                    AND len(list_filter(string_split_regex(trim(l), '[ \t\n\x0b\f\r]+'), w -> w <> '')) >= 5
+             ) AS kept
+      FROM base
+    ),
+    c AS (
+      SELECT doc_id, raw, kept,
+             -- array_to_string([]) is NULL in DuckDB; Spark concat_ws
+             -- of an empty array is '' — pin the Spark semantics
+             coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+      FROM k
+    )
+    SELECT doc_id,
+           len(kept) AS n_kept_lines,
+           clean_text,
+           len(regexp_extract_all(clean_text, '([.!?])', 1)) AS n_sentences,
+           contains(raw, '{') AS has_brace,
+           contains(lower(raw), 'lorem ipsum') AS has_lorem,
+           (len(regexp_extract_all(clean_text, '([.!?])', 1)) >= 3
+            AND NOT contains(raw, '{')
+            AND NOT contains(lower(raw), 'lorem ipsum')) AS c4_keep
+    FROM c
+"""
+
+
+@_register("docs_c4_filter", _C4_ORACLE)
+def docs_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line/document cleaning rules (Raffel et al. 2020 §2.2) —
+    single projection; clean_text is the terminal-punctuated lines."""
+    return ql.c4_signals(load_table(spark, sf_dir, "documents"))
