@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from aurora_mito_etl_spark.functions.numeric import dec, dec_avg, dec_sum, dec_to_double
 from aurora_mito_etl_spark.operators import aggregates as agg
 from aurora_mito_etl_spark.operators import unicode_udfs as uu
+from aurora_mito_etl_spark.operators import decontaminate as dc
 from aurora_mito_etl_spark.operators import dedup as dd
 from aurora_mito_etl_spark.operators import joins as j
 from aurora_mito_etl_spark.operators import quality as ql
@@ -2295,3 +2296,43 @@ def docs_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line/document cleaning rules (Raffel et al. 2020 §2.2) —
     single projection; clean_text is the terminal-punctuated lines."""
     return ql.c4_signals(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (operators/decontaminate.py)
+# ---------------------------------------------------------------------------
+
+_DECONTAM_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             CAST('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 15) AS BIGINT) AS h
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 3, 0))) AS u(i)
+    ),
+    bench AS (SELECT DISTINCT h FROM grams WHERE doc_id < 5),
+    hits AS (
+      SELECT g.doc_id, count(*) AS n_hit_ngrams
+      FROM grams g JOIN bench USING (h)
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(n_hit_ngrams, 0) AS n_hit_ngrams,
+           coalesce(n_hit_ngrams, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits USING (doc_id)
+"""
+
+
+@_register("docs_decontaminate", _DECONTAM_ORACLE)
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style n-gram decontamination (n=4 at this corpus size;
+    production default 13): docs sharing a word 4-gram with the
+    'benchmark' slice (doc_id < 5) are flagged. Broadcast hash-join
+    probe — the corpus side never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    return dc.ngram_contamination(
+        d, d.filter(F.col("doc_id") < 5), n=4, portable_hash=True
+    )
