@@ -30,6 +30,7 @@ from aurora_mito_etl_spark.operators import dedup as dd
 from aurora_mito_etl_spark.operators import joins as j
 from aurora_mito_etl_spark.operators import quality as ql
 from aurora_mito_etl_spark.operators import quantize as qz
+from aurora_mito_etl_spark.operators import redact as rd
 from aurora_mito_etl_spark.operators import sampling as sp
 from aurora_mito_etl_spark.operators import similarity as sim
 from aurora_mito_etl_spark.operators import text as tx
@@ -2336,3 +2337,72 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dc.ngram_contamination(
         d, d.filter(F.col("doc_id") < 5), n=4, portable_hash=True
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (operators/redact.py)
+# ---------------------------------------------------------------------------
+
+def _pii_oracle() -> str:
+    """Oracle generated from the SAME redact.PII_PATTERNS tuple the
+    operator applies — pattern text, order, and placeholders cannot
+    drift. The synthetic-PII injection mirrors the Spark query
+    byte-for-byte (the corpus itself contains no PII)."""
+    sql = r"""
+    WITH inj AS (
+      SELECT doc_id,
+             coalesce(text, '')
+             || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+             || CASE WHEN doc_id % 7 = 0 THEN ' id 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+             || CASE WHEN doc_id % 2 = 0 THEN ' call (555) 123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+             AS t
+      FROM documents
+    ), s0 AS (SELECT doc_id, t FROM inj)"""
+    prev = "s0"
+    for i, (fam, pat, ph) in enumerate(rd.PII_PATTERNS):
+        keep = "doc_id" if i == 0 else "* EXCLUDE (t)"
+        sql += (
+            f", s{i + 1} AS (SELECT {keep},"
+            f" len(regexp_extract_all(t, '({pat})', 1)) AS n_{fam},"
+            f" regexp_replace(t, '{pat}', '{ph}', 'g') AS t"
+            f" FROM {prev})"
+        )
+        prev = f"s{i + 1}"
+    fams = [f"n_{fam}" for fam, _, _ in rd.PII_PATTERNS]
+    return (
+        sql
+        + f" SELECT doc_id, {', '.join(fams)}, {' + '.join(fams)} AS n_pii_total,"
+        f" t AS redacted_text FROM {prev}"
+    )
+
+
+@_register("docs_pii_redact", _pii_oracle())
+def docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed PII redaction over documents with deterministic synthetic
+    PII injected from doc_id (the corpus has none) — demonstrates all
+    four pattern families firing and the placeholder substitution."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def when_mod(m: int, *parts: Column) -> Column:
+        return F.when(did % m == 0, F.concat(*parts)).otherwise(F.lit(""))
+
+    injected = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        when_mod(3, F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        when_mod(
+            5,
+            F.lit(" host 10.0."),
+            (did % 256).cast("string"),
+            F.lit("."),
+            (did % 100).cast("string"),
+        ),
+        when_mod(
+            7, F.lit(" id 123-45-"), F.lpad((did % 10000).cast("string"), 4, "0")
+        ),
+        when_mod(
+            2, F.lit(" call (555) 123-"), F.lpad((did % 10000).cast("string"), 4, "0")
+        ),
+    )
+    return rd.redact_pii(d.withColumn("text", injected))
