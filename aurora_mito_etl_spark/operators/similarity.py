@@ -439,6 +439,75 @@ def ivf_topk(
     return _rank_topk(scored, query_id_col, id_col, k)
 
 
+def _same_bucket_pairs(both: DataFrame, id_type, margin: float) -> DataFrame:
+    """Pair-verify engine shared by the LSH near-dup and SemDeDup
+    operators: `both` carries (id, __v, __vn, side, bucket); within
+    each bucket group every (side=0, side=1) pair with id_a < id_b
+    and raw cosine >= `margin` is emitted as (id_a, id_b, __raw).
+
+    Runs INSIDE each bucket group (applyInPandas), not as a join that
+    materializes one Spark row — carrying two dim-wide arrays — per
+    candidate pair: Arrow traffic is O(n · probes) vectors while pair
+    enumeration and the gram products stay in numpy. Gram math uses
+    ordered outer-product accumulation (`G += A[:,j:j+1] * B[:,j]`
+    dimension-at-a-time, no BLAS) so every partial sum is the exact
+    left-to-right fold Catalyst's aggregate(zip_with) and DuckDB's
+    list_dot_product produce — the bit-parity contract that keeps
+    these operators oracle-checkable. Callers re-round and re-test
+    the threshold in Catalyst; `margin` keeps a safety gap.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type, False),
+            T.StructField("id_b", id_type, False),
+            T.StructField("__raw", T.DoubleType(), False),
+        ]
+    )
+    # Memory per group: rows·dim·8 bytes for the stacked matrices plus
+    # one CHUNK×|B| gram block (A is processed in chunks so the gram
+    # never goes quadratic in the bucket size). Size the bucketing
+    # (n_planes / n_cells) so expected bucket width keeps rows·dim·8
+    # within executor memory — the same knob that bounds candidates.
+    chunk = 4096
+
+    def verify(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        asel = pdf[pdf["side"] == 0]
+        bsel = pdf[pdf["side"] == 1]
+        if asel.empty or bsel.empty:
+            return pd.DataFrame(
+                {"id_a": asel["id"][:0], "id_b": bsel["id"][:0],
+                 "__raw": np.array([], dtype=np.float64)}
+            )
+        B = np.array(bsel["__v"].tolist(), dtype=np.float64)
+        ida = asel["id"].to_numpy()
+        idb = bsel["id"].to_numpy()
+        na = asel["__vn"].to_numpy(dtype=np.float64)
+        nb = bsel["__vn"].to_numpy(dtype=np.float64)
+        parts = []
+        for lo in range(0, len(ida), chunk):
+            hi = min(lo + chunk, len(ida))
+            A = np.array(asel["__v"].iloc[lo:hi].tolist(), dtype=np.float64)
+            G = np.zeros((hi - lo, len(idb)), dtype=np.float64)
+            for j in range(A.shape[1]):
+                G += A[:, j : j + 1] * B[:, j]
+            cos = G / (na[lo:hi, None] * nb[None, :])
+            ri, ci = np.nonzero(
+                (ida[lo:hi, None] < idb[None, :]) & (cos >= margin)
+            )
+            parts.append(
+                pd.DataFrame(
+                    {"id_a": ida[lo:hi][ri], "id_b": idb[ci], "__raw": cos[ri, ci]}
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    return both.groupBy("bucket").applyInPandas(verify, out_schema)
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -488,10 +557,6 @@ def embedding_near_dup_pairs(
     # products stay in numpy. At a loose threshold (near-all-pairs
     # candidates) this is ~5× the join formulation; at production
     # thresholds the win grows with bucket selectivity.
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
     probes = probe_masks(n_planes, multi_probe) if multi_probe > 0 else [0]
     a = vb.select(
         F.col(id_col).alias("id"), "__v", "__vn", "bucket", F.lit(0).alias("side")
@@ -530,65 +595,131 @@ def embedding_near_dup_pairs(
     # raw (unrounded) cosine crosses the boundary; rounding and the
     # exact threshold test stay in Catalyst so round-half-up semantics
     # are Spark's own — the numpy prefilter keeps a safety margin.
-    margin = threshold - 1e-6
-    # id columns keep the INPUT id type (string doc ids work too);
-    # only the gram math is numpy
-    id_type = vectors.schema[id_col].dataType
-    out_schema = T.StructType(
-        [
-            T.StructField("id_a", id_type, False),
-            T.StructField("id_b", id_type, False),
-            T.StructField("__raw", T.DoubleType(), False),
-        ]
-    )
-    # Memory per group: rows·dim·8 bytes for the stacked matrices plus
-    # one CHUNK×|B| gram block (A is processed in chunks so the gram
-    # never goes quadratic in the bucket size). Size n_planes so that
-    # expected bucket width keeps rows·dim·8 within executor memory —
-    # the same knob that bounds candidate volume.
-    chunk = 4096
-
-    def verify(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        asel = pdf[pdf["side"] == 0]
-        bsel = pdf[pdf["side"] == 1]
-        if asel.empty or bsel.empty:
-            return pd.DataFrame(
-                {"id_a": asel["id"][:0], "id_b": bsel["id"][:0],
-                 "__raw": np.array([], dtype=np.float64)}
-            )
-        B = np.array(bsel["__v"].tolist(), dtype=np.float64)
-        ida = asel["id"].to_numpy()
-        idb = bsel["id"].to_numpy()
-        na = asel["__vn"].to_numpy(dtype=np.float64)
-        nb = bsel["__vn"].to_numpy(dtype=np.float64)
-        parts = []
-        for lo in range(0, len(ida), chunk):
-            hi = min(lo + chunk, len(ida))
-            A = np.array(asel["__v"].iloc[lo:hi].tolist(), dtype=np.float64)
-            # ordered outer-product accumulation: G[r,c] is the exact
-            # left-to-right fold sum(A[r,j]*B[c,j] for j in order) —
-            # the bit-parity contract with dot()/list_dot_product
-            G = np.zeros((hi - lo, len(idb)), dtype=np.float64)
-            for j in range(A.shape[1]):
-                G += A[:, j : j + 1] * B[:, j]
-            cos = G / (na[lo:hi, None] * nb[None, :])
-            ri, ci = np.nonzero(
-                (ida[lo:hi, None] < idb[None, :]) & (cos >= margin)
-            )
-            parts.append(
-                pd.DataFrame(
-                    {"id_a": ida[lo:hi][ri], "id_b": idb[ci], "__raw": cos[ri, ci]}
-                )
-            )
-        return pd.concat(parts, ignore_index=True)
-
     out = (
-        both.groupBy("bucket")
-        .applyInPandas(verify, out_schema)
-        .select(
-            "id_a", "id_b", F.round(F.col("__raw"), 6).alias("cos_sim")
+        _same_bucket_pairs(
+            both, vectors.schema[id_col].dataType, threshold - 1e-6
         )
+        .select("id_a", "id_b", F.round(F.col("__raw"), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
     # multi-probe can surface the same pair via several buckets
     return out.dropDuplicates(["id_a", "id_b"]) if multi_probe > 0 else out
+
+
+def nearest_cell_arrow(vec: Column, centroids: list[list[float]]) -> Column:
+    """Arrow-batched nearest-centroid assignment: argmax over cells of
+    dot(v, c) − ‖c‖²/2 (≡ argmin ‖v−c‖²), ties to the LARGEST cell id
+    — exactly the rule `ivf_topk`'s Catalyst expression and the SQL
+    oracles' `ORDER BY score DESC, cell DESC` implement.
+
+    Bit-parity by construction (same contract as
+    :func:`signed_projection_bucket_arrow`): dots accumulate
+    dimension-at-a-time in input order — elementwise IEEE doubles, no
+    BLAS — and the half-norm constants are the identical Python
+    floats both engines embed, so every score and therefore every
+    assignment matches the oracle exactly. NULL / wrong-dim rows get
+    cell -1 (callers drop or route them explicitly; a silent bucket-0
+    would quietly pollute a real cell).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)  # (n_cells, dim)
+    n_cells, dim = C.shape
+    hn = np.array(
+        [sum(x * x for x in c) / 2.0 for c in centroids], dtype=np.float64
+    )
+
+    def batch(s):
+        vals = s.tolist()
+        ok = np.fromiter(
+            (v is not None and len(v) == dim for v in vals),
+            dtype=bool,
+            count=len(vals),
+        )
+        zero = [0.0] * dim
+        M = np.array(
+            [v if o else zero for v, o in zip(vals, ok)], dtype=np.float64
+        )
+        acc = np.zeros((len(vals), n_cells), dtype=np.float64)
+        for j in range(dim):
+            acc += M[:, j : j + 1] * C[:, j]
+        acc -= hn[None, :]
+        # ties → largest cell id: argmax over reversed columns picks
+        # the FIRST max there, i.e. the LAST (largest cell) original.
+        cell = n_cells - 1 - np.argmax(acc[:, ::-1], axis=1)
+        cell[~ok] = -1
+        return pd.Series(cell)
+
+    return pandas_udf(batch, T.IntegerType())(vec)
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_cells: int = 16,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with a coarse
+    quantizer, then drop within-cluster cosine near-duplicates.
+
+    Output is the full roster — one row per well-formed input vector:
+    (`id_col`, ``cell``, ``kept``). A row is dropped (kept=false) iff
+    some SAME-cell row with a smaller id has cosine >= `threshold`
+    to it; survivors are the per-near-dup-group minimum ids. The
+    paper orders candidates by distance-to-centroid; min-id is the
+    engine's deterministic convention (same pruned count, stable
+    across runs, engines, and partitionings — a centroid-distance
+    order is one extra sort if needed).
+
+    Scale shape: assignment is one Arrow pass (no shuffle); the pair
+    scan shuffles each vector ONCE on its cell id and pairs stay
+    inside `applyInPandas` cell groups (O(n·cell_width), never global
+    O(n²)) — identical posture to the LSH near-dup tier, with
+    `n_cells` as the width knob. Cross-cell near-dups are out of
+    scope by construction (the paper's recall trade); raise
+    `n_cells` resolution or run the LSH tier for cross-cell recall.
+    Wrong-dim / NULL vectors are excluded from the roster.
+    """
+    if centroids is None:
+        centroids = ivf_centroids(dim, n_cells)
+    vb = (
+        with_norm(vectors, vec_col, "__v", "__vn")
+        .select(
+            F.col(id_col),
+            F.col("__v"),
+            F.col("__vn"),
+            nearest_cell_arrow(F.col(vec_col), centroids).alias("bucket"),
+        )
+        .filter(F.size("__v") == dim)
+    )
+    both = vb.select(
+        F.col(id_col).alias("id"), "__v", "__vn", "bucket", F.lit(0).alias("side")
+    ).unionByName(
+        vb.select(
+            F.col(id_col).alias("id"), "__v", "__vn", "bucket",
+            F.lit(1).alias("side"),
+        )
+    )
+    dropped = (
+        _same_bucket_pairs(both, vectors.schema[id_col].dataType, threshold - 1e-6)
+        .filter(F.round(F.col("__raw"), 6) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        vb.select(id_col, F.col("bucket").alias("cell"))
+        .join(
+            dropped.withColumn("__dropped", F.lit(True)), id_col, "left"
+        )
+        .select(
+            id_col,
+            "cell",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+        )
+    )

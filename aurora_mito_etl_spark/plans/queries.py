@@ -2406,3 +2406,63 @@ def docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return rd.redact_pii(d.withColumn("text", injected))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic near-dup pruning on embeddings (similarity.py)
+# ---------------------------------------------------------------------------
+
+def _semantic_dedup_oracle(
+    n_cells: int = 16, dim: int = 64, threshold: float = 0.4
+) -> str:
+    """Closed-form SQL twin of similarity.semantic_dedup over PINNED
+    centroids: assignment is the IVF rule (argmax dot − ‖c‖²/2, ties
+    to the larger cell), within-cell pairs use the same rounded-cosine
+    threshold as the LSH near-dup oracle. Portable for the usual
+    fold-order reason."""
+    cents = sim.ivf_centroids(dim, n_cells)
+    values = ",\n      ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[], "
+        f"{sum(x * x for x in c) / 2.0!r})"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+    WITH cents(cell, c, hn) AS (
+      VALUES
+      {values}
+    ),
+    v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    assigned AS (
+      SELECT vec_id, e, nrm, cell,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_dot_product(e, c) - hn DESC, cell DESC
+             ) AS rn
+      FROM v, cents
+    ),
+    vc AS (SELECT vec_id, e, nrm, cell FROM assigned WHERE rn = 1),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM vc a JOIN vc b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= {threshold}
+    )
+    SELECT vc.vec_id, vc.cell, (d.vec_id IS NULL) AS kept
+    FROM vc LEFT JOIN dropped d ON vc.vec_id = d.vec_id
+    """
+
+
+@_register("emb_semantic_dedup", _semantic_dedup_oracle())
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over pinned coarse-quantizer cells: full roster with
+    cell assignment and keep/drop verdict (53 of 500 pruned at this
+    corpus/threshold). Assignment is one Arrow pass; pairs stay
+    inside cell groups — the LSH-near-dup scale posture."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup(
+        e, threshold=0.4, dim=64, n_cells=16,
+        centroids=sim.ivf_centroids(64, 16),
+    )
