@@ -28,6 +28,7 @@ from aurora_mito_etl_spark.operators import unicode_udfs as uu
 from aurora_mito_etl_spark.operators import decontaminate as dc
 from aurora_mito_etl_spark.operators import dedup as dd
 from aurora_mito_etl_spark.operators import joins as j
+from aurora_mito_etl_spark.operators import packing as pk
 from aurora_mito_etl_spark.operators import quality as ql
 from aurora_mito_etl_spark.operators import quantize as qz
 from aurora_mito_etl_spark.operators import redact as rd
@@ -2465,4 +2466,80 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_dedup(
         e, threshold=0.4, dim=64, n_cells=16,
         centroids=sim.ivf_centroids(64, 16),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing + mixture sampling (operators/packing.py)
+# ---------------------------------------------------------------------------
+
+_PACK_ORACLE = r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) END AS n_tokens
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS BIGINT) AS start_offset
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, start_offset,
+           CAST(floor(start_offset / 128) AS BIGINT) AS pack_id,
+           CAST(start_offset % 128 AS BIGINT) AS offset_in_pack,
+           CASE WHEN n_tokens = 0 THEN 0
+                ELSE CAST(floor((start_offset + n_tokens - 1) / 128)
+                          - floor(start_offset / 128) + 1 AS BIGINT)
+           END AS n_packs_spanned
+    FROM s
+"""
+
+
+@_register("docs_pack_sequences", _PACK_ORACLE)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing plan (capacity 128 tokens at
+    this corpus size; production 2048+): shard-partitioned prefix sum,
+    one shuffle on the shard key."""
+    return pk.pack_sequences(
+        load_table(spark, sf_dir, "documents"), capacity=128
+    )
+
+
+_MIXTURE_TARGETS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def _mixture_oracle() -> str:
+    tgt = ", ".join(f"('{s}', {t!r})" for s, t in _MIXTURE_TARGETS.items())
+    return f"""
+    WITH tgt(source, t) AS (VALUES {tgt}),
+    avail AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS avail
+      FROM documents GROUP BY source
+    ),
+    j AS (
+      SELECT a.source, a.avail, tgt.t
+      FROM avail a JOIN tgt USING (source) WHERE tgt.t > 0
+    ),
+    tm AS (SELECT min(avail / t) AS tmax FROM j),
+    rates AS (
+      SELECT source, floor(t * tmax / avail * 1000000 + 0.5) AS cutoff
+      FROM j, tm
+    )
+    SELECT d.*, CAST(cutoff AS DOUBLE) / 1000000 AS mix_rate
+    FROM documents d JOIN rates USING (source)
+    WHERE (CAST('0x' || substr(md5('mixture' || '#' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000) < cutoff
+    """
+
+
+@_register("docs_mixture_sample", _mixture_oracle())
+def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mixture resampling toward 50/30/20 target
+    shares over three sources (the scarcest source pins the feasible
+    total; others downsample via the portable hash bucket)."""
+    return pk.mixture_sample(
+        load_table(spark, sf_dir, "documents"), _MIXTURE_TARGETS
     )

@@ -38,8 +38,15 @@ HEADLINE = [
     "docs_lang_id",
     "docs_token_stats",
     "docs_repetition",
-    # sampling / quantization
+    # quality filtering / privacy / decontamination
+    "docs_gopher_quality",
+    "docs_c4_filter",
+    "docs_pii_redact",
+    "docs_decontaminate",
+    # sampling / quantization / packing
     "docs_stratified_sample",
+    "docs_mixture_sample",
+    "docs_pack_sequences",
     "emb_quantize_int8",
     # dedup
     "docs_exact_dedup",
@@ -51,6 +58,7 @@ HEADLINE = [
     "emb_cosine_topk",
     "emb_near_dup_exact",
     "emb_lsh_near_dup",
+    "emb_semantic_dedup",
     # joins / function surface
     "events_asof_join",
     "lineitem_qty_range_join",

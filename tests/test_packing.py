@@ -1,0 +1,79 @@
+"""Sequence packing + mixture sampling (operators/packing.py)."""
+
+from __future__ import annotations
+
+from aurora_mito_etl_spark.operators import packing as pk
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, "doc_id long, source string, text string")
+
+
+def test_pack_offsets_and_spans(spark):
+    # shard A: 6 + 3 + 4 tokens, capacity 5
+    df = _rows(
+        spark,
+        [
+            (1, "A", "a b c d e f"),      # start 0, packs 0-1 → spans 2
+            (2, "A", "g h i"),            # start 6, pack 1
+            (3, "A", "j k l m"),          # start 9, packs 1-2 → spans 2
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pk.pack_sequences(df, capacity=5).collect()
+    }
+    assert (out[1]["start_offset"], out[1]["pack_id"], out[1]["offset_in_pack"]) == (0, 0, 0)
+    assert out[1]["n_packs_spanned"] == 2
+    assert (out[2]["start_offset"], out[2]["pack_id"], out[2]["offset_in_pack"]) == (6, 1, 1)
+    assert out[2]["n_packs_spanned"] == 1
+    assert (out[3]["start_offset"], out[3]["pack_id"]) == (9, 1)
+    assert out[3]["n_packs_spanned"] == 2
+
+
+def test_pack_shards_are_independent(spark):
+    df = _rows(
+        spark,
+        [(1, "A", "a b c"), (2, "B", "x y"), (3, "A", "d e"), (4, "B", "z")],
+    )
+    out = {r["doc_id"]: r for r in pk.pack_sequences(df, capacity=4).collect()}
+    # each shard's stream starts at 0 regardless of the other shard
+    assert out[1]["start_offset"] == 0 and out[2]["start_offset"] == 0
+    assert out[3]["start_offset"] == 3 and out[4]["start_offset"] == 2
+
+
+def test_pack_empty_and_null_docs(spark):
+    df = _rows(spark, [(1, "A", "a b"), (2, "A", ""), (3, "A", None), (4, "A", "c")])
+    out = {r["doc_id"]: r for r in pk.pack_sequences(df, capacity=10).collect()}
+    assert out[2]["n_tokens"] == 0 and out[2]["n_packs_spanned"] == 0
+    assert out[3]["n_tokens"] == 0
+    assert out[4]["start_offset"] == 2  # empties consume no tokens
+
+
+def test_mixture_rates_and_determinism(spark):
+    data = [
+        (i, f"src{i % 4}", "t") for i in range(400)
+    ]  # 100 rows per source
+    df = _rows(spark, data)
+    targets = {"src0": 0.5, "src1": 0.25, "src2": 0.25}
+    out = pk.mixture_sample(df, targets)
+    rows = out.collect()
+    # scarcest source pins T = min(100/0.5)=200 → rates 1.0/0.5/0.5
+    rates = {r["source"]: r["mix_rate"] for r in rows}
+    assert rates["src0"] == 1.0
+    assert rates["src1"] == 0.5 and rates["src2"] == 0.5
+    # src3 absent from targets → dropped entirely
+    assert "src3" not in rates
+    kept0 = sum(1 for r in rows if r["source"] == "src0")
+    assert kept0 == 100  # rate 1.0 keeps everything
+    # deterministic: identical rerun
+    again = {(r["doc_id"]) for r in pk.mixture_sample(df, targets).collect()}
+    assert {r["doc_id"] for r in rows} == again
+
+
+def test_mixture_never_upsamples(spark):
+    df = _rows(spark, [(i, "src0" if i < 10 else "src1", "t") for i in range(110)])
+    out = pk.mixture_sample(df, {"src0": 0.9, "src1": 0.1})
+    rates = {r["source"]: r["mix_rate"] for r in out.collect()}
+    assert all(v <= 1.0 for v in rates.values())
+    assert rates["src0"] == 1.0  # scarce source fully kept, never duplicated
