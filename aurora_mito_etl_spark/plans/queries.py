@@ -27,6 +27,7 @@ from aurora_mito_etl_spark.operators import aggregates as agg
 from aurora_mito_etl_spark.operators import unicode_udfs as uu
 from aurora_mito_etl_spark.operators import decontaminate as dc
 from aurora_mito_etl_spark.operators import dedup as dd
+from aurora_mito_etl_spark.operators import importance as imp
 from aurora_mito_etl_spark.operators import joins as j
 from aurora_mito_etl_spark.operators import packing as pk
 from aurora_mito_etl_spark.operators import quality as ql
@@ -2542,4 +2543,54 @@ def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     total; others downsample via the portable hash bucket)."""
     return pk.mixture_sample(
         load_table(spark, sf_dir, "documents"), _MIXTURE_TARGETS
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting (operators/importance.py)
+# ---------------------------------------------------------------------------
+
+_DSIR_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source,
+             CAST('0x' || substr(md5(array_to_string(t[i:i+1], ' ')), 1, 15) AS BIGINT) % 1024 AS b
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+    ),
+    tcnt AS (SELECT b, count(*) AS ct FROM g WHERE source = 'src0' GROUP BY b),
+    rcnt AS (SELECT b, count(*) AS cr FROM g GROUP BY b),
+    tot AS (
+      SELECT (SELECT coalesce(sum(ct), 0) FROM tcnt) AS tt,
+             (SELECT coalesce(sum(cr), 0) FROM rcnt) AS tr
+    ),
+    ratio AS (
+      SELECT coalesce(t.b, r.b) AS b,
+             floor((ln(coalesce(ct, 0) + 1.0) - ln(tt + 1024.0)
+                    - ln(coalesce(cr, 0) + 1.0) + ln(tr + 1024.0)) * 1000000 + 0.5) / 1000000 AS lr
+      FROM tcnt t FULL JOIN rcnt r ON t.b = r.b, tot
+    ),
+    pd AS (
+      SELECT g.doc_id, count(*) AS n_grams,
+             CAST(CAST(sum(CAST(lr AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS dsir_logw
+      FROM g JOIN ratio ON g.b = ratio.b
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+           coalesce(dsir_logw, 0.0) AS dsir_logw
+    FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+"""
+
+
+@_register("docs_dsir_weights", _DSIR_ORACLE)
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-bigram importance weights against the src0 slice as
+    the target distribution (1024-bucket models; both model tables
+    broadcast — only the per-doc weight aggregation shuffles)."""
+    d = load_table(spark, sf_dir, "documents")
+    return imp.dsir_weights(
+        d, d.filter(F.col("source") == "src0"), n=2, num_buckets=1024
     )
