@@ -43,6 +43,7 @@ HEADLINE = [
     "docs_c4_filter",
     "docs_pii_redact",
     "docs_decontaminate",
+    "docs_dsir_weights",
     # sampling / quantization / packing
     "docs_stratified_sample",
     "docs_mixture_sample",

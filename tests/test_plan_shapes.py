@@ -115,3 +115,35 @@ def test_ac_automaton_semantics():
     rx = re.compile("|".join(map(re.escape, terms)))
     for s in ["zabcz", "xxbcdxx", "cd", "qq", "", "ab cd e", "ccdde"]:
         assert ac2.matches(s) == bool(rx.search(s)), s
+
+
+def test_quality_batteries_scan_speed_shape(spark):
+    # Gopher/C4/PII are single codegen projections over a pruned scan:
+    # no Exchange, no Python, only doc-cols read
+    for q in ("docs_gopher_quality", "docs_c4_filter"):
+        plan = plan_of(QUERIES[q](spark, SF))
+        assert "Exchange" not in plan, q
+        assert "EvalPython" not in plan, q
+    pii = plan_of(QUERIES["docs_pii_redact"](spark, SF))
+    assert "Exchange" not in pii and "EvalPython" not in pii
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in pii
+
+
+def test_decontaminate_probe_broadcasts(spark):
+    plan = plan_of(QUERIES["docs_decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # corpus side never sorts/shuffles for the probe
+
+
+def test_mixture_sample_broadcasts_rates(spark):
+    plan = plan_of(QUERIES["docs_mixture_sample"](spark, SF))
+    # rate table (≤ #sources rows) broadcast; corpus filtered map-side
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_models_broadcast(spark):
+    plan = plan_of(QUERIES["docs_dsir_weights"](spark, SF))
+    # the bucket-ratio model join must be broadcast (bounded by
+    # num_buckets); only the per-doc weight agg may shuffle
+    assert "BroadcastHashJoin" in plan
