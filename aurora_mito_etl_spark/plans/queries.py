@@ -2594,3 +2594,89 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return imp.dsir_weights(
         d, d.filter(F.col("source") == "src0"), n=2, num_buckets=1024
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed training-corpus pipeline (quality -> dedup -> decontaminate
+# -> pack): the end-to-end shape a 100 TB data pipeline actually runs
+# ---------------------------------------------------------------------------
+
+def _training_corpus_oracle() -> str:
+    """Composes the already-verified stage oracles: the gopher battery
+    as a nested subquery, the exact-dedup min-id survivor rule, the
+    4-gram contamination probe (bench = original doc_id < 5), then
+    the 128-token packing plan over what survives."""
+    gopher = _gopher_oracle(**_GOPHER_QUERY_OVERRIDES)
+    return rf"""
+    WITH keep1 AS (SELECT doc_id FROM ({gopher}) g WHERE gopher_keep),
+    d1 AS (SELECT d.* FROM documents d JOIN keep1 USING (doc_id)),
+    surv AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM d1
+      GROUP BY md5(lower(trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g'))))
+    ),
+    d2 AS (SELECT d1.* FROM d1 JOIN surv USING (doc_id)),
+    btoks AS (
+      SELECT string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
+      FROM documents WHERE doc_id < 5
+    ),
+    bgr AS (
+      SELECT DISTINCT CAST('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 15) AS BIGINT) AS h
+      FROM btoks, UNNEST(generate_series(1, greatest(len(t) - 3, 0))) AS u(i)
+    ),
+    dtoks AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
+      FROM d2
+    ),
+    dgr AS (
+      SELECT DISTINCT doc_id,
+             CAST('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 15) AS BIGINT) AS h
+      FROM dtoks, UNNEST(generate_series(1, greatest(len(t) - 3, 0))) AS u(i)
+    ),
+    contaminated AS (SELECT DISTINCT doc_id FROM dgr JOIN bgr USING (h)),
+    d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    t AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) END AS n_tokens
+      FROM d3
+    ),
+    s AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS BIGINT) AS start_offset
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, start_offset,
+           CAST(floor(start_offset / 128) AS BIGINT) AS pack_id,
+           CAST(start_offset % 128 AS BIGINT) AS offset_in_pack,
+           CASE WHEN n_tokens = 0 THEN 0
+                ELSE CAST(floor((start_offset + n_tokens - 1) / 128)
+                          - floor(start_offset / 128) + 1 AS BIGINT)
+           END AS n_packs_spanned
+    FROM s
+    """
+
+
+@_register("flagship_training_corpus", _training_corpus_oracle())
+def flagship_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline: Gopher quality gate →
+    exact dedup (min-id survivor) → 4-gram benchmark decontamination
+    → shard-packed context windows. One Spark plan end to end — each
+    stage is the already-oracle-checked operator, and the composition
+    itself is value-checked here."""
+    d = load_table(spark, sf_dir, "documents")
+    kept = (
+        ql.gopher_signals(d, **_GOPHER_QUERY_OVERRIDES)
+        .filter(F.col("gopher_keep"))
+        .select("doc_id")
+    )
+    d1 = d.join(kept, "doc_id", "left_semi")
+    d2 = dd.exact_dedup(d1, "text", "doc_id")
+    d3 = dc.drop_contaminated(
+        d2, d.filter(F.col("doc_id") < 5), n=4, portable_hash=True
+    )
+    return pk.pack_sequences(d3, capacity=128)

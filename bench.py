@@ -70,6 +70,7 @@ HEADLINE = [
     "scalar_function_parity",
     # flagship
     "flagship_compound_mentions",
+    "flagship_training_corpus",
 ]
 
 # Production-hash dedup variants (xxhash64): the registered queries

@@ -26,6 +26,9 @@ SMOKE_QUERIES = {
     "docs_minhash_lsh_pairs",   # LSH tier (portable hash)
     "emb_lsh_near_dup",         # embedding LSH + Arrow parity
     "emb_ivf_topk",             # pinned-centroid IVF oracle
+    "docs_gopher_quality",      # quality battery (round 2)
+    "emb_semantic_dedup",       # SemDeDup cells (round 2)
+    "flagship_training_corpus", # composed pipeline (round 2)
 }
 
 
