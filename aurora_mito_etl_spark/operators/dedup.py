@@ -25,7 +25,7 @@ DuckDB-oracle-checked. Pair outputs feed
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from aurora_mito_etl_spark.functions.hashing import md5_prefix60
@@ -617,4 +617,80 @@ def simhash_pairs(
     )
     return banded_hamming_pairs(
         sh, id_col, "sh64", band_bits=band_bits, n_bands=4, max_hamming=max_hamming
+    )
+
+
+# ---------------------------------------------------------------------------
+# 7. Cross-document duplicate spans (exact substring dedup)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 10,
+    min_span_tokens: int = 20,
+    max_window_docs: int | None = None,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Maximal verbatim token runs shared between document pairs —
+    word-granularity exact substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better":
+    suffix-array substring dedup; here the suffix array is replaced
+    by a shuffle-native formulation).
+
+    Positional k-token windows hash and self-equi-join (the
+    ngram_jaccard co-partitioned shape — never a cross join); a
+    contiguous shared run lies on one DIAGONAL (pos_a − pos_b
+    constant), so consecutive matches collapse with the islands-and-
+    gaps trick (pos_a − row_number) and each island is one maximal
+    span: (id_a, id_b, start_a, start_b, span_tokens), kept when
+    span_tokens >= `min_span_tokens`.
+
+    Scale: join volume is Σ_w df(w)² over window hashes — verbatim
+    boilerplate is the skew risk, so `max_window_docs` drops windows
+    appearing in more than that many documents from the join
+    (detected spans can only shrink — the conservative direction, and
+    boilerplate suppression is exactly what the cap targets). The
+    only corpus-sized shuffles are the window join and the per-
+    (pair, diagonal) island window.
+    """
+    h_expr = (
+        md5_prefix60(F.col("s")) if portable_hash else F.xxhash64("s")
+    )
+    w = (
+        _spread(df)
+        .select(
+            F.col(id_col),
+            F.posexplode(shingles_arrow(F.col(text_col), k)).alias("pos", "s"),
+        )
+        .select(F.col(id_col), F.col("pos"), h_expr.alias("h"))
+    )
+    if max_window_docs is not None:
+        hot = (
+            w.groupBy("h")
+            .agg(F.countDistinct(id_col).alias("df"))
+            .filter(F.col("df") > max_window_docs)
+            .select("h")
+        )
+        w = w.join(hot, "h", "left_anti")
+    a = w.select(F.col(id_col).alias("id_a"), F.col("pos").alias("pa"), "h")
+    b = w.select(F.col(id_col).alias("id_b"), F.col("pos").alias("pb"), "h")
+    m = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("d"))
+    )
+    isl = Window.partitionBy("id_a", "id_b", "d").orderBy("pa")
+    g = m.withColumn("island", F.col("pa") - F.row_number().over(isl))
+    return (
+        g.groupBy("id_a", "id_b", "d", "island")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.max("pa") - F.min("pa") + k).alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_span_tokens)
+        .select("id_a", "id_b", "start_a", "start_b", "span_tokens")
     )

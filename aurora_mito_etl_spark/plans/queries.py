@@ -2680,3 +2680,49 @@ def flagship_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         d2, d.filter(F.col("doc_id") < 5), n=4, portable_hash=True
     )
     return pk.pack_sequences(d3, capacity=128)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate spans — exact substring dedup (dedup.duplicate_spans)
+# ---------------------------------------------------------------------------
+
+_DUP_SPANS_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, i - 1 AS pos,
+             CAST('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15) AS BIGINT) AS h
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ),
+    m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb,
+             a.pos - b.pos AS d
+      FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    g AS (
+      SELECT *, pa - row_number() OVER (PARTITION BY id_a, id_b, d ORDER BY pa) AS island
+      FROM m
+    ),
+    s AS (
+      SELECT id_a, id_b, CAST(min(pa) AS INT) AS start_a,
+             CAST(min(pb) AS INT) AS start_b,
+             CAST(max(pa) - min(pa) + 3 AS INT) AS span_tokens
+      FROM g GROUP BY id_a, id_b, d, island
+    )
+    SELECT id_a, id_b, start_a, start_b, span_tokens
+    FROM s WHERE span_tokens >= 5
+"""
+
+
+@_register("docs_duplicate_spans", _DUP_SPANS_ORACLE)
+def docs_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup: maximal >= 5-token verbatim runs shared
+    between document pairs via 3-token positional windows (production
+    would run k=10 windows / 20-token spans)."""
+    return dd.duplicate_spans(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        k=3, min_span_tokens=5, portable_hash=True,
+    )
