@@ -27,6 +27,42 @@ from aurora_mito_etl_spark.operators.dedup import _spread
 from aurora_mito_etl_spark.operators.textstats import shingles_arrow
 
 
+def _contamination_hits(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int,
+    text_col: str,
+    id_col: str,
+    bench_text_col: str,
+    portable_hash: bool,
+) -> DataFrame:
+    """(id, n_hit_ngrams) for documents sharing >=1 n-gram with bench
+    — the broadcast probe both public operators build on. Contains
+    ONLY the contaminated ids (clean docs don't appear)."""
+    hash_expr = md5_prefix60 if portable_hash else F.xxhash64
+    bench_grams = (
+        _spread(bench)
+        .select(
+            F.explode(
+                F.array_distinct(shingles_arrow(F.col(bench_text_col), n))
+            ).alias("s")
+        )
+        .select(hash_expr(F.col("s")).alias("h"))
+        .distinct()
+    )
+    doc_grams = _spread(docs).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles_arrow(F.col(text_col), n))
+        ).alias("s"),
+    ).select(id_col, hash_expr(F.col("s")).alias("h"))
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit_ngrams"))
+    )
+
+
 def ngram_contamination(
     docs: DataFrame,
     bench: DataFrame,
@@ -55,27 +91,8 @@ def ngram_contamination(
     Documents shorter than `n` words have no shingles and are clean
     by definition (0, false) — never NULL.
     """
-    hash_expr = md5_prefix60 if portable_hash else F.xxhash64
-    bench_grams = (
-        _spread(bench)
-        .select(
-            F.explode(
-                F.array_distinct(shingles_arrow(F.col(bench_text_col), n))
-            ).alias("s")
-        )
-        .select(hash_expr(F.col("s")).alias("h"))
-        .distinct()
-    )
-    doc_grams = _spread(docs).select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(shingles_arrow(F.col(text_col), n))
-        ).alias("s"),
-    ).select(id_col, hash_expr(F.col("s")).alias("h"))
-    hits = (
-        doc_grams.join(F.broadcast(bench_grams), "h")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_hit_ngrams"))
+    hits = _contamination_hits(
+        docs, bench, n, text_col, id_col, bench_text_col, portable_hash
     )
     # hits is bounded by the documents overlapping the (small) eval
     # set — broadcast it back rather than shuffling every corpus id.
@@ -97,7 +114,7 @@ def drop_contaminated(
 ) -> DataFrame:
     """The decontaminated corpus: `docs` minus contaminated rows
     (anti join against the flagged ids — same broadcast-probe plan)."""
-    flagged = ngram_contamination(
+    flagged = _contamination_hits(
         docs, bench, n, text_col, id_col, bench_text_col, portable_hash
-    ).filter(F.col("contaminated"))
-    return docs.join(F.broadcast(flagged.select(id_col)), id_col, "left_anti")
+    ).select(id_col)
+    return docs.join(F.broadcast(flagged), id_col, "left_anti")

@@ -43,44 +43,59 @@ from aurora_mito_etl_spark.operators.textstats import (
 _MERSENNE_P = (1 << 31) - 1
 
 
+# Logical-plan node names that mark a DERIVED input (already shuffled
+# or multi-sourced): injecting a repartition above one of these would
+# add a full extra shuffle of an intermediate — the opposite of what
+# the fan-out is for. Scans (+ Filter/Project) pass through.
+_DERIVED_PLAN_NODES = ("Join", "Aggregate", "Window", "Repartition", "Distinct")
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Fan a narrow scan out to the session's parallelism before
     CPU-bound per-document work (shingling is the dedup tier's hot
-    loop) — a single small local parquet file scans as ONE partition
-    and would pin the whole explode on one core.
+    loop) — a single small parquet file scans as ONE partition and
+    would pin the whole explode on one core.
 
-    Decides from `df.inputFiles()` only (file-index metadata; no job
-    runs and no `df.rdd`, which under AQE would materialize every
-    upstream stage at plan-build time): repartitions only when the
-    plan is scan-backed, has fewer files than cores, AND the files are
-    small enough that Spark's split logic can't already produce
-    `target` partitions. No-op for derived/joined inputs and at scale,
-    where inputs carry far more partitions than cores."""
+    Decides from plan metadata only — `df.inputFiles()` plus one
+    Hadoop FileSystem status call per file (works for file:/s3a:/hdfs:
+    alike; never `df.rdd`, which under AQE would materialize every
+    upstream stage at plan-build time). Repartitions only when the
+    plan is a pure scan chain (no join/agg/window upstream — those
+    already shuffled, and `inputFiles()` would still report the leaf
+    files), has fewer files than cores, AND the files are small
+    enough that Spark's own split logic can't already produce
+    `target` partitions. No-op at scale, where inputs carry far more
+    partitions than cores."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
-    except Exception:  # noqa: BLE001 - non-scan plans: leave untouched
+        logical = df._jdf.queryExecution().logical().toString()
+    except Exception:  # noqa: BLE001 - non-scan/unresolvable plans: leave untouched
         return df
     if not files or len(files) >= target:
         return df
+    if any(node in logical for node in _DERIVED_PLAN_NODES):
+        return df
     raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
-    s = raw.strip().lower().removesuffix("b")
-    max_split = (
-        int(s[:-1]) * units[s[-1]] if s and s[-1] in units else int(s or "134217728")
-    )
-    import os
-
-    total = 0
-    for f in files:
-        if f.startswith("file:"):
-            try:
-                total += os.path.getsize(f[len("file:"):])
-            except OSError:
-                return df
-        else:
-            return df  # remote store: rely on the reader's own splits
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}
+    try:
+        s = raw.strip().lower().removesuffix("b")
+        max_split = (
+            int(s[:-1]) * units[s[-1]] if s and s[-1] in units else int(s)
+        )
+    except (ValueError, IndexError):
+        max_split = 128 * 1024 * 1024
+    max_split = max(max_split, 1)
+    try:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        total = 0
+        for f in files:
+            path = jvm.org.apache.hadoop.fs.Path(f)
+            total += path.getFileSystem(hconf).getFileStatus(path).getLen()
+    except Exception:  # noqa: BLE001 - unreachable store: leave untouched
+        return df
     if total // max_split + 1 >= target:
         return df  # splittable into enough partitions already
     return df.repartition(target)

@@ -101,11 +101,14 @@ def gopher_signals(
     for w in GOPHER_STOPWORDS:
         hit = low.rlike(rf"\b{w}\b").cast("int")
         stop_hits = hit if stop_hits is None else stop_hits + hit
-    lines = F.filter(F.split(raw, r"\n"), lambda l: F.trim(l) != "")
+    # split on \r?\n and allow \r in the end anchors: Java $ matches
+    # before a trailing \r but RE2 $ does not — CRLF text would
+    # otherwise diverge from the oracle
+    lines = F.filter(F.split(raw, r"\r?\n"), lambda l: F.trim(l) != "")
     n_lines = F.size(lines)
     bullet_lines = F.size(F.filter(lines, lambda l: l.rlike(r"^[ \t]*[-*•]")))
     ellipsis_lines = F.size(
-        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)[ \t]*$"))
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)[ \t\r]*$"))
     )
 
     def frac(num: Column, den: Column) -> Column:
@@ -164,8 +167,8 @@ def c4_signals(
     """
     raw = F.coalesce(F.col(text_col), F.lit(""))
     kept = F.filter(
-        F.split(raw, r"\n"),
-        lambda l: l.rlike(r'[.!?"][ \t]*$')
+        F.split(raw, r"\r?\n"),
+        lambda l: l.rlike(r'[.!?"][ \t\r]*$')
         & (
             F.size(F.filter(F.split(F.trim(l), WS + "+"), lambda w: w != ""))
             >= min_line_words

@@ -1501,6 +1501,7 @@ def _lsh_near_dup_oracle(
       SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
              round(list_dot_product(a.e, bb.e) / (a.nrm * bb.nrm), 6) AS cos_sim
       FROM probed a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+      WHERE a.nrm > 0 AND bb.nrm > 0  -- zero-norm: NaN never passes in Spark
     )
     SELECT DISTINCT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
     """
@@ -2221,7 +2222,7 @@ def _gopher_oracle(**overrides: float) -> str:
                + len(regexp_extract_all(s, '(\.\.\.|…)', 1)) AS n_symbols,
              len(regexp_extract_all(s, '([^ ]*[A-Za-z][^ ]*)', 1)) AS alpha_words,
              lower(s) AS low,
-             list_filter(string_split(raw, chr(10)), l -> trim(l) <> '') AS lines
+             list_filter(string_split_regex(raw, '\r?\n'), l -> trim(l) <> '') AS lines
       FROM base
     ),
     f AS (
@@ -2231,7 +2232,7 @@ def _gopher_oracle(**overrides: float) -> str:
              floor((CASE WHEN n_words > 0 THEN alpha_words::DOUBLE / n_words ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS alpha_word_frac,
              ({stop_sum}) AS n_stop_hits,
              floor((CASE WHEN len(lines) > 0 THEN len(list_filter(lines, l -> regexp_matches(l, '^[ \t]*[-*•]')))::DOUBLE / len(lines) ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS bullet_line_frac,
-             floor((CASE WHEN len(lines) > 0 THEN len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)[ \t]*$')))::DOUBLE / len(lines) ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS ellipsis_line_frac
+             floor((CASE WHEN len(lines) > 0 THEN len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)[ \t\r]*$')))::DOUBLE / len(lines) ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS ellipsis_line_frac
       FROM m
     )
     SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
@@ -2268,8 +2269,8 @@ _C4_ORACLE = r"""
     k AS (
       SELECT doc_id, raw,
              list_filter(
-               string_split(raw, chr(10)),
-               l -> regexp_matches(l, '[.!?"][ \t]*$')
+               string_split_regex(raw, '\r?\n'),
+               l -> regexp_matches(l, '[.!?"][ \t\r]*$')
                     AND len(list_filter(string_split_regex(trim(l), '[ \t\n\x0b\f\r]+'), w -> w <> '')) >= 5
              ) AS kept
       FROM base
@@ -2450,7 +2451,11 @@ def _semantic_dedup_oracle(
     dropped AS (
       SELECT DISTINCT b.vec_id
       FROM vc a JOIN vc b ON a.cell = b.cell AND a.vec_id < b.vec_id
-      WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= {threshold}
+      -- zero-norm guard: Spark's verify yields NaN for these pairs and
+      -- never drops them; DuckDB's NaN orders LARGEST so an unguarded
+      -- round(x/0,6) >= t would drop them — pin the Spark semantics
+      WHERE a.nrm > 0 AND b.nrm > 0
+        AND round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= {threshold}
     )
     SELECT vc.vec_id, vc.cell, (d.vec_id IS NULL) AS kept
     FROM vc LEFT JOIN dropped d ON vc.vec_id = d.vec_id

@@ -353,3 +353,33 @@ def test_embedding_near_dup_string_ids(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in out}
     assert ("doc-a", "doc-b") in pairs
     assert all(isinstance(r["id_a"], str) for r in out)
+
+
+def test_spread_skips_derived_plans(spark):
+    # injecting a repartition above a join/agg would add a full extra
+    # shuffle of an intermediate — _spread must only fan out scans
+    import aurora_mito_etl_spark.operators.dedup as ddm
+    from aurora_mito_etl_spark.sources.catalog import load_table
+
+    base = load_table(spark, "/root/testdata/sf0.001", "documents")
+    joined = base.join(base.select("doc_id"), "doc_id")
+    assert ddm._spread(joined) is joined
+    agged = base.groupBy("source").count()
+    assert ddm._spread(agged) is agged
+    # scan chains (with filter/project) remain eligible
+    scan = base.filter("doc_id >= 0").select("doc_id", "text")
+    assert ddm._spread(scan) is not None  # no exception; may repartition
+
+
+def test_spread_tolerates_exotic_split_conf(spark):
+    import aurora_mito_etl_spark.operators.dedup as ddm
+    from aurora_mito_etl_spark.sources.catalog import load_table
+
+    base = load_table(spark, "/root/testdata/sf0.001", "documents")
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        for v in ("1t", "2p", "0", "512k"):
+            spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+            ddm._spread(base)  # must not raise
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

@@ -119,3 +119,26 @@ def test_quality_plans_have_no_shuffle(spark):
     for out in (ql.gopher_signals(df), ql.c4_signals(df)):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_c4_crlf_lines_kept(spark):
+    # Java $ matches before a trailing \r, RE2 $ does not — the
+    # operator splits on \r?\n and anchors with [ \t\r]*$ so CRLF
+    # corpora behave identically in Spark and the oracle
+    text = (
+        "This line has enough words and ends with a period.\r\n"
+        "Another proper sentence with plenty of words right here.\r\n"
+        "A third full sentence keeps the document over the bar.\r\n"
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = ql.c4_signals(df).collect()[0]
+    assert r["n_kept_lines"] == 3 and r["c4_keep"] is True
+    assert "\r" not in r["clean_text"]
+
+
+def test_gopher_crlf_ellipsis_lines(spark):
+    text = "- bullet one\r\ntrailing thought...\r\n"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = ql.gopher_signals(df).collect()[0]
+    assert r["bullet_line_frac"] == 0.5
+    assert r["ellipsis_line_frac"] == 0.5

@@ -88,3 +88,23 @@ def test_tie_breaks_to_largest_cell(spark):
     df = spark.createDataFrame([(0, [2.0, 0.0])], "vec_id long, embedding array<double>")
     r = df.select(sim.nearest_cell_arrow(F.col("embedding"), cents).alias("c")).collect()
     assert r[0]["c"] == 1
+
+
+def test_zero_norm_vector_never_dropped(spark):
+    # cosine against a zero vector is NaN: the verify emits no pair,
+    # so zero-norm rows survive — and the oracle pins the same rule
+    # with explicit nrm > 0 guards
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 1e-9, 0.0, 0.0]),   # near-dup of 0 → dropped
+        (2, [0.0, 0.0, 0.0, 0.0]),    # zero vector, same cell space
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in sim.semantic_dedup(
+            vecs, threshold=0.95, dim=4, centroids=CENTS
+        ).collect()
+    }
+    assert out[0] is True and out[1] is False
+    assert out[2] is True
