@@ -2731,3 +2731,70 @@ def docs_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), "text", "doc_id",
         k=3, min_span_tokens=5, portable_hash=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-induction surface: adjacent-pair counts (one BPE merge step)
+# ---------------------------------------------------------------------------
+
+_BPE_PAIRS_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    pairs AS (
+      SELECT t[i] || ' ' || t[i + 1] AS pair
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+    ),
+    counted AS (
+      SELECT pair, count(*) AS n_count,
+             row_number() OVER (ORDER BY count(*) DESC, pair ASC) AS rank
+      FROM pairs GROUP BY pair
+    )
+    SELECT pair, n_count, CAST(rank AS INT) AS rank
+    FROM counted WHERE rank <= 20
+"""
+
+
+@_register("docs_bpe_pair_counts", _BPE_PAIRS_ORACLE)
+def docs_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner step of BPE tokenizer training: corpus-wide adjacent
+    token-pair counts, top-20 merge candidates with a deterministic
+    tie-break. Pairs are built with array ops (zip_with against the
+    shifted array — no per-doc window, no second explode pass); one
+    map-side-combined shuffle on the pair."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.lower(
+            F.trim(
+                F.regexp_replace(
+                    F.coalesce(F.col("text"), F.lit("")),
+                    r"[ \t\n\x0b\f\r]+",
+                    " ",
+                )
+            )
+        ),
+        " ",
+    )
+    pairs = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    # zip_with null-pads the shorter side: the final element pairs the
+    # last token with NULL and concat_ws drops the NULL, leaving a
+    # bare token — strip anything without an interior space
+    exploded = (
+        d.select(F.explode(pairs).alias("pair"))
+        .filter(F.col("pair").contains(" "))
+    )
+    counted = exploded.groupBy("pair").agg(F.count("*").alias("n_count"))
+    # distributed top-k (TakeOrderedAndProject), NOT an unpartitioned
+    # ranking window — vocab² candidate pairs would all funnel through
+    # one partition there; ranking happens on the 20 survivors
+    top = counted.orderBy(F.col("n_count").desc(), F.col("pair").asc()).limit(20)
+    w = Window.orderBy(F.col("n_count").desc(), F.col("pair").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "pair", "n_count", "rank"
+    )
