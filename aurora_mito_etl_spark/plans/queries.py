@@ -2681,9 +2681,16 @@ def flagship_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d1 = d.join(kept, "doc_id", "left_semi")
     d2 = dd.exact_dedup(d1, "text", "doc_id")
-    d3 = dc.drop_contaminated(
-        d2, d.filter(F.col("doc_id") < 5), n=4, portable_hash=True
-    )
+    # contamination flags come from the ORIGINAL scan, not the joined
+    # intermediate: a doc's verdict is stage-independent, the result
+    # set is identical, and the shingling fan-out (dedup._spread) only
+    # applies to scan-backed inputs — probing d2 directly would run
+    # the Arrow shingle pass on the join's AQE-coalesced partitions
+    # (measured 3× slower at sf0.1)
+    flagged = dc.ngram_contamination(
+        d, d.filter(F.col("doc_id") < 5), n=4, portable_hash=True
+    ).filter(F.col("contaminated")).select("doc_id")
+    d3 = d2.join(F.broadcast(flagged), "doc_id", "left_anti")
     return pk.pack_sequences(d3, capacity=128)
 
 
