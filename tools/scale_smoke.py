@@ -1,8 +1,13 @@
 """Empirical scaling smoke: replicate the sf0.1 documents table Nx
-(distinct ids, shingle distribution preserved) and time the dedup
-tiers. A near-linear fit validates the O(n)/O(n·bands) claims; the
-exact pairwise tiers are expected to bend quadratic in the join-pair
-term. Usage: python tools/scale_smoke.py [factors...]
+(distinct ids, shingle distribution preserved) and time the dedup +
+round-2 tiers. A near-linear fit validates the O(n)/O(n·bands)
+claims; the pairwise tiers bend quadratic in the join-pair term —
+and NOTE that replication is the pathological near-dup case for
+`dup_spans` (every window's document frequency scales with the
+factor, so Σ df² grows ~factor² until the `max_window_docs` cap
+bites: the factor-4 bend is the corpus, not the plan; real corpora
+have percent-level dup density). Usage:
+python tools/scale_smoke.py [factors...]
 """
 
 from __future__ import annotations
@@ -15,7 +20,9 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F
 
+from aurora_mito_etl_spark.operators import decontaminate as dc
 from aurora_mito_etl_spark.operators import dedup as dd
+from aurora_mito_etl_spark.operators import quality as ql
 from aurora_mito_etl_spark.session import get_spark
 from aurora_mito_etl_spark.sources.catalog import load_table
 
@@ -67,6 +74,22 @@ def main() -> int:
             "noop"
         ).mode("overwrite").save()
         t["simhash"] = round(time.perf_counter() - t0, 2)
+        # round-2 tier: quality battery (scan-speed claim), broadcast
+        # decontamination probe, duplicate spans (hot-window capped so
+        # the replicated boilerplate doesn't go quadratic by design)
+        t0 = time.perf_counter()
+        ql.gopher_signals(df).write.format("noop").mode("overwrite").save()
+        t["gopher"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        dc.ngram_contamination(
+            df, df.filter(F.col("doc_id") < 5), n=4
+        ).write.format("noop").mode("overwrite").save()
+        t["decontaminate"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        dd.duplicate_spans(
+            df, "text", "doc_id", k=3, min_span_tokens=5, max_window_docs=64
+        ).write.format("noop").mode("overwrite").save()
+        t["dup_spans"] = round(time.perf_counter() - t0, 2)
         df.unpersist()
         results[f] = {"rows": n, **t}
         print(json.dumps({"factor": f, **results[f]}))
