@@ -43,11 +43,31 @@ from aurora_mito_etl_spark.operators.textstats import (
 _MERSENNE_P = (1 << 31) - 1
 
 
-# Logical-plan node names that mark a DERIVED input (already shuffled
-# or multi-sourced): injecting a repartition above one of these would
-# add a full extra shuffle of an intermediate — the opposite of what
-# the fan-out is for. Scans (+ Filter/Project) pass through.
-_DERIVED_PLAN_NODES = ("Join", "Aggregate", "Window", "Repartition", "Distinct")
+# Logical-plan node names that may appear in a pure SCAN CHAIN —
+# anything else (Join, Aggregate, Deduplicate, Sort, Union,
+# Repartition, ...) marks a DERIVED input: injecting a repartition
+# above one of those would add a full extra shuffle of an
+# intermediate (or shrink its parallelism), the opposite of what the
+# fan-out is for. Exact node names from the ANALYZED plan — a raw
+# substring match on the plan string would false-positive on column
+# names and string literals ("...contains('Joint venture')").
+_SCAN_CHAIN_NODES = ("Project", "Filter", "SubqueryAlias", "View")
+
+
+def _is_scan_chain(df: DataFrame) -> bool:
+    try:
+        def walk(node):
+            yield node.nodeName()
+            ch = node.children()
+            for i in range(ch.size()):
+                yield from walk(ch.apply(i))
+
+        for name in walk(df._jdf.queryExecution().analyzed()):
+            if not (name.endswith("Relation") or name in _SCAN_CHAIN_NODES):
+                return False
+        return True
+    except Exception:  # noqa: BLE001 - unresolvable plan: treat as derived
+        return False
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -70,12 +90,11 @@ def _spread(df: DataFrame) -> DataFrame:
     target = spark.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
-        logical = df._jdf.queryExecution().logical().toString()
-    except Exception:  # noqa: BLE001 - non-scan/unresolvable plans: leave untouched
+    except Exception:  # noqa: BLE001 - non-scan plans: leave untouched
         return df
     if not files or len(files) >= target:
         return df
-    if any(node in logical for node in _DERIVED_PLAN_NODES):
+    if not _is_scan_chain(df):
         return df
     raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}

@@ -162,9 +162,25 @@ def shingles(col: Column, k: int = 3) -> Column:
 
 
 # Java-regex \s is ASCII-only [ \t\n\x0B\f\r]; Python re's \s is
-# Unicode-aware — the Arrow twin must replicate the JVM class exactly
-# or exotic whitespace would tokenize differently than the oracles.
-_JAVA_WS = None
+# Unicode-aware — the Python twins must replicate the JVM class
+# exactly or exotic whitespace would tokenize differently than the
+# oracles.
+import re as _re
+
+_JAVA_WS = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def ascii_ws_tokens(t: str | None) -> list[str]:
+    """THE shared Python-side tokenization: ASCII-whitespace collapse,
+    trim, lower, split — byte-identical to what :func:`shingles` /
+    the SQL oracles produce. Every gram-based Python path (Arrow
+    shingling here, the streaming near-dup signatures) MUST import
+    this instead of re-deriving it, or signatures silently
+    de-synchronize across paths. NULL → []."""
+    if t is None:
+        return []
+    s = _JAVA_WS.sub(" ", t).strip(" ").lower()
+    return s.split(" ") if s else []
 
 
 def shingles_arrow(col: Column, k: int = 3) -> Column:
@@ -173,24 +189,14 @@ def shingles_arrow(col: Column, k: int = 3) -> Column:
     Python loop per batch instead of an interpreted slice+concat
     expression tree per shingle. NULL text → empty array (matches the
     expression form's otherwise-branch)."""
-    import re
-
     import pandas as pd
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
 
-    global _JAVA_WS
-    if _JAVA_WS is None:
-        _JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
-    ws = _JAVA_WS
-
     def batch(s):
         out = []
         for t in s:
-            if t is None:
-                out.append([])
-                continue
-            toks = ws.sub(" ", t).strip(" ").lower().split(" ")
+            toks = ascii_ws_tokens(t)
             n = len(toks)
             if n < k:
                 out.append([])

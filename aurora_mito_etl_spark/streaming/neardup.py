@@ -27,7 +27,6 @@ exact verification join text back and apply the batch verifier.
 from __future__ import annotations
 
 import hashlib
-import re
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -37,8 +36,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from aurora_mito_etl_spark.operators.dedup import _MERSENNE_P, _perm_params
-
-_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+from aurora_mito_etl_spark.operators.textstats import ascii_ws_tokens
 
 PAIRS_SCHEMA = T.StructType(
     [
@@ -66,9 +64,7 @@ def _signature_udf(k_shingle: int, num_hashes: int):
     def batch(s: pd.Series) -> pd.Series:
         out = []
         for t in s:
-            toks = (
-                _WS_RE.sub(" ", t).strip(" ").lower().split(" ") if t else []
-            )
+            toks = ascii_ws_tokens(t)
             if len(toks) < k_shingle:
                 out.append(None)
                 continue
@@ -142,6 +138,7 @@ def minhash_near_dup_stream(
     def update(key, pdfs, state: GroupState):
         ids, sigs = (state.get if state.exists else ([], []))
         ids, sigs = list(ids), [list(s) for s in sigs]
+        known = set(ids)
         rows: list[tuple[int, int, float]] = []
         for pdf in pdfs:
             for nid, nsig in zip(pdf[id_col], pdf["__sig"]):
@@ -155,7 +152,11 @@ def minhash_near_dup_stream(
                     if est >= threshold:
                         a, b = (oid, nid) if oid < nid else (nid, oid)
                         rows.append((a, b, round(est, 6)))
-                if len(ids) < max_per_bucket:
+                # membership check: an at-least-once source re-delivers
+                # documents, and re-admitting one would duplicate its
+                # future pair emissions and eat the bucket cap
+                if nid not in known and len(ids) < max_per_bucket:
+                    known.add(nid)
                     ids.append(nid)
                     sigs.append(nsig)
         state.update((ids, sigs))

@@ -361,14 +361,31 @@ def test_spread_skips_derived_plans(spark):
     import aurora_mito_etl_spark.operators.dedup as ddm
     from aurora_mito_etl_spark.sources.catalog import load_table
 
+    from pyspark.sql import functions as F
+
     base = load_table(spark, "/root/testdata/sf0.001", "documents")
     joined = base.join(base.select("doc_id"), "doc_id")
     assert ddm._spread(joined) is joined
     agged = base.groupBy("source").count()
     assert ddm._spread(agged) is agged
-    # scan chains (with filter/project) remain eligible
+    # Deduplicate and Sort are derived too (dropDuplicates/orderBy
+    # already shuffled; a repartition would add a shuffle / kill the
+    # sort) — these nodes are NOT named 'Distinct'/'Sort'-substrings
+    # in the plan STRING, which is why detection walks node names
+    deduped = base.dropDuplicates(["doc_id"])
+    assert ddm._spread(deduped) is deduped
+    ordered = base.orderBy("doc_id")
+    assert ddm._spread(ordered) is ordered
+    # node-name matching, not plan-string substrings: a literal
+    # containing 'Join' must not disable the fan-out
+    lit = base.filter(F.col("text").contains("Joint venture"))
+    plan = ddm._spread(lit)._jdf.queryExecution().analyzed().toString()
+    assert "Repartition" in plan
+    # scan chains (with filter/project) actually fan out: sf0.001 is
+    # one small file, so the single-partition scan must repartition
     scan = base.filter("doc_id >= 0").select("doc_id", "text")
-    assert ddm._spread(scan) is not None  # no exception; may repartition
+    plan = ddm._spread(scan)._jdf.queryExecution().analyzed().toString()
+    assert "Repartition" in plan
 
 
 def test_spread_tolerates_exotic_split_conf(spark):
