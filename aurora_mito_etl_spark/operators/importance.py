@@ -44,12 +44,13 @@ def _gram_buckets(
 
 def dsir_weights(
     docs: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
     target_text_col: str = "text",
     num_buckets: int = 10_000,
+    target_predicate=None,
 ) -> DataFrame:
     """Per-document DSIR log-importance weight.
 
@@ -65,9 +66,26 @@ def dsir_weights(
     exact DECIMAL(18,6) — the one floating-sum in the operator is
     order-independent by construction.
     """
-    tg = _gram_buckets(target, target_text_col, n, num_buckets, keep=[])
-    rg = _gram_buckets(docs, text_col, n, num_buckets, keep=[id_col])
-    tcnt = tg.groupBy("b").agg(F.count("*").alias("ct"))
+    if (target is None) == (target_predicate is None):
+        raise ValueError("pass exactly one of target / target_predicate")
+    if target_predicate is not None:
+        # target ⊆ docs: shingle the corpus ONCE, carry the membership
+        # flag, and derive both models from the same gram stream — at
+        # 100 TB the second full scan+shingle pass is the dominant
+        # avoidable cost of the two-DataFrame form
+        rg = _gram_buckets(
+            docs.withColumn("__is_t", target_predicate),
+            text_col, n, num_buckets, keep=[id_col, "__is_t"],
+        )
+        tcnt = (
+            rg.filter(F.col("__is_t"))
+            .groupBy("b").agg(F.count("*").alias("ct"))
+        )
+        rg = rg.drop("__is_t")
+    else:
+        tg = _gram_buckets(target, target_text_col, n, num_buckets, keep=[])
+        rg = _gram_buckets(docs, text_col, n, num_buckets, keep=[id_col])
+        tcnt = tg.groupBy("b").agg(F.count("*").alias("ct"))
     rcnt = rg.groupBy("b").agg(F.count("*").alias("cr"))
     w_all = Window.partitionBy()
     # model tables are ≤ num_buckets rows — the unpartitioned total

@@ -2597,7 +2597,8 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast — only the per-doc weight aggregation shuffles)."""
     d = load_table(spark, sf_dir, "documents")
     return imp.dsir_weights(
-        d, d.filter(F.col("source") == "src0"), n=2, num_buckets=1024
+        d, n=2, num_buckets=1024,
+        target_predicate=F.col("source") == "src0",
     )
 
 

@@ -50,3 +50,26 @@ def test_weights_deterministic_across_partitionings(spark):
     a = imp.dsir_weights(docs, target, n=2, num_buckets=128)
     b = imp.dsir_weights(docs.repartition(13), target.coalesce(1), n=2, num_buckets=128)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_predicate_path_matches_two_dataframe_path(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(i, ("tgt " if i < 20 else "raw ") + f"w{i % 5} w{(i + 2) % 5} filler") for i in range(80)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = imp.dsir_weights(docs, docs.filter("doc_id < 20"), n=2, num_buckets=128)
+    b = imp.dsir_weights(
+        docs, n=2, num_buckets=128, target_predicate=F.col("doc_id") < 20
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_exactly_one_target_required(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        imp.dsir_weights(docs)
+    with pytest.raises(ValueError):
+        imp.dsir_weights(docs, docs, target_predicate=F.lit(True))
