@@ -205,3 +205,106 @@ def shingles_arrow(col: Column, k: int = 3) -> Column:
         return pd.Series(out)
 
     return pandas_udf(batch, T.ArrayType(T.StringType()))(col)
+
+
+def ngram_repetition_signals(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 3,
+    max_top_char_frac: float = 0.20,
+    max_dup_char_frac: float = 0.18,
+):
+    """Gopher's n-gram repetition filters (Rae et al. 2021 A1.1),
+    complementing :func:`repetition_signals`' word-level fractions:
+
+    * ``top{n}_char_frac`` — characters claimed by the single most
+      frequent `top_n`-gram, as a fraction of the document's
+      normalized characters (ties break to the lexicographically
+      smallest gram so the winner is engine-deterministic).
+    * ``dup{n}_char_frac`` — character-weighted fraction of `dup_n`-
+      gram OCCURRENCES whose gram occurs more than once. DELIBERATE
+      divergence from the paper's exact character coverage (which
+      needs interval-union over overlapping spans — not expressible
+      without per-row loops): occurrence-weighting upper-bounds it
+      and ranks documents identically in practice.
+
+    Thresholds default to the published 2-gram/3-gram values;
+    ``repetition_keep`` is their conjunction. Documents with no
+    grams score 0.0 (never NULL) and pass. Plan: one explode +
+    two-level hash aggregate per signal, both map-side combined —
+    the same shuffle shape as the dedup tier's shingle pass.
+    """
+    from pyspark.sql import functions as F
+
+    s = F.trim(
+        F.regexp_replace(
+            F.coalesce(F.col(text_col), F.lit("")), r"[ \t\n\x0b\f\r]+", " "
+        )
+    )
+    base = df.select(F.col(id_col), F.lower(s).alias("__s"))
+    n_chars = base.select(
+        id_col, F.length("__s").alias("__chars")
+    )
+
+    def gram_counts(n: int):
+        return (
+            base.select(
+                F.col(id_col),
+                F.explode(shingles_arrow(F.col("__s"), n)).alias("g"),
+            )
+            .groupBy(id_col, "g")
+            .agg(F.count("*").alias("c"))
+        )
+
+    def fixed6(x):
+        return F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000
+
+    from pyspark.sql import Window
+
+    w_top = Window.partitionBy(id_col).orderBy(
+        F.col("c").desc(), F.col("g").asc()
+    )
+    top = (
+        gram_counts(top_n)
+        .withColumn("__rn", F.row_number().over(w_top))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, (F.length("g") * F.col("c")).alias("__top_chars"))
+    )
+    dup = (
+        gram_counts(dup_n)
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("c") > 1, F.length("g") * F.col("c")).otherwise(0)
+            ).alias("__dup_chars"),
+            F.sum(F.length("g") * F.col("c")).alias("__all_chars"),
+        )
+    )
+    out = (
+        n_chars.join(top, id_col, "left")
+        .join(dup, id_col, "left")
+        .select(
+            F.col(id_col),
+            fixed6(
+                F.when(
+                    F.col("__chars") > 0,
+                    F.coalesce("__top_chars", F.lit(0)).cast("double")
+                    / F.col("__chars"),
+                ).otherwise(F.lit(0.0))
+            ).alias(f"top{top_n}_char_frac"),
+            fixed6(
+                F.when(
+                    F.coalesce("__all_chars", F.lit(0)) > 0,
+                    F.coalesce("__dup_chars", F.lit(0)).cast("double")
+                    / F.col("__all_chars"),
+                ).otherwise(F.lit(0.0))
+            ).alias(f"dup{dup_n}_char_frac"),
+        )
+    )
+    return out.withColumn(
+        "repetition_keep",
+        (F.col(f"top{top_n}_char_frac") <= max_top_char_frac)
+        & (F.col(f"dup{dup_n}_char_frac") <= max_dup_char_frac),
+    )

@@ -2806,3 +2806,62 @@ def docs_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
         "pair", "n_count", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher n-gram repetition filters (textstats.ngram_repetition_signals)
+# ---------------------------------------------------------------------------
+
+_NGRAM_REP_ORACLE = r"""
+    WITH base AS (
+      SELECT doc_id,
+             lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS s
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, s, string_split(s, ' ') AS t FROM base),
+    g2 AS (
+      SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g, count(*) AS c
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+      GROUP BY doc_id, g
+    ),
+    top2 AS (
+      SELECT doc_id, length(g) * c AS top_chars
+      FROM (SELECT doc_id, g, c,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+            FROM g2)
+      WHERE rn = 1
+    ),
+    g3 AS (
+      SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g, count(*) AS c
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+      GROUP BY doc_id, g
+    ),
+    dup3 AS (
+      SELECT doc_id,
+             sum(CASE WHEN c > 1 THEN length(g) * c ELSE 0 END) AS dup_chars,
+             sum(length(g) * c) AS all_chars
+      FROM g3 GROUP BY doc_id
+    ),
+    f AS (
+      SELECT b.doc_id,
+             floor((CASE WHEN length(b.s) > 0
+                    THEN coalesce(top_chars, 0)::DOUBLE / length(b.s)
+                    ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS top2_char_frac,
+             floor((CASE WHEN coalesce(all_chars, 0) > 0
+                    THEN coalesce(dup_chars, 0)::DOUBLE / all_chars
+                    ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS dup3_char_frac
+      FROM base b
+      LEFT JOIN top2 ON b.doc_id = top2.doc_id
+      LEFT JOIN dup3 ON b.doc_id = dup3.doc_id
+    )
+    SELECT doc_id, top2_char_frac, dup3_char_frac,
+           (top2_char_frac <= 0.20 AND dup3_char_frac <= 0.18) AS repetition_keep
+    FROM f
+"""
+
+
+@_register("docs_ngram_repetition", _NGRAM_REP_ORACLE)
+def docs_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's n-gram repetition filters: top-2-gram and duplicate-
+    3-gram character fractions with the published thresholds."""
+    return ts.ngram_repetition_signals(load_table(spark, sf_dir, "documents"))

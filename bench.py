@@ -38,6 +38,7 @@ HEADLINE = [
     "docs_lang_id",
     "docs_token_stats",
     "docs_repetition",
+    "docs_ngram_repetition",
     # quality filtering / privacy / decontamination
     "docs_gopher_quality",
     "docs_c4_filter",

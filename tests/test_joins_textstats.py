@@ -149,3 +149,37 @@ def test_split_train_holdout_partition(spark):
     h = {r["id"] for r in hold.collect()}
     assert t | h == set(range(500)) and not (t & h)  # exhaustive + disjoint
     assert 50 <= len(h) <= 150
+
+
+def test_ngram_repetition_signals(spark):
+    docs = spark.createDataFrame(
+        [
+            # 'spam spam' 2-gram dominates → top2 fraction near 1
+            (1, "spam spam spam spam spam spam spam spam"),
+            # varied text (long enough that no single 2-gram clears
+            # the 20% character threshold) → kept
+            (2, " ".join(f"w{i} x{i * 7 % 31}" for i in range(40))),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ts.ngram_repetition_signals(docs).collect()}
+    assert out[1]["top2_char_frac"] > 0.9 and out[1]["repetition_keep"] is False
+    assert out[1]["dup3_char_frac"] == 1.0  # every 3-gram repeats
+    assert out[2]["repetition_keep"] is True
+    for i in (3, 4):  # no grams → 0.0 and kept, never NULL
+        assert out[i]["top2_char_frac"] == 0.0
+        assert out[i]["repetition_keep"] is True
+
+
+def test_ngram_repetition_tie_break_deterministic(spark):
+    # two 2-grams each occur once; the lexicographically smallest must
+    # win the top slot in every run/partitioning
+    docs = spark.createDataFrame([(1, "b a c")], "doc_id long, text string")
+    a = ts.ngram_repetition_signals(docs).collect()[0]
+    b = ts.ngram_repetition_signals(docs.repartition(7)).collect()[0]
+    assert a["top2_char_frac"] == b["top2_char_frac"]
+    # winner is 'a c' (3 chars · 1) over 'b a' — smallest gram wins;
+    # frac = 3/5
+    assert a["top2_char_frac"] == 0.6
