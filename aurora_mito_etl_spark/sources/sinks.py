@@ -211,3 +211,45 @@ def add_link_column(df: DataFrame, id_col: str, out_col: str = "link") -> DataFr
         out_col,
         F.concat(F.lit("https://pubmed.ncbi.nlm.nih.gov/?term="), F.col(id_col)),
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    shard_col: str = "source",
+    provenance_path: str | None = None,
+    sources: list[str] | None = None,
+    date: str | None = None,
+) -> dict[str, int]:
+    """Training-corpus shard sink: parquet partitioned by `shard_col`
+    (the layout `packing.pack_sequences` plans for — readers consume
+    shard-local streams), a per-shard row-count manifest, and an
+    optional K4 provenance record over the written artifact.
+
+    Returns the {shard: rows} manifest. The manifest counts come from
+    ONE aggregate over the same DataFrame written (not a re-read), so
+    writer and manifest can never disagree on the input; the parquet
+    write itself is the only full-data pass. Overwrites the target
+    path idempotently (rerun-safe releases, K3 semantics).
+    """
+    counts = {
+        r[shard_col]: r["n"]
+        for r in df.groupBy(shard_col).agg(F.count("*").alias("n")).collect()
+    }
+    df.write.mode("overwrite").partitionBy(shard_col).parquet(path)
+    with open(os.path.join(path, "_manifest.json"), "w", encoding="utf-8") as f:
+        json.dump(
+            {"shards": {str(k): int(v) for k, v in counts.items()},
+             "total_rows": int(sum(counts.values()))},
+            f, sort_keys=True,
+        )
+    if provenance_path is not None:
+        write_provenance(
+            provenance_path,
+            path,
+            step="write_training_shards",
+            sources=sources or [],
+            parameters={"shard_col": shard_col, "n_shards": len(counts)},
+            date=date,
+        )
+    return {str(k): int(v) for k, v in counts.items()}

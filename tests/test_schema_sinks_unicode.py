@@ -124,3 +124,36 @@ def test_upsert_parquet_by_key(spark, tmp_path):
     sinks.upsert_parquet_by_key(spark, path, v2, "key")
     got = {r["key"]: r["value"] for r in spark.read.parquet(path).collect()}
     assert got == {"Metformin": "NEW", "Rotenone": "R1", "Piericidin": "P1"}
+
+
+def test_write_training_shards(spark, tmp_path):
+    from aurora_mito_etl_spark.sources import sinks
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 3}", f"doc {i}") for i in range(30)],
+        "doc_id long, source string, text string",
+    )
+    out = str(tmp_path / "corpus")
+    prov = str(tmp_path / "provenance.jsonl")
+    manifest = sinks.write_training_shards(
+        df, out, provenance_path=prov, sources=["unit-test"], date="2026-08-13"
+    )
+    assert manifest == {"src0": 10, "src1": 10, "src2": 10}
+    # layout is shard-partitioned and re-readable
+    back = spark.read.parquet(out)
+    assert back.count() == 30
+    assert sorted(r["source"] for r in back.select("source").distinct().collect()) == [
+        "src0", "src1", "src2"
+    ]
+    import json as j
+
+    with open(out + "/_manifest.json", encoding="utf-8") as f:
+        m = j.load(f)
+    assert m["total_rows"] == 30 and m["shards"]["src1"] == 10
+    with open(prov, encoding="utf-8") as f:
+        rec = j.loads(f.readlines()[-1])
+    assert rec["step"] == "write_training_shards" and rec["sha256"]
+    # idempotent rerun (K3): same manifest, no duplicated rows
+    manifest2 = sinks.write_training_shards(df, out)
+    assert manifest2 == manifest
+    assert spark.read.parquet(out).count() == 30
