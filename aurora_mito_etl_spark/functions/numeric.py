@@ -72,3 +72,15 @@ def oracle_dec_avg(expr: str, alias: str) -> str:
         f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)"
         f" / CAST(COUNT({expr}) AS DOUBLE) AS {alias}"
     )
+
+
+def fixed6(x: Column) -> Column:
+    """Engine-portable fixed-point rounding to 6 digits:
+    floor(x·1e6 + 0.5)/1e6 — NOT round(x, 6), which is HALF_UP on
+    doubles in Spark but half-even in DuckDB, so a value landing
+    exactly on a tie digit (e.g. odd/128) would hash-mismatch. This
+    form is the identical IEEE op sequence in both engines; the SQL
+    twin is ``floor((expr) * 1000000 + 0.5) / 1000000``. Load-bearing
+    for every oracle-checked per-row fraction — change it here or
+    nowhere."""
+    return F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000

@@ -69,34 +69,37 @@ def dsir_weights(
     if (target is None) == (target_predicate is None):
         raise ValueError("pass exactly one of target / target_predicate")
     if target_predicate is not None:
-        # target ⊆ docs: shingle the corpus ONCE, carry the membership
-        # flag, and derive both models from the same gram stream — at
-        # 100 TB the second full scan+shingle pass is the dominant
-        # avoidable cost of the two-DataFrame form
-        rg = _gram_buckets(
+        # target ⊆ docs: BOTH models come out of one shingle pass and
+        # ONE conditional aggregate over the flagged gram stream — no
+        # separate target scan, no second shuffle, no full_outer join.
+        # (A filter-based tcnt branch would NOT achieve this: filters
+        # push below the explode, so each model branch re-shingles.)
+        fg = _gram_buckets(
             docs.withColumn("__is_t", target_predicate),
             text_col, n, num_buckets, keep=[id_col, "__is_t"],
         )
-        tcnt = (
-            rg.filter(F.col("__is_t"))
-            .groupBy("b").agg(F.count("*").alias("ct"))
+        model = fg.groupBy("b").agg(
+            F.count("*").alias("cr"),
+            F.sum(
+                F.when(F.col("__is_t"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("ct"),
         )
-        rg = rg.drop("__is_t")
+        rg = fg.drop("__is_t")
     else:
         tg = _gram_buckets(target, target_text_col, n, num_buckets, keep=[])
         rg = _gram_buckets(docs, text_col, n, num_buckets, keep=[id_col])
         tcnt = tg.groupBy("b").agg(F.count("*").alias("ct"))
-    rcnt = rg.groupBy("b").agg(F.count("*").alias("cr"))
-    w_all = Window.partitionBy()
-    # model tables are ≤ num_buckets rows — the unpartitioned total
-    # windows and the broadcast below are bounded by B, not the corpus
-    ratio = (
-        tcnt.join(rcnt, "b", "full_outer")
-        .select(
+        rcnt = rg.groupBy("b").agg(F.count("*").alias("cr"))
+        model = tcnt.join(rcnt, "b", "full_outer").select(
             "b",
             F.coalesce("ct", F.lit(0)).alias("ct"),
             F.coalesce("cr", F.lit(0)).alias("cr"),
         )
+    w_all = Window.partitionBy()
+    # the model table is ≤ num_buckets rows — the unpartitioned total
+    # windows and the broadcast below are bounded by B, not the corpus
+    ratio = (
+        model
         .withColumn("tt", F.sum("ct").over(w_all))
         .withColumn("tr", F.sum("cr").over(w_all))
         .select(

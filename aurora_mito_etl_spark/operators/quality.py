@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from aurora_mito_etl_spark.functions.numeric import fixed6
+
 # Explicit ASCII-whitespace class == Java regex \s; RE2's \s lacks
 # \x0b, so every portable pattern spells the class out.
 WS = r"[ \t\n\x0b\f\r]"
@@ -112,12 +114,9 @@ def gopher_signals(
     )
 
     def frac(num: Column, den: Column) -> Column:
-        # floor(x·1e6 + 0.5)/1e6, not round(x, 6): round() is HALF_UP
-        # here but half-even in DuckDB, so a fraction landing exactly
-        # on a tie digit (e.g. odd/128) would hash-mismatch; this form
-        # is the identical IEEE op sequence in both engines.
-        x = F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
-        return F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000
+        return fixed6(
+            F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+        )
 
     out = df.select(
         F.col(id_col),

@@ -219,16 +219,19 @@ def ngram_repetition_signals(
     """Gopher's n-gram repetition filters (Rae et al. 2021 A1.1),
     complementing :func:`repetition_signals`' word-level fractions:
 
-    * ``top{n}_char_frac`` — characters claimed by the single most
-      frequent `top_n`-gram, as a fraction of the document's
-      normalized characters (ties break to the lexicographically
-      smallest gram so the winner is engine-deterministic).
+    * ``top{n}_char_frac`` — length(gram)·count of the single most
+      frequent `top_n`-gram over the document's normalized characters
+      (ties break to the lexicographically smallest gram so the
+      winner is engine-deterministic).
     * ``dup{n}_char_frac`` — character-weighted fraction of `dup_n`-
-      gram OCCURRENCES whose gram occurs more than once. DELIBERATE
-      divergence from the paper's exact character coverage (which
-      needs interval-union over overlapping spans — not expressible
-      without per-row loops): occurrence-weighting upper-bounds it
-      and ranks documents identically in practice.
+      gram OCCURRENCES whose gram occurs more than once.
+
+    DELIBERATE divergence from the paper's exact character coverage
+    for BOTH signals (coverage needs interval-union over overlapping
+    spans — not expressible without per-row loops): occurrence-
+    weighting upper-bounds it, can even exceed 1.0 for periodic text
+    ('spam spam spam' → top2 ≈ 1.6), and ranks documents identically
+    in practice; the thresholds gate the same tail.
 
     Thresholds default to the published 2-gram/3-gram values;
     ``repetition_keep`` is their conjunction. Documents with no
@@ -258,8 +261,7 @@ def ngram_repetition_signals(
             .agg(F.count("*").alias("c"))
         )
 
-    def fixed6(x):
-        return F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000
+    from aurora_mito_etl_spark.functions.numeric import fixed6
 
     from pyspark.sql import Window
 

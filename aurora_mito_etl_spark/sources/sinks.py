@@ -231,18 +231,53 @@ def write_training_shards(
     writer and manifest can never disagree on the input; the parquet
     write itself is the only full-data pass. Overwrites the target
     path idempotently (rerun-safe releases, K3 semantics).
+
+    A NULL shard value keys the manifest as
+    ``__HIVE_DEFAULT_PARTITION__`` — the same name the writer gives
+    its on-disk directory, and distinct from a literal 'None' shard.
+    The manifest is written through the Hadoop FileSystem API, so
+    s3a:/hdfs: targets work; the optional provenance record hashes
+    file contents and is local-filesystem only (a clear error, not a
+    write-then-crash, on remote paths).
     """
-    counts = {
+    null_key = "__HIVE_DEFAULT_PARTITION__"
+
+    def key(k) -> str:
+        return null_key if k is None else str(k)
+
+    raw = {
         r[shard_col]: r["n"]
         for r in df.groupBy(shard_col).agg(F.count("*").alias("n")).collect()
     }
-    df.write.mode("overwrite").partitionBy(shard_col).parquet(path)
-    with open(os.path.join(path, "_manifest.json"), "w", encoding="utf-8") as f:
-        json.dump(
-            {"shards": {str(k): int(v) for k, v in counts.items()},
-             "total_rows": int(sum(counts.values()))},
-            f, sort_keys=True,
+    counts: dict[str, int] = {}
+    for k, v in raw.items():
+        if key(k) in counts:
+            raise ValueError(
+                f"shard values {k!r} and NULL both map to manifest key "
+                f"{key(k)!r} — rename the literal shard"
+            )
+        counts[key(k)] = int(v)
+    is_remote = "://" in path and not path.startswith("file:")
+    if provenance_path is not None and is_remote:
+        raise ValueError(
+            "provenance hashing is local-filesystem only; write the "
+            "release locally or pass provenance_path=None for "
+            f"remote target {path!r}"
         )
+    df.write.mode("overwrite").partitionBy(shard_col).parquet(path)
+    payload = json.dumps(
+        {"shards": counts, "total_rows": int(sum(counts.values()))},
+        sort_keys=True,
+    )
+    spark = df.sparkSession
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "_manifest.json"))
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(payload.encode("utf-8")))
+    finally:
+        out.close()
     if provenance_path is not None:
         write_provenance(
             provenance_path,
@@ -252,4 +287,4 @@ def write_training_shards(
             parameters={"shard_col": shard_col, "n_shards": len(counts)},
             date=date,
         )
-    return {str(k): int(v) for k, v in counts.items()}
+    return counts

@@ -157,3 +157,33 @@ def test_write_training_shards(spark, tmp_path):
     manifest2 = sinks.write_training_shards(df, out)
     assert manifest2 == manifest
     assert spark.read.parquet(out).count() == 30
+
+
+def test_write_training_shards_null_shard(spark, tmp_path):
+    from aurora_mito_etl_spark.sources import sinks
+
+    df = spark.createDataFrame(
+        [(1, "srcA", "x"), (2, None, "y"), (3, None, "z")],
+        "doc_id long, source string, text string",
+    )
+    out = str(tmp_path / "c2")
+    manifest = sinks.write_training_shards(df, out)
+    # NULL shard keys as the writer's own on-disk partition name and
+    # never collides with a literal 'None' shard
+    assert manifest == {"srcA": 1, "__HIVE_DEFAULT_PARTITION__": 2}
+    # a literal 'None' shard no longer collides with NULL
+    ok = spark.createDataFrame(
+        [(1, "None", "x"), (2, None, "y")],
+        "doc_id long, source string, text string",
+    )
+    m2 = sinks.write_training_shards(ok, str(tmp_path / "c3"))
+    assert m2 == {"None": 1, "__HIVE_DEFAULT_PARTITION__": 1}
+    # ...but a literal shard named like the writer's NULL directory does
+    import pytest
+
+    clash = spark.createDataFrame(
+        [(1, "__HIVE_DEFAULT_PARTITION__", "x"), (2, None, "y")],
+        "doc_id long, source string, text string",
+    )
+    with pytest.raises(ValueError):
+        sinks.write_training_shards(clash, str(tmp_path / "c4"))
