@@ -22,7 +22,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aurora_mito_etl_spark.functions.numeric import dec, dec_avg, dec_sum, dec_to_double
+from aurora_mito_etl_spark.functions.numeric import (
+    dec,
+    dec_avg,
+    dec_sum,
+    dec_to_double,
+    oracle_dec_sum,
+)
 from aurora_mito_etl_spark.operators import aggregates as agg
 from aurora_mito_etl_spark.operators import unicode_udfs as uu
 from aurora_mito_etl_spark.operators import decontaminate as dc
@@ -2865,3 +2871,71 @@ def docs_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher's n-gram repetition filters: top-2-gram and duplicate-
     3-gram character fractions with the published thresholds."""
     return ts.ngram_repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Relational completeness: CUBE grouping sets + EXCEPT/INTERSECT ALL
+# ---------------------------------------------------------------------------
+
+@_register(
+    "events_cube",
+    f"""
+    SELECT event_type, CAST(user_id % 10 AS BIGINT) AS cohort,
+           count(*) AS n_events,
+           {oracle_dec_sum('value', 'total_value')},
+           CAST(GROUPING(event_type, CAST(user_id % 10 AS BIGINT)) AS BIGINT) AS gid
+    FROM events
+    GROUP BY CUBE(event_type, CAST(user_id % 10 AS BIGINT))
+    """,
+)
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (event_type, user cohort) with the
+    grouping-id marker distinguishing rolled-up NULLs from data NULLs
+    — completes the grouping-sets surface next to pricing_rollup."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "cohort", (F.col("user_id") % 10).cast("long")
+    )
+    return e.cube("event_type", "cohort").agg(
+        F.count("*").alias("n_events"),
+        dec_sum("value", "total_value"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+@_register(
+    "orders_except_intersect_all",
+    """
+    WITH a AS (SELECT o_orderpriority FROM orders WHERE o_custkey % 2 = 0),
+    b AS (SELECT o_orderpriority FROM orders WHERE o_custkey % 3 = 0),
+    ex AS (
+      SELECT 'except_all' AS op, o_orderpriority, count(*) AS n
+      FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+      GROUP BY o_orderpriority
+    ),
+    ix AS (
+      SELECT 'intersect_all' AS op, o_orderpriority, count(*) AS n
+      FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+      GROUP BY o_orderpriority
+    )
+    SELECT * FROM ex UNION ALL SELECT * FROM ix
+    """,
+)
+def orders_except_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set-ops (EXCEPT ALL / INTERSECT ALL) — duplicate
+    multiplicities preserved, verified via per-priority counts."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_custkey") % 2 == 0).select("o_orderpriority")
+    b = o.filter(F.col("o_custkey") % 3 == 0).select("o_orderpriority")
+    ex = (
+        a.exceptAll(b)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "o_orderpriority", "n")
+    )
+    ix = (
+        a.intersectAll(b)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "o_orderpriority", "n")
+    )
+    return ex.unionByName(ix)

@@ -67,6 +67,8 @@ HEADLINE = [
     "events_asof_join",
     "lineitem_qty_range_join",
     "pricing_rollup",
+    "events_cube",
+    "orders_except_intersect_all",
     "lineitem_price_percentiles",
     "part_normalize_dedup",
     "docs_ac_dict_filter",
