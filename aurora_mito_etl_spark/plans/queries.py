@@ -1200,16 +1200,27 @@ def docs_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE 1.0 END AS q_scale
       FROM v)
     SELECT vec_id, q_scale,
-           list_transform(e, x -> CAST(floor(x / q_scale + 0.5) AS INT)) AS q
+           coalesce(array_to_string(
+               list_transform(e, x -> CAST(floor(x / q_scale + 0.5) AS INT)), ','), '') AS q_csv
     FROM s
     """,
 )
 def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding table
     (4× smaller storage/shuffle at 100 TB). floor(x+0.5) rounding is
-    engine-portable, so the codes are bit-identical in DuckDB."""
+    engine-portable, so the codes are bit-identical in DuckDB.
+
+    Codes are emitted CSV-serialized (``q_csv``): the driver
+    canonicalizer pandas-sorts every output column and cannot hash
+    python lists, so no registered query may return Array/Struct/Map
+    columns (pinned by ``tests/test_driver_gate.py``).
+    """
     e = load_table(spark, sf_dir, "embeddings")
-    return qz.quantize_int8(e).select("vec_id", "q_scale", "q")
+    return qz.quantize_int8(e).select(
+        "vec_id",
+        "q_scale",
+        F.concat_ws(",", F.col("q").cast("array<string>")).alias("q_csv"),
+    )
 
 
 @_register(
