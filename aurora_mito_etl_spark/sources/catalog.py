@@ -86,10 +86,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         meta = field.metadata or {}
-        if (
-            isinstance(field.dataType, T.LongType)
-            and meta.get("__is_timestamp_ntz_nanos", False)
-        ) or (name == "events" and field.name == "ts"):
+        # The repair MUST be type-conditional, never name-conditional:
+        # the driver regenerates testdata between rounds and `events.ts`
+        # has shipped both as INT64 TIMESTAMP(NANOS) (arrives LongType
+        # under nanosAsLong) and as native timestamp[us] (arrives as a
+        # timestamp already — nothing to repair).
+        if isinstance(field.dataType, T.LongType) and (
+            meta.get("__is_timestamp_ntz_nanos", False)
+            or (name == "events" and field.name == "ts")
+        ):
             df = df.withColumn(
                 field.name,
                 F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),

@@ -36,3 +36,22 @@ def test_driver_gate_smoke(spark):
     n_pass, n_fail = run_gate(spark, "/root/testdata/sf0.001", SMOKE_QUERIES)
     assert n_fail == 0
     assert n_pass == len(SMOKE_QUERIES)
+
+
+def test_all_query_outputs_are_scalar(spark):
+    """The driver canonicalizer pandas-sorts every output column and
+    cannot hash python lists/dicts/Rows, so no registered query may
+    return Array/Struct/Map columns (the invariant emb_quantize_int8's
+    docstring cites). Schema-only: builds each plan, never executes it.
+    """
+    from pyspark.sql import types as T
+
+    from aurora_mito_etl_spark.plans.queries import QUERIES
+
+    bad = []
+    for name, fn in QUERIES.items():
+        schema = fn(spark, "/root/testdata/sf0.001").schema
+        for field in schema.fields:
+            if isinstance(field.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                bad.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not bad, f"non-scalar output columns: {bad}"
