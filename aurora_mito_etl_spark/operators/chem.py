@@ -40,11 +40,21 @@ from aurora_mito_etl_spark.operators.aggregates import threshold_label
 
 @dataclass(frozen=True)
 class ChemBackend:
-    """Minimal chemistry surface the operators need."""
+    """Minimal chemistry surface the operators need.
+
+    The reference uses two distinct fingerprints: a 2048-bit Morgan
+    vector for the known-inhibitor Tanimoto panel
+    (finalize_realease.py:119-123,146-165) and a count Morgan
+    fingerprint on a fragment-cleaned mol for the biguanide block
+    (:298,333-343). `fingerprint` is the count form (D4);
+    `fingerprint_panel`, when set, is the panel form (D3) — None
+    falls back to `fingerprint` (the fake backend has one notion).
+    """
 
     canonicalize: Callable[[str], str | None]
     fingerprint: Callable[[str], dict[int, int] | None]  # count fingerprint
     has_substructure: Callable[[str, str], bool]  # (query, target)
+    fingerprint_panel: Callable[[str], dict[int, int] | None] | None = None
 
 
 def fake_backend() -> ChemBackend:
@@ -82,15 +92,30 @@ def fake_backend() -> ChemBackend:
 
 def rdkit_backend() -> ChemBackend:
     """Real chemistry via RDKit (deferred import). Mirrors the
-    reference's choices: MolStandardize cleanup → uncharge →
-    canonical tautomer, non-isomeric canonical SMILES (D2,
-    finalize_realease.py:230-249); Morgan radius-2 count fingerprint
-    with chirality (D3/D4, :116-144)."""
+    reference's choices exactly so `tools/chem_parity.py` can replay
+    fixtures against the reference algorithm wherever RDKit exists:
+
+    - canonicalize (D2, finalize_realease.py:234-249): Cleanup →
+      Normalizer → Uncharger → canonical tautomer → non-isomeric
+      canonical SMILES.
+    - fingerprint (D4, :298,300-343): Morgan radius-2 COUNT
+      fingerprint of the prepared mol (largest fragment, uncharge,
+      RemoveHs).
+    - fingerprint_panel (D3, :119-123,146-165): Morgan radius-2
+      2048-BIT fingerprint (includeChirality, useBondTypes) of the
+      plain sanitized mol.
+    - has_substructure (:363-375): tautomer-aware — any tautomer of
+      the prepared query matches the prepared target.
+    """
     from rdkit import Chem
     from rdkit.Chem import rdFingerprintGenerator
     from rdkit.Chem.MolStandardize import rdMolStandardize
 
-    gen = rdFingerprintGenerator.GetMorganGenerator(radius=2, includeChirality=True)
+    bit_gen = rdFingerprintGenerator.GetMorganGenerator(
+        radius=2, includeChirality=True, useBondTypes=True, fpSize=2048
+    )
+    count_gen = rdFingerprintGenerator.GetMorganGenerator(radius=2)
+    normalizer = rdMolStandardize.Normalizer()
     uncharger = rdMolStandardize.Uncharger()
     tautomer = rdMolStandardize.TautomerEnumerator()
 
@@ -99,20 +124,41 @@ def rdkit_backend() -> ChemBackend:
         if mol is None:
             return None
         mol = rdMolStandardize.Cleanup(mol)
+        mol = normalizer.normalize(mol)
         mol = uncharger.uncharge(mol)
         mol = tautomer.Canonicalize(mol)
         return Chem.MolToSmiles(mol, isomericSmiles=False)
 
-    def fp(smiles: str) -> dict[int, int] | None:
+    def _prepared(smiles: str):
+        """Reference mol prep for the biguanide block: largest
+        fragment → sanitize → uncharge → RemoveHs."""
         mol = Chem.MolFromSmiles(smiles or "")
         if mol is None:
             return None
-        sparse = gen.GetSparseCountFingerprint(mol)
-        return dict(sparse.GetNonzeroElements())
+        frags = Chem.GetMolFrags(mol, asMols=True, sanitizeFrags=True)
+        if not frags:
+            return None
+        frag = max(frags, key=lambda m: m.GetNumHeavyAtoms())
+        frag = uncharger.uncharge(frag)
+        return Chem.RemoveHs(frag)
+
+    def fp(smiles: str) -> dict[int, int] | None:
+        mol = _prepared(smiles)
+        if mol is None:
+            return None
+        vec = count_gen.GetCountFingerprint(mol)
+        return dict(vec.GetNonzeroElements())
+
+    def fp_panel(smiles: str) -> dict[int, int] | None:
+        mol = Chem.MolFromSmiles(smiles or "")
+        if mol is None:
+            return None
+        bv = bit_gen.GetFingerprint(mol)
+        return {b: 1 for b in bv.GetOnBits()}
 
     def sub(query: str, target: str) -> bool:
-        q = Chem.MolFromSmiles(query or "")
-        t = Chem.MolFromSmiles(target or "")
+        q = _prepared(query)
+        t = _prepared(target)
         if q is None or t is None:
             return False
         for q_tau in tautomer.Enumerate(q):
@@ -120,7 +166,7 @@ def rdkit_backend() -> ChemBackend:
                 return True
         return False
 
-    return ChemBackend(canon, fp, sub)
+    return ChemBackend(canon, fp, sub, fp_panel)
 
 
 def default_backend() -> ChemBackend:
@@ -201,38 +247,37 @@ def similarity_panel(
 ) -> DataFrame:
     """D3/J7/A6/A7/A8 — score every row vs the reference panel.
 
-    Adds MaxSim_all, TopKMean_all (mean of top-k, needs ≥k refs),
-    BestRef_name, confidence_similarity. 3-dp rounding and the
-    ≥.70/.50/.30 thresholds follow the reference
-    (finalize_realease.py:169-227). NULLs for unparseable/empty
-    SMILES rows, like the reference's NaN.
+    Adds MaxSim_all, TopKMean_all (mean of the top min(k, n) scores,
+    finalize_realease.py:171-175), BestRef_name, and
+    confidence_similarity. 3-dp rounding and the ≥.70/.50/.30
+    thresholds follow the reference (:178-185,199-227). NULLs for
+    unparseable/empty SMILES rows, like the reference's NaN. Score
+    ties resolve to the first panel entry in iteration order (the
+    reference's np.argmax, :210); the panel here is iterated in
+    sorted-name order.
     """
     panel_items = sorted(panel.items())
 
     @F.pandas_udf(_SIM_PANEL_SCHEMA)
     def score_udf(s: pd.Series) -> pd.DataFrame:
         be = backend_factory()
+        panel_fp = be.fingerprint_panel or be.fingerprint
         ref_fps = [
-            (name, be.fingerprint(smi)) for name, smi in panel_items
+            (name, panel_fp(smi)) for name, smi in panel_items
         ]
         ref_fps = [(n, f) for n, f in ref_fps if f is not None]
         out = []
         for v in s:
-            fp = be.fingerprint(v) if v else None
+            fp = panel_fp(v) if v else None
             if fp is None or not ref_fps:
                 out.append((None, None, None))
                 continue
             scores = [(tanimoto(fp, rf), name) for name, rf in ref_fps]
-            best_score, best_name = max(scores, key=lambda t: (t[0], t[1]))
+            best_score = max(sc for sc, _ in scores)
+            best_name = next(n for sc, n in scores if sc == best_score)
             top = sorted((sc for sc, _ in scores), reverse=True)[:k]
-            topk = sum(top) / len(top) if len(top) >= k else None
-            out.append(
-                (
-                    round(best_score, 3),
-                    round(topk, 3) if topk is not None else None,
-                    best_name,
-                )
-            )
+            topk = sum(top) / len(top)
+            out.append((round(best_score, 3), round(topk, 3), best_name))
         return pd.DataFrame(out, columns=["MaxSim_all", "TopKMean_all", "BestRef_name"])
 
     scored = df.withColumn("__panel", score_udf(F.col(smiles_col)))
@@ -312,10 +357,14 @@ def biguanide_panel(
             bt = bd = None
             bt_name = bd_name = None
             if ref_fps:
+                # ties → first ref in iteration order, like the
+                # reference's max(vals, key=vals.get) over its dict
                 t_scores = [(tversky_sim(fp, rf, alpha, beta), n) for n, rf in ref_fps]
                 d_scores = [(dice_sim(fp, rf), n) for n, rf in ref_fps]
-                bt, bt_name = max(t_scores, key=lambda t: (t[0], t[1]))
-                bd, bd_name = max(d_scores, key=lambda t: (t[0], t[1]))
+                bt = max(sc for sc, _ in t_scores)
+                bt_name = next(n for sc, n in t_scores if sc == bt)
+                bd = max(sc for sc, _ in d_scores)
+                bd_name = next(n for sc, n in d_scores if sc == bd)
                 bt, bd = round(bt, 3), round(bd, 3)
             out.append(
                 (has_core, has_motif, sim_t, sim_d, bt, bt_name, bd, bd_name)

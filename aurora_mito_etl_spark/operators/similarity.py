@@ -293,29 +293,46 @@ def exact_near_dup_pairs_blocked(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rows_per_block: int = 4096,
 ) -> DataFrame:
-    """Exact all-pairs cosine ≥ threshold via blocked matrix multiply.
+    """Exact all-pairs cosine ≥ threshold via distributed block-pair
+    matrix multiply — no driver collect, no full-table broadcast.
 
-    One side of the O(n²) comparison is broadcast as a normalized
-    numpy matrix; each Arrow batch of the other side computes a
-    (batch × n) similarity block in BLAS and emits only passing pairs
-    (id_a < id_b). ~100× the per-pair cost of expression-tree dot
-    products. Valid while the broadcast side fits in executor memory
-    (n·dim·8 bytes — 1M×128d ≈ 1 GB); beyond that, use
-    :func:`embedding_near_dup_pairs` (LSH) — exact all-pairs at that
-    scale is the wrong query.
+    Vectors hash into B = ceil(n / rows_per_block) blocks; each vector
+    is replicated to the B block-pair groups it participates in, and
+    each (block_i ≤ block_j) group computes its similarity tile in
+    BLAS inside one applyInPandas task. Every unordered id pair lands
+    in exactly one group, so output pairs (id_a < id_b) are emitted
+    once. Task memory is bounded by two blocks plus a chunked tile
+    (tile rows are processed ≤1024 at a time), independent of n.
+
+    Exact all-pairs is intrinsically O(n²) compute and O(n·B) shuffle;
+    this keeps it distributed and spill-safe, but past ~10M vectors
+    use :func:`embedding_near_dup_pairs` (LSH) — exact all-pairs at
+    that scale is the wrong query.
     """
+    import math
+
     import numpy as np
     from pyspark.sql import types as T
 
-    rows = vectors.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    normed = mat / norms[:, None]
-    sc = vectors.sparkSession.sparkContext
-    b_ids, b_mat = sc.broadcast(ids), sc.broadcast(normed)
+    # One aggregate action to size the blocking; never row data.
+    n = vectors.count()
+    n_blocks = max(1, math.ceil(n / rows_per_block))
+
+    v = vectors.select(id_col, vec_col).withColumn(
+        "__blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    )
+    # Each vector joins the B groups (min(blk,j), max(blk,j)) for
+    # j = 0..B-1 — exactly once per group, so every unordered block
+    # pair sees each of its vectors once.
+    replicated = (
+        v.withColumn(
+            "__other", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+        )
+        .withColumn("__pa", F.least("__blk", "__other"))
+        .withColumn("__pb", F.greatest("__blk", "__other"))
+    )
 
     out_schema = T.StructType(
         [
@@ -325,28 +342,59 @@ def exact_near_dup_pairs_blocked(
         ]
     )
 
-    def block(batches):
+    def tile(key, pdf):
         import pandas as pd
 
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for pdf in batches:
-            bids = pdf[id_col].to_numpy(dtype=np.int64)
-            bmat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            bn = np.linalg.norm(bmat, axis=1)
-            bn[bn == 0] = 1.0
-            sims = (bmat / bn[:, None]) @ all_mat.T
-            bi, aj = np.nonzero(
-                (sims >= threshold) & (bids[:, None] < all_ids[None, :])
-            )
-            yield pd.DataFrame(
-                {
-                    "id_a": bids[bi],
-                    "id_b": all_ids[aj],
-                    "cos_sim": np.round(sims[bi, aj], 6),
-                }
-            )
+        pa_blk, pb_blk = key
 
-    return vectors.select(id_col, vec_col).mapInPandas(block, out_schema)
+        def _normed(sub):
+            ids = sub[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(sub[vec_col]), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            return ids, mat / norms[:, None]
+
+        out_a, out_b, out_s = [], [], []
+
+        def _emit(ids_a, mat_a, ids_b, mat_b, self_tile):
+            for lo in range(0, len(ids_a), 1024):
+                hi = lo + 1024
+                sims = mat_a[lo:hi] @ mat_b.T
+                mask = sims >= threshold
+                if self_tile:
+                    mask &= ids_a[lo:hi, None] < ids_b[None, :]
+                else:
+                    mask &= ids_a[lo:hi, None] != ids_b[None, :]
+                ai, bj = np.nonzero(mask)
+                ia, ib = ids_a[lo:hi][ai], ids_b[bj]
+                out_a.append(np.minimum(ia, ib))
+                out_b.append(np.maximum(ia, ib))
+                out_s.append(np.round(sims[ai, bj], 6))
+
+        if pa_blk == pb_blk:
+            ids, mat = _normed(pdf)
+            _emit(ids, mat, ids, mat, self_tile=True)
+        else:
+            left = pdf[pdf["__blk"] == pa_blk]
+            right = pdf[pdf["__blk"] == pb_blk]
+            if len(left) and len(right):
+                ids_a, mat_a = _normed(left)
+                ids_b, mat_b = _normed(right)
+                _emit(ids_a, mat_a, ids_b, mat_b, self_tile=False)
+
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "cos_sim": np.float64}
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos_sim": np.concatenate(out_s),
+            }
+        )
+
+    return replicated.groupBy("__pa", "__pb").applyInPandas(tile, out_schema)
 
 
 def _rank_topk(scored: DataFrame, query_id_col: str, id_col: str, k: int) -> DataFrame:

@@ -1908,14 +1908,45 @@ def orders_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lineitem_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (linear interpolation — identical definition
-    in both engines). At 100 TB swap `percentile` for
-    `approx_percentile(…, accuracy)`: same plan shape, bounded
-    memory."""
+    in both engines). Buffers each group's values: fine at test SF,
+    O(group size) memory at scale — the registered scale path is
+    :func:`lineitem_price_percentiles_approx`."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
         F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
         F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99"),
+    )
+
+
+@_register(
+    "lineitem_price_percentiles_approx",
+    """
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.5) AS p50,
+           quantile_disc(l_extendedprice, 0.9) AS p90,
+           quantile_disc(l_extendedprice, 0.99) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def lineitem_price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles — the 100 TB path. approx_percentile's
+    quantile summary is O(accuracy·log(eps·N)) memory regardless of
+    group size and merges across partitions (map-side partial agg),
+    unlike exact `percentile` which buffers every group value.
+
+    accuracy=1e6 makes the rank error eps·N < 1 at oracle SF, so the
+    sketch returns the exact discrete order statistic and hash-matches
+    DuckDB `quantile_disc` (both: smallest value with cumulative
+    frequency ≥ p; verified empirically at sf0.001/sf0.01). At real
+    scale, lower the accuracy to trade bounded error for memory —
+    identical plan shape.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000000)").alias("p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.9, 1000000)").alias("p90"),
+        F.expr("approx_percentile(l_extendedprice, 0.99, 1000000)").alias("p99"),
     )
 
 

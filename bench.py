@@ -70,6 +70,7 @@ HEADLINE = [
     "events_cube",
     "orders_except_intersect_all",
     "lineitem_price_percentiles",
+    "lineitem_price_percentiles_approx",
     "part_normalize_dedup",
     "docs_ac_dict_filter",
     "scalar_function_parity",

@@ -194,15 +194,28 @@ def test_similarity_panel_identity_is_top(spark):
     assert out[2]["MaxSim_all"] is None and out[2]["confidence_similarity"] is None
 
 
-def test_similarity_confidence_prefers_topk(spark):
-    # with only 2 panel refs and k=3, TopKMean is NULL → MaxSim basis
+def test_similarity_topk_uses_available_refs(spark):
+    # with only 2 panel refs and k=3 the reference averages the top
+    # min(k, n) scores (finalize_realease.py:171-175) — so TopKMean
+    # is the 2-ref mean, and confidence is based on it
     df = spark.createDataFrame([(PANEL["metformin"],)], "SMILES string")
     small = {k: PANEL[k] for k in ["metformin", "rotenone"]}
     out = chem.similarity_panel(
         df, small, k=3, backend_factory=chem.fake_backend
     ).collect()[0]
-    assert out["TopKMean_all"] is None
-    assert out["confidence_similarity"] == "high"  # MaxSim=1.0 ≥ .70
+    be = chem.fake_backend()
+    expected = round(
+        (
+            1.0
+            + chem.tanimoto(
+                be.fingerprint(PANEL["metformin"]), be.fingerprint(PANEL["rotenone"])
+            )
+        )
+        / 2,
+        3,
+    )
+    assert out["TopKMean_all"] == pytest.approx(expected)
+    assert out["MaxSim_all"] == 1.0
 
 
 def test_biguanide_panel_columns(spark):
@@ -223,6 +236,24 @@ def test_biguanide_panel_columns(spark):
     # unparseable and NULL rows get the all-null/False shape
     assert out[2]["has_biguanide_core"] is False
     assert out[2]["sim_biguanide_dice"] is None
+
+
+def test_chem_parity_harness_fake_path(spark):
+    # tools/chem_parity.py must stay runnable here (its RDKit half
+    # skips); the fake-backend half is a real single-process-vs-Spark
+    # comparison and must be exact.
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).resolve().parents[1] / "tools"))
+    import chem_parity
+
+    bad = chem_parity.compare(
+        chem_parity.fake_rows(chem_parity.PANEL, chem_parity.CANDIDATES),
+        chem_parity.spark_rows(spark, chem.fake_backend),
+        "fake-backend plumbing",
+    )
+    assert bad == 0
 
 
 def test_metric_properties():

@@ -1,0 +1,335 @@
+"""Chemistry parity gate for the D2-D4 operators (VERDICT r2/r3 ask).
+
+Replays a SMILES fixture through the Spark operators
+(`chem.canonicalize_smiles`, `chem.similarity_panel`,
+`chem.biguanide_panel` with the RDKit backend) and through an
+INDEPENDENT direct computation that follows the reference algorithm —
+`/root/reference/scripts/finalize_realease.py`:
+
+- canonic()            :234-249  (Cleanup → Normalize → Uncharge →
+                                  canonical tautomer → non-isomeric SMILES)
+- add_tanimoto_scores  :146-227  (2048-bit Morgan r2 chirality+bondtypes,
+                                  BulkTanimotoSimilarity, argmax best ref,
+                                  top-min(k,n) mean, .70/.50/.30 confidence)
+- score_biguanide_like :275-451  (largest-fragment/uncharge/RemoveHs prep,
+                                  count Morgan r2, Tversky(0.7,0.3)/Dice,
+                                  tautomer-aware substructure flags)
+
+The direct side uses RDKit's own DataStructs similarity functions, so a
+bug in the engine's dict-based metrics cannot cancel out.
+
+RDKit is not installable in the build container: without it the
+chemistry comparison prints ``SKIP (rdkit not installed)`` and exits 0
+— but the comparison machinery still self-checks via the deterministic
+fake backend, so a broken harness fails even here. Run this tool on
+any host with RDKit to get the real parity verdict.
+
+Usage: python tools/chem_parity.py
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from aurora_mito_etl_spark.operators import chem  # noqa: E402
+
+# The reference's public fixed panel (finalize_realease.py:252-259).
+PANEL = {
+    "biguanide": "NC(=N)NC(=N)N",
+    "metformin": "CN(C)C(=N)NC(=N)N",
+    "phenformin": "N=C(N)NC(=N)NCCc1ccccc1",
+    "buformin": "CCCCN=C(N)N=C(N)N",
+    "biguanide_motif": "N=C(N)NC(=N)NCCCCCCNC(=N)NC(=N)N",
+    "proguanil": "CC(C)NC(=N)NC(=N)Nc1ccc(Cl)cc1",
+}
+
+# Candidates chosen to exercise every branch: exact panel member,
+# near-member, unrelated ring system, multi-fragment salt (largest-
+# fragment prep), charged species (uncharge prep), unparseable, empty.
+CANDIDATES = [
+    "CN(C)C(=N)NC(=N)N",                # metformin itself
+    "CCNC(=N)NC(=N)N",                  # ethyl-biguanide (near)
+    "CC(=O)Oc1ccccc1C(=O)O",            # aspirin (unrelated)
+    "Cn1cnc2c1c(=O)n(C)c(=O)n2C",       # caffeine (unrelated)
+    "CN(C)C(=N)NC(=N)N.Cl",             # metformin hydrochloride salt
+    "[NH2+]=C(N)NC(=N)N",               # protonated biguanide
+    "not-a-smiles",                     # unparseable
+    "",                                 # empty
+]
+
+TOPK = 3
+ALPHA, BETA = 0.7, 0.3
+
+
+# ---------------------------------------------------------------------------
+# Direct reference-algorithm computation (RDKit required)
+# ---------------------------------------------------------------------------
+
+
+def reference_rows(panel: dict[str, str], candidates: list[str]) -> list[dict]:
+    from rdkit import Chem, DataStructs, RDLogger
+    from rdkit.Chem import rdFingerprintGenerator as rfg
+    from rdkit.Chem.MolStandardize import rdMolStandardize
+
+    RDLogger.DisableLog("rdApp.*")
+    bit_gen = rfg.GetMorganGenerator(
+        radius=2, includeChirality=True, useBondTypes=True, fpSize=2048
+    )
+    count_gen = rfg.GetMorganGenerator(radius=2)
+    normalizer = rdMolStandardize.Normalizer()
+    uncharger = rdMolStandardize.Uncharger()
+    te = rdMolStandardize.TautomerEnumerator()
+
+    def canonic(s):
+        m = Chem.MolFromSmiles(s or "")
+        if m is None:
+            return None
+        m = rdMolStandardize.Cleanup(m)
+        m = normalizer.normalize(m)
+        m = uncharger.uncharge(m)
+        m = te.Canonicalize(m)
+        return Chem.MolToSmiles(m, isomericSmiles=False)
+
+    def prep(s):
+        m = Chem.MolFromSmiles(s or "")
+        if m is None:
+            return None
+        frags = Chem.GetMolFrags(m, asMols=True, sanitizeFrags=True)
+        if not frags:
+            return None
+        frag = max(frags, key=lambda x: x.GetNumHeavyAtoms())
+        return Chem.RemoveHs(uncharger.uncharge(frag))
+
+    def tau_sub(query_mol, target_mol):
+        if query_mol is None or target_mol is None:
+            return False
+        return any(target_mol.HasSubstructMatch(q) for q in te.Enumerate(query_mol))
+
+    # D3 — known-panel Tanimoto, iterated in sorted-name order like the
+    # engine (ties then resolve identically; reference uses its own
+    # panel order, identical whenever the max is unique).
+    names = sorted(panel)
+    panel_bits = {
+        n: bit_gen.GetFingerprint(Chem.MolFromSmiles(panel[n])) for n in names
+    }
+    panel_counts = {n: count_gen.GetCountFingerprint(prep(panel[n])) for n in names}
+    core_mol, motif_mol = prep(panel["biguanide"]), prep(panel["biguanide_motif"])
+
+    def conf(v):
+        if v is None:
+            return None
+        if v >= 0.70:
+            return "high"
+        if v >= 0.50:
+            return "medium"
+        if v >= 0.30:
+            return "low"
+        return "very-low"
+
+    rows = []
+    for smi in candidates:
+        row: dict = {"SMILES": smi, "SMILES_canonical": canonic(smi)}
+        mol = Chem.MolFromSmiles(smi or "")
+        if mol is None:
+            row.update(
+                MaxSim_all=None, TopKMean_all=None, BestRef_name=None,
+                confidence_similarity=None,
+            )
+        else:
+            fp = bit_gen.GetFingerprint(mol)
+            sims = [
+                (DataStructs.TanimotoSimilarity(fp, panel_bits[n]), n) for n in names
+            ]
+            best = max(s for s, _ in sims)
+            top = sorted((s for s, _ in sims), reverse=True)[:TOPK]
+            tkm = sum(top) / len(top)
+            row.update(
+                MaxSim_all=round(best, 3),
+                TopKMean_all=round(tkm, 3),
+                BestRef_name=next(n for s, n in sims if s == best),
+                confidence_similarity=conf(tkm),
+            )
+        p = prep(smi)
+        if p is None:
+            row.update(
+                has_biguanide_core=False, has_biguanide_motif=False,
+                sim_biguanide_tversky=None, sim_biguanide_dice=None,
+                best_biguanide_like_tversky=None, best_ref_name_tversky=None,
+                best_biguanide_like_dice=None, best_ref_name_dice=None,
+            )
+        else:
+            cfp = count_gen.GetCountFingerprint(p)
+            tv = [
+                (DataStructs.TverskySimilarity(cfp, panel_counts[n], ALPHA, BETA), n)
+                for n in names
+            ]
+            dc = [
+                (DataStructs.DiceSimilarity(cfp, panel_counts[n]), n) for n in names
+            ]
+            bt, bd = max(s for s, _ in tv), max(s for s, _ in dc)
+            row.update(
+                has_biguanide_core=tau_sub(core_mol, p),
+                has_biguanide_motif=tau_sub(motif_mol, p),
+                sim_biguanide_tversky=round(
+                    DataStructs.TverskySimilarity(
+                        cfp, panel_counts["biguanide"], ALPHA, BETA
+                    ),
+                    3,
+                ),
+                sim_biguanide_dice=round(
+                    DataStructs.DiceSimilarity(cfp, panel_counts["biguanide"]), 3
+                ),
+                best_biguanide_like_tversky=round(bt, 3),
+                best_ref_name_tversky=next(n for s, n in tv if s == bt),
+                best_biguanide_like_dice=round(bd, 3),
+                best_ref_name_dice=next(n for s, n in dc if s == bd),
+            )
+        rows.append(row)
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Fake-backend self-check rows (always runnable)
+# ---------------------------------------------------------------------------
+
+
+def fake_rows(panel: dict[str, str], candidates: list[str]) -> list[dict]:
+    """Same shape as reference_rows but via the deterministic fake
+    backend's primitives in a plain python loop — checks that the
+    Spark plumbing (UDF batching, column wiring, NULL shapes, ties,
+    rounding) reproduces a single-process computation."""
+    be = chem.fake_backend()
+    names = sorted(panel)
+    pfs = {n: be.fingerprint(panel[n]) for n in names}
+
+    def conf(v):
+        if v is None:
+            return None
+        return (
+            "high" if v >= 0.70 else
+            "medium" if v >= 0.50 else
+            "low" if v >= 0.30 else "very-low"
+        )
+
+    rows = []
+    for smi in candidates:
+        row: dict = {"SMILES": smi, "SMILES_canonical": be.canonicalize(smi)}
+        fp = be.fingerprint(smi) if smi else None
+        if fp is None:
+            row.update(
+                MaxSim_all=None, TopKMean_all=None, BestRef_name=None,
+                confidence_similarity=None,
+                has_biguanide_core=False, has_biguanide_motif=False,
+                sim_biguanide_tversky=None, sim_biguanide_dice=None,
+                best_biguanide_like_tversky=None, best_ref_name_tversky=None,
+                best_biguanide_like_dice=None, best_ref_name_dice=None,
+            )
+            rows.append(row)
+            continue
+        sims = [(chem.tanimoto(fp, pfs[n]), n) for n in names]
+        best = max(s for s, _ in sims)
+        top = sorted((s for s, _ in sims), reverse=True)[:TOPK]
+        tkm = sum(top) / len(top)
+        tv = [(chem.tversky_sim(fp, pfs[n], ALPHA, BETA), n) for n in names]
+        dc = [(chem.dice_sim(fp, pfs[n]), n) for n in names]
+        bt, bd = max(s for s, _ in tv), max(s for s, _ in dc)
+        row.update(
+            MaxSim_all=round(best, 3),
+            TopKMean_all=round(tkm, 3),
+            BestRef_name=next(n for s, n in sims if s == best),
+            confidence_similarity=conf(tkm),
+            has_biguanide_core=be.has_substructure(panel["biguanide"], smi),
+            has_biguanide_motif=be.has_substructure(panel["biguanide_motif"], smi),
+            sim_biguanide_tversky=round(
+                chem.tversky_sim(fp, pfs["biguanide"], ALPHA, BETA), 3
+            ),
+            sim_biguanide_dice=round(chem.dice_sim(fp, pfs["biguanide"]), 3),
+            best_biguanide_like_tversky=round(bt, 3),
+            best_ref_name_tversky=next(n for s, n in tv if s == bt),
+            best_biguanide_like_dice=round(bd, 3),
+            best_ref_name_dice=next(n for s, n in dc if s == bd),
+        )
+        rows.append(row)
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Spark side + comparison
+# ---------------------------------------------------------------------------
+
+COLUMNS = [
+    "SMILES_canonical",
+    "MaxSim_all", "TopKMean_all", "BestRef_name", "confidence_similarity",
+    "has_biguanide_core", "has_biguanide_motif",
+    "sim_biguanide_tversky", "sim_biguanide_dice",
+    "best_biguanide_like_tversky", "best_ref_name_tversky",
+    "best_biguanide_like_dice", "best_ref_name_dice",
+]
+
+
+def spark_rows(spark, backend_factory) -> list[dict]:
+    df = spark.createDataFrame([(s,) for s in CANDIDATES], "SMILES string")
+    df = chem.canonicalize_smiles(df, backend_factory=backend_factory)
+    df = chem.similarity_panel(df, PANEL, k=TOPK, backend_factory=backend_factory)
+    df = chem.biguanide_panel(
+        df, PANEL, alpha=ALPHA, beta=BETA, backend_factory=backend_factory
+    )
+    return [r.asDict() for r in df.collect()]
+
+
+def compare(expected: list[dict], actual: list[dict], label: str) -> int:
+    n_bad = 0
+    by_smiles = {r["SMILES"]: r for r in actual}
+    for exp in expected:
+        act = by_smiles[exp["SMILES"]]
+        for col in COLUMNS:
+            e, a = exp[col], act[col]
+            ok = (
+                abs(e - a) < 5e-4
+                if isinstance(e, float) and isinstance(a, float)
+                else e == a
+            )
+            if not ok:
+                n_bad += 1
+                print(f"FAIL {label} {exp['SMILES']!r} {col}: expected {e!r} got {a!r}")
+    print(f"{label}: {'PASS' if n_bad == 0 else f'{n_bad} mismatches'} "
+          f"({len(expected)} rows x {len(COLUMNS)} cols)")
+    return n_bad
+
+
+def main() -> int:
+    from aurora_mito_etl_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="chem-parity", master="local[4]", shuffle_partitions=4
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        bad = compare(
+            fake_rows(PANEL, CANDIDATES),
+            spark_rows(spark, chem.fake_backend),
+            "fake-backend plumbing",
+        )
+        try:
+            import rdkit  # noqa: F401
+        except ImportError:
+            print(
+                "SKIP chemistry parity (rdkit not installed in this "
+                "environment) — run on an RDKit host for the real verdict"
+            )
+            return 1 if bad else 0
+        bad += compare(
+            reference_rows(PANEL, CANDIDATES),
+            spark_rows(spark, chem.rdkit_backend),
+            "rdkit vs reference algorithm",
+        )
+        return 1 if bad else 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
