@@ -301,6 +301,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     portable_hash: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH, verified by exact Jaccard.
 
@@ -315,6 +316,17 @@ def minhash_lsh_pairs(
     in any SQL engine, making the whole operator (candidates AND
     verification) DuckDB-oracle-checkable. xxhash64 (the default) is
     ~3× faster; same semantics up to hash function.
+
+    `max_bucket_size` caps hot LSH buckets, mirroring
+    `ngram_jaccard_pairs`'s hot-shingle cap: a (band, band-hash)
+    bucket with more than that many members is dropped from candidate
+    generation. A bucket of m near-identical docs otherwise yields
+    m²/2 candidate pairs in ONE task — the skew killer when a corpus
+    contains a million-copy boilerplate cluster. Effect on results:
+    pairs inside dropped mega-buckets can only be proposed by their
+    other bands; in practice run `exact_dedup` first so identical-copy
+    clusters never reach LSH. Default None = exact current semantics
+    (the oracle-checked registered queries use None).
     """
     rows_per_band = num_hashes // bands
     # ONE shingle-explode expression feeds signatures AND
@@ -370,8 +382,18 @@ def minhash_lsh_pairs(
         ).alias("e"),
     ).select(F.col(id_col), F.col("e.band"), F.col("e.bh"))
 
-    left = stacked.select(F.col(id_col).alias("id_a"), "band", "bh")
-    right = stacked.select(F.col(id_col).alias("id_b"), "band", "bh")
+    joinable = stacked
+    if max_bucket_size is not None:
+        hot = (
+            stacked.groupBy("band", "bh")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_bucket_size)
+            .select("band", "bh")
+        )
+        joinable = stacked.join(hot, ["band", "bh"], "left_anti")
+
+    left = joinable.select(F.col(id_col).alias("id_a"), "band", "bh")
+    right = joinable.select(F.col(id_col).alias("id_b"), "band", "bh")
     candidates = (
         left.join(right, ["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -2981,3 +2981,83 @@ def orders_except_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("intersect_all").alias("op"), "o_orderpriority", "n")
     )
     return ex.unionByName(ix)
+
+
+@_register("release_sink_smoke")
+def release_sink_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1-K4 release e2e, runnable from the driver's external session/
+    cwd (rows-only: a filesystem release is not SQL-expressible).
+
+    Replays the reference's release step (finalize_realease.py:57-113,
+    582-587,726-798) in a temp dir: nation panel → engine-side link
+    column (the HYPERLINK analog) → single-file TSV under a dated
+    release dir → provenance record with artifact sha256 → Excel
+    export when openpyxl exists (import-guarded; the canonical
+    artifact stays TSV). Returns the read-back artifact rows plus
+    verification flags.
+
+    The read-back collect/createDataFrame is a documented driver-side
+    step, like `to_excel` itself: release artifacts are result-sized
+    by contract (K2 docstring), and the temp dir must be deleted
+    before returning, so the result cannot stay lazy over the files.
+    """
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from aurora_mito_etl_spark.sources import sinks
+
+    nation = load_table(spark, sf_dir, "nation")
+    panel = sinks.add_link_column(
+        nation.select("n_nationkey", "n_name"), "n_name"
+    )
+    base = _tempfile.mkdtemp(prefix="release_smoke_")
+    try:
+        artifact = sinks.overwrite_release(
+            panel, base, "nation_panel", date="2026-01-01", fmt="tsv"
+        )
+        prov_path = _os.path.join(base, "provenance.jsonl")
+        record = sinks.write_provenance(
+            prov_path,
+            artifact,
+            step="release_sink_smoke",
+            sources=[_os.path.join(sf_dir, "nation.parquet")],
+            date="2026-01-01",
+        )
+        sha_ok = record["sha256"] == sinks.sha256_of_dir(artifact)
+        with open(prov_path, encoding="utf-8") as f:
+            prov_lines = [ln for ln in f if ln.strip()]
+        try:
+            sinks.to_excel(
+                panel,
+                _os.path.join(base, "nation_panel.xlsx"),
+                link_col="link",
+                url_template="https://pubmed.ncbi.nlm.nih.gov/?term={n_name}",
+            )
+            excel = "written"
+        except ImportError:
+            excel = "unavailable"
+        back = (
+            spark.read.option("sep", "\t")
+            .option("header", True)
+            .csv(artifact)
+            .collect()
+        )
+        rows = [
+            (
+                int(r["n_nationkey"]),
+                r["n_name"],
+                r["link"],
+                bool(sha_ok),
+                len(prov_lines),
+                excel,
+            )
+            for r in back
+        ]
+        return spark.createDataFrame(
+            sorted(rows),
+            "n_nationkey long, n_name string, link string, "
+            "sha_ok boolean, prov_records int, excel string",
+        )
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)

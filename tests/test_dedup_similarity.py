@@ -109,6 +109,32 @@ def test_minhash_lsh_finds_near_dups_no_false_positives(spark):
     assert (0, 1) in got
 
 
+def test_minhash_lsh_bucket_cap_drops_mega_cluster(spark):
+    # 40 identical copies form one mega-bucket in every band; 2 other
+    # docs are a genuine near-dup pair in their own buckets. With
+    # max_bucket_size below the cluster size the mega-bucket's m²/2
+    # candidates are skipped while unrelated buckets are untouched.
+    boiler = "the same boilerplate text repeated here for every copy"
+    rows = [(i, boiler) for i in range(40)] + [
+        (100, "a distinct document about modular synthesizers and patch cables"),
+        (101, "a distinct document about modular synthesizers and patch leads"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dd.minhash_lsh_pairs(
+        df, "text", "doc_id", k_shingle=3, num_hashes=16, bands=4,
+        threshold=0.3, max_bucket_size=10,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got                     # real near-dup survives
+    assert not any(a < 40 and b < 40 for a, b in got)  # cluster skipped
+    # default (None) keeps exact semantics: cluster pairs all present
+    full = dd.minhash_lsh_pairs(
+        df, "text", "doc_id", k_shingle=3, num_hashes=16, bands=4, threshold=0.3
+    )
+    n_full = full.filter((F.col("id_a") < 40) & (F.col("id_b") < 40)).count()
+    assert n_full == 40 * 39 // 2
+
+
 def test_simhash_identical_docs_zero_hamming(spark):
     out = dd.simhash_pairs(_docs(spark), "text", "doc_id", max_hamming=3)
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}

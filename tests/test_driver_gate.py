@@ -38,6 +38,20 @@ def test_driver_gate_smoke(spark):
     assert n_pass == len(SMOKE_QUERIES)
 
 
+def test_release_sink_smoke_from_external_cwd(spark, tmp_path, monkeypatch):
+    """K1-K4 e2e through the registered query, from a cwd that is not
+    the repo root — the way the driver invokes everything."""
+    monkeypatch.chdir(tmp_path)
+    from aurora_mito_etl_spark.plans.queries import QUERIES
+
+    rows = QUERIES["release_sink_smoke"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 25
+    assert all(r["sha_ok"] for r in rows)          # provenance sha256 verifies
+    assert all(r["prov_records"] == 1 for r in rows)
+    assert rows[0]["link"].startswith("https://pubmed.ncbi.nlm.nih.gov/")
+    assert rows[0]["excel"] in {"written", "unavailable"}
+
+
 def test_all_query_outputs_are_scalar(spark):
     """The driver canonicalizer pandas-sorts every output column and
     cannot hash python lists/dicts/Rows, so no registered query may

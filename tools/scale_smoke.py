@@ -93,6 +93,30 @@ def main() -> int:
         df.unpersist()
         results[f] = {"rows": n, **t}
         print(json.dumps({"factor": f, **results[f]}))
+
+    # Adversarial LSH skew tier: one text replicated factor*2000 times
+    # lands every copy in the same (band, band-hash) buckets — the
+    # uncapped candidate join would build (factor*2000)²/2 pairs in one
+    # task. With max_bucket_size the hot bucket is dropped and the
+    # stage stays bounded: the capped time must grow ~linearly with the
+    # factor (signature computation), not quadratically.
+    base_row = base.limit(1).collect()[0]
+    for f in factors:
+        m = f * 2000
+        skew = spark.range(m).select(
+            F.col("id").alias("doc_id"), F.lit(base_row["text"]).alias("text")
+        ).unionByName(
+            base.limit(500).select((F.col("doc_id") + m).alias("doc_id"), "text")
+        ).repartition(32).cache()
+        skew.count()
+        t0 = time.perf_counter()
+        dd.minhash_lsh_pairs(
+            skew, "text", "doc_id", num_hashes=16, bands=4, threshold=0.3,
+            max_bucket_size=64,
+        ).write.format("noop").mode("overwrite").save()
+        capped = round(time.perf_counter() - t0, 2)
+        skew.unpersist()
+        print(json.dumps({"skew_factor": f, "hot_rows": m, "capped_lsh": capped}))
     spark.stop()
     return 0
 
