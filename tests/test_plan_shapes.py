@@ -147,3 +147,23 @@ def test_dsir_models_broadcast(spark):
     # the bucket-ratio model join must be broadcast (bounded by
     # num_buckets); only the per-doc weight agg may shuffle
     assert "BroadcastHashJoin" in plan
+
+
+def test_exact_near_dup_is_distributed(spark):
+    # the block-pair rewrite must keep the whole computation on
+    # executors: tiles run as grouped-map pandas (one Exchange on the
+    # block-pair key), with no broadcast of vector data and no
+    # cartesian anywhere
+    plan = plan_of(QUERIES["emb_near_dup_exact"](spark, SF))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" not in plan
+
+
+def test_approx_percentile_partial_aggregation(spark):
+    # the sketch must combine map-side (two HashAggregate phases
+    # around one Exchange) — the property that makes it the bounded-
+    # memory percentile at scale
+    plan = plan_of(QUERIES["lineitem_price_percentiles_approx"](spark, SF))
+    assert plan.count("HashAggregate") >= 2 or plan.count("ObjectHashAggregate") >= 2
+    assert "approx_percentile" in plan
