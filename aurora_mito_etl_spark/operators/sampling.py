@@ -80,3 +80,34 @@ def split_train_holdout(
     cut = int(holdout_rate * _BUCKETS)
     bucket = _hash_bucket(F.col(id_col), salt)
     return df.filter(bucket >= cut), df.filter(bucket < cut)
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    n_shards: int,
+    salt: str = "epoch",
+) -> DataFrame:
+    """Deterministic training-order shuffle: (shard, pos) per row.
+
+    A training run wants a different-but-reproducible order per epoch
+    WITHOUT a global sort: shard = md5(salt+epoch#id) mod n_shards,
+    pos = rank of the same hash within the shard. Readers stream
+    shards in any order and rows within a shard by pos — jointly a
+    uniform permutation keyed only by (epoch, id), independent of
+    partitioning, engine, or cluster size.
+
+    Scale shape: one hash projection (map-side) + one row_number
+    window PER SHARD — each window partition is corpus/n_shards rows,
+    so pick n_shards so a shard fits a task (e.g. 10⁵ shards at
+    100 TB). No global ordering ever materializes.
+    """
+    key = md5_prefix60(
+        F.concat(F.lit(f"{salt}{epoch}#"), F.col(id_col).cast("string"))
+    )
+    out = df.withColumn("shuffle_key", key).withColumn(
+        "shard", F.pmod(F.col("shuffle_key"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return out.withColumn("pos", F.row_number().over(w))

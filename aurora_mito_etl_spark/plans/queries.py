@@ -3061,3 +3061,28 @@ def release_sink_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _shutil.rmtree(base, ignore_errors=True)
+
+
+@_register(
+    "docs_epoch_shuffle",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('epoch7#' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS shuffle_key
+      FROM documents)
+    SELECT doc_id, shuffle_key,
+           CAST(shuffle_key % 16 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY shuffle_key % 16
+                                   ORDER BY shuffle_key, doc_id) AS INT) AS pos
+    FROM h
+    """,
+)
+def docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training order: every row gets a
+    (shard, pos) coordinate from md5(epoch#id) — a reproducible
+    uniform permutation with shard-local sorting only (no global
+    sort; the windows are per-shard). Epoch 7, 16 shards here; at
+    100 TB raise n_shards so one shard fits a task."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return sp.epoch_shuffle(d, "doc_id", epoch=7, n_shards=16)

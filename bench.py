@@ -49,6 +49,7 @@ HEADLINE = [
     "docs_stratified_sample",
     "docs_mixture_sample",
     "docs_pack_sequences",
+    "docs_epoch_shuffle",
     "docs_bpe_pair_counts",
     "emb_quantize_int8",
     # dedup

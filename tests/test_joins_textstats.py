@@ -183,3 +183,27 @@ def test_ngram_repetition_tie_break_deterministic(spark):
     # winner is 'a c' (3 chars · 1) over 'b a' — smallest gram wins;
     # frac = 3/5
     assert a["top2_char_frac"] == 0.6
+
+
+def test_epoch_shuffle_is_a_permutation(spark):
+    from aurora_mito_etl_spark.operators import sampling as sp
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    out = sp.epoch_shuffle(df, "id", epoch=3, n_shards=8).collect()
+    assert len(out) == 500
+    # pos is 1..count within each shard (a dense per-shard ordering)
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    # deterministic: same epoch → identical coordinates
+    again = sp.epoch_shuffle(df, "id", epoch=3, n_shards=8).collect()
+    assert {(r["id"], r["shard"], r["pos"]) for r in out} == {
+        (r["id"], r["shard"], r["pos"]) for r in again
+    }
+    # different epoch → a different order (some coordinate moved)
+    other = sp.epoch_shuffle(df, "id", epoch=4, n_shards=8).collect()
+    assert {(r["id"], r["shard"], r["pos"]) for r in out} != {
+        (r["id"], r["shard"], r["pos"]) for r in other
+    }
