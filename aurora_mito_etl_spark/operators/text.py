@@ -291,3 +291,56 @@ def explode_delimited(
         .withColumn(out_col, F.trim(F.col(out_col)))
         .filter(non_empty(F.col(out_col)))
     )
+
+
+def chunk_windows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_tokens: int = 128,
+    stride: int = 64,
+) -> DataFrame:
+    """Overlapping token-window chunks: the RAG/context-window prep op.
+
+    Whitespace tokens; chunk i covers tokens [i·stride, i·stride +
+    window); chunk count = 1 + ceil(max(n − window, 0) / stride), so
+    the tail is covered exactly once and no chunk is a subset of its
+    predecessor. Emits (id, chunk_id, n_chunk_tokens, chunk_text).
+
+    Pure Catalyst expressions (split/sequence/slice/explode) — one
+    codegen'd projection per row, no UDF, no shuffle; output rows are
+    at most n/stride + 1 per doc, so the explode fan-out is bounded
+    and linear at any corpus size.
+    """
+    if stride <= 0 or window_tokens <= 0:
+        raise ValueError("window_tokens and stride must be positive")
+    toks = F.filter(
+        F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "),
+        lambda x: x != "",
+    )
+    n = F.size(toks)
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(
+            F.greatest(n - F.lit(window_tokens), F.lit(0))
+            / F.lit(float(stride))
+        )
+    ).cast("int")
+    out = (
+        df.select(F.col(id_col), toks.alias("__toks"), n.alias("__n"), n_chunks.alias("__nc"))
+        .filter(F.col("__n") > 0)
+        .select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("chunk_id"),
+        )
+    )
+    chunk = F.slice(
+        F.col("__toks"), F.col("chunk_id") * stride + 1, window_tokens
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -3086,3 +3086,34 @@ def docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB raise n_shards so one shard fits a task."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return sp.epoch_shuffle(d, "doc_id", epoch=7, n_shards=16)
+
+
+@_register(
+    "docs_chunk_windows",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(text,
+                 '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' '),
+                 x -> x <> '') AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) > 0
+                  THEN 1 + CAST(ceil(greatest(len(toks) - 12, 0) / 8.0) AS INT)
+                  ELSE 0 END AS nc
+      FROM t)
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_id,
+           CAST(len(toks[i*8+1 : i*8+12]) AS INT) AS n_chunk_tokens,
+           array_to_string(toks[i*8+1 : i*8+12], ' ') AS chunk_text
+    FROM c, UNNEST(generate_series(0, nc - 1)) AS u(i)
+    WHERE n > 0
+    """,
+)
+def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window=12, stride=8 at test
+    scale; 128/64 in production): the context-window prep for RAG and
+    long-document training. Expression-only explode — no UDF."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.chunk_windows(d, "text", "doc_id", window_tokens=12, stride=8)

@@ -50,6 +50,7 @@ HEADLINE = [
     "docs_mixture_sample",
     "docs_pack_sequences",
     "docs_epoch_shuffle",
+    "docs_chunk_windows",
     "docs_bpe_pair_counts",
     "emb_quantize_int8",
     # dedup

@@ -113,3 +113,31 @@ def test_explode_delimited(spark):
 def test_clean_text_composition(spark):
     s = "A <b>bold</b>  move – with​  controls\x02"
     assert _one(spark, s, tx.clean_text) == "A bold move - with controls"
+
+
+def test_chunk_windows_coverage_and_edges(spark):
+    from aurora_mito_etl_spark.operators import text as tx
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(10))),   # n=10 < window → 1 chunk
+        (2, " ".join(f"w{i}" for i in range(12))),   # n == window → 1 chunk
+        (3, " ".join(f"w{i}" for i in range(13))),   # one token past → 2 chunks
+        (4, " ".join(f"w{i}" for i in range(28))),   # 1+ceil(16/8)=3 chunks
+        (5, ""),                                     # empty → no chunks
+        (6, "   "),                                  # whitespace only → none
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tx.chunk_windows(df, "text", "doc_id", window_tokens=12, stride=8)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    assert {k: len(v) for k, v in got.items()} == {1: 1, 2: 1, 3: 2, 4: 3}
+    # every token of doc 4 appears in some chunk; tail chunk is short
+    toks4 = set(" ".join(r["chunk_text"] for r in got[4]).split())
+    assert toks4 == {f"w{i}" for i in range(28)}
+    c4 = sorted(got[4], key=lambda r: r["chunk_id"])
+    assert [r["n_chunk_tokens"] for r in c4] == [12, 12, 12]  # 16..27 covers 12
+    c3 = sorted(got[3], key=lambda r: r["chunk_id"])
+    assert [r["n_chunk_tokens"] for r in c3] == [12, 5]       # tokens 8..12
+    # overlap: chunk 1 of doc 3 starts at token 8 (stride), not 12
+    assert c3[1]["chunk_text"].split()[0] == "w8"
