@@ -750,3 +750,38 @@ def duplicate_spans(
         .filter(F.col("span_tokens") >= min_span_tokens)
         .select("id_a", "id_b", "start_a", "start_b", "span_tokens")
     )
+
+
+def dedup_clusters_best(
+    df: DataFrame, pairs: DataFrame, id_col: str, priority_col: str
+) -> DataFrame:
+    """Transitive near-dedup keeping the HIGHEST-priority doc of each
+    connected component (ties → smallest id), plus all unpaired docs.
+
+    The production "keep best" refinement of :func:`dedup_clusters`:
+    instead of min-id, each cluster's survivor is the argmax of a
+    caller-supplied priority column (text length, quality score, …) —
+    the policy that keeps the canonical copy of a mirrored page rather
+    than whichever crawl got the smaller id.
+
+    Plan shape: components via large-star/small-star, then two
+    aggregations on the component key (max priority, then min id among
+    the maxima) — the second join/groupBy reuses the same shuffle key,
+    and clusters are tiny relative to the corpus, so the extra
+    exchange is on the (small) component table only.
+    """
+    comp = connected_components(pairs)
+    scored = comp.join(
+        df.select(F.col(id_col).alias("id"), F.col(priority_col).alias("__p")),
+        "id",
+    )
+    best = scored.groupBy("component").agg(F.max("__p").alias("__mp"))
+    winners = (
+        scored.join(best, "component")
+        .filter(F.col("__p") == F.col("__mp"))
+        .groupBy("component")
+        .agg(F.min("id").alias("id"))
+        .select("id")
+    )
+    losers = comp.join(winners, "id", "left_anti").select(F.col("id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

@@ -3117,3 +3117,60 @@ def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     long-document training. Expression-only explode — no UDF."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return tx.chunk_windows(d, "text", "doc_id", window_tokens=12, stride=8)
+
+
+@_register(
+    "docs_near_dedup_best",
+    f"""
+    WITH RECURSIVE
+    sh AS (SELECT DISTINCT * FROM ({_SHINGLE_SQL})),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    prs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON inter.id_a = sa.doc_id
+      JOIN sizes sb ON inter.id_b = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.15
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM prs
+              UNION SELECT id_b, id_a FROM prs),
+    reach(id, m) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, r.m FROM reach r JOIN edges e ON e.u = r.id
+    ),
+    comp AS (SELECT id, MIN(m) AS component FROM reach GROUP BY id),
+    scored AS (
+      SELECT c.id, c.component, length(d.text) AS p
+      FROM comp c JOIN documents d ON d.doc_id = c.id
+    ),
+    best AS (SELECT component, MAX(p) AS mp FROM scored GROUP BY component),
+    winners AS (
+      SELECT s.component, MIN(s.id) AS id
+      FROM scored s JOIN best b ON s.component = b.component AND s.p = b.mp
+      GROUP BY s.component
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (
+      SELECT id FROM comp WHERE id NOT IN (SELECT id FROM winners)
+    )
+    """,
+)
+def docs_near_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dedup keeping the LONGEST doc per connected
+    component (ties → min id) — the keep-best-copy policy, vs the
+    greedy min-id of docs_near_dedup_survivors. Components via
+    large-star/small-star (O(log²n) rounds); the DuckDB oracle
+    recomputes them with a recursive min-label CTE, so the whole
+    cluster→argmax pipeline is value-checked."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.15)
+    scored = d.withColumn("__len", F.length("text"))
+    return (
+        dd.dedup_clusters_best(scored, pairs, "doc_id", "__len")
+        .select("doc_id")
+    )

@@ -426,3 +426,33 @@ def test_spread_tolerates_exotic_split_conf(spark):
             ddm._spread(base)  # must not raise
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_dedup_clusters_best_keeps_longest(spark):
+    # chain 1~2~3 is ONE component (even though 1 !~ 3); doc 2 is the
+    # longest so it survives; doc 9 has no pair and always survives
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc"),
+            (2, "aa bb cc dd ee ff gg"),    # longest in the cluster
+            (3, "cc dd ee"),
+            (9, "unrelated text entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.5), (2, 3, 0.5)], "id_a long, id_b long, jaccard double"
+    )
+    scored = docs.withColumn("__len", F.length("text"))
+    out = {r["doc_id"] for r in
+           dd.dedup_clusters_best(scored, pairs, "doc_id", "__len").collect()}
+    assert out == {2, 9}
+    # tie on priority → min id: make 1 and 2 equal length
+    tie = spark.createDataFrame(
+        [(1, "aa bb cc"), (2, "dd ee ff"), (9, "zz")],
+        "doc_id long, text string",
+    ).withColumn("__len", F.length("text"))
+    tp = spark.createDataFrame([(1, 2, 0.5)], "id_a long, id_b long, jaccard double")
+    out2 = {r["doc_id"] for r in
+            dd.dedup_clusters_best(tie, tp, "doc_id", "__len").collect()}
+    assert out2 == {1, 9}
