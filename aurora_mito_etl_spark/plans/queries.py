@@ -3174,3 +3174,130 @@ def docs_near_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         dd.dedup_clusters_best(scored, pairs, "doc_id", "__len")
         .select("doc_id")
     )
+
+
+@_register(
+    "docs_bigram_pmi",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text,
+                 '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), ' ') AS toks
+      FROM documents),
+    uni AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+    tot AS (SELECT SUM(c) AS n FROM uni),
+    bi AS (
+      SELECT toks[i] || ' ' || toks[i+1] AS bigram,
+             toks[i] AS wa, toks[i+1] AS wb, COUNT(*) AS cab
+      FROM t, UNNEST(generate_series(1, greatest(len(toks) - 1, 0))) AS u(i)
+      GROUP BY 1, 2, 3
+      HAVING COUNT(*) >= 5),
+    btot AS (SELECT SUM(cab) AS nb FROM bi),
+    scored AS (
+      SELECT bigram, cab, a.c AS ca, b.c AS cb,
+             floor((CAST(cab AS DOUBLE) * n * n)
+                   / (CAST(nb AS DOUBLE) * a.c * b.c) * 1e6 + 0.5) / 1e6
+               AS pmi_ratio
+      FROM bi JOIN uni a ON bi.wa = a.w
+              JOIN uni b ON bi.wb = b.w, tot, btot)
+    SELECT bigram, CAST(cab AS BIGINT) AS n_bigram,
+           CAST(ca AS BIGINT) AS n_first, CAST(cb AS BIGINT) AS n_second,
+           pmi_ratio
+    FROM scored
+    ORDER BY pmi_ratio DESC, bigram ASC
+    LIMIT 20
+    """,
+)
+def docs_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction (tokenizer/vocab prep): top-20 bigrams
+    by pointwise-mutual-information ratio p(ab)/(p(a)p(b)), min count
+    5. The ratio is computed with EXACT integer products and one
+    final double division + fixed6 rounding, so ranking and values
+    are engine-identical (log() is monotone, so the PMI order equals
+    the ratio order — no transcendental in the compare path).
+
+    Plan: one token explode feeds unigram and bigram counts (partial
+    agg both), two broadcast-sized joins on the bigram's words, one
+    distributed top-k. Token totals ride along as single-row
+    cross-joined aggregates — no driver collect.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " "
+    )
+    t = d.select(toks.alias("toks"))
+    uni = (
+        t.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("n"))
+    bi = (
+        t.select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                    "         slice(toks, 2, greatest(size(toks) - 1, 0)),"
+                    "         (x, y) -> struct(x AS wa, y AS wb))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.wa").alias("wa"), F.col("p.wb").alias("wb"))
+        .groupBy("wa", "wb")
+        .agg(F.count("*").alias("cab"))
+        .filter(F.col("cab") >= 5)
+    )
+    btot = bi.agg(F.sum("cab").alias("nb"))
+    scored = (
+        # no broadcast hint on the vocab joins: a 100 TB corpus has a
+        # ~10⁸-row unigram table — AQE upgrades to broadcast when small
+        bi.join(uni.withColumnRenamed("w", "wa").withColumnRenamed("c", "ca"), "wa")
+        .join(uni.withColumnRenamed("w", "wb").withColumnRenamed("c", "cb"), "wb")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            F.concat_ws(" ", "wa", "wb").alias("bigram"),
+            F.col("cab").alias("n_bigram"),
+            F.col("ca").alias("n_first"),
+            F.col("cb").alias("n_second"),
+            (
+                F.floor(
+                    (F.col("cab").cast("double") * F.col("n") * F.col("n"))
+                    / (F.col("nb").cast("double") * F.col("ca") * F.col("cb"))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("pmi_ratio"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_ratio"), F.asc("bigram")).limit(20)
+
+
+@_register(
+    "docs_length_histogram",
+    """
+    SELECT length(CAST(n_chars AS VARCHAR)) AS digits,
+           COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram in decimal-digit buckets (1-9, 10-99,
+    …): the packing-efficiency diagnostic before choosing sequence
+    length. Digit bucketing is exact integer/string arithmetic —
+    portable, unlike log-based buckets (transcendental). One partial
+    aggregation, no shuffle beyond the 10-row final combine."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(
+        F.length(F.col("n_chars").cast("string")).alias("digits")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

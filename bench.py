@@ -51,6 +51,7 @@ HEADLINE = [
     "docs_pack_sequences",
     "docs_epoch_shuffle",
     "docs_chunk_windows",
+    "docs_bigram_pmi",
     "docs_bpe_pair_counts",
     "emb_quantize_int8",
     # dedup
