@@ -27,6 +27,7 @@ from aurora_mito_etl_spark.functions.numeric import (
     dec_avg,
     dec_sum,
     dec_to_double,
+    oracle_dec_avg,
     oracle_dec_sum,
 )
 from aurora_mito_etl_spark.operators import aggregates as agg
@@ -3300,4 +3301,65 @@ def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
+    )
+
+
+@_register(
+    "docs_source_report",
+    f"""
+    WITH q AS (
+      SELECT source, lang, n_chars,
+             round((
+               (CASE WHEN n >= 50 AND n <= 20000 THEN 1.0 ELSE 0.25 END)
+               + (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END)
+               + (CASE WHEN n > 0 THEN (CASE WHEN punct / n <= 0.1 THEN 1.0 ELSE 0.5 END) ELSE 0.0 END)
+               + (CASE WHEN words > 0 AND (n - words + 1) / words >= 2.0 AND (n - words + 1) / words <= 12.0 THEN 1.0 ELSE 0.5 END)
+             ) / 4.0, 6) AS quality,
+             md5(lower(trim(text))) AS fp
+      FROM (
+        SELECT source, lang, n_chars,
+               CAST(length(text) AS DOUBLE) AS n,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+               CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+               CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS words,
+               text
+        FROM (SELECT source, lang, n_chars,
+                     regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS text
+              FROM documents))
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(*) - COUNT(DISTINCT fp) AS n_exact_dups,
+           {oracle_dec_avg('quality', 'mean_quality')}
+    FROM q GROUP BY source
+    """,
+)
+def docs_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report card: doc count, total chars, language
+    spread, exact-duplicate count, mean quality — the mixture-health
+    dashboard every training-data pipeline publishes per release.
+
+    One grouped aggregation (partial+final); the mean quality goes
+    through the decimal-exact path (functions/numeric.py) so it is
+    partitioning-independent. COUNT(DISTINCT) is exact here; at
+    100 TB swap in approx_count_distinct for the lang/fingerprint
+    cardinalities — same plan shape, sketch-mergeable."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace("text", r"\s+", " ")
+    )
+    q = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        ts.quality_score(F.col("text")).alias("quality"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+    )
+    return q.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        (F.count("*") - F.countDistinct("fp")).alias("n_exact_dups"),
+        dec_avg("quality", "mean_quality"),
     )

@@ -52,6 +52,7 @@ HEADLINE = [
     "docs_epoch_shuffle",
     "docs_chunk_windows",
     "docs_bigram_pmi",
+    "docs_source_report",
     "docs_bpe_pair_counts",
     "emb_quantize_int8",
     # dedup
