@@ -52,20 +52,35 @@ def test_release_sink_smoke_from_external_cwd(spark, tmp_path, monkeypatch):
     assert rows[0]["excel"] in {"written", "unavailable"}
 
 
-def test_all_query_outputs_are_scalar(spark):
-    """The driver canonicalizer pandas-sorts every output column and
-    cannot hash python lists/dicts/Rows, so no registered query may
-    return Array/Struct/Map columns (the invariant emb_quantize_int8's
-    docstring cites). Schema-only: builds each plan, never executes it.
+def test_all_query_outputs_are_scalar_and_no_cartesian(spark):
+    """Two whole-registry invariants in one plan-build pass (analysis
+    only, no execution):
+
+    1. No registered query returns Array/Struct/Map columns — the
+       driver canonicalizer pandas-sorts every output column and
+       cannot hash python lists (the invariant emb_quantize_int8's
+       docstring cites).
+    2. No physical plan contains a CartesianProduct — the one join
+       shape that can never survive scale. (BroadcastNestedLoopJoin
+       from single-row aggregate cross-joins is allowed; see
+       tools/plan_audit.py for the full per-query posture table.)
     """
+    import sys as _sys
+    from pathlib import Path as _Path
+
     from pyspark.sql import types as T
 
     from aurora_mito_etl_spark.plans.queries import QUERIES
 
+    _sys.path.insert(0, str(_Path(__file__).resolve().parents[1] / "tools"))
+    from plan_audit import audit_one, formatted_plan
+
     bad = []
     for name, fn in QUERIES.items():
-        schema = fn(spark, "/root/testdata/sf0.001").schema
-        for field in schema.fields:
+        df = fn(spark, "/root/testdata/sf0.001")
+        for field in df.schema.fields:
             if isinstance(field.dataType, (T.ArrayType, T.MapType, T.StructType)):
                 bad.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
-    assert not bad, f"non-scalar output columns: {bad}"
+        if audit_one(formatted_plan(df))["cartesian"]:
+            bad.append(f"{name}: CartesianProduct in physical plan")
+    assert not bad, f"registry invariant violations: {bad}"
