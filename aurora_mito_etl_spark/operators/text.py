@@ -314,6 +314,10 @@ def chunk_windows(
     """
     if stride <= 0 or window_tokens <= 0:
         raise ValueError("window_tokens and stride must be positive")
+    if stride > window_tokens:
+        # stride past the window leaves uncovered token gaps — never
+        # the chunking contract (caught by the tiling property test)
+        raise ValueError("stride must be <= window_tokens (gap-free tiling)")
     toks = F.filter(
         F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "),
         lambda x: x != "",

@@ -107,3 +107,39 @@ def test_squeeze_ws_idempotent_and_trimmed(spark, batch):
     for s in once:
         assert s == s.strip()
         assert "  " not in s
+
+
+@_SETTINGS
+@given(
+    st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=6),
+    st.integers(min_value=1, max_value=12),
+    st.data(),
+)
+def test_chunk_windows_tiles_every_document(spark, n_tokens, window, data):
+    # stride > window is rejected (gap-free tiling contract)
+    stride = data.draw(st.integers(min_value=1, max_value=window))
+    docs = [(i, " ".join(f"t{i}x{j}" for j in range(n))) for i, n in enumerate(n_tokens)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = tx.chunk_windows(df, "text", "doc_id", window_tokens=window, stride=stride)
+    got: dict[int, list] = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    for i, n in enumerate(n_tokens):
+        if n == 0:
+            assert i not in got  # empty docs produce no chunks
+            continue
+        chunks = sorted(got[i], key=lambda r: r["chunk_id"])
+        # spec: 1 + ceil(max(n - window, 0) / stride) chunks
+        expect_c = 1 + -(-max(n - window, 0) // stride)
+        assert len(chunks) == expect_c
+        # chunk k reproduces tokens [k*stride, k*stride + window)
+        all_tokens = [f"t{i}x{j}" for j in range(n)]
+        for k, r in enumerate(chunks):
+            expect = all_tokens[k * stride : k * stride + window]
+            assert r["chunk_text"].split() == expect
+            assert r["n_chunk_tokens"] == len(expect)
+        # union of chunks covers the document exactly
+        covered = set()
+        for r in chunks:
+            covered.update(r["chunk_text"].split())
+        assert covered == set(all_tokens)
