@@ -32,6 +32,8 @@ HEADLINE = [
     "events_hourly",
     "events_sessionize",
     "events_moving_avg",
+    "events_funnel",
+    "events_retention",
     # text analysis
     "docs_clean_text",
     "docs_quality",
