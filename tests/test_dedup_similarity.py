@@ -456,3 +456,24 @@ def test_dedup_clusters_best_keeps_longest(spark):
     out2 = {r["doc_id"] for r in
             dd.dedup_clusters_best(tie, tp, "doc_id", "__len").collect()}
     assert out2 == {1, 9}
+
+
+def test_exact_near_dup_blocked_multiblock_matches_python(spark):
+    # rows_per_block=8 over 41 vectors forces ~6 blocks → self AND
+    # cross-block tiles both execute; results must equal the O(n²)
+    # python ground truth regardless of blocking
+    vecs = _vectors(spark)  # 41 vectors, planted near-dup of id 0
+    out = sim.exact_near_dup_pairs_blocked(
+        vecs, threshold=0.95, rows_per_block=8
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in out}
+    rows = {r["vec_id"]: r["embedding"] for r in vecs.collect()}
+    expect = {}
+    for a, b in itertools.combinations(sorted(rows), 2):
+        c = _cos(rows[a], rows[b])
+        if c >= 0.95:
+            expect[(a, b)] = round(c, 6)
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        assert got[k] == pytest.approx(v, abs=2e-6)
+    assert (0, 40) in got  # the planted near-dup pair is found
