@@ -604,6 +604,7 @@ def banded_hamming_pairs(
     band_bits: int,
     n_bands: int,
     max_hamming: int,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Shared candidate generation for Hamming-similarity search over
     a 64-bit-or-less hash column: explode n_bands bit-slices, self-join
@@ -614,6 +615,11 @@ def banded_hamming_pairs(
     (n_bands−1, max_hamming] are found only if their differing bits
     cluster outside one band — callers trading recall at wider radii
     should say so (see simhash_pairs / phash_near_dup_pairs).
+
+    `max_bucket_size` drops (band, slice) buckets above the cap from
+    the join — the same mega-cluster skew guard as
+    `minhash_lsh_pairs`; identical-sketch clusters otherwise build
+    m²/2 candidates in one task. Default None = exact.
     """
     mask = (1 << band_bits) - 1
     bands = hashed.select(
@@ -633,6 +639,14 @@ def banded_hamming_pairs(
             )
         ).alias("e"),
     ).select(F.col(id_col), F.col(hash_col), F.col("e.band"), F.col("e.bh"))
+    if max_bucket_size is not None:
+        hot = (
+            bands.groupBy("band", "bh")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_bucket_size)
+            .select("band", "bh")
+        )
+        bands = bands.join(hot, ["band", "bh"], "left_anti")
     left = bands.select(
         F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"), "band", "bh"
     )
@@ -657,6 +671,7 @@ def simhash_pairs(
     k_shingle: int = 3,
     max_hamming: int = 8,
     portable_hash: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
@@ -672,7 +687,8 @@ def simhash_pairs(
         df, text_col, id_col, k_shingle, n_bits=n_bits, portable_hash=portable_hash
     )
     return banded_hamming_pairs(
-        sh, id_col, "sh64", band_bits=band_bits, n_bands=4, max_hamming=max_hamming
+        sh, id_col, "sh64", band_bits=band_bits, n_bands=4,
+        max_hamming=max_hamming, max_bucket_size=max_bucket_size,
     )
 
 

@@ -477,3 +477,21 @@ def test_exact_near_dup_blocked_multiblock_matches_python(spark):
     for k, v in expect.items():
         assert got[k] == pytest.approx(v, abs=2e-6)
     assert (0, 40) in got  # the planted near-dup pair is found
+
+
+def test_simhash_bucket_cap_drops_mega_cluster(spark):
+    # identical docs share every band slice; capping skips their m²/2
+    # candidates while a distinct near-dup pair still pairs up
+    boiler = "the same boilerplate text repeated here for every copy again"
+    other = "a distinct document about modular synthesizers and patch cables"
+    rows = [(i, boiler) for i in range(30)] + [(100, other), (101, other)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dd.simhash_pairs(
+        df, "text", "doc_id", max_hamming=8, max_bucket_size=10
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got
+    assert not any(a < 30 and b < 30 for a, b in got)
+    full = dd.simhash_pairs(df, "text", "doc_id", max_hamming=8)
+    n_full = full.filter((F.col("id_a") < 30) & (F.col("id_b") < 30)).count()
+    assert n_full == 30 * 29 // 2
