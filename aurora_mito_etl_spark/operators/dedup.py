@@ -328,19 +328,43 @@ def minhash_lsh_pairs(
     clusters never reach LSH. Default None = exact current semantics
     (the oracle-checked registered queries use None).
     """
-    rows_per_band = num_hashes // bands
-    # ONE shingle-explode expression feeds signatures AND
-    # verification sets (recompute beats cache materialization here,
-    # same reasoning as ngram_jaccard_pairs).
+    hashed = _minhash_hashed(df, text_col, id_col, k_shingle, portable_hash)
+    stacked = _minhash_banded(hashed, id_col, num_hashes, bands, portable_hash)
+    joinable = _drop_hot_buckets(stacked, max_bucket_size)
+
+    left = joinable.select(F.col(id_col).alias("id_a"), "band", "bh")
+    right = joinable.select(F.col(id_col).alias("id_b"), "band", "bh")
+    candidates = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _jaccard_verify(
+        candidates, hashed, hashed, id_col, "id_a", "id_b", threshold
+    )
+
+
+def _minhash_hashed(
+    df: DataFrame, text_col: str, id_col: str, k_shingle: int, portable_hash: bool
+) -> DataFrame:
+    """(id, shingle-hash) — ONE shingle-explode expression feeds
+    signatures AND verification sets (recompute beats cache
+    materialization here, same reasoning as ngram_jaccard_pairs)."""
     shingle = _spread(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles_arrow(F.col(text_col), k_shingle))).alias("s"),
     )
-    if portable_hash:
-        h_expr = md5_prefix60(F.col("s"))
-    else:
-        h_expr = F.xxhash64("s")
-    hashed = shingle.select(F.col(id_col), h_expr.alias("h"))
+    h_expr = md5_prefix60(F.col("s")) if portable_hash else F.xxhash64("s")
+    return shingle.select(F.col(id_col), h_expr.alias("h"))
+
+
+def _minhash_banded(
+    hashed: DataFrame, id_col: str, num_hashes: int, bands: int, portable_hash: bool
+) -> DataFrame:
+    """(id, band, band-hash) — k-permutation signatures folded into
+    per-band keys and stacked one row per band."""
+    rows_per_band = num_hashes // bands
     sigs = hashed.select(
         F.col(id_col), F.pmod(F.col("h"), F.lit(_MERSENNE_P)).alias("hm")
     ).groupBy(id_col).agg(
@@ -351,7 +375,6 @@ def minhash_lsh_pairs(
             for i, (a, b) in enumerate(_perm_params(num_hashes))
         ]
     )
-
     if portable_hash:
         band_cols = [
             F.md5(
@@ -372,7 +395,7 @@ def minhash_lsh_pairs(
             for i in range(bands)
         ]
     banded = sigs.select(F.col(id_col), *band_cols)
-    stacked = banded.select(
+    return banded.select(
         F.col(id_col),
         F.explode(
             F.array(*[
@@ -382,31 +405,39 @@ def minhash_lsh_pairs(
         ).alias("e"),
     ).select(F.col(id_col), F.col("e.band"), F.col("e.bh"))
 
-    joinable = stacked
-    if max_bucket_size is not None:
-        hot = (
-            stacked.groupBy("band", "bh")
-            .agg(F.count("*").alias("n"))
-            .filter(F.col("n") > max_bucket_size)
-            .select("band", "bh")
-        )
-        joinable = stacked.join(hot, ["band", "bh"], "left_anti")
 
-    left = joinable.select(F.col(id_col).alias("id_a"), "band", "bh")
-    right = joinable.select(F.col(id_col).alias("id_b"), "band", "bh")
-    candidates = (
-        left.join(right, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+def _drop_hot_buckets(stacked: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    if max_bucket_size is None:
+        return stacked
+    hot = (
+        stacked.groupBy("band", "bh")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > max_bucket_size)
+        .select("band", "bh")
     )
+    return stacked.join(hot, ["band", "bh"], "left_anti")
 
-    # Verify candidates with exact Jaccard over distinct shingle-hash
-    # sets (same hashed table as the signatures — no re-shingling).
-    sh = hashed.groupBy(id_col).agg(F.collect_set("h").alias("shs"))
-    verified = (
-        candidates.join(sh.select(F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a")), "id_a")
-        .join(sh.select(F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b")), "id_b")
+
+def _jaccard_verify(
+    candidates: DataFrame,
+    hashed_a: DataFrame,
+    hashed_b: DataFrame,
+    id_col: str,
+    a_col: str,
+    b_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact Jaccard over distinct shingle-hash sets (the same hashed
+    tables that fed the signatures — no re-shingling)."""
+    sh_a = hashed_a.groupBy(id_col).agg(F.collect_set("h").alias("shs"))
+    sh_b = hashed_b.groupBy(id_col).agg(F.collect_set("h").alias("shs"))
+    return (
+        candidates.join(
+            sh_a.select(F.col(id_col).alias(a_col), F.col("shs").alias("shs_a")), a_col
+        )
+        .join(
+            sh_b.select(F.col(id_col).alias(b_col), F.col("shs").alias("shs_b")), b_col
+        )
         .withColumn("inter", F.size(F.array_intersect("shs_a", "shs_b")))
         .withColumn(
             "jaccard",
@@ -417,9 +448,54 @@ def minhash_lsh_pairs(
             ),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select(a_col, b_col, "jaccard")
     )
-    return verified
+
+
+def minhash_lsh_join(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    portable_hash: bool = False,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup: (new_id, corpus_id, jaccard) pairs
+    between a NEW batch and the EXISTING corpus — the per-release
+    dedup pattern that avoids re-pairing the whole corpus.
+
+    Same banded-signature machinery as :func:`minhash_lsh_pairs`, but
+    the band join is strictly cross-side, so candidate cost is
+    O(new·bands) probes into corpus buckets rather than a corpus
+    self-join. At 100 TB the corpus side's (id, band, bh) table and
+    shingle-hash sets are computed once and persisted (bucketed by
+    (band, bh)); each release only hashes the new batch. Ids must be
+    distinct across the two inputs. The hot-bucket cap applies to the
+    corpus side's buckets (the side that can contain mega-clusters).
+
+    Output column names: ``new_id``, ``corpus_id``, ``jaccard``.
+    """
+    hashed_new = _minhash_hashed(new_df, text_col, id_col, k_shingle, portable_hash)
+    hashed_corp = _minhash_hashed(corpus_df, text_col, id_col, k_shingle, portable_hash)
+    stacked_new = _minhash_banded(hashed_new, id_col, num_hashes, bands, portable_hash)
+    stacked_corp = _drop_hot_buckets(
+        _minhash_banded(hashed_corp, id_col, num_hashes, bands, portable_hash),
+        max_bucket_size,
+    )
+    candidates = (
+        stacked_new.select(F.col(id_col).alias("new_id"), "band", "bh")
+        .join(stacked_corp.select(F.col(id_col).alias("corpus_id"), "band", "bh"),
+              ["band", "bh"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    return _jaccard_verify(
+        candidates, hashed_new, hashed_corp, id_col, "new_id", "corpus_id", threshold
+    )
 
 
 def _large_star(edges: DataFrame) -> DataFrame:

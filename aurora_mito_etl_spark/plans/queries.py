@@ -3486,3 +3486,72 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_active_users"))
     )
+
+
+def _minhash_join_oracle(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.3
+) -> str:
+    """SQL twin of the portable-hash incremental MinHash-LSH join:
+    identical hashes/permutations/band keys, but candidates strictly
+    across the odd (new) / even (corpus) doc_id split."""
+    from aurora_mito_etl_spark.operators.dedup import _MERSENNE_P, _perm_params
+
+    rows_per_band = num_hashes // bands
+    mins = ",\n         ".join(
+        f"MIN(({a} * hm + {b}) % {_MERSENNE_P}) AS m{i}"
+        for i, (a, b) in enumerate(_perm_params(num_hashes))
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {i} AS band, md5(concat_ws(',', '{i}', {cols})) AS bh FROM sigs".format(
+            i=i,
+            cols=", ".join(f"m{i * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for i in range(bands)
+    )
+    return f"""
+    WITH sh AS (SELECT DISTINCT * FROM ({_SHINGLE_SQL})),
+    h AS (SELECT doc_id, CAST(('0x' || substring(md5(sh),1,15)) AS BIGINT) AS h FROM sh),
+    hm AS (SELECT doc_id, h, h % {_MERSENNE_P} AS hm FROM h),
+    sigs AS (SELECT doc_id, {mins} FROM hm GROUP BY doc_id),
+    bands AS (
+{band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hm GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, COUNT(*) AS i
+      FROM hm a JOIN hm b ON a.h = b.h
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+      GROUP BY 1, 2
+    )
+    SELECT c.new_id, c.corpus_id,
+           round(CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE), 6) AS jaccard
+    FROM cand c
+    JOIN inter i ON c.new_id = i.new_id AND c.corpus_id = i.corpus_id
+    JOIN sizes sa ON c.new_id = sa.doc_id
+    JOIN sizes sb ON c.corpus_id = sb.doc_id
+    WHERE CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) >= {threshold}
+    """
+
+
+@_register("docs_incremental_near_dup", _minhash_join_oracle())
+def docs_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: odd doc_ids play the NEW release batch,
+    even doc_ids the EXISTING corpus; banded MinHash signatures are
+    joined strictly across sides so candidate cost is O(new·bands)
+    bucket probes, never a corpus self-join — the per-release dedup
+    pattern at 100 TB (corpus bands persisted, only the batch is
+    hashed). Portable-hash mode: the whole operator is oracle-checked.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    return dd.minhash_lsh_join(
+        new, corpus, "text", "doc_id",
+        k_shingle=3, num_hashes=16, bands=4, threshold=0.3,
+        portable_hash=True,
+    )

@@ -63,6 +63,7 @@ HEADLINE = [
     "docs_minhash_lsh_pairs",
     "docs_simhash_pairs",
     "docs_near_dedup_survivors",
+    "docs_incremental_near_dup",
     "docs_duplicate_spans",
     # similarity search
     "emb_cosine_topk",

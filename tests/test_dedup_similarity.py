@@ -495,3 +495,26 @@ def test_simhash_bucket_cap_drops_mega_cluster(spark):
     full = dd.simhash_pairs(df, "text", "doc_id", max_hamming=8)
     n_full = full.filter((F.col("id_a") < 30) & (F.col("id_b") < 30)).count()
     assert n_full == 30 * 29 // 2
+
+
+def test_minhash_lsh_join_cross_side_only(spark):
+    # new batch = near-dup of corpus doc 0 + one novel doc; the join
+    # must find only cross-side pairs (never corpus-corpus or new-new)
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    corpus = spark.createDataFrame(
+        [(0, base), (2, base), (4, "unrelated corpus text about window functions")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, base + " with a suffix"), (3, "entirely novel content nothing shared")],
+        "doc_id long, text string",
+    )
+    out = dd.minhash_lsh_join(
+        new, corpus, "text", "doc_id", num_hashes=16, bands=8, threshold=0.3
+    ).collect()
+    got = {(r["new_id"], r["corpus_id"]): r["jaccard"] for r in out}
+    assert (1, 0) in got and (1, 2) in got   # near-dup vs both copies
+    assert all(n in (1, 3) and c in (0, 2, 4) for n, c in got)
+    assert not any(n == 3 for n, _ in got)   # novel doc matches nothing
+    # jaccard values are exact (verified), equal for the identical copies
+    assert got[(1, 0)] == got[(1, 2)] > 0.3
