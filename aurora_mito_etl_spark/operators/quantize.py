@@ -74,3 +74,74 @@ def quantization_error(
         lambda x, q: F.abs(x - q.cast("double") * F.col(scale_col)),
     )
     return df.withColumn(out_col, F.array_max(err))
+
+
+def pq_codebooks(
+    dim: int, m: int, n_centroids: int, seed: int = 11
+) -> list[list[list[float]]]:
+    """Pinned product-quantization codebooks: m sub-codebooks of
+    n_centroids × (dim/m) pseudo-random centroids (the same
+    LCG-Gaussian generator as the IVF/LSH pinned indexes, one seed
+    per subspace). Deterministic constants usable verbatim by the
+    Spark operator AND a closed-form SQL oracle; at 100 TB you train
+    these per-subspace with KMeans on a sample and persist — the
+    assignment mechanics are identical."""
+    from aurora_mito_etl_spark.operators.similarity import _hyperplanes
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    return [_hyperplanes(dim // m, n_centroids, seed=seed + j) for j in range(m)]
+
+
+def pq_encode(
+    df: DataFrame,
+    dim: int,
+    m: int = 4,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> DataFrame:
+    """Product-quantization codes: the vector is split into m
+    subvectors, each assigned to its nearest sub-codebook centroid —
+    dim·4 bytes become m·log2(n_centroids) bits (64-dim float32 →
+    4 bytes at m=4, k=16: a 64× compression for ANN shortlists).
+
+    Assignment is argmin ‖sv − c‖² ≡ argmax(dot(sv, c) − ‖c‖²/2)
+    (ties → larger centroid index, same convention as the IVF
+    oracle). Everything is one codegen'd projection of left-to-right
+    expression folds over embedded centroid literals, so codes are
+    bit-reproducible across engines. Adds columns ``pq_0..pq_{m-1}``
+    (int) and ``pq_csv``.
+    """
+    books = pq_codebooks(dim, m, n_centroids, seed)
+    subdim = dim // m
+    code_cols = []
+    for j, book in enumerate(books):
+        sub = F.slice(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            j * subdim + 1,
+            subdim,
+        )
+        cands = []
+        for cell, cent in enumerate(book):
+            half_norm = sum(x * x for x in cent) / 2.0
+            dot = F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.array(*[F.lit(float(x)) for x in cent]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            cands.append(
+                F.struct(
+                    (dot - F.lit(half_norm)).alias("s"),
+                    F.lit(cell).alias("cell"),
+                )
+            )
+        code_cols.append(F.greatest(*cands)["cell"].alias(f"pq_{j}"))
+    out = df.select("*", *code_cols)
+    return out.withColumn(
+        "pq_csv", F.concat_ws(",", *[F.col(f"pq_{j}") for j in range(m)])
+    )

@@ -3555,3 +3555,61 @@ def docs_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_shingle=3, num_hashes=16, bands=4, threshold=0.3,
         portable_hash=True,
     )
+
+
+def _pq_oracle(dim: int = 64, m: int = 4, n_centroids: int = 16) -> str:
+    """Closed-form SQL twin of PQ encoding over pinned codebooks: one
+    VALUES table (subspace, cell, centroid, half-norm), per-subspace
+    argmax(dot − hn) with the IVF tie convention (score DESC, cell
+    DESC), codes pivoted back to columns. Identical left-to-right
+    float folds on identical literals → bit-identical codes."""
+    from aurora_mito_etl_spark.operators.quantize import pq_codebooks
+
+    books = pq_codebooks(dim, m, n_centroids)
+    subdim = dim // m
+    values = ",\n      ".join(
+        f"({j}, {cell}, [{', '.join(repr(x) for x in cent)}]::DOUBLE[], "
+        f"{sum(x * x for x in cent) / 2.0!r})"
+        for j, book in enumerate(books)
+        for cell, cent in enumerate(book)
+    )
+    code_cols = ",\n           ".join(
+        f"CAST(MAX(CASE WHEN sub = {j} THEN cell END) AS INT) AS pq_{j}"
+        for j in range(m)
+    )
+    csv = " || ',' || ".join(f"CAST(pq_{j} AS VARCHAR)" for j in range(m))
+    return f"""
+    WITH cents(sub, cell, c, hn) AS (
+      VALUES
+      {values}
+    ),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    assigned AS (
+      SELECT vec_id, sub, cell,
+             row_number() OVER (
+               PARTITION BY vec_id, sub
+               ORDER BY list_dot_product(e[sub * {subdim} + 1 : sub * {subdim} + {subdim}], c) - hn DESC,
+                        cell DESC
+             ) AS rn
+      FROM v, cents
+    ),
+    codes AS (
+      SELECT vec_id,
+           {code_cols}
+      FROM assigned WHERE rn = 1 GROUP BY vec_id
+    )
+    SELECT vec_id, pq_0, pq_1, pq_2, pq_3, {csv} AS pq_csv FROM codes
+    """
+
+
+@_register("emb_pq_encode", _pq_oracle())
+def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes over pinned per-subspace codebooks:
+    64-dim float32 → 4 nibble codes (64× smaller ANN shortlist
+    representation). One codegen'd projection, no shuffle; codes are
+    bit-identical to the closed-form DuckDB oracle because both
+    engines fold the same centroid literals left-to-right."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return qz.pq_encode(e, dim=64, m=4, n_centroids=16).select(
+        "vec_id", "pq_0", "pq_1", "pq_2", "pq_3", "pq_csv"
+    )

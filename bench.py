@@ -57,6 +57,7 @@ HEADLINE = [
     "docs_source_report",
     "docs_bpe_pair_counts",
     "emb_quantize_int8",
+    "emb_pq_encode",
     # dedup
     "docs_exact_dedup",
     "docs_ngram_jaccard_pairs",

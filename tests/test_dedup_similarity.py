@@ -518,3 +518,25 @@ def test_minhash_lsh_join_cross_side_only(spark):
     assert not any(n == 3 for n, _ in got)   # novel doc matches nothing
     # jaccard values are exact (verified), equal for the identical copies
     assert got[(1, 0)] == got[(1, 2)] > 0.3
+
+
+def test_pq_encode_matches_python_argmin(spark):
+    from aurora_mito_etl_spark.operators import quantize as qz
+
+    dim, m, k = 8, 2, 4
+    vecs = _vectors(spark, n=20, dim=dim)
+    out = {r["vec_id"]: r for r in qz.pq_encode(vecs, dim=dim, m=m, n_centroids=k).collect()}
+    books = qz.pq_codebooks(dim, m, k)
+    rows = {r["vec_id"]: r["embedding"] for r in vecs.collect()}
+    for vid, v in rows.items():
+        for j in range(m):
+            sub = v[j * (dim // m) : (j + 1) * (dim // m)]
+            # argmin squared distance; ties to larger cell (engine rule)
+            d2 = [sum((x - c) ** 2 for x, c in zip(sub, cent)) for cent in books[j]]
+            best = max(
+                range(k), key=lambda c: (-d2[c], c)
+            )
+            assert out[vid][f"pq_{j}"] == best, (vid, j)
+        assert out[vid]["pq_csv"] == ",".join(
+            str(out[vid][f"pq_{j}"]) for j in range(m)
+        )
