@@ -101,6 +101,14 @@ PROD_VARIANTS = {
         lt(spark, sf_dir, "documents"), "text", "doc_id",
         k_shingle=3, max_hamming=16, portable_hash=False,
     ),
+    # Arrow/BLAS PQ encode (expression-fold twin is the oracle path;
+    # Spark interprets lambda expressions, numpy batches don't)
+    "emb_pq_encode_prod": lambda dd, lt, spark, sf_dir: __import__(
+        "aurora_mito_etl_spark.operators.quantize", fromlist=["quantize"]
+    ).pq_encode_arrow(
+        lt(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        dim=64, m=4, n_centroids=16,
+    ),
 }
 
 

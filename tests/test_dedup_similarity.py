@@ -540,3 +540,18 @@ def test_pq_encode_matches_python_argmin(spark):
         assert out[vid]["pq_csv"] == ",".join(
             str(out[vid][f"pq_{j}"]) for j in range(m)
         )
+
+
+def test_pq_encode_arrow_matches_expression_path(spark):
+    from aurora_mito_etl_spark.operators import quantize as qz
+
+    vecs = _vectors(spark, n=30, dim=8)
+    expr = {
+        r["vec_id"]: r["pq_csv"]
+        for r in qz.pq_encode(vecs, dim=8, m=2, n_centroids=4).collect()
+    }
+    arrow = {
+        r["vec_id"]: r["pq_csv"]
+        for r in qz.pq_encode_arrow(vecs, dim=8, m=2, n_centroids=4).collect()
+    }
+    assert expr == arrow
