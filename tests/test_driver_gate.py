@@ -32,6 +32,42 @@ SMOKE_QUERIES = {
 }
 
 
+def test_driver_sample_covers_llm_tier():
+    """The driver's hard gate samples the FIRST 50 entries of queries()
+    in dict order (VERDICT r04 ask #1). Pin that the curated export
+    order puts the flagships and every LLM-tier family inside that
+    window, and that the reorder lost nothing."""
+    import __spark_entry__ as entry_mod
+    from aurora_mito_etl_spark.plans.queries import (
+        DRIVER_SAMPLE_PRIORITY,
+        ORACLES,
+        QUERIES,
+    )
+
+    names = list(entry_mod.queries())
+    first50 = set(names[:50])
+    assert list(QUERIES)[:50] == names[:50]
+    # Exactly the curated head, in the curated order.
+    assert names[: len(DRIVER_SAMPLE_PRIORITY)] == list(DRIVER_SAMPLE_PRIORITY)
+    must_sample = {
+        "flagship_training_corpus",
+        "docs_gopher_quality",
+        "docs_decontaminate",
+        "docs_pii_redact",
+        "emb_semantic_dedup",
+        "docs_pack_sequences",
+        "docs_dsir_weights",
+        "emb_pq_encode",
+        "docs_incremental_near_dup",
+        "docs_near_dedup_best",
+    }
+    assert must_sample <= first50
+    # The reorder is a permutation: nothing dropped, oracles intact.
+    assert len(names) == len(set(names)) >= 91
+    assert set(ORACLES) <= set(QUERIES)
+    assert all(n in QUERIES for n in DRIVER_SAMPLE_PRIORITY)
+
+
 def test_driver_gate_smoke(spark):
     n_pass, n_fail = run_gate(spark, "/root/testdata/sf0.001", SMOKE_QUERIES)
     assert n_fail == 0
