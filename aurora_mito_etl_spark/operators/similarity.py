@@ -110,13 +110,27 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 def ivf_centroids(dim: int, n_cells: int, seed: int = 7) -> list[list[float]]:
     """Pinned pseudo-random coarse-quantizer centroids (same
-    LCG-Gaussian generator as :func:`_hyperplanes`, different seed).
+    LCG-Gaussian generator as :func:`_hyperplanes`, different seed),
+    UNIT-NORMALIZED.
+
+    Normalization is load-bearing, not cosmetic: raw Gaussian
+    centroids have norm ~√dim, so the −‖c‖²/2 term in the assignment
+    score (≈ −dim/2) dwarfs dot(v, c) for unit-norm data and EVERY
+    vector collapses into the smallest-norm cell — one worker does the
+    whole corpus gram (total skew) and cell pruning prunes nothing.
+    Unit centroids make −‖c‖²/2 a constant ½, so assignment reduces to
+    direction matching and cells stay balanced (81–152 per cell on the
+    sf0.1 embeddings vs 2000-in-one before).
 
     A deterministic index usable verbatim by both the Spark operator
     and a closed-form SQL oracle — at 100 TB you persist
     KMeans-trained centroids alongside the partitioned-by(cell)
     corpus instead; the assignment/probe mechanics are identical."""
-    return _hyperplanes(dim, n_cells, seed=seed)
+    out = []
+    for v in _hyperplanes(dim, n_cells, seed=seed):
+        norm = math.sqrt(sum(x * x for x in v))
+        out.append([x / norm for x in v])
+    return out
 
 
 def probe_masks(n_planes: int, multi_probe: int) -> list[int]:
@@ -487,7 +501,41 @@ def ivf_topk(
     return _rank_topk(scored, query_id_col, id_col, k)
 
 
-def _same_bucket_pairs(both: DataFrame, id_type, margin: float) -> DataFrame:
+def _ordered_gram(A, B):
+    """(rows(A) × rows(B)) gram matrix whose every element is the exact
+    left-to-right dimension-order IEEE fold (the oracle bit-parity
+    contract of aggregate(zip_with) / list_dot_product).
+
+    Cache-blocked: the naive `G += A[:,j:j+1] * B[:,j]` re-streams the
+    whole gram through memory once per dimension (dim× the bandwidth);
+    accumulating into a 256×256 block that stays in L2 across the
+    dimension loop cuts that to ~one pass. Per-ELEMENT summation order
+    is unchanged — only the schedule across independent elements moves,
+    which IEEE addition doesn't observe — so results are bit-identical
+    to the naive loop (pinned by test_ordered_gram_bit_parity).
+    """
+    import numpy as np
+
+    n, dim = A.shape
+    m = B.shape[0]
+    G = np.empty((n, m), dtype=np.float64)
+    RB = CB = 256
+    for i0 in range(0, n, RB):
+        i1 = min(i0 + RB, n)
+        Ai = A[i0:i1]
+        for j0 in range(0, m, CB):
+            j1 = min(j0 + CB, m)
+            Bj = B[j0:j1]
+            blk = np.zeros((i1 - i0, j1 - j0), dtype=np.float64)
+            for j in range(dim):
+                blk += Ai[:, j : j + 1] * Bj[:, j]
+            G[i0:i1, j0:j1] = blk
+    return G
+
+
+def _same_bucket_pairs(
+    both: DataFrame, id_type, margin: float, blas: bool = False
+) -> DataFrame:
     """Pair-verify engine shared by the LSH near-dup and SemDeDup
     operators: `both` carries (id, __v, __vn, side, bucket); within
     each bucket group every (side=0, side=1) pair with id_a < id_b
@@ -496,13 +544,25 @@ def _same_bucket_pairs(both: DataFrame, id_type, margin: float) -> DataFrame:
     Runs INSIDE each bucket group (applyInPandas), not as a join that
     materializes one Spark row — carrying two dim-wide arrays — per
     candidate pair: Arrow traffic is O(n · probes) vectors while pair
-    enumeration and the gram products stay in numpy. Gram math uses
-    ordered outer-product accumulation (`G += A[:,j:j+1] * B[:,j]`
-    dimension-at-a-time, no BLAS) so every partial sum is the exact
-    left-to-right fold Catalyst's aggregate(zip_with) and DuckDB's
-    list_dot_product produce — the bit-parity contract that keeps
-    these operators oracle-checkable. Callers re-round and re-test
-    the threshold in Catalyst; `margin` keeps a safety gap.
+    enumeration and the gram products stay in numpy.
+
+    Two gram paths, same plan:
+
+    - ``blas=False`` (oracle/portable): cache-blocked ordered
+      accumulation (:func:`_ordered_gram` — dimension-at-a-time per
+      element) so every partial sum is the exact left-to-right fold
+      Catalyst's aggregate(zip_with) and DuckDB's list_dot_product
+      produce — the bit-parity contract that keeps these operators
+      oracle-checkable.
+    - ``blas=True`` (production): one ``A @ B.T`` dgemm per chunk.
+      BLAS pairwise summation can differ from the ordered fold by
+      O(dim·eps) relative error, so a cosine sitting within ~1e-12 of
+      the threshold may flip — callers' `margin` safety gap (1e-6)
+      dwarfs that; twin equality on real data is pinned by
+      tests/test_similarity_prod_twins.py. This is the 100 TB path.
+
+    Callers re-round and re-test the threshold in Catalyst; `margin`
+    keeps a safety gap.
     """
     import numpy as np
     import pandas as pd
@@ -539,9 +599,7 @@ def _same_bucket_pairs(both: DataFrame, id_type, margin: float) -> DataFrame:
         for lo in range(0, len(ida), chunk):
             hi = min(lo + chunk, len(ida))
             A = np.array(asel["__v"].iloc[lo:hi].tolist(), dtype=np.float64)
-            G = np.zeros((hi - lo, len(idb)), dtype=np.float64)
-            for j in range(A.shape[1]):
-                G += A[:, j : j + 1] * B[:, j]
+            G = (A @ B.T) if blas else _ordered_gram(A, B)
             cos = G / (na[lo:hi, None] * nb[None, :])
             ri, ci = np.nonzero(
                 (ida[lo:hi, None] < idb[None, :]) & (cos >= margin)
@@ -565,6 +623,7 @@ def embedding_near_dup_pairs(
     dim: int = 64,
     multi_probe: int = 0,
     candidate_budget: int | None = None,
+    blas: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucketing: only
     same-bucket pairs are scored (O(n·bucket_width) not O(n²)),
@@ -583,7 +642,11 @@ def embedding_near_dup_pairs(
     purely declarative — bucket sizes + one cumulative-sum window —
     so it is expressible in the SQL oracle too. Recall degrades
     gracefully: the nearest (low-distance) buckets are always probed
-    first."""
+    first.
+
+    `blas=True` switches the in-bucket gram products from the ordered
+    oracle-parity fold to one dgemm per chunk (the production fast
+    path; see :func:`_same_bucket_pairs`)."""
     planes = _hyperplanes(dim, n_planes)
     vb = (
         with_norm(vectors, vec_col, "__v", "__vn")
@@ -645,7 +708,7 @@ def embedding_near_dup_pairs(
     # are Spark's own — the numpy prefilter keeps a safety margin.
     out = (
         _same_bucket_pairs(
-            both, vectors.schema[id_col].dataType, threshold - 1e-6
+            both, vectors.schema[id_col].dataType, threshold - 1e-6, blas=blas
         )
         .select("id_a", "id_b", F.round(F.col("__raw"), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
@@ -712,6 +775,7 @@ def semantic_dedup(
     dim: int = 64,
     n_cells: int = 16,
     centroids: list[list[float]] | None = None,
+    blas: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster embeddings with a coarse
     quantizer, then drop within-cluster cosine near-duplicates.
@@ -725,49 +789,86 @@ def semantic_dedup(
     across runs, engines, and partitionings — a centroid-distance
     order is one extra sort if needed).
 
-    Scale shape: assignment is one Arrow pass (no shuffle); the pair
-    scan shuffles each vector ONCE on its cell id and pairs stay
-    inside `applyInPandas` cell groups (O(n·cell_width), never global
-    O(n²)) — identical posture to the LSH near-dup tier, with
-    `n_cells` as the width knob. Cross-cell near-dups are out of
-    scope by construction (the paper's recall trade); raise
+    Scale shape — SINGLE-SHUFFLE: assignment is one Arrow pass (no
+    shuffle); each vector then shuffles ONCE on its cell id, and one
+    `applyInPandas` pass per cell emits the roster row directly with
+    the max prior-id cosine attached. The keep/drop decision itself
+    stays in Catalyst (``round(max_prior,6) >= threshold`` — max
+    commutes with the monotonic round, so the verdict is bit-identical
+    to enumerating pairs), which keeps the operator oracle-checkable.
+    The earlier pair-join formulation shipped every vector through the
+    exchange TWICE (a two-sided union) and needed two more shuffles
+    (distinct + roster join) — 4 stages of overhead at bench scale and
+    2× vector shuffle volume at 100 TB, for the same output.
+
+    Pairs stay inside cell groups (O(n·cell_width), never global
+    O(n²)) with `n_cells` as the width knob. Cross-cell near-dups are
+    out of scope by construction (the paper's recall trade); raise
     `n_cells` resolution or run the LSH tier for cross-cell recall.
     Wrong-dim / NULL vectors are excluded from the roster.
+    `blas=True` runs the in-cell gram as one dgemm per chunk (the
+    production path; see :func:`_same_bucket_pairs`).
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     if centroids is None:
         centroids = ivf_centroids(dim, n_cells)
     vb = (
         with_norm(vectors, vec_col, "__v", "__vn")
         .select(
-            F.col(id_col),
+            F.col(id_col).alias("id"),
             F.col("__v"),
             F.col("__vn"),
             nearest_cell_arrow(F.col(vec_col), centroids).alias("bucket"),
         )
         .filter(F.size("__v") == dim)
     )
-    both = vb.select(
-        F.col(id_col).alias("id"), "__v", "__vn", "bucket", F.lit(0).alias("side")
-    ).unionByName(
-        vb.select(
-            F.col(id_col).alias("id"), "__v", "__vn", "bucket",
-            F.lit(1).alias("side"),
-        )
+
+    margin = threshold - 1e-6
+    id_type = vectors.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_type, False),
+            T.StructField("cell", T.IntegerType(), False),
+            T.StructField("__best", T.DoubleType(), True),
+        ]
     )
-    dropped = (
-        _same_bucket_pairs(both, vectors.schema[id_col].dataType, threshold - 1e-6)
-        .filter(F.round(F.col("__raw"), 6) >= threshold)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-    )
-    return (
-        vb.select(id_col, F.col("bucket").alias("cell"))
-        .join(
-            dropped.withColumn("__dropped", F.lit(True)), id_col, "left"
+    chunk = 4096
+
+    def roster(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["id"].to_numpy()
+        cells = pdf["bucket"].to_numpy()
+        B = np.array(pdf["__v"].tolist(), dtype=np.float64)
+        nb = pdf["__vn"].to_numpy(dtype=np.float64)
+        best = np.full(len(ids), -np.inf, dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for lo in range(0, len(ids), chunk):
+                hi = min(lo + chunk, len(ids))
+                A = B[lo:hi]
+                G = (A @ B.T) if blas else _ordered_gram(A, B)
+                cos = G / (nb[lo:hi, None] * nb[None, :])
+                # prior = strictly smaller id; NaN (zero-norm) and
+                # sub-margin cosines never qualify (NaN >= x is False)
+                ok = (ids[None, :] < ids[lo:hi, None]) & (cos >= margin)
+                cos[~ok] = -np.inf
+                best[lo:hi] = cos.max(axis=1, initial=-np.inf)
+        return pd.DataFrame(
+            {
+                "id": ids,
+                "cell": cells,
+                "__best": np.where(np.isfinite(best), best, np.nan),
+            }
         )
-        .select(
-            id_col,
-            "cell",
-            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
-        )
+
+    out = vb.groupBy("bucket").applyInPandas(roster, out_schema)
+    return out.select(
+        F.col("id").alias(id_col),
+        "cell",
+        # NULL max (no qualifying prior) → kept; rounding stays in
+        # Catalyst so round-half-up semantics are Spark's own
+        F.coalesce(
+            F.round(F.col("__best"), 6) < F.lit(threshold), F.lit(True)
+        ).alias("kept"),
     )

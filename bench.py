@@ -109,6 +109,28 @@ PROD_VARIANTS = {
         lt(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
         dim=64, m=4, n_centroids=16,
     ),
+    # BLAS verify twins of the embedding near-dup tier: the registered
+    # queries run the ordered oracle-parity gram fold; these run one
+    # dgemm per chunk in the same bucketed plan (similarity.py
+    # _same_bucket_pairs blas=True). Same parameters as the registered
+    # queries; pair equality pinned by test_similarity_prod_twins.py.
+    "emb_lsh_near_dup_prod": lambda dd, lt, spark, sf_dir: __import__(
+        "aurora_mito_etl_spark.operators.similarity", fromlist=["similarity"]
+    ).embedding_near_dup_pairs(
+        lt(spark, sf_dir, "embeddings"),
+        threshold=0.4, n_planes=4, dim=64, multi_probe=2, blas=True,
+    ),
+    "emb_semantic_dedup_prod": lambda dd, lt, spark, sf_dir: (
+        lambda sim: sim.semantic_dedup(
+            lt(spark, sf_dir, "embeddings"),
+            threshold=0.4, dim=64, n_cells=16,
+            centroids=sim.ivf_centroids(64, 16), blas=True,
+        )
+    )(
+        __import__(
+            "aurora_mito_etl_spark.operators.similarity", fromlist=["similarity"]
+        )
+    ),
 }
 
 
@@ -150,14 +172,20 @@ def main() -> int:
             lambda spark, sf_dir, _make=make: _make(dd, load_table, spark, sf_dir)
         )
 
+    # Noise damping (VERDICT r04 ask #7): the two timing samples are
+    # INTERLEAVED across the suite — run every query once, then the
+    # whole suite again — instead of back-to-back per query. This box
+    # shows transient 10-25s stalls; back-to-back samples let one
+    # stall poison both measurements of the same query, while samples
+    # a full suite apart are uncorrelated, so min() actually removes
+    # the stall instead of averaging it in.
     per_query: dict[str, float] = {}
-    for name, fn in runnable.items():
-        best = float("inf")
-        for _ in range(2):
+    for _pass in range(2):
+        for name, fn in runnable.items():
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        per_query[name] = round(best, 3)
+            elapsed = time.perf_counter() - t0
+            per_query[name] = round(min(per_query.get(name, elapsed), elapsed), 3)
 
     total = round(sum(per_query.values()), 3)
     print(
