@@ -25,7 +25,7 @@ DuckDB-oracle-checked. Pair outputs feed
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aurora_mito_etl_spark.functions.hashing import md5_prefix60
@@ -418,6 +418,40 @@ def _drop_hot_buckets(stacked: DataFrame, max_bucket_size: int | None) -> DataFr
     return stacked.join(hot, ["band", "bh"], "left_anti")
 
 
+def _jaccard_verify_sets(
+    candidates: DataFrame,
+    sets_a: DataFrame,
+    sets_b: DataFrame,
+    id_col: str,
+    a_col: str,
+    b_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact Jaccard over prebuilt (id, shs) shingle-hash-set tables —
+    shared by the recompute path and the persisted-corpus path."""
+    return (
+        candidates.join(
+            sets_a.select(F.col(id_col).alias(a_col), F.col("shs").alias("shs_a")),
+            a_col,
+        )
+        .join(
+            sets_b.select(F.col(id_col).alias(b_col), F.col("shs").alias("shs_b")),
+            b_col,
+        )
+        .withColumn("inter", F.size(F.array_intersect("shs_a", "shs_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.size("shs_a") + F.size("shs_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(a_col, b_col, "jaccard")
+    )
+
+
 def _jaccard_verify(
     candidates: DataFrame,
     hashed_a: DataFrame,
@@ -431,24 +465,8 @@ def _jaccard_verify(
     tables that fed the signatures — no re-shingling)."""
     sh_a = hashed_a.groupBy(id_col).agg(F.collect_set("h").alias("shs"))
     sh_b = hashed_b.groupBy(id_col).agg(F.collect_set("h").alias("shs"))
-    return (
-        candidates.join(
-            sh_a.select(F.col(id_col).alias(a_col), F.col("shs").alias("shs_a")), a_col
-        )
-        .join(
-            sh_b.select(F.col(id_col).alias(b_col), F.col("shs").alias("shs_b")), b_col
-        )
-        .withColumn("inter", F.size(F.array_intersect("shs_a", "shs_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.size("shs_a") + F.size("shs_b") - F.col("inter")).cast("double"),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select(a_col, b_col, "jaccard")
+    return _jaccard_verify_sets(
+        candidates, sh_a, sh_b, id_col, a_col, b_col, threshold
     )
 
 
@@ -495,6 +513,96 @@ def minhash_lsh_join(
     )
     return _jaccard_verify(
         candidates, hashed_new, hashed_corp, id_col, "new_id", "corpus_id", threshold
+    )
+
+
+def persist_corpus_index(
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    table_prefix: str,
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    portable_hash: bool = False,
+    num_buckets: int = 32,
+) -> tuple[str, str]:
+    """Materialize the corpus side of :func:`minhash_lsh_join` ONCE,
+    as the docstring there promises: per release you pay only the new
+    batch's hashing, never the corpus's.
+
+    Writes two bucketed managed tables (returned as names):
+
+    - ``{prefix}_bands`` — (id, band, bh), bucketed by (band, bh):
+      the band probe join against a new batch needs NO corpus-side
+      Exchange (the bucketing is the exchange, paid once here).
+    - ``{prefix}_shingles`` — (id, shs), bucketed by id: the Jaccard
+      verify join on corpus_id is likewise corpus-side Exchange-free.
+
+    Re-running overwrites (idempotent re-index). Use the same
+    (k_shingle, num_hashes, bands, portable_hash) in
+    :func:`minhash_lsh_join_persisted` — band hashes are a function of
+    those parameters, so a mismatch silently yields no candidates.
+    Pinned by tests/test_bucketing_jsonl.py.
+    """
+    from aurora_mito_etl_spark.sources.io import write_bucketed_table
+
+    hashed = _minhash_hashed(corpus_df, text_col, id_col, k_shingle, portable_hash)
+    stacked = _minhash_banded(hashed, id_col, num_hashes, bands, portable_hash)
+    sets = hashed.groupBy(id_col).agg(F.collect_set("h").alias("shs"))
+    bands_table = f"{table_prefix}_bands"
+    sets_table = f"{table_prefix}_shingles"
+    write_bucketed_table(
+        stacked, bands_table, ["band", "bh"], num_buckets=num_buckets
+    )
+    write_bucketed_table(sets, sets_table, [id_col], num_buckets=num_buckets)
+    return bands_table, sets_table
+
+
+def minhash_lsh_join_persisted(
+    spark: SparkSession,
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    table_prefix: str,
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    portable_hash: bool = False,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """:func:`minhash_lsh_join` against a corpus index persisted by
+    :func:`persist_corpus_index`: only the NEW batch is shingled and
+    banded; the corpus arrives pre-bucketed, so both corpus-side joins
+    (band probe, Jaccard verify) run without shuffling the corpus.
+    The hot-bucket cap is applied at query time over the (small)
+    persisted bands table, so the cap can be tuned per release without
+    re-indexing. Output columns: ``new_id``, ``corpus_id``,
+    ``jaccard`` — identical to the recompute path (parity pinned by
+    tests/test_bucketing_jsonl.py).
+    """
+    hashed_new = _minhash_hashed(new_df, text_col, id_col, k_shingle, portable_hash)
+    stacked_new = _minhash_banded(hashed_new, id_col, num_hashes, bands, portable_hash)
+    stacked_corp = _drop_hot_buckets(
+        spark.table(f"{table_prefix}_bands"), max_bucket_size
+    )
+    candidates = (
+        stacked_new.select(F.col(id_col).alias("new_id"), "band", "bh")
+        .join(stacked_corp.select(F.col(id_col).alias("corpus_id"), "band", "bh"),
+              ["band", "bh"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    sets_new = hashed_new.groupBy(id_col).agg(F.collect_set("h").alias("shs"))
+    return _jaccard_verify_sets(
+        candidates,
+        sets_new,
+        spark.table(f"{table_prefix}_shingles"),
+        id_col,
+        "new_id",
+        "corpus_id",
+        threshold,
     )
 
 
