@@ -262,9 +262,11 @@ def similarity_panel(
     def score_udf(s: pd.Series) -> pd.DataFrame:
         be = backend_factory()
         panel_fp = be.fingerprint_panel or be.fingerprint
-        ref_fps = [
-            (name, panel_fp(smi)) for name, smi in panel_items
-        ]
+        # The reference canonicalizes its ref dict before any scoring
+        # (finalize_realease.py:260: MCI_REFS = dict((k, canonic(v)))),
+        # so tautomer-sensitive refs fingerprint in canonical form.
+        ref_canon = [(n, be.canonicalize(smi)) for n, smi in panel_items]
+        ref_fps = [(n, panel_fp(c)) for n, c in ref_canon if c is not None]
         ref_fps = [(n, f) for n, f in ref_fps if f is not None]
         out = []
         for v in s:
@@ -341,17 +343,27 @@ def biguanide_panel(
     @F.pandas_udf(_BIGUANIDE_SCHEMA)
     def score_udf(s: pd.Series) -> pd.DataFrame:
         be = backend_factory()
-        ref_fps = [(n, be.fingerprint(smi)) for n, smi in ref_items]
+        # Canonicalize refs before fingerprinting, exactly as the
+        # reference does up front (finalize_realease.py:260: MCI_REFS
+        # = dict((k, canonic(v)))) — for tautomer-sensitive biguanides
+        # the canonical-tautomer form changes the fingerprint, hence
+        # every Tversky/Dice value downstream.
+        ref_canon = [(n, be.canonicalize(smi)) for n, smi in ref_items]
+        ref_fps = [
+            (n, be.fingerprint(c)) for n, c in ref_canon if c is not None
+        ]
         ref_fps = [(n, f) for n, f in ref_fps if f is not None]
-        big_fp = be.fingerprint(core_smiles) if core_smiles else None
+        core_c = be.canonicalize(core_smiles) if core_smiles else None
+        motif_c = be.canonicalize(motif_smiles) if motif_smiles else None
+        big_fp = be.fingerprint(core_c) if core_c else None
         out = []
         for v in s:
             fp = be.fingerprint(v) if v else None
             if fp is None:
                 out.append((False, False, None, None, None, None, None, None))
                 continue
-            has_core = be.has_substructure(core_smiles, v) if core_smiles else False
-            has_motif = be.has_substructure(motif_smiles, v) if motif_smiles else False
+            has_core = be.has_substructure(core_c, v) if core_c else False
+            has_motif = be.has_substructure(motif_c, v) if motif_c else False
             sim_t = round(tversky_sim(fp, big_fp, alpha, beta), 3) if big_fp else None
             sim_d = round(dice_sim(fp, big_fp), 3) if big_fp else None
             bt = bd = None

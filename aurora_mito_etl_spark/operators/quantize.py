@@ -156,16 +156,33 @@ def pq_encode_arrow(
     id_col: str = "vec_id",
     seed: int = 11,
 ) -> DataFrame:
-    """Arrow/BLAS production twin of :func:`pq_encode`: one numpy
-    (batch × n_centroids) distance matrix per subspace instead of the
+    """Arrow production twin of :func:`pq_encode`: one numpy
+    (batch × n_centroids) score matrix per subspace instead of the
     interpreted higher-order-function folds (Spark does not codegen
-    lambda expressions — measured ~4× faster at sf0.1). Same pinned
-    codebooks, same larger-cell tie rule; code equality with the
-    expression path is pinned by pytest on fixture data."""
+    lambda expressions — measured ~4× faster at sf0.1).
+
+    BIT-IDENTICAL to the expression path, not merely close: scores are
+    the SAME float expression (dot − ‖c‖²/2, never the algebraically
+    equal ‖sv‖² − 2·dot + ‖c‖² squared-distance form, whose different
+    rounding could flip a near-tie — the ADVICE r04 finding), dots use
+    the ordered per-dimension fold (:func:`_ordered_gram`, the exact
+    aggregate(zip_with) sequence), and half-norms are the identical
+    Python floats the expression path embeds. Ties → larger cell via
+    the reversed-index argmax. Code equality pinned by pytest."""
     import numpy as np
     from pyspark.sql import types as T
 
-    books = [np.array(b, dtype=np.float64) for b in pq_codebooks(dim, m, n_centroids, seed)]
+    from aurora_mito_etl_spark.operators.similarity import _ordered_gram
+
+    books_raw = pq_codebooks(dim, m, n_centroids, seed)
+    books = [np.array(b, dtype=np.float64) for b in books_raw]
+    # Python-float left-to-right half-norms — the exact literals the
+    # expression path folds (numpy .sum pairwise-sums, which may differ
+    # in the last ulp).
+    half_norms = [
+        np.array([sum(x * x for x in cent) / 2.0 for cent in b], dtype=np.float64)
+        for b in books_raw
+    ]
     subdim = dim // m
 
     out_schema = T.StructType(
@@ -185,13 +202,10 @@ def pq_encode_arrow(
             codes = []
             for j, book in enumerate(books):
                 sv = mat[:, j * subdim : (j + 1) * subdim]
-                d2 = (
-                    (sv * sv).sum(axis=1)[:, None]
-                    - 2.0 * (sv @ book.T)
-                    + (book * book).sum(axis=1)[None, :]
-                )
-                # ties → larger cell index (match the expression path)
-                c = (d2.shape[1] - 1) - np.argmin(d2[:, ::-1], axis=1)
+                score = _ordered_gram(sv, book) - half_norms[j][None, :]
+                # ties → larger cell index (match F.greatest's struct
+                # comparison in the expression path)
+                c = (score.shape[1] - 1) - np.argmax(score[:, ::-1], axis=1)
                 cols[f"pq_{j}"] = c.astype(np.int32)
                 codes.append(c.astype(str))
             cols["pq_csv"] = np.array(

@@ -60,8 +60,14 @@ def split_sentences(text: str) -> list[str]:
 def chunk_tokens(
     tokens: list[str], chunk_size: int, overlap: int
 ) -> list[tuple[int, str, int]]:
-    """Overlapping token windows — the standard LLM-ingestion chunker
-    (stride = chunk_size − overlap). Yields (idx, text, n_tokens)."""
+    """Overlapping token windows (stride = chunk_size − overlap).
+    Yields (idx, text, n_tokens).
+
+    DEMO PATH: this exists to exercise the Python-UDTF surface
+    (lateral join over a table function, §2.10) end-to-end. Pipelines
+    should use :func:`aurora_mito_etl_spark.operators.text.chunk_windows`
+    — the expression-only production chunker (no Python in the hot
+    path, gap-free tail tiling). See COVERAGE.md 'Chunking'."""
     if overlap >= chunk_size:
         raise ValueError(
             f"overlap ({overlap}) must be < chunk_size ({chunk_size}) — "

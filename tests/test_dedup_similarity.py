@@ -555,3 +555,26 @@ def test_pq_encode_arrow_matches_expression_path(spark):
         for r in qz.pq_encode_arrow(vecs, dim=8, m=2, n_centroids=4).collect()
     }
     assert expr == arrow
+
+
+def test_pq_encode_arrow_matches_on_real_table(spark):
+    # exhaustive twin equality at the registered query's parameters on
+    # the real embeddings table — the ADVICE r04 tie-formula fix means
+    # both paths now compare IDENTICAL float expressions, so equality
+    # is exact, not fixture luck
+    import os
+
+    from aurora_mito_etl_spark.operators import quantize as qz
+    from aurora_mito_etl_spark.sources.catalog import load_table
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+    e = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    expr = {
+        r["vec_id"]: r["pq_csv"]
+        for r in qz.pq_encode(e, dim=64, m=4, n_centroids=16).collect()
+    }
+    arrow = {
+        r["vec_id"]: r["pq_csv"]
+        for r in qz.pq_encode_arrow(e, dim=64, m=4, n_centroids=16).collect()
+    }
+    assert expr == arrow and len(expr) >= 500

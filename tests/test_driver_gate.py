@@ -90,7 +90,10 @@ def test_release_sink_smoke_from_external_cwd(spark, tmp_path, monkeypatch):
 
 def test_all_query_outputs_are_scalar_and_no_cartesian(spark):
     """Two whole-registry invariants in one plan-build pass (analysis
-    only, no execution):
+    only for every query EXCEPT release_sink_smoke, whose builder by
+    design executes its release pipeline into a temp dir and returns
+    the read-back verification rows — building it here runs that
+    pipeline once):
 
     1. No registered query returns Array/Struct/Map columns — the
        driver canonicalizer pandas-sorts every output column and

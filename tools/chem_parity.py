@@ -108,6 +108,12 @@ def reference_rows(panel: dict[str, str], candidates: list[str]) -> list[dict]:
             return False
         return any(target_mol.HasSubstructMatch(q) for q in te.Enumerate(query_mol))
 
+    # The reference canonicalizes its ref dict wholesale before any
+    # scoring (finalize_realease.py:260: MCI_REFS = dict((k,
+    # canonic(v)) ...)) — replay that here so tautomer-sensitive refs
+    # fingerprint in canonical form, same as the engine's panels.
+    panel = {k: c for k, v in panel.items() if (c := canonic(v)) is not None}
+
     # D3 — known-panel Tanimoto, iterated in sorted-name order like the
     # engine (ties then resolve identically; reference uses its own
     # panel order, identical whenever the max is unique).
@@ -202,6 +208,8 @@ def fake_rows(panel: dict[str, str], candidates: list[str]) -> list[dict]:
     Spark plumbing (UDF batching, column wiring, NULL shapes, ties,
     rounding) reproduces a single-process computation."""
     be = chem.fake_backend()
+    # mirror the engine/reference: refs canonicalize before use
+    panel = {k: c for k, v in panel.items() if (c := be.canonicalize(v)) is not None}
     names = sorted(panel)
     pfs = {n: be.fingerprint(panel[n]) for n in names}
 

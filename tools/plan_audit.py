@@ -7,6 +7,11 @@ scans with/without pushed filters, and any pathological join
 (CartesianProduct). The per-query table is the 100 TB posture at a
 glance; a CartesianProduct anywhere is an error (exit 1).
 
+Exception: queries in EXEC_ON_BUILD run their pipeline at
+BUILD time by design (release_sink_smoke materializes a release dir
+and reads it back to return verification rows), so "building the
+DataFrame" is not analysis-only for them — they are skipped here.
+
 BroadcastNestedLoopJoin is reported but not fatal: the registry's only
 BNLJs are single-row aggregate cross-joins (corpus totals riding along
 with a count), which are constant-size broadcasts at any SF.
@@ -22,6 +27,11 @@ import json
 import sys
 
 sys.path.insert(0, "/root/repo")
+
+
+# Queries whose builder executes side effects (materialize + read-back
+# smoke queries). plan_audit skips them unless explicitly requested.
+EXEC_ON_BUILD = {"release_sink_smoke"}
 
 
 def formatted_plan(df) -> str:
@@ -82,6 +92,8 @@ def main() -> int:
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
+        if name in EXEC_ON_BUILD and name not in only:
+            continue  # building it would execute a release pipeline
         try:
             a = audit_one(formatted_plan(fn(spark, sf_dir)))
         except Exception as e:  # noqa: BLE001
