@@ -1,0 +1,189 @@
+"""Bloom-filter membership pre-filtering — decontamination (and any
+set-membership probe) when the probe set is too large to broadcast.
+
+`operators/decontaminate.py` broadcasts the benchmark n-gram hash set,
+which is right while eval suites are millions of grams. This module
+covers the next regime — a probe set of billions of keys (a URL
+blacklist, a merged mega-benchmark, a "seen before" corpus index) whose
+hash relation would blow the broadcast limit — with the classic
+two-phase shape every warehouse uses:
+
+1. **Bloom prefilter, pure Catalyst.** The probe set is folded into an
+   m-bit Bloom filter materialized as a tiny DataFrame of 64-bit
+   blocks (``m/64`` rows — 1 GiB of probe keys becomes ~2 MiB of
+   blocks at m=2^24). Each corpus key tests membership via k map-side
+   broadcast joins against the block table plus a bitwise filter — no
+   shuffle of the corpus, no Python, whole-stage codegen throughout.
+   False positives pass (tunable via m/k), false negatives are
+   impossible.
+2. **Exact verify on survivors.** Rows that pass the Bloom join the
+   probe set exactly (sort-merge, never broadcast — that's the point)
+   — but only the survivors shuffle, which the Bloom has already cut
+   to ~the true-hit rate. The final answer is therefore EXACTLY the
+   broadcast path's answer: the Bloom affects cost, never results,
+   which keeps the operator DuckDB-oracle-checkable end to end.
+
+Beyond-reference surface: the reference's only membership guard is a
+dictionary regex filter (`scripts/merge_filter.sh:21-43`); nothing in
+it scales past a broadcastable term list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from aurora_mito_etl_spark.operators.dedup import _spread
+from aurora_mito_etl_spark.operators.textstats import shingles_arrow
+
+BLOCK_BITS = 64
+
+
+def _validate(m_bits: int, k: int) -> None:
+    if m_bits <= 0 or m_bits % BLOCK_BITS != 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    if not 1 <= k <= 8:
+        raise ValueError(f"k must be in [1, 8], got {k}")
+
+
+def _position(col: Column, seed: int, m_bits: int) -> Column:
+    """Bit position of hash function `seed` for key `col` — double
+    hashing via xxhash64 with the seed mixed in as a second hashed
+    column. Internal to the filter: positions never need to be
+    portable because the Bloom can only change WHICH rows reach the
+    exact verify, never the verified answer."""
+    return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(m_bits))
+
+
+def bloom_bit_blocks(
+    keys: DataFrame, col: str, m_bits: int = 1 << 23, k: int = 4
+) -> DataFrame:
+    """Fold a key DataFrame into Bloom bit blocks: one row per 64-bit
+    block that has at least one bit set — ``(block int, bits long)``,
+    at most ``m_bits/64`` rows regardless of key count.
+
+    Scale: the k-way position fan-out is map-side (explode), and the
+    ``bit_or`` aggregate partial-combines, so each upstream task emits
+    at most ``m_bits/64`` rows into the shuffle — the reduction is
+    effectively free even for billions of keys.
+    """
+    _validate(m_bits, k)
+    positions = keys.select(
+        F.explode(
+            F.array(*[_position(F.col(col), i, m_bits) for i in range(k)])
+        ).alias("idx")
+    )
+    return (
+        positions.select(
+            F.shiftright("idx", 6).cast("int").alias("block"),
+            F.expr("shiftleft(1L, cast(idx & 63 AS int))").alias("mask"),
+        )
+        .groupBy("block")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_member_filter(
+    df: DataFrame,
+    col: str,
+    blocks: DataFrame,
+    m_bits: int = 1 << 23,
+    k: int = 4,
+) -> DataFrame:
+    """Keep rows of `df` whose `col` is POSSIBLY in the key set the
+    `blocks` table was built from (same ``m_bits``/``k`` required).
+
+    k broadcast joins against the block table (≤ m/64 rows — ~2 MiB at
+    m=2^24) followed by one bitwise conjunction: entirely map-side, no
+    shuffle of `df`, no Python. Rows keep their original schema.
+    Guarantees: every true member passes; non-members pass with
+    probability ≈ (1 - e^(-kn/m))^k.
+    """
+    _validate(m_bits, k)
+    out = df
+    conds = []
+    for i in range(k):
+        idx = _position(F.col(col), i, m_bits)
+        blk, msk, bits = f"_bloom_blk{i}", f"_bloom_msk{i}", f"_bloom_bits{i}"
+        out = (
+            out.withColumn(blk, F.shiftright(idx, 6).cast("int"))
+            .withColumn(
+                msk, F.expr(f"shiftleft(1L, cast({_sql_pos(col, i, m_bits)} & 63 AS int))")
+            )
+            .join(
+                F.broadcast(
+                    blocks.select(
+                        F.col("block").alias(blk), F.col("bits").alias(bits)
+                    )
+                ),
+                blk,
+                "left",
+            )
+        )
+        conds.append(
+            F.coalesce(F.col(bits), F.lit(0)).bitwiseAND(F.col(msk)) != F.lit(0)
+        )
+    keep = conds[0]
+    for c in conds[1:]:
+        keep = keep & c
+    drop = [f"_bloom_{p}{i}" for i in range(k) for p in ("blk", "msk", "bits")]
+    return out.where(keep).drop(*drop)
+
+
+def _sql_pos(col: str, seed: int, m_bits: int) -> str:
+    """SQL-string twin of `_position` for use inside F.expr (the
+    pyspark shiftleft wrapper only accepts literal shift amounts, so
+    the mask expression is built as SQL)."""
+    return f"pmod(xxhash64(`{col}`, {seed}), {m_bits}L)"
+
+
+def ngram_contamination_bloom(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    m_bits: int = 1 << 23,
+    k: int = 4,
+) -> DataFrame:
+    """`decontaminate.ngram_contamination` for a benchmark too large
+    to broadcast: same output contract — one row per document,
+    ``(id, n_hit_ngrams, contaminated)``, counting distinct shared
+    word n-grams — via Bloom prefilter + exact sort-merge verify.
+
+    The verify join is on the gram STRING (not a hash), so the result
+    is collision-free and bit-identical to an exact SQL oracle; only
+    Bloom survivors (≈ true hits + the small false-positive tail)
+    shuffle on the corpus side, while the benchmark side shuffles once
+    for its distinct and once for the verify — never broadcasts.
+    """
+    bench_grams = (
+        _spread(bench)
+        .select(
+            F.explode(
+                F.array_distinct(shingles_arrow(F.col(bench_text_col), n))
+            ).alias("s")
+        )
+        .distinct()
+    )
+    doc_grams = _spread(docs).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles_arrow(F.col(text_col), n))
+        ).alias("s"),
+    )
+    blocks = bloom_bit_blocks(bench_grams, "s", m_bits, k)
+    survivors = bloom_member_filter(doc_grams, "s", blocks, m_bits, k)
+    hits = (
+        survivors.join(bench_grams.hint("merge"), "s")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit_ngrams"))
+    )
+    # hits is bounded by true contamination — broadcast it back onto
+    # the full id list instead of shuffling every corpus id.
+    return docs.select(id_col).join(F.broadcast(hits), id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_hit_ngrams", F.lit(0)).alias("n_hit_ngrams"),
+        (F.coalesce("n_hit_ngrams", F.lit(0)) > 0).alias("contaminated"),
+    )

@@ -31,6 +31,7 @@ from aurora_mito_etl_spark.functions.numeric import (
     oracle_dec_sum,
 )
 from aurora_mito_etl_spark.operators import aggregates as agg
+from aurora_mito_etl_spark.operators import bloom as bl
 from aurora_mito_etl_spark.operators import unicode_udfs as uu
 from aurora_mito_etl_spark.operators import decontaminate as dc
 from aurora_mito_etl_spark.operators import dedup as dd
@@ -2403,6 +2404,47 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return dc.ngram_contamination(
         d, d.filter(F.col("doc_id") < 5), n=4, portable_hash=True
+    )
+
+
+# Bloom-prefiltered decontamination (operators/bloom.py): same verdict
+# semantics, but the probe set never broadcasts — the regime where the
+# merged benchmark/blacklist n-gram set is billions of keys. The Bloom
+# has no false negatives and survivors are string-verified exactly, so
+# the oracle is plain exact SQL (no hash replication needed at all).
+_DECONTAM_BLOOM_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 4, 0))) AS u(i)
+    ),
+    bench AS (SELECT DISTINCT s FROM grams WHERE doc_id % 13 = 0),
+    hits AS (
+      SELECT g.doc_id, count(*) AS n_hit_ngrams
+      FROM grams g JOIN bench USING (s)
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(n_hit_ngrams, 0) AS n_hit_ngrams,
+           coalesce(n_hit_ngrams, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits USING (doc_id)
+"""
+
+
+@_register("docs_decontaminate_bloom", _DECONTAM_BLOOM_ORACLE)
+def docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination against a NON-broadcastable probe set (n=5
+    here; production default 13): Bloom-blocks prefilter (pure
+    Catalyst, k map-side broadcast joins against a ≤2 MiB bit-block
+    table) + exact sort-merge string verify on the survivors. The
+    'benchmark' slice is every 13th document."""
+    d = load_table(spark, sf_dir, "documents")
+    return bl.ngram_contamination_bloom(
+        d, d.filter(F.col("doc_id") % 13 == 0), n=5, m_bits=1 << 20, k=4
     )
 
 

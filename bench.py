@@ -46,6 +46,7 @@ HEADLINE = [
     "docs_c4_filter",
     "docs_pii_redact",
     "docs_decontaminate",
+    "docs_decontaminate_bloom",
     "docs_dsir_weights",
     # sampling / quantization / packing
     "docs_stratified_sample",
