@@ -43,6 +43,7 @@ from aurora_mito_etl_spark.operators import quantize as qz
 from aurora_mito_etl_spark.operators import redact as rd
 from aurora_mito_etl_spark.operators import sampling as sp
 from aurora_mito_etl_spark.operators import similarity as sim
+from aurora_mito_etl_spark.operators import sketches as sk_
 from aurora_mito_etl_spark.operators import text as tx
 from aurora_mito_etl_spark.operators import textstats as ts
 from aurora_mito_etl_spark.sources.catalog import load_table
@@ -2446,6 +2447,42 @@ def docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bl.ngram_contamination_bloom(
         d, d.filter(F.col("doc_id") % 13 == 0), n=5, m_bits=1 << 20, k=4
     )
+
+
+# Mergeable cardinality sketches (operators/sketches.py): the sketch
+# estimates themselves are engine-specific, so the query exports what
+# IS portable — the exact distinct counts and the boolean accuracy
+# gates (deterministic: HLL register maxima are order-insensitive and
+# the 8% gate sits ~5σ beyond lg_k=12's expected error).
+_VOCAB_SKETCH_ORACLE = r"""
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ')) AS tok
+      FROM documents
+    ),
+    t AS (SELECT source, tok FROM toks WHERE tok <> '')
+    SELECT source,
+           count(DISTINCT tok) AS n_distinct_exact,
+           TRUE AS hllpp_within_tol,
+           TRUE AS ds_hll_within_tol
+    FROM t GROUP BY source
+    UNION ALL
+    SELECT '__TOTAL__' AS source,
+           count(DISTINCT tok) AS n_distinct_exact,
+           TRUE AS hllpp_within_tol,
+           TRUE AS ds_hll_within_tol
+    FROM t
+"""
+
+
+@_register("docs_vocab_sketch", _VOCAB_SKETCH_ORACLE)
+def docs_vocab_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary size via mergeable sketches: exact
+    distinct token counts gated against HLL++ and DataSketches HLL
+    estimates; the __TOTAL__ row's DataSketches estimate comes from
+    hll_union_agg over the per-source sketches (tokens never
+    re-scanned for the global rollup)."""
+    return sk_.distinct_token_report(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

@@ -57,6 +57,7 @@ HEADLINE = [
     "docs_bigram_pmi",
     "docs_source_report",
     "docs_bpe_pair_counts",
+    "docs_vocab_sketch",
     "emb_quantize_int8",
     "emb_pq_encode",
     # dedup
