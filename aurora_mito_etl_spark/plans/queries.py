@@ -46,6 +46,7 @@ from aurora_mito_etl_spark.operators import similarity as sim
 from aurora_mito_etl_spark.operators import sketches as sk_
 from aurora_mito_etl_spark.operators import text as tx
 from aurora_mito_etl_spark.operators import textstats as ts
+from aurora_mito_etl_spark.sources import layout as ly
 from aurora_mito_etl_spark.sources.catalog import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -2447,6 +2448,54 @@ def docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bl.ngram_contamination_bloom(
         d, d.filter(F.col("doc_id") % 13 == 0), n=5, m_bits=1 << 20, k=4
     )
+
+
+# Z-order clustering key (sources/layout.py): the bit-interleave and
+# min/max bucketing are pure literal-shift expressions, so the oracle
+# replicates them term by term. The layout EFFECT (row groups skipped
+# on both dimensions) is pinned by tests/test_layout.py; this query
+# pins the key's VALUES so the clustering function itself can't drift.
+def _zorder_oracle(bits: int = 16) -> str:
+    hi = float((1 << bits) - 1)
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((zx >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((zy >> {i}) & 1) << {2 * i + 1})")
+    z = " | ".join(terms)
+    bucket = (
+        "greatest(0, least(coalesce(floor((CAST({c} AS DOUBLE) - {lo}) / "
+        "({hi} - {lo}) * " + repr(hi) + "), 0), " + str((1 << bits) - 1) + "))"
+    )
+    bx = bucket.format(c="o_custkey", lo="lox", hi="hix")
+    by = bucket.format(c="o_totalprice", lo="loy", hi="hiy")
+    return f"""
+    WITH b AS (
+      SELECT CAST(min(o_custkey) AS DOUBLE) AS lox,
+             CAST(max(o_custkey) AS DOUBLE) AS hix,
+             CAST(min(o_totalprice) AS DOUBLE) AS loy,
+             CAST(max(o_totalprice) AS DOUBLE) AS hiy
+      FROM orders
+    ),
+    s AS (
+      SELECT o_orderkey,
+             CAST({bx} AS BIGINT) AS zx,
+             CAST({by} AS BIGINT) AS zy
+      FROM orders, b
+    )
+    SELECT o_orderkey, {z} AS zorder FROM s
+    """
+
+
+@_register("orders_zorder_key", _zorder_oracle())
+def orders_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key over (o_custkey, o_totalprice): min/max
+    rank bucketing + 16-bit Morton interleave, the sort key
+    write_zordered lays files out by for two-dimensional row-group
+    skipping."""
+    keyed, _ = ly.zorder_key(
+        load_table(spark, sf_dir, "orders"), ["o_custkey", "o_totalprice"], bits=16
+    )
+    return keyed.select("o_orderkey", F.col("_zorder").alias("zorder"))
 
 
 # Mergeable cardinality sketches (operators/sketches.py): the sketch

@@ -84,6 +84,7 @@ HEADLINE = [
     "part_normalize_dedup",
     "docs_ac_dict_filter",
     "scalar_function_parity",
+    "orders_zorder_key",
     # flagship
     "flagship_compound_mentions",
     "flagship_training_corpus",

@@ -1,0 +1,97 @@
+"""Z-order layout and row-group skipping (sources/layout.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aurora_mito_etl_spark.sources import layout as ly
+
+
+def test_interleave_known_bits(spark):
+    # x=0b10, y=0b01 at 2 bits: pos0=x.0=0, pos1=y.0=1, pos2=x.1=1,
+    # pos3=y.1=0 -> z=0b0110=6
+    row = (
+        spark.range(1)
+        .select(
+            ly.interleave_bits([F.lit(2), F.lit(1)], bits=2).alias("z")
+        )
+        .collect()[0]
+    )
+    assert row["z"] == 6
+
+
+def test_interleave_validation(spark):
+    with pytest.raises(ValueError):
+        ly.interleave_bits([], bits=4)
+    with pytest.raises(ValueError):
+        ly.interleave_bits([F.lit(1)] * 4, bits=16)  # 64 bits > signed long
+
+
+def test_minmax_bucket_edges(spark):
+    df = spark.createDataFrame(
+        [(0.0,), (50.0,), (100.0,), (None,)], "v double"
+    )
+    got = sorted(
+        r["b"]
+        for r in df.select(
+            ly.minmax_bucket(F.col("v"), 0.0, 100.0, 8).alias("b")
+        ).collect()
+    )
+    assert got == [0, 0, 127, 255]  # NULL->0, mid->127, max->255
+    # degenerate span -> all zero
+    z = df.select(ly.minmax_bucket(F.col("v"), 7.0, 7.0, 8).alias("b")).collect()
+    assert all(r["b"] == 0 for r in z)
+
+
+def _xy(spark, n=60_000):
+    # deterministic pseudo-uniform 2-D points (no RNG: stable layout)
+    return spark.range(n).select(
+        ((F.col("id") * 2654435761) % 10_000).alias("x"),
+        ((F.col("id") * 40503 + 7919) % 10_000).alias("y"),
+    )
+
+
+def test_zorder_skips_on_both_dims(spark, tmp_path):
+    df = _xy(spark)
+    rg = 192 * 1024  # small row groups -> several per file on tiny data
+    df.repartition(4).write.mode("overwrite").option(
+        "parquet.block.size", rg
+    ).parquet(str(tmp_path / "plain"))
+    (
+        df.repartitionByRange(4, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .option("parquet.block.size", rg)
+        .parquet(str(tmp_path / "linear"))
+    )
+    ly.write_zordered(
+        df, str(tmp_path / "zorder"), ["x", "y"], bits=13,
+        num_files=4, rows_per_rowgroup=rg,
+    )
+
+    def frac(name, col):
+        s, t = ly.rowgroup_skip_fraction(str(tmp_path / name), col, 4000, 4400)
+        assert t >= 4
+        return s / t
+
+    # plain: no locality anywhere
+    assert frac("plain", "x") == 0.0
+    assert frac("plain", "y") == 0.0
+    # linear: prunes the sort column only
+    assert frac("linear", "x") >= 0.5
+    assert frac("linear", "y") == 0.0
+    # z-order: prunes BOTH dimensions
+    assert frac("zorder", "x") >= 0.3
+    assert frac("zorder", "y") >= 0.3
+
+
+def test_zorder_write_preserves_rows(spark, tmp_path):
+    df = _xy(spark, n=5_000)
+    bounds = ly.write_zordered(df, str(tmp_path / "z"), ["x", "y"], bits=10)
+    assert bounds["x"][0] == 0 and bounds["x"][1] <= 9_999
+    back = spark.read.parquet(str(tmp_path / "z"))
+    assert back.columns == ["x", "y"]  # _zorder dropped
+    a = df.groupBy("x", "y").count().collect()
+    b = back.groupBy("x", "y").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
