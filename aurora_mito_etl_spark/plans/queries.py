@@ -36,6 +36,7 @@ from aurora_mito_etl_spark.operators import unicode_udfs as uu
 from aurora_mito_etl_spark.operators import decontaminate as dc
 from aurora_mito_etl_spark.operators import dedup as dd
 from aurora_mito_etl_spark.operators import importance as imp
+from aurora_mito_etl_spark.operators import fuzzy as fz
 from aurora_mito_etl_spark.operators import joins as j
 from aurora_mito_etl_spark.operators import packing as pk
 from aurora_mito_etl_spark.operators import quality as ql
@@ -2447,6 +2448,29 @@ def docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return bl.ngram_contamination_bloom(
         d, d.filter(F.col("doc_id") % 13 == 0), n=5, m_bits=1 << 20, k=4
+    )
+
+
+# Fuzzy edit-distance self-join (operators/fuzzy.py): oracle is the
+# naive cartesian formulation; the Spark side must produce the same
+# pairs from lossless q-gram blocking + exact verify.
+_FUZZY_ORACLE = r"""
+    SELECT a.s_suppkey AS id_a,
+           b.s_suppkey AS id_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS dist
+    FROM supplier a
+    JOIN supplier b ON a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 1
+"""
+
+
+@_register("supplier_fuzzy_pairs", _FUZZY_ORACLE)
+def supplier_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy self-join: supplier name pairs within
+    edit distance 1, via bigram blocking + levenshtein verify (equal
+    to the cartesian answer, without the cartesian)."""
+    return fz.fuzzy_self_pairs(
+        load_table(spark, sf_dir, "supplier"), "s_suppkey", "s_name"
     )
 
 

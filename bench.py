@@ -75,6 +75,7 @@ HEADLINE = [
     "emb_semantic_dedup",
     # joins / function surface
     "events_asof_join",
+    "supplier_fuzzy_pairs",
     "lineitem_qty_range_join",
     "pricing_rollup",
     "events_cube",
