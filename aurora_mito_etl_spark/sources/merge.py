@@ -1,0 +1,113 @@
+"""File-level copy-on-write MERGE (upsert/delete) for Parquet tables.
+
+The incremental-release primitive the reference lacks entirely (its
+releases rewrite everything — `scripts/finalize_realease.py` emits the
+full table every run): apply a batch of keyed changes to a large
+Parquet table by rewriting ONLY the files that contain affected keys.
+This is the copy-on-write MERGE every lakehouse format implements;
+rebuilt here on plain Parquet so the engine's staged tables get cheap
+upserts without a table-format dependency.
+
+Scale shape:
+- Finding affected files is a semi-join of the target against the
+  update keys, projected to `input_file_name()` and distinct'd — the
+  shuffle carries (file, key-hit) pairs, the result is bounded by the
+  file count, and Catalyst prunes the scan to the key column.
+- Only affected files re-read for the rewrite (anti-join out the old
+  versions of updated keys, union the updates); untouched files are
+  never opened again. A well-clustered table (z-order/bucket by key —
+  `sources/layout.py`, `io.write_bucketed_table`) keeps the affected
+  set small; a random layout degrades gracefully to more rewrites,
+  never to wrong results.
+
+Durability caveat (documented, deliberate): the swap
+(write-new → delete-old) is not transactional — a crash mid-swap can
+leave both or neither file visible. Production tables that need
+concurrent readers belong in a transactional format (Delta/Iceberg);
+this operator is for the engine's single-writer staging tables, and
+its rewrite ordering (new files land before old files are removed,
+with distinct names) at least never loses rows.
+"""
+
+from __future__ import annotations
+
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_col: str,
+    deletes: DataFrame | None = None,
+) -> dict[str, int]:
+    """Upsert `updates` (and optionally delete `deletes`' keys) into
+    the Parquet table at `target_path` by key, rewriting only affected
+    files. One row per key in `updates` (enforced — ambiguous MERGE
+    sources are an error, as in ANSI MERGE); update rows must carry
+    the target schema. Returns counts for the caller's manifest:
+    files_total / files_rewritten / rows_updated / rows_inserted /
+    rows_deleted.
+    """
+    dup = updates.groupBy(key_col).count().where(F.col("count") > 1).limit(1).count()
+    if dup:
+        raise ValueError(f"updates carry duplicate {key_col!r} keys — ambiguous MERGE")
+    change_keys = updates.select(key_col)
+    if deletes is not None:
+        change_keys = change_keys.unionByName(deletes.select(key_col)).distinct()
+
+    target = spark.read.parquet(target_path)
+    files_total = len(target.inputFiles())
+    affected = [
+        r["_f"]
+        for r in target.withColumn("_f", F.input_file_name())
+        .join(change_keys, key_col, "semi")
+        .select("_f")
+        .distinct()
+        .collect()
+    ]
+
+    # Rows surviving from affected files: drop every row whose key is
+    # being upserted or deleted, then add the new versions.
+    if affected:
+        survivors = spark.read.parquet(*affected).join(
+            change_keys, key_col, "anti"
+        )
+    else:
+        survivors = spark.createDataFrame([], target.schema)
+    rewritten = survivors.unionByName(updates.select(*target.columns))
+
+    matched = updates.join(target.select(key_col), key_col, "semi").count()
+    stats = {
+        "files_total": files_total,
+        "files_rewritten": len(affected),
+        "rows_updated": matched,
+        "rows_inserted": updates.count() - matched,
+        "rows_deleted": (
+            deletes.select(key_col).distinct().join(
+                target.select(key_col), key_col, "semi"
+            ).count()
+            if deletes is not None
+            else 0
+        ),
+    }
+
+    # Write new files first (distinct names), remove old ones after —
+    # a crash can duplicate affected rows briefly, never lose them.
+    tmp = Path(target_path) / f"_merge_tmp_{uuid.uuid4().hex}"
+    rewritten.write.parquet(str(tmp))
+    dest = Path(target_path)
+    for part in sorted(tmp.glob("*.parquet")):
+        part.rename(dest / f"merge-{uuid.uuid4().hex}-{part.name}")
+    for leftover in tmp.iterdir():
+        leftover.unlink()
+    tmp.rmdir()
+    for f in affected:
+        p = Path(f.removeprefix("file:"))
+        if p.exists():
+            p.unlink()
+    return stats

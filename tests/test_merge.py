@@ -1,0 +1,86 @@
+"""Copy-on-write Parquet MERGE (sources/merge.py)."""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import pytest
+
+from aurora_mito_etl_spark.sources.merge import merge_upsert
+
+
+def _seed(spark, path: str):
+    # 4 files, keys range-clustered so updates touch a known file
+    df = spark.createDataFrame(
+        [(i, f"v{i}", i % 7) for i in range(400)], "k long, val string, grp int"
+    )
+    df.repartitionByRange(4, "k").write.parquet(path)
+
+
+def _snapshot(path: str) -> dict[str, float]:
+    return {
+        f.name: f.stat().st_mtime_ns
+        for f in Path(path).glob("*.parquet")
+    }
+
+
+def test_upsert_rewrites_only_affected_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    before = _snapshot(path)
+    updates = spark.createDataFrame(
+        [(5, "NEW5", 99), (7, "NEW7", 99), (1000, "INS", 1)],
+        "k long, val string, grp int",
+    )
+    stats = merge_upsert(spark, path, updates, "k")
+    assert stats["files_total"] == 4
+    assert stats["files_rewritten"] == 1  # keys 5,7 live in one range file
+    assert stats["rows_updated"] == 2
+    assert stats["rows_inserted"] == 1
+
+    after = _snapshot(path)
+    untouched = set(before) & set(after)
+    assert len(untouched) == 3  # three original files survive
+    assert all(before[f] == after[f] for f in untouched)  # byte-level untouched
+
+    got = {r["k"]: (r["val"], r["grp"]) for r in spark.read.parquet(path).collect()}
+    assert len(got) == 401
+    assert got[5] == ("NEW5", 99) and got[7] == ("NEW7", 99)
+    assert got[1000] == ("INS", 1)
+    assert got[6] == ("v6", 6)  # neighbors unchanged
+
+
+def test_delete_and_upsert_together(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    updates = spark.createDataFrame([(3, "NEW3", 0)], "k long, val string, grp int")
+    deletes = spark.createDataFrame([(10,), (11,), (9999,)], "k long")
+    stats = merge_upsert(spark, path, updates, "k", deletes=deletes)
+    assert stats["rows_deleted"] == 2  # 9999 never existed
+    got = {r["k"] for r in spark.read.parquet(path).collect()}
+    assert 10 not in got and 11 not in got and 3 in got
+    assert len(got) == 398  # 400 seeded - 2 real deletes; key 3 replaced in place
+
+
+def test_duplicate_update_keys_refused(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    dup = spark.createDataFrame(
+        [(1, "a", 0), (1, "b", 0)], "k long, val string, grp int"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        merge_upsert(spark, path, dup, "k")
+
+
+def test_insert_only_touches_nothing(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    before = _snapshot(path)
+    ins = spark.createDataFrame([(5000, "x", 1)], "k long, val string, grp int")
+    stats = merge_upsert(spark, path, ins, "k")
+    assert stats["files_rewritten"] == 0
+    assert stats["rows_inserted"] == 1
+    after = _snapshot(path)
+    assert all(after[f] == before[f] for f in before)  # originals untouched
+    assert spark.read.parquet(path).count() == 401
