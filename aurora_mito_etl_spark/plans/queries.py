@@ -2451,6 +2451,71 @@ def docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Grouped correlation/regression from exact decimal sums: corr() and
+# covar_pop() builtins are running-merge order-dependent in their
+# float accumulation, so the portable form computes the five exact
+# decimal sums (products multiplied IN decimal — double->decimal cast
+# rounding of a product differs across engines; decimal*decimal is
+# exact) and combines them with one identical IEEE double expression
+# per group. Same convention as functions/numeric.dec_sum.
+# Width asymmetry is deliberate: DuckDB's decimal product needs
+# p1+p2 >= 38 to widen to hugeint (19,6 x 19,6 -> 38,12; at 18,6 it
+# overflows int64), while Spark's product rule p1+p2+1 <= 38 forces
+# 18,6 operands to stay exact at scale 12 — both engines thus compute
+# the identical exact value via different declared widths.
+_CORR_ORACLE = r"""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n_rows,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           n_rows,
+           (CAST(n_rows AS DOUBLE) * sxy - sx * sy)
+             / sqrt((CAST(n_rows AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n_rows AS DOUBLE) * syy - sy * sy)) AS corr_qty_price,
+           (CAST(n_rows AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n_rows AS DOUBLE) * sxx - sx * sx) AS beta_qty_price,
+           (CAST(n_rows AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)) AS cov_qty_price
+    FROM s
+"""
+
+
+@_register("lineitem_corr_stats", _CORR_ORACLE)
+def lineitem_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Pearson correlation, OLS slope, and population
+    covariance of (quantity, extendedprice) — from order-independent
+    exact decimal sums, engine-identical to the last bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = dec("l_quantity"), dec("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        dec_to_double(F.sum(x)).alias("sx"),
+        dec_to_double(F.sum(y)).alias("sy"),
+        dec_to_double(F.sum(x * x)).alias("sxx"),
+        dec_to_double(F.sum(y * y)).alias("syy"),
+        dec_to_double(F.sum(x * y)).alias("sxy"),
+    )
+    n = F.col("n_rows").cast("double")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "l_returnflag",
+        "n_rows",
+        (cov_n / F.sqrt(var_x * var_y)).alias("corr_qty_price"),
+        (cov_n / var_x).alias("beta_qty_price"),
+        (cov_n / (n * n)).alias("cov_qty_price"),
+    )
+
+
 # Fuzzy edit-distance self-join (operators/fuzzy.py): oracle is the
 # naive cartesian formulation; the Spark side must produce the same
 # pairs from lossless q-gram blocking + exact verify.

@@ -82,6 +82,7 @@ HEADLINE = [
     "orders_except_intersect_all",
     "lineitem_price_percentiles",
     "lineitem_price_percentiles_approx",
+    "lineitem_corr_stats",
     "part_normalize_dedup",
     "docs_ac_dict_filter",
     "scalar_function_parity",
