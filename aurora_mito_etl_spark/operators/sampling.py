@@ -111,3 +111,44 @@ def epoch_shuffle(
     )
     w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
     return out.withColumn("pos", F.row_number().over(w))
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "ws1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k rows
+    with inclusion probability proportional to `weight_col`
+    (Efraimidis–Spirakis A-Res, exponential-key form): each row draws
+    u ~ U(0,1] from the portable 60-bit md5 hash of (salt, id) and
+    keeps key = −ln(u)/w; the k SMALLEST keys win.
+
+    rand()-free like every sampler here — the draw is a pure function
+    of (salt, id), so the sample is reproducible across engines,
+    partitionings, and reruns, and refreshable by changing the salt.
+    Keys are fixed-point-rounded (functions.numeric.fixed6, the DSIR
+    convention for log-derived scores) with id as the deterministic
+    tie-break, so the boundary of the top-k is engine-stable.
+
+    Scale shape: one hash projection, then a distributed top-k
+    (TakeOrderedAndProject — per-partition heaps merged on the
+    driver's single k-row result; no global sort materializes).
+
+    Output: (id, wt, skey) for the k sampled rows.
+    """
+    from aurora_mito_etl_spark.functions.numeric import fixed6
+
+    u = (
+        md5_prefix60(F.concat(F.lit(salt), F.lit("#"), F.col(id_col).cast("string")))
+        + F.lit(1)
+    ).cast("double") / F.lit(float(1 << 60))
+    wt = F.col(weight_col).cast("double")
+    key = fixed6(-F.log(u) / wt)
+    return (
+        df.select(F.col(id_col), wt.alias("wt"), key.alias("skey"))
+        .orderBy("skey", id_col)
+        .limit(k)
+    )

@@ -2451,6 +2451,37 @@ def docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Weighted sampling without replacement (operators/sampling.py
+# weighted_sample): Efraimidis–Spirakis exponential keys from the
+# portable md5 uniform; fixed6-rounded keys + id tie-break keep the
+# top-k boundary engine-stable (the DSIR log convention).
+_WEIGHTED_SAMPLE_ORACLE = r"""
+    WITH w AS (
+      SELECT doc_id,
+             CAST(greatest(coalesce(n_chars, 0), 1) AS DOUBLE) AS wt,
+             (CAST('0x' || substr(md5('ws1#' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1)
+               / 1152921504606846976.0 AS u
+      FROM documents
+    )
+    SELECT doc_id, wt,
+           floor((-ln(u) / wt) * 1000000 + 0.5) / 1000000 AS skey
+    FROM w
+    ORDER BY skey, doc_id
+    LIMIT 200
+"""
+
+
+@_register("docs_weighted_sample", _WEIGHTED_SAMPLE_ORACLE)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted without-replacement sample of 200 documents —
+    inclusion probability proportional to n_chars, rand()-free and
+    reproducible (distributed top-k on hashed exponential keys)."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "_w", F.greatest(F.coalesce("n_chars", F.lit(0)), F.lit(1))
+    )
+    return sp.weighted_sample(d, "doc_id", "_w", k=200)
+
+
 # Grouped correlation/regression from exact decimal sums: corr() and
 # covar_pop() builtins are running-merge order-dependent in their
 # float accumulation, so the portable form computes the five exact

@@ -51,6 +51,7 @@ HEADLINE = [
     # sampling / quantization / packing
     "docs_stratified_sample",
     "docs_mixture_sample",
+    "docs_weighted_sample",
     "docs_pack_sequences",
     "docs_epoch_shuffle",
     "docs_chunk_windows",

@@ -207,3 +207,37 @@ def test_epoch_shuffle_is_a_permutation(spark):
     assert {(r["id"], r["shard"], r["pos"]) for r in out} != {
         (r["id"], r["shard"], r["pos"]) for r in other
     }
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from aurora_mito_etl_spark.operators import sampling as sp
+
+    # two weight classes: weight 50 vs weight 1 — heavy rows must
+    # dominate the sample across independent salts
+    rows = [(i, 50 if i < 100 else 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, w int")
+    heavy_share = []
+    for salt in ("s1", "s2", "s3"):
+        got = sp.weighted_sample(df, "id", "w", k=60, salt=salt).collect()
+        assert len(got) == 60
+        heavy_share.append(sum(1 for r in got if r["id"] < 100) / 60)
+    # heavy rows are 100/300 of the pool but 50/52 of the mass; with
+    # k=60 the expected heavy share is >0.9 — 0.7 is a >6-sigma floor
+    assert min(heavy_share) > 0.7
+    # deterministic per salt
+    a = [tuple(r) for r in sp.weighted_sample(df, "id", "w", k=60).collect()]
+    b = [tuple(r) for r in sp.weighted_sample(df, "id", "w", k=60).collect()]
+    assert a == b
+    # zero/negative weights are the caller's problem; keys ascend
+    assert a == sorted(a, key=lambda t: (t[2], t[0]))
+
+
+def test_weighted_sample_plan_is_distributed_topk(spark):
+    from aurora_mito_etl_spark.operators import sampling as sp
+
+    df = spark.createDataFrame([(i, 1) for i in range(100)], "id long, w int")
+    plan = (
+        sp.weighted_sample(df, "id", "w", k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # no global Sort+Exchange
