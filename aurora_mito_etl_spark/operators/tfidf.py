@@ -1,0 +1,108 @@
+"""Sparse lexical similarity: TF-IDF cosine top-k via inverted-index
+join.
+
+The text-side complement of the embedding ANN tier
+(`operators/similarity.py`): nearest neighbors by vocabulary overlap,
+no embeddings required — the classic retrieval/dedup-triage signal
+(and the shape BM25 shares). The scale plan is the inverted index:
+documents never pair all-vs-all; weighted postings join on token, so
+each candidate pair materializes only through tokens it actually
+shares, and high-document-frequency tokens (stopwords — near-zero IDF,
+quadratic join fan-out) are dropped from the index up front by a
+deterministic df cap.
+
+Cross-engine determinism (the repo's standard discipline): every
+log-derived weight is fixed6-rounded (`functions/numeric.fixed6`, the
+DSIR convention), every sum of per-token contributions runs in exact
+DECIMAL (the `lineitem_corr_stats` convention — decimal x decimal
+products, exact sum, one final cast to double), so norms, cosines,
+and the top-k boundary are bit-identical in any engine at any
+partitioning. Ties rank by neighbor id.
+
+Beyond-reference surface: the reference has no similarity notion over
+text at all (its nearest analogue is the exact-dup `sort -u`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from aurora_mito_etl_spark.functions.numeric import dec, dec_to_double, fixed6
+
+
+def _term_weights(
+    docs: DataFrame, text_col: str, id_col: str, max_df_frac: float
+) -> DataFrame:
+    """(id, tok, wn): L2-normalized fixed6 TF-IDF weights, stopword
+    tokens (df > max_df_frac * N) excluded from the index."""
+    n_docs = docs.count()  # scalar; also recomputed identically by the oracle
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " "))),
+        " ",
+    )
+    tf = (
+        docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    df_t = df_t.where(F.col("df") <= F.lit(int(max_df_frac * n_docs)))
+    idf = fixed6(
+        F.log((F.lit(float(n_docs + 1))) / (F.col("df").cast("double") + F.lit(1.0)))
+    )
+    w = tf.join(df_t, "tok").select(
+        "id", "tok", fixed6(F.col("tf").cast("double") * idf).alias("wt")
+    )
+    # zero weights (idf rounds to 0 when df ≈ N) contribute nothing
+    # and would zero a document's norm — drop them before normalizing
+    w = w.where(F.col("wt") != 0)
+    norms = w.groupBy("id").agg(
+        F.sqrt(dec_to_double(F.sum(dec("wt") * dec("wt")))).alias("norm")
+    )
+    return w.join(norms, "id").select(
+        "id", "tok", fixed6(F.col("wt") / F.col("norm")).alias("wn")
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    max_df_frac: float = 0.25,
+) -> DataFrame:
+    """Per-document top-k lexical neighbors:
+    ``(doc_id, neighbor_id, sim, rank)`` by TF-IDF cosine.
+
+    Unordered pairs materialize once through the inverted-index join
+    (id_a < id_b), mirror for per-document ranking, and rank inside a
+    per-document window (each partition is one document's candidate
+    list, never a global sort). Documents sharing no indexed token
+    never meet; documents with no indexed tokens don't appear.
+    """
+    w = _term_weights(docs, text_col, id_col, max_df_frac)
+    a = w.select(F.col("id").alias("id_a"), "tok", F.col("wn").alias("wn_a"))
+    b = w.select(F.col("id").alias("id_b"), "tok", F.col("wn").alias("wn_b"))
+    pairs = (
+        a.join(b, "tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(dec_to_double(F.sum(dec("wn_a") * dec("wn_b"))).alias("sim"))
+    )
+    mirrored = pairs.select(
+        F.col("id_a").alias("doc_id"), F.col("id_b").alias("neighbor_id"), "sim"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("doc_id"), F.col("id_a").alias("neighbor_id"), "sim"
+        )
+    )
+    rank_w = Window.partitionBy("doc_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        mirrored.withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "neighbor_id", "sim", "rank")
+    )

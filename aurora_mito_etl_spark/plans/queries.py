@@ -47,6 +47,7 @@ from aurora_mito_etl_spark.operators import similarity as sim
 from aurora_mito_etl_spark.operators import sketches as sk_
 from aurora_mito_etl_spark.operators import text as tx
 from aurora_mito_etl_spark.operators import textstats as ts
+from aurora_mito_etl_spark.operators import tfidf as tf_
 from aurora_mito_etl_spark.sources import layout as ly
 from aurora_mito_etl_spark.sources.catalog import load_table
 
@@ -2449,6 +2450,67 @@ def docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bl.ngram_contamination_bloom(
         d, d.filter(F.col("doc_id") % 13 == 0), n=5, m_bits=1 << 20, k=4
     )
+
+
+# TF-IDF lexical top-k (operators/tfidf.py): the oracle mirrors every
+# fixed6 rounding and decimal-exact sum step by step, so cosines and
+# the top-k boundary match bit-for-bit.
+_TFIDF_ORACLE = r"""
+    WITH n AS (SELECT count(*) AS n_docs FROM documents),
+    toks AS (
+      SELECT doc_id AS id,
+             unnest(string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT id, tok, count(*) AS tf FROM toks WHERE tok <> '' GROUP BY id, tok
+    ),
+    dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    dfc AS (
+      SELECT tok, df FROM dft, n
+      WHERE df <= CAST(floor(0.25 * n_docs) AS BIGINT)
+    ),
+    w AS (
+      SELECT id, tok,
+             floor((tf * (floor(ln((n_docs + 1.0) / (df + 1.0)) * 1000000 + 0.5) / 1000000)) * 1000000 + 0.5) / 1000000 AS wt
+      FROM tf JOIN dfc USING (tok), n
+    ),
+    wz AS (SELECT id, tok, wt FROM w WHERE wt <> 0),
+    norms AS (
+      SELECT id,
+             sqrt(CAST(CAST(SUM(CAST(wt AS DECIMAL(19,6)) * CAST(wt AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE)) AS norm
+      FROM wz GROUP BY id
+    ),
+    wnt AS (
+      SELECT id, tok, floor((wt / norm) * 1000000 + 0.5) / 1000000 AS wn
+      FROM wz JOIN norms USING (id)
+    ),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(CAST(SUM(CAST(a.wn AS DECIMAL(19,6)) * CAST(b.wn AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sim
+      FROM wnt a JOIN wnt b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    mirrored AS (
+      SELECT id_a AS doc_id, id_b AS neighbor_id, sim FROM pairs
+      UNION ALL
+      SELECT id_b AS doc_id, id_a AS neighbor_id, sim FROM pairs
+    ),
+    r AS (
+      SELECT doc_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY doc_id ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM mirrored
+    )
+    SELECT doc_id, neighbor_id, sim, CAST(rnk AS INTEGER) AS rank
+    FROM r WHERE rnk <= 5
+"""
+
+
+@_register("docs_tfidf_topk", _TFIDF_ORACLE)
+def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 lexical neighbors by TF-IDF cosine over the
+    inverted index (stopword df cap 25%), decimal-exact dot products."""
+    return tf_.tfidf_topk(load_table(spark, sf_dir, "documents"), k=5)
 
 
 # Weighted sampling without replacement (operators/sampling.py

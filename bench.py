@@ -70,6 +70,7 @@ HEADLINE = [
     "docs_incremental_near_dup",
     "docs_duplicate_spans",
     # similarity search
+    "docs_tfidf_topk",
     "emb_cosine_topk",
     "emb_near_dup_exact",
     "emb_lsh_near_dup",

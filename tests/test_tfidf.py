@@ -1,0 +1,72 @@
+"""TF-IDF lexical top-k (operators/tfidf.py)."""
+
+from __future__ import annotations
+
+from aurora_mito_etl_spark.operators import tfidf as tfi
+
+DOCS = [
+    (1, "the apple banana apple"),
+    (2, "the apple banana"),
+    (3, "the cherry date"),
+    (4, "the cherry date egg"),
+    (5, "unique words only here"),
+    (6, None),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _topk(spark, **kw):
+    out = tfi.tfidf_topk(_df(spark), **kw)
+    return {
+        (r["doc_id"], r["neighbor_id"]): (r["sim"], r["rank"])
+        for r in out.collect()
+    }
+
+
+def test_neighbors_cluster_by_vocabulary(spark):
+    got = _topk(spark, max_df_frac=0.5)  # "the" (df=5) drops from index
+    # fruit cluster and stone-fruit cluster pair up, never cross
+    assert (1, 2) in got and (2, 1) in got
+    assert (3, 4) in got and (4, 3) in got
+    assert got[(1, 2)][0] > 0 and got[(1, 2)][1] == 1
+    assert got[(3, 4)][1] == 1
+    assert not any(a in (1, 2) and b in (3, 4) for a, b in got)
+    # doc 5 shares no indexed token; doc 6 has no tokens
+    assert not any(5 in p or 6 in p for p in got)
+
+
+def test_symmetric_sims(spark):
+    got = _topk(spark, max_df_frac=0.5)
+    for (a, b), (sim, _) in got.items():
+        assert got[(b, a)][0] == sim  # one pair computation, mirrored
+
+
+def test_stopword_cap_prunes_index(spark):
+    # with the cap at 100% "the" stays indexed and links everything
+    loose = _topk(spark, max_df_frac=1.0)
+    assert any(a in (1, 2) and b in (3, 4) for a, b in loose)
+    strict = _topk(spark, max_df_frac=0.5)
+    assert not any(a in (1, 2) and b in (3, 4) for a, b in strict)
+
+
+def test_deterministic(spark):
+    a = sorted(_topk(spark).items())
+    b = sorted(_topk(spark).items())
+    assert a == b
+
+
+def test_k_truncates(spark):
+    # 9 identical docs (df=9 < N=10 keeps idf > 0) + 1 unrelated doc
+    docs = spark.createDataFrame(
+        [(i, "shared token stream") for i in range(9)] + [(9, "different things")],
+        "doc_id long, text string",
+    )
+    out = tfi.tfidf_topk(docs, k=3, max_df_frac=1.0).collect()
+    per_doc = {}
+    for r in out:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+    assert set(per_doc) == set(range(9))  # doc 9 shares nothing
+    assert all(v == 3 for v in per_doc.values())
