@@ -37,6 +37,7 @@ from aurora_mito_etl_spark.operators import decontaminate as dc
 from aurora_mito_etl_spark.operators import dedup as dd
 from aurora_mito_etl_spark.operators import importance as imp
 from aurora_mito_etl_spark.operators import fuzzy as fz
+from aurora_mito_etl_spark.operators import graph as gr
 from aurora_mito_etl_spark.operators import joins as j
 from aurora_mito_etl_spark.operators import packing as pk
 from aurora_mito_etl_spark.operators import quality as ql
@@ -2449,6 +2450,78 @@ def docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return bl.ngram_contamination_bloom(
         d, d.filter(F.col("doc_id") % 13 == 0), n=5, m_bits=1 << 20, k=4
+    )
+
+
+# Weighted PageRank (operators/graph.py) over the per-user
+# event-type transition graph. The oracle UNROLLS the power iteration
+# into a chained CTE per round, replaying the identical fixed6 +
+# exact-decimal arithmetic — bit-identical ranks after any number of
+# rounds.
+def _pagerank_oracle(damping: float = 0.85, iters: int = 6) -> str:
+    f6 = lambda e: f"floor(({e}) * 1000000 + 0.5) / 1000000"  # noqa: E731
+    dsum = (
+        lambda e: f"CAST(CAST(SUM(CAST({e} AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE)"
+    )  # noqa: E731
+    sql = f"""
+    WITH e AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+             event_type AS dst
+      FROM events
+    ),
+    w AS (
+      SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+      FROM e WHERE src IS NOT NULL GROUP BY src, dst
+    ),
+    ow AS (SELECT src, sum(w) AS out_w FROM w GROUP BY src),
+    p AS (
+      SELECT w.src, w.dst, {f6('w.w / ow.out_w')} AS p
+      FROM w JOIN ow USING (src)
+    ),
+    v AS (
+      SELECT DISTINCT vertex
+      FROM (SELECT src AS vertex FROM w UNION ALL SELECT dst AS vertex FROM w)
+    ),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM v),
+    r0 AS (SELECT vertex, 1.0 / nd AS rank FROM v CROSS JOIN nn)"""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        contrib = dsum(f6("r.rank * p.p"))
+        dang = dsum(f6("rank"))
+        sql += f""",
+    c{i} AS (
+      SELECT p.dst AS vertex, {contrib} AS in_sum
+      FROM {prev} r JOIN p ON r.vertex = p.src GROUP BY p.dst
+    ),
+    d{i} AS (
+      SELECT coalesce({dang}, 0.0) AS dang
+      FROM {prev} WHERE vertex NOT IN (SELECT src FROM ow)
+    ),
+    r{i} AS (
+      SELECT v.vertex,
+             {f6(f'(1.0 - {damping}) / nd + {damping} * (coalesce(c{i}.in_sum, 0.0) + d{i}.dang / nd)')} AS rank
+      FROM v LEFT JOIN c{i} ON v.vertex = c{i}.vertex
+             CROSS JOIN nn CROSS JOIN d{i}
+    )"""
+        prev = f"r{i}"
+    sql += f"""
+    SELECT vertex AS event_type, rank FROM {prev}
+    """
+    return sql
+
+
+@_register("events_pagerank", _pagerank_oracle())
+def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank of event types over the per-user transition graph
+    (6 damped power-iteration rounds, dangling mass redistributed)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = ev.select(
+        F.lag("event_type").over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+    ).where(F.col("src").isNotNull())
+    return gr.pagerank(edges, iterations=6).select(
+        F.col("vertex").alias("event_type"), "rank"
     )
 
 

@@ -34,6 +34,7 @@ HEADLINE = [
     "events_moving_avg",
     "events_funnel",
     "events_retention",
+    "events_pagerank",
     # text analysis
     "docs_clean_text",
     "docs_quality",

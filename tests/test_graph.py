@@ -1,0 +1,89 @@
+"""Weighted PageRank (operators/graph.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from aurora_mito_etl_spark.operators import graph as g
+
+
+def _f6(x: float) -> float:
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _replica(edges, damping=0.85, iters=8):
+    """Plain-python replay of the operator's exact arithmetic."""
+    from collections import Counter
+
+    w = Counter(edges)
+    out_w = Counter()
+    for (s, _), c in w.items():
+        out_w[s] += c
+    p = {(s, d): _f6(c / out_w[s]) for (s, d), c in w.items()}
+    verts = sorted({v for e in edges for v in e})
+    n = len(verts)
+    r = {v: 1.0 / n for v in verts}
+    for _ in range(iters):
+        dang = sum(_f6(r[v]) for v in verts if v not in out_w)
+        base = (1.0 - damping) / n
+        r = {
+            v: _f6(
+                base
+                + damping
+                * (
+                    sum(_f6(r[s] * pv) for (s, d), pv in p.items() if d == v)
+                    + dang / n
+                )
+            )
+            for v in verts
+        }
+    return r
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r["vertex"]: r["rank"] for r in g.pagerank(df, **kw).collect()}
+
+
+def test_cycle_with_dangling_matches_replica(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")]
+    got = _run(spark, edges, iterations=8)
+    want = _replica(edges, iters=8)
+    assert got.keys() == want.keys()
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=2e-6)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_parallel_edges_weight_transitions(spark):
+    # a->b twice, a->c once: b receives 2/3 of a's rank
+    edges = [("a", "b"), ("a", "b"), ("a", "c"), ("b", "a"), ("c", "a")]
+    got = _run(spark, edges, iterations=10)
+    assert got["b"] > got["c"]
+    want = _replica(edges, iters=10)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=2e-6)
+
+
+def test_star_ranks(spark):
+    edges = [(s, "hub") for s in ("a", "b", "c", "d")] + [("hub", "a")]
+    got = _run(spark, edges, iterations=8)
+    # hub collects from every leaf — it beats the pure leaves b/c/d;
+    # "a" beats hub because the hub funnels its ENTIRE rank to a.
+    assert got["hub"] > got["b"] == got["c"] == got["d"]
+    assert got["a"] == max(got.values())
+
+
+def test_deterministic(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("d", "b")]
+    assert _run(spark, edges) == _run(spark, edges)
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        g.pagerank(df, damping=1.5)
+    with pytest.raises(ValueError):
+        g.pagerank(df, iterations=0)
