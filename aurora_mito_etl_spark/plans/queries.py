@@ -4038,11 +4038,18 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "docs_near_dedup_best",
     "docs_incremental_near_dup",
     "docs_duplicate_spans",
+    # Round-5 novel families: bloom-prefiltered decontamination (the
+    # non-broadcastable-probe scale path), sparse lexical similarity,
+    # iterative graph. Swapped in for three family-duplicate text/
+    # embedding rows (fingerprint, ngram_repetition, cosine_topk) that
+    # stay covered by tools/verify_local.py.
+    "docs_decontaminate_bloom",
+    "docs_tfidf_topk",
+    "events_pagerank",
     # Embedding / similarity tier
     "emb_semantic_dedup",
     "emb_pq_encode",
     "emb_quantize_int8",
-    "emb_cosine_topk",
     "emb_near_dup_exact",
     "emb_lsh_near_dup",
     "emb_ivf_topk",
@@ -4051,8 +4058,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "docs_quality",
     "docs_token_stats",
     "docs_repetition",
-    "docs_ngram_repetition",
-    "docs_fingerprint",
     # Reference text-filter surface (§2.2)
     "docs_clean_text",
     "docs_dict_anti_filter",
