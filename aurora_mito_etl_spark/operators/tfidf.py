@@ -106,3 +106,79 @@ def tfidf_topk(
         .where(F.col("rank") <= k)
         .select("doc_id", "neighbor_id", "sim", "rank")
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for a free-text `query` by BM25
+    (Robertson/Sparck Jones; the Okapi defaults k1=1.2, b=0.75):
+    ``(doc_id, score, rank)``.
+
+    Retrieval, not pairwise similarity: the query tokenizes
+    driver-side with the SAME shared tokenization as everything else
+    (`textstats.ascii_ws_tokens`), its distinct terms prune the
+    postings scan to |terms| rows per matching document, and scoring
+    is one aggregation + distributed top-k — no index build, usable
+    ad hoc over any corpus table.
+
+    Determinism discipline as the TF-IDF path: idf and the per-term
+    scores are fixed6-rounded, the per-document sum runs in exact
+    decimal, ties rank by id.
+    """
+    from aurora_mito_etl_spark.operators.textstats import ascii_ws_tokens
+
+    terms = sorted(set(ascii_ws_tokens(query)))
+    if not terms:
+        raise ValueError("query has no tokens")
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " "))),
+        " ",
+    )
+    tf_all = (
+        docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    doclen = tf_all.groupBy("id").agg(F.sum("tf").alias("dl"))
+    n_docs = doclen.count()  # docs with at least one token
+    avg_dl = (
+        doclen.agg(F.sum("dl")).collect()[0][0] / float(n_docs)
+    )  # exact int sum / count — engine-identical division
+
+    tf_q = tf_all.where(F.col("tok").isin(terms))
+    df_t = tf_q.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = fixed6(
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+    )
+    tfd = F.col("tf").cast("double")
+    norm = tfd * F.lit(k1 + 1.0) / (
+        tfd
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avg_dl))
+    )
+    scored = (
+        tf_q.join(df_t, "tok")
+        .join(doclen, "id")
+        .select("id", fixed6(idf * norm).alias("s"))
+        .groupBy("id")
+        .agg(dec_to_double(F.sum(dec("s"))).alias("score"))
+    )
+    ranked = (
+        scored.orderBy(F.col("score").desc(), "id")
+        .limit(k)
+        .select(F.col("id").alias(id_col), "score")
+    )
+    rank_w = Window.orderBy(F.col("score").desc(), id_col)
+    return ranked.withColumn("rank", F.row_number().over(rank_w))

@@ -2586,6 +2586,57 @@ def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf_.tfidf_topk(load_table(spark, sf_dir, "documents"), k=5)
 
 
+# BM25 retrieval (operators/tfidf.py bm25_search): ad-hoc free-text
+# query over the corpus. Literals in the oracle are the exact Python
+# doubles the Spark side embeds (k1+1=2.2, 1-b=0.25); fixed6 + exact
+# decimal sums as everywhere.
+_BM25_ORACLE = r"""
+    WITH tf_all AS (
+      SELECT id, tok, count(*) AS tf FROM (
+        SELECT doc_id AS id,
+               unnest(string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> '' GROUP BY id, tok
+    ),
+    doclen AS (SELECT id, sum(tf) AS dl FROM tf_all GROUP BY id),
+    nn AS (
+      SELECT CAST(count(*) AS DOUBLE) AS nd,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM doclen
+    ),
+    tf_q AS (
+      SELECT id, tok, tf FROM tf_all WHERE tok IN ('hash', 'join', 'merge', 'sort')
+    ),
+    dft AS (SELECT tok, count(*) AS df FROM tf_q GROUP BY tok),
+    s AS (
+      SELECT id,
+             floor(((floor(ln(1.0 + (nd - df + 0.5) / (df + 0.5)) * 1000000 + 0.5) / 1000000)
+                    * ((tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl)))) * 1000000 + 0.5) / 1000000 AS s
+      FROM tf_q JOIN dft USING (tok) JOIN doclen USING (id), nn
+    ),
+    scored AS (
+      SELECT id,
+             CAST(CAST(SUM(CAST(s AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS score
+      FROM s GROUP BY id
+    ),
+    ranked AS (
+      SELECT id AS doc_id, score FROM scored ORDER BY score DESC, id LIMIT 10
+    )
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+    FROM ranked
+"""
+
+
+@_register("docs_bm25_search", _BM25_ORACLE)
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the query 'hash join merge sort' — ad-hoc
+    lexical retrieval over the documents table, Okapi defaults."""
+    return tf_.bm25_search(
+        load_table(spark, sf_dir, "documents"), "hash join merge sort", k=10
+    )
+
+
 # Weighted sampling without replacement (operators/sampling.py
 # weighted_sample): Efraimidis–Spirakis exponential keys from the
 # portable md5 uniform; fixed6-rounded keys + id tie-break keep the

@@ -72,6 +72,7 @@ HEADLINE = [
     "docs_duplicate_spans",
     # similarity search
     "docs_tfidf_topk",
+    "docs_bm25_search",
     "emb_cosine_topk",
     "emb_near_dup_exact",
     "emb_lsh_near_dup",

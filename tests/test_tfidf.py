@@ -70,3 +70,45 @@ def test_k_truncates(spark):
         per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
     assert set(per_doc) == set(range(9))  # doc 9 shares nothing
     assert all(v == 3 for v in per_doc.values())
+
+
+def test_bm25_ranks_matching_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle join join join"),     # 3x join, short
+            (2, "spark shuffle join"),               # 1x join
+            (3, "completely unrelated words here"),  # no term
+            (4, "join " * 50),                       # high tf, long doc
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfi.bm25_search(docs, "join", k=10).collect()
+    got = {r["doc_id"]: (r["score"], r["rank"]) for r in out}
+    assert 3 not in got and 5 not in got  # no term / no tokens
+    assert set(got) == {1, 2, 4}
+    # repeated term beats single mention; tf saturation + length
+    # normalization keep the 50x doc from dominating linearly
+    assert got[1][0] > got[2][0]
+    # tf saturation: the 50x doc wins but sublinearly (score bounded
+    # by idf*(k1+1), nowhere near 50x the single-mention score)
+    assert got[4][1] == 1 and got[1][1] == 2
+    assert got[4][0] < 3 * got[2][0]
+
+
+def test_bm25_empty_query_refused(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="no tokens"):
+        tfi.bm25_search(docs, "   ")
+
+
+def test_bm25_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 7} gamma") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = [tuple(r) for r in tfi.bm25_search(docs, "alpha w3", k=5).collect()]
+    b = [tuple(r) for r in tfi.bm25_search(docs, "alpha w3", k=5).collect()]
+    assert a == b and len(a) == 5
