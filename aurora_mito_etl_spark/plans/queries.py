@@ -27,6 +27,7 @@ from aurora_mito_etl_spark.functions.numeric import (
     dec_avg,
     dec_sum,
     dec_to_double,
+    fixed6,
     oracle_dec_avg,
     oracle_dec_sum,
 )
@@ -2584,6 +2585,59 @@ def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-5 lexical neighbors by TF-IDF cosine over the
     inverted index (stopword df cap 25%), decimal-exact dot products."""
     return tf_.tfidf_topk(load_table(spark, sf_dir, "documents"), k=5)
+
+
+# Per-dimension embedding statistics — the calibration pass every
+# whitening/quantization step needs (quantize.py consumes exactly
+# these). Values are fixed6-rounded BEFORE the decimal cast: a raw
+# float like 1/128 expands to a decimal(18,6) TIE (….0078125) whose
+# rounding direction is engine-specific, while fixed6's floor(+0.5)
+# is the identical IEEE sequence everywhere and its output is never
+# within a tie of the decimal grid.
+_DIM_STATS_ORACLE = r"""
+    WITH v AS (
+      SELECT i - 1 AS dim,
+             floor((embedding[i]::DOUBLE) * 1000000 + 0.5) / 1000000 AS v6
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+    ),
+    s AS (
+      SELECT dim,
+             count(*) AS n_vals,
+             CAST(CAST(SUM(CAST(v6 AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(v6 AS DECIMAL(19,6)) * CAST(v6 AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxx
+      FROM v GROUP BY dim
+    )
+    SELECT dim, n_vals,
+           sx / CAST(n_vals AS DOUBLE) AS mean_v,
+           (CAST(n_vals AS DOUBLE) * sxx - sx * sx)
+             / (CAST(n_vals AS DOUBLE) * CAST(n_vals AS DOUBLE)) AS var_v
+    FROM s
+"""
+
+
+@_register("emb_dim_stats", _DIM_STATS_ORACLE)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance over the embedding corpus — the
+    whitening / quantizer-calibration statistics, decimal-exact."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v6 = fixed6(F.col("v").cast("double"))
+    s = (
+        e.select(F.posexplode("embedding").alias("dim", "v"))
+        .select("dim", v6.alias("v6"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n_vals"),
+            dec_to_double(F.sum(dec("v6"))).alias("sx"),
+            dec_to_double(F.sum(dec("v6") * dec("v6"))).alias("sxx"),
+        )
+    )
+    n = F.col("n_vals").cast("double")
+    return s.select(
+        "dim",
+        "n_vals",
+        (F.col("sx") / n).alias("mean_v"),
+        ((n * F.col("sxx") - F.col("sx") * F.col("sx")) / (n * n)).alias("var_v"),
+    )
 
 
 # BM25 retrieval (operators/tfidf.py bm25_search): ad-hoc free-text

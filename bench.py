@@ -62,6 +62,7 @@ HEADLINE = [
     "docs_vocab_sketch",
     "emb_quantize_int8",
     "emb_pq_encode",
+    "emb_dim_stats",
     # dedup
     "docs_exact_dedup",
     "docs_ngram_jaccard_pairs",

@@ -167,3 +167,25 @@ def test_approx_percentile_partial_aggregation(spark):
     plan = plan_of(QUERIES["lineitem_price_percentiles_approx"](spark, SF))
     assert plan.count("HashAggregate") >= 2 or plan.count("ObjectHashAggregate") >= 2
     assert "approx_percentile" in plan
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A date-partitioned fact joined to a filtered dim on the
+    partition column must carry a dynamicpruning partition filter —
+    at 100 TB this is the difference between scanning 3 partitions
+    and 3,000."""
+    fact = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 10).cast("int").alias("day"),
+        (F.col("id") * 2).alias("amount"),
+    )
+    fact.write.partitionBy("day").parquet(str(tmp_path / "fact"))
+    dim = spark.createDataFrame(
+        [(d, "keep" if d < 3 else "drop") for d in range(10)],
+        "day int, tag string",
+    )
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    joined = f.join(F.broadcast(dim.where(F.col("tag") == "keep")), "day")
+    plan = plan_of(joined)
+    assert "dynamicpruning" in plan.lower()
+    assert joined.count() == 300  # 3 of 10 day-partitions survive
