@@ -111,3 +111,52 @@ def merge_upsert(
         if p.exists():
             p.unlink()
     return stats
+
+
+def compact_small_files(
+    spark: SparkSession,
+    target_path: str,
+    small_threshold_bytes: int = 32 * 1024 * 1024,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, int]:
+    """Bin-pack small Parquet files into target-sized ones, leaving
+    already-large files untouched — the compaction half of table
+    maintenance (copy-on-write MERGE above creates exactly the small
+    files this cleans up; streaming ingest creates them constantly).
+
+    Files under `small_threshold_bytes` re-read and rewrite coalesced
+    to ceil(total_small / target_file_bytes) outputs; every file at or
+    above the threshold keeps its identity (and its page cache / task
+    locality). Same swap ordering as merge_upsert: new files land
+    before old ones are removed. Returns counts for the caller's
+    manifest.
+    """
+    files = [
+        (p, p.stat().st_size) for p in sorted(Path(target_path).glob("*.parquet"))
+    ]
+    small = [(p, s) for p, s in files if s < small_threshold_bytes]
+    stats = {
+        "files_total": len(files),
+        "files_compacted": len(small),
+        "files_written": 0,
+    }
+    if len(small) < 2:
+        return stats  # nothing to gain from rewriting one file
+    total = sum(s for _, s in small)
+    n_out = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(*[str(p) for p, _ in small])
+    tmp = Path(target_path) / f"_compact_tmp_{uuid.uuid4().hex}"
+    df.coalesce(n_out).write.parquet(str(tmp))
+    dest = Path(target_path)
+    written = 0
+    for part in sorted(tmp.glob("*.parquet")):
+        part.rename(dest / f"compact-{uuid.uuid4().hex}-{part.name}")
+        written += 1
+    for leftover in tmp.iterdir():
+        leftover.unlink()
+    tmp.rmdir()
+    for p, _ in small:
+        if p.exists():
+            p.unlink()
+    stats["files_written"] = written
+    return stats

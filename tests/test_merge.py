@@ -84,3 +84,47 @@ def test_insert_only_touches_nothing(spark, tmp_path):
     after = _snapshot(path)
     assert all(after[f] == before[f] for f in before)  # originals untouched
     assert spark.read.parquet(path).count() == 401
+
+
+def test_compaction_binpacks_small_files(spark, tmp_path):
+    from aurora_mito_etl_spark.sources.merge import compact_small_files
+
+    path = str(tmp_path / "t")
+    # 8 tiny files + nothing large
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(800)], "k long, val string"
+    ).repartition(8).write.parquet(path)
+    n_before = len(list(Path(path).glob("*.parquet")))
+    assert n_before == 8
+    stats = compact_small_files(
+        spark, path, small_threshold_bytes=10 * 1024 * 1024,
+        target_file_bytes=50 * 1024 * 1024,
+    )
+    assert stats == {"files_total": 8, "files_compacted": 8, "files_written": 1}
+    assert len(list(Path(path).glob("*.parquet"))) == 1
+    got = {r["k"] for r in spark.read.parquet(path).collect()}
+    assert got == set(range(800))
+
+
+def test_compaction_leaves_large_files_alone(spark, tmp_path):
+    from aurora_mito_etl_spark.sources.merge import compact_small_files
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, "x" * 100) for i in range(100)], "k long, val string"
+    ).repartition(3).write.parquet(path)
+    before = {f.name: f.stat().st_mtime_ns for f in Path(path).glob("*.parquet")}
+    # threshold below every file size -> nothing is "small"
+    stats = compact_small_files(spark, path, small_threshold_bytes=1)
+    assert stats["files_compacted"] == 0 and stats["files_written"] == 0
+    after = {f.name: f.stat().st_mtime_ns for f in Path(path).glob("*.parquet")}
+    assert before == after
+
+
+def test_compaction_single_small_file_noop(spark, tmp_path):
+    from aurora_mito_etl_spark.sources.merge import compact_small_files
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "k long, val string").coalesce(1).write.parquet(path)
+    stats = compact_small_files(spark, path)
+    assert stats["files_written"] == 0  # one small file: rewriting gains nothing
