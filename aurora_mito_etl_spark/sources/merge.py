@@ -160,3 +160,176 @@ def compact_small_files(
             p.unlink()
     stats["files_written"] = written
     return stats
+
+
+# ---------------------------------------------------------------------------
+# Manifest snapshots: versioned reads over the same file-level ops.
+#
+# A JSON manifest per version lists the table's live files; writers
+# publish a new manifest (temp-file + atomic rename) instead of
+# deleting replaced files, readers pin a version, and vacuum()
+# reclaims files no kept version references. This is the essential
+# core of every table format's commit protocol, small enough to own:
+# readers of version N are never disturbed by a concurrent merge or
+# compaction, and a crashed writer leaves at worst an unreferenced
+# temp manifest — the plain-mode caveat above disappears. (What this
+# deliberately does NOT provide: multi-writer conflict detection —
+# single-writer staging tables only.)
+# ---------------------------------------------------------------------------
+
+_MANIFEST_DIR = "_manifest"
+
+
+def _manifest_path(table: str) -> Path:
+    return Path(table) / _MANIFEST_DIR
+
+
+def snapshot_versions(table: str) -> list[int]:
+    d = _manifest_path(table)
+    if not d.is_dir():
+        return []
+    return sorted(
+        int(p.stem.removeprefix("v")) for p in d.glob("v*.json")
+    )
+
+
+def _publish(table: str, version: int, files: list[str]) -> None:
+    import json
+
+    d = _manifest_path(table)
+    d.mkdir(exist_ok=True)
+    tmp = d / f".tmp-{uuid.uuid4().hex}"
+    tmp.write_text(json.dumps({"version": version, "files": sorted(files)}))
+    tmp.rename(d / f"v{version:05d}.json")  # atomic on one filesystem
+
+
+def _read_manifest(table: str, version: int) -> list[str]:
+    import json
+
+    return json.loads(
+        (_manifest_path(table) / f"v{version:05d}.json").read_text()
+    )["files"]
+
+
+def snapshot_init(table: str) -> int:
+    """Bring an existing plain Parquet directory under snapshot
+    control: version 1 references every current data file."""
+    if snapshot_versions(table):
+        raise ValueError(f"{table} already has snapshots")
+    files = [p.name for p in Path(table).glob("*.parquet")]
+    _publish(table, 1, files)
+    return 1
+
+
+def read_snapshot(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """The table at `version` (default: latest). Stable against any
+    later merge/compact/vacuum that keeps the version."""
+    versions = snapshot_versions(table)
+    if not versions:
+        raise ValueError(f"{table} has no snapshots — snapshot_init first")
+    v = versions[-1] if version is None else version
+    files = _read_manifest(table, v)
+    if not files:
+        raise ValueError(f"version {v} is empty")
+    return spark.read.parquet(*[str(Path(table) / f) for f in files])
+
+
+def merge_upsert_snapshot(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    key_col: str,
+    deletes: DataFrame | None = None,
+) -> tuple[int, dict[str, int]]:
+    """:func:`merge_upsert` against the LATEST snapshot, publishing
+    the result as a new version instead of deleting replaced files —
+    concurrent readers of any prior version are untouched. Returns
+    (new_version, stats)."""
+    versions = snapshot_versions(table)
+    if not versions:
+        raise ValueError(f"{table} has no snapshots — snapshot_init first")
+    current = _read_manifest(table, versions[-1])
+    dup = updates.groupBy(key_col).count().where(F.col("count") > 1).limit(1).count()
+    if dup:
+        raise ValueError(f"updates carry duplicate {key_col!r} keys — ambiguous MERGE")
+    change_keys = updates.select(key_col)
+    if deletes is not None:
+        change_keys = change_keys.unionByName(deletes.select(key_col)).distinct()
+
+    paths = [str(Path(table) / f) for f in current]
+    target = spark.read.parquet(*paths)
+    affected = {
+        Path(r["_f"].removeprefix("file:")).name
+        for r in target.withColumn("_f", F.input_file_name())
+        .join(change_keys, key_col, "semi")
+        .select("_f")
+        .distinct()
+        .collect()
+    }
+    if affected:
+        survivors = spark.read.parquet(
+            *[str(Path(table) / f) for f in sorted(affected)]
+        ).join(change_keys, key_col, "anti")
+    else:
+        survivors = spark.createDataFrame([], target.schema)
+    rewritten = survivors.unionByName(updates.select(*target.columns))
+
+    matched = updates.join(target.select(key_col), key_col, "semi").count()
+    stats = {
+        "files_total": len(current),
+        "files_rewritten": len(affected),
+        "rows_updated": matched,
+        "rows_inserted": updates.count() - matched,
+        "rows_deleted": (
+            deletes.select(key_col).distinct().join(
+                target.select(key_col), key_col, "semi"
+            ).count()
+            if deletes is not None
+            else 0
+        ),
+    }
+
+    tmp = Path(table) / f"_merge_tmp_{uuid.uuid4().hex}"
+    rewritten.write.parquet(str(tmp))
+    new_names = []
+    for part in sorted(tmp.glob("*.parquet")):
+        name = f"merge-{uuid.uuid4().hex}-{part.name}"
+        part.rename(Path(table) / name)
+        new_names.append(name)
+    for leftover in tmp.iterdir():
+        leftover.unlink()
+    tmp.rmdir()
+
+    new_version = versions[-1] + 1
+    keep = [f for f in current if f not in affected]
+    _publish(table, new_version, keep + new_names)
+    return new_version, stats
+
+
+def vacuum(table: str, keep_last: int = 2) -> dict[str, int]:
+    """Reclaim space: drop all but the last `keep_last` manifests and
+    delete every data file no kept manifest references. Run this only
+    when no reader still pins an older version."""
+    versions = snapshot_versions(table)
+    if not versions:
+        raise ValueError(f"{table} has no snapshots")
+    kept_versions = versions[-keep_last:]
+    live: set[str] = set()
+    for v in kept_versions:
+        live.update(_read_manifest(table, v))
+    removed_files = 0
+    for p in Path(table).glob("*.parquet"):
+        if p.name not in live:
+            p.unlink()
+            removed_files += 1
+    removed_manifests = 0
+    for v in versions[:-keep_last] if keep_last else versions:
+        (_manifest_path(table) / f"v{v:05d}.json").unlink()
+        removed_manifests += 1
+    return {
+        "files_removed": removed_files,
+        "manifests_removed": removed_manifests,
+        "versions_kept": len(kept_versions),
+    }

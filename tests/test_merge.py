@@ -128,3 +128,65 @@ def test_compaction_single_small_file_noop(spark, tmp_path):
     spark.createDataFrame([(1, "a")], "k long, val string").coalesce(1).write.parquet(path)
     stats = compact_small_files(spark, path)
     assert stats["files_written"] == 0  # one small file: rewriting gains nothing
+
+
+# ---------------------------------------------------------------------------
+# Snapshots
+# ---------------------------------------------------------------------------
+
+def test_snapshot_merge_keeps_old_version_readable(spark, tmp_path):
+    from aurora_mito_etl_spark.sources import merge as m
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    assert m.snapshot_init(path) == 1
+
+    updates = spark.createDataFrame(
+        [(5, "NEW5", 99), (1000, "INS", 1)], "k long, val string, grp int"
+    )
+    v2, stats = m.merge_upsert_snapshot(spark, path, updates, "k")
+    assert v2 == 2 and stats["rows_updated"] == 1 and stats["rows_inserted"] == 1
+
+    # old version: pristine; new version: merged
+    v1_rows = {r["k"]: r["val"] for r in m.read_snapshot(spark, path, 1).collect()}
+    v2_rows = {r["k"]: r["val"] for r in m.read_snapshot(spark, path).collect()}
+    assert v1_rows[5] == "v5" and 1000 not in v1_rows and len(v1_rows) == 400
+    assert v2_rows[5] == "NEW5" and v2_rows[1000] == "INS" and len(v2_rows) == 401
+
+
+def test_snapshot_delete_and_vacuum(spark, tmp_path):
+    from pathlib import Path as P
+
+    from aurora_mito_etl_spark.sources import merge as m
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    m.snapshot_init(path)
+    deletes = spark.createDataFrame([(10,), (11,)], "k long")
+    upd = spark.createDataFrame([(3, "N3", 0)], "k long, val string, grp int")
+    m.merge_upsert_snapshot(spark, path, upd, "k", deletes=deletes)
+
+    n_files_before = len(list(P(path).glob("*.parquet")))
+    out = m.vacuum(path, keep_last=1)
+    assert out["versions_kept"] == 1 and out["manifests_removed"] == 1
+    assert out["files_removed"] >= 1  # the replaced v1 file went away
+    assert len(list(P(path).glob("*.parquet"))) == n_files_before - out["files_removed"]
+
+    got = {r["k"] for r in m.read_snapshot(spark, path).collect()}
+    assert 10 not in got and 11 not in got and len(got) == 398
+    import pytest
+
+    with pytest.raises(Exception):
+        m.read_snapshot(spark, path, 1)  # vacuumed away
+
+
+def test_snapshot_init_twice_refused(spark, tmp_path):
+    import pytest
+
+    from aurora_mito_etl_spark.sources import merge as m
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    m.snapshot_init(path)
+    with pytest.raises(ValueError, match="already"):
+        m.snapshot_init(path)
