@@ -33,6 +33,7 @@ from aurora_mito_etl_spark.functions.numeric import (
 )
 from aurora_mito_etl_spark.operators import aggregates as agg
 from aurora_mito_etl_spark.operators import bloom as bl
+from aurora_mito_etl_spark.operators import clustering as cu
 from aurora_mito_etl_spark.operators import unicode_udfs as uu
 from aurora_mito_etl_spark.operators import decontaminate as dc
 from aurora_mito_etl_spark.operators import dedup as dd
@@ -2585,6 +2586,90 @@ def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-5 lexical neighbors by TF-IDF cosine over the
     inverted index (stopword df cap 25%), decimal-exact dot products."""
     return tf_.tfidf_topk(load_table(spark, sf_dir, "documents"), k=5)
+
+
+# Distributed Lloyd K-Means (operators/clustering.py): assignment
+# after 2 training rounds from fixed6-rounded pinned init centroids.
+# All arithmetic is exact-integer on the 1e-6 grid, so the oracle
+# replays every round as a chained CTE — scores, means, and the tie
+# rule (larger cell id) bit-identical across engines.
+def _kmeans_oracle(dim: int = 16, k: int = 8, iters: int = 2) -> str:
+    import math as _math
+
+    init = [
+        [_math.floor(x * 1e6 + 0.5) / 1e6 for x in c]
+        for c in sim.ivf_centroids(dim, k, seed=7)
+    ]
+    rows = ", ".join(
+        f"({cell}, {d}, {int(_math.floor(c[d] * 1e6 + 0.5))})"
+        for cell, c in enumerate(init)
+        for d in range(dim)
+    )
+    sql = f"""
+    WITH cent1 AS (
+      SELECT cell, d, CAST(ci AS BIGINT) AS ci
+      FROM (VALUES {rows}) AS t(cell, d, ci)
+    ),
+    vecs AS (
+      SELECT vec_id, i - 1 AS d,
+             CAST(floor((embedding[i]::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vi
+      FROM embeddings, UNNEST(generate_series(1, {dim})) AS g(i)
+    )"""
+    for it in range(1, iters + 2):  # iters training rounds + final assign
+        sql += f""",
+    sc{it} AS (
+      SELECT v.vec_id, c.cell,
+             CAST(SUM(v.vi * c.ci) AS DOUBLE) / 1000000000000.0 AS dot_d
+      FROM vecs v JOIN cent{it} c USING (d)
+      GROUP BY v.vec_id, c.cell
+    ),
+    hn{it} AS (
+      SELECT cell, CAST(SUM(ci * ci) AS DOUBLE) / 2000000000000.0 AS half
+      FROM cent{it} GROUP BY cell
+    ),
+    asg{it} AS (
+      SELECT vec_id, cell FROM (
+        SELECT s.vec_id, s.cell,
+               row_number() OVER (
+                 PARTITION BY s.vec_id
+                 ORDER BY s.dot_d - h.half DESC, s.cell DESC
+               ) AS rn
+        FROM sc{it} s JOIN hn{it} h USING (cell)
+      ) WHERE rn = 1
+    )"""
+        if it <= iters:
+            sql += f""",
+    upd{it} AS (
+      SELECT a.cell, v.d,
+             CAST(floor(((CAST(SUM(v.vi) AS DOUBLE) / 1000000.0) / count(*))
+                        * 1000000 + 0.5) AS BIGINT) AS ci_next
+      FROM asg{it} a JOIN vecs v USING (vec_id)
+      GROUP BY a.cell, v.d
+    ),
+    cent{it + 1} AS (
+      SELECT c.cell, c.d, coalesce(u.ci_next, c.ci) AS ci
+      FROM cent{it} c LEFT JOIN upd{it} u ON c.cell = u.cell AND c.d = u.d
+    )"""
+    sql += f"""
+    SELECT vec_id, cell FROM asg{iters + 1}
+    """
+    return sql
+
+
+@_register("emb_kmeans_assign", _kmeans_oracle())
+def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Means cell assignment over the first 16 embedding dims after
+    2 bit-portable Lloyd rounds (k=8, pinned fixed6 init) — the
+    trained-quantizer path for IVF/SemDeDup."""
+    import math as _math
+
+    init = [
+        [_math.floor(x * 1e6 + 0.5) / 1e6 for x in c]
+        for c in sim.ivf_centroids(16, 8, seed=7)
+    ]
+    return cu.kmeans_assignments(
+        load_table(spark, sf_dir, "embeddings"), init, iterations=2
+    )
 
 
 # Per-dimension embedding statistics — the calibration pass every

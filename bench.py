@@ -63,6 +63,7 @@ HEADLINE = [
     "emb_quantize_int8",
     "emb_pq_encode",
     "emb_dim_stats",
+    "emb_kmeans_assign",
     # dedup
     "docs_exact_dedup",
     "docs_ngram_jaccard_pairs",

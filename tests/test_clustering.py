@@ -1,0 +1,70 @@
+"""Bit-portable Lloyd K-Means (operators/clustering.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from aurora_mito_etl_spark.operators import clustering as cl
+
+
+def _f6(x: float) -> float:
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _toy(spark):
+    pts = [(i, [10.0 + (i % 5) * 0.1, 0.0]) for i in range(20)] + [
+        (100 + i, [0.0, 5.0 + (i % 4) * 0.1]) for i in range(20)
+    ]
+    return spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+
+
+INIT = [[_f6(1.0), _f6(0.0)], [_f6(0.0), _f6(1.0)]]
+
+
+def test_converges_to_cluster_means(spark):
+    cents = cl.kmeans_fit(_toy(spark), INIT, iterations=3)
+    # exact means of the two separated clusters (values on the fixed6 grid)
+    assert cents[0] == [10.2, 0.0]
+    assert cents[1] == [0.0, 5.15]
+
+
+def test_assignments_separate_clusters(spark):
+    out = {
+        r["vec_id"]: r["cell"]
+        for r in cl.kmeans_assignments(_toy(spark), INIT, iterations=3).collect()
+    }
+    assert {out[i] for i in range(20)} == {0}
+    assert {out[100 + i] for i in range(20)} == {1}
+
+
+def test_partition_invariant(spark):
+    df = _toy(spark)
+    a = cl.kmeans_fit(df, INIT, iterations=3)
+    b = cl.kmeans_fit(df.repartition(7), INIT, iterations=3)
+    assert a == b
+
+
+def test_empty_cell_keeps_centroid(spark):
+    # all points near centroid 0 -> centroid 1 never assigned, stays put
+    df = spark.createDataFrame(
+        [(i, [10.0, 0.0]) for i in range(5)], "vec_id long, embedding array<double>"
+    )
+    far = [[_f6(10.0), _f6(0.0)], [_f6(-99.0), _f6(-99.0)]]
+    cents = cl.kmeans_fit(df, far, iterations=2)
+    assert cents[0] == [10.0, 0.0]
+    assert cents[1] == far[1]
+
+
+def test_tie_prefers_larger_cell(spark):
+    # identical centroids -> every score ties -> cell 1 wins everywhere
+    df = _toy(spark)
+    same = [[_f6(1.0), _f6(1.0)], [_f6(1.0), _f6(1.0)]]
+    out = cl.assign_cells(df, same).select("cell").distinct().collect()
+    assert [r["cell"] for r in out] == [1]
+
+
+def test_validation(spark):
+    with pytest.raises(ValueError):
+        cl.kmeans_fit(_toy(spark), INIT, iterations=0)
