@@ -68,3 +68,28 @@ def test_tie_prefers_larger_cell(spark):
 def test_validation(spark):
     with pytest.raises(ValueError):
         cl.kmeans_fit(_toy(spark), INIT, iterations=0)
+
+
+def test_trained_centroids_drive_ivf(spark):
+    """Integration: kmeans_fit output plugs into similarity.ivf_topk's
+    centroids parameter — the trained-quantizer path for the ANN tier."""
+    import pyspark.sql.functions as F
+
+    from aurora_mito_etl_spark.operators import similarity as sim
+    from aurora_mito_etl_spark.sources.catalog import load_table
+
+    vecs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    init = [
+        [_f6(x) for x in c] for c in sim.ivf_centroids(64, 4, seed=7)
+    ]
+    trained = cl.kmeans_fit(vecs, init, iterations=1)
+    assert trained != init  # training moved the centroids
+    queries = vecs.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = sim.ivf_topk(vecs, queries, k=3, n_cells=4, n_probe=4, centroids=trained)
+    rows = out.collect()
+    # probing ALL cells with a valid quantizer must return each query's
+    # own vector as its top hit (cosine 1.0)
+    top = {r["query_id"]: r["vec_id"] for r in rows if r["rank"] == 1}
+    assert all(q == v for q, v in top.items())
