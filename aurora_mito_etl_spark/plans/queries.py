@@ -2588,6 +2588,45 @@ def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf_.tfidf_topk(load_table(spark, sf_dir, "documents"), k=5)
 
 
+# Top user journeys: the ordered first-5-event path per user,
+# counted. sort_array over collected (ts, event_id, type) structs
+# gives a deterministic per-user order without a window shuffle
+# beyond the groupBy itself.
+_TOP_PATHS_ORACLE = r"""
+    WITH seq AS (
+      SELECT user_id,
+             array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>') AS path
+      FROM events GROUP BY user_id
+    )
+    SELECT path, count(*) AS n_users
+    FROM seq GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 20
+"""
+
+
+@_register("events_top_paths", _TOP_PATHS_ORACLE)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 five-step user journeys (ordered event-type paths),
+    by number of users on the path."""
+    ev = load_table(spark, sf_dir, "events")
+    evs = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("evs")
+    )
+    path = F.concat_ws(
+        ">", F.transform(F.slice("evs", 1, 5), lambda s: s["event_type"])
+    )
+    return (
+        evs.select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(20)
+    )
+
+
 # Distributed Lloyd K-Means (operators/clustering.py): assignment
 # after 2 training rounds from fixed6-rounded pinned init centroids.
 # All arithmetic is exact-integer on the 1e-6 grid, so the oracle

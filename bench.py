@@ -35,6 +35,7 @@ HEADLINE = [
     "events_funnel",
     "events_retention",
     "events_pagerank",
+    "events_top_paths",
     # text analysis
     "docs_clean_text",
     "docs_quality",
