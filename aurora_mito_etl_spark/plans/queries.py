@@ -2588,6 +2588,63 @@ def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf_.tfidf_topk(load_table(spark, sf_dir, "documents"), k=5)
 
 
+# Winsorized robust aggregates: clip to the exact [p01, p99] band
+# (percentile ≡ quantile_cont, the established pair), boundaries
+# fixed6-rounded before clipping so the decimal-exact sum never casts
+# an interpolated double onto a decimal rounding tie.
+_WINSORIZE_ORACLE = r"""
+    WITH b AS (
+      SELECT l_returnflag,
+             floor(quantile_cont(l_extendedprice, 0.01) * 1000000 + 0.5) / 1000000 AS lo,
+             floor(quantile_cont(l_extendedprice, 0.99) * 1000000 + 0.5) / 1000000 AS hi
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    c AS (
+      SELECT l.l_returnflag,
+             greatest(lo, least(hi, l_extendedprice)) AS w,
+             CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END AS cl,
+             CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END AS ch
+      FROM lineitem l JOIN b USING (l_returnflag)
+    )
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           CAST(SUM(cl) AS BIGINT) AS n_clipped_low,
+           CAST(SUM(ch) AS BIGINT) AS n_clipped_high,
+           CAST(CAST(SUM(CAST(w AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_winsorized,
+           CAST(CAST(SUM(CAST(w AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS mean_winsorized
+    FROM c GROUP BY l_returnflag
+"""
+
+
+@_register("lineitem_winsorized", _WINSORIZE_ORACLE)
+def lineitem_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-flag price aggregates: winsorize at exact p01/p99,
+    count clips, decimal-exact winsorized sum and mean."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, array(0.01D, 0.99D))").alias("__ps")
+    ).select(
+        "l_returnflag",
+        fixed6(F.col("__ps")[0]).alias("lo"),
+        fixed6(F.col("__ps")[1]).alias("hi"),
+    )
+    x = F.col("l_extendedprice")
+    c = li.join(F.broadcast(bands), "l_returnflag").select(
+        "l_returnflag",
+        F.greatest("lo", F.least("hi", x)).alias("w"),
+        F.when(x < F.col("lo"), 1).otherwise(0).alias("cl"),
+        F.when(x > F.col("hi"), 1).otherwise(0).alias("ch"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("cl").alias("n_clipped_low"),
+        F.sum("ch").alias("n_clipped_high"),
+        dec_sum("w", "sum_winsorized"),
+        dec_avg("w", "mean_winsorized"),
+    )
+
+
 # Top user journeys: the ordered first-5-event path per user,
 # counted. sort_array over collected (ts, event_id, type) structs
 # gives a deterministic per-user order without a window shuffle

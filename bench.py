@@ -90,6 +90,7 @@ HEADLINE = [
     "lineitem_price_percentiles",
     "lineitem_price_percentiles_approx",
     "lineitem_corr_stats",
+    "lineitem_winsorized",
     "part_normalize_dedup",
     "docs_ac_dict_filter",
     "scalar_function_parity",
