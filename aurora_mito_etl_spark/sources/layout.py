@@ -78,7 +78,15 @@ def zorder_key(
     for c in cols:
         aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
     row = df.agg(*aggs).collect()[0]
-    bounds = {c: (row[f"_lo_{c}"], row[f"_hi_{c}"]) for c in cols}
+    # an all-NULL (or empty) column has no bounds: every value buckets
+    # to 0 via the degenerate-span rule rather than crashing
+    bounds = {
+        c: (
+            row[f"_lo_{c}"] if row[f"_lo_{c}"] is not None else 0.0,
+            row[f"_hi_{c}"] if row[f"_hi_{c}"] is not None else 0.0,
+        )
+        for c in cols
+    }
     bucketed = [
         minmax_bucket(F.col(c), float(bounds[c][0]), float(bounds[c][1]), bits)
         for c in cols

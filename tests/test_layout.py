@@ -95,3 +95,12 @@ def test_zorder_write_preserves_rows(spark, tmp_path):
     a = df.groupBy("x", "y").count().collect()
     b = back.groupBy("x", "y").count().collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_zorder_all_null_column(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, None) for i in range(10)], "x long, y double"
+    )
+    bounds = ly.write_zordered(df, str(tmp_path / "z"), ["x", "y"], bits=8)
+    assert bounds["y"] == (0.0, 0.0)
+    assert spark.read.parquet(str(tmp_path / "z")).count() == 10
