@@ -4335,7 +4335,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # Embedding / similarity tier
     "emb_semantic_dedup",
     "emb_pq_encode",
-    "emb_quantize_int8",
+    "emb_kmeans_assign",
     "emb_near_dup_exact",
     "emb_lsh_near_dup",
     "emb_ivf_topk",
