@@ -20,7 +20,9 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F
 
+from aurora_mito_etl_spark.operators import bloom as bl
 from aurora_mito_etl_spark.operators import decontaminate as dc
+from aurora_mito_etl_spark.operators import tfidf as tfi
 from aurora_mito_etl_spark.operators import dedup as dd
 from aurora_mito_etl_spark.operators import quality as ql
 from aurora_mito_etl_spark.session import get_spark
@@ -90,6 +92,21 @@ def main() -> int:
             df, "text", "doc_id", k=3, min_span_tokens=5, max_window_docs=64
         ).write.format("noop").mode("overwrite").save()
         t["dup_spans"] = round(time.perf_counter() - t0, 2)
+        # round-5 tier: Bloom decontamination (probe-side scaling) and
+        # TF-IDF neighbor search (inverted-index join; the replicated
+        # corpus multiplies both postings sides, so pair contributions
+        # bend ~factor² on shared-vocabulary data — the df cap is what
+        # keeps the constant sane, not the asymptote)
+        t0 = time.perf_counter()
+        bl.ngram_contamination_bloom(
+            df, df.filter(F.col("doc_id") % 97 == 0), n=4
+        ).write.format("noop").mode("overwrite").save()
+        t["bloom_decontaminate"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        tfi.tfidf_topk(df, k=3, max_df_frac=0.1).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t["tfidf_topk"] = round(time.perf_counter() - t0, 2)
         df.unpersist()
         results[f] = {"rows": n, **t}
         print(json.dumps({"factor": f, **results[f]}))
