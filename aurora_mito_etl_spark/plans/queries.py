@@ -2588,6 +2588,66 @@ def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf_.tfidf_topk(load_table(spark, sf_dir, "documents"), k=5)
 
 
+# Per-source distribution drift: KL(source unigram dist ‖ corpus
+# unigram dist) — the mixture-diagnostics signal (a source whose
+# vocabulary drifts from the corpus skews training mixes). KL over
+# the source's own support needs only p>0 terms; per-term
+# contributions are fixed6-rounded (the DSIR log convention) and
+# decimal-summed, so the divergence is engine-identical.
+_SOURCE_KL_ORACLE = r"""
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ')) AS tok
+      FROM documents
+    ),
+    t AS (SELECT source, tok FROM toks WHERE tok <> ''),
+    st AS (SELECT source, tok, count(*) AS c FROM t GROUP BY source, tok),
+    stot AS (SELECT source, sum(c) AS ts FROM st GROUP BY source),
+    ct AS (SELECT tok, sum(c) AS cc FROM st GROUP BY tok),
+    tot AS (SELECT sum(cc) AS tc FROM ct),
+    contrib AS (
+      SELECT st.source,
+             floor(((CAST(st.c AS DOUBLE) / ts)
+                    * ln((CAST(st.c AS DOUBLE) / ts) / (CAST(cc AS DOUBLE) / tc)))
+                   * 1000000 + 0.5) / 1000000 AS kx
+      FROM st JOIN stot USING (source) JOIN ct USING (tok), tot
+    )
+    SELECT source,
+           count(*) AS n_terms,
+           CAST(CAST(SUM(CAST(kx AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS kl_to_corpus
+    FROM contrib GROUP BY source
+"""
+
+
+@_register("docs_source_divergence", _SOURCE_KL_ORACLE)
+def docs_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's unigram distribution from the
+    corpus distribution — mixture drift diagnostics, decimal-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"\s+", " "))),
+        " ",
+    )
+    t = d.select("source", F.explode(toks).alias("tok")).where(F.col("tok") != "")
+    st = t.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    stot = st.groupBy("source").agg(F.sum("c").alias("ts"))
+    ct = st.groupBy("tok").agg(F.sum("c").alias("cc"))
+    tc = ct.agg(F.sum("cc")).collect()[0][0]  # scalar total, exact int
+    p = F.col("c").cast("double") / F.col("ts")
+    q = F.col("cc").cast("double") / F.lit(float(tc))
+    contrib = (
+        st.join(stot, "source")
+        .join(ct, "tok")
+        .select("source", fixed6(p * F.log(p / q)).alias("kx"))
+    )
+    return contrib.groupBy("source").agg(
+        F.count("*").alias("n_terms"),
+        dec_to_double(F.sum(F.col("kx").cast("decimal(18,6)"))).alias(
+            "kl_to_corpus"
+        ),
+    )
+
+
 # Winsorized robust aggregates: clip to the exact [p01, p99] band
 # (percentile ≡ quantile_cont, the established pair), boundaries
 # fixed6-rounded before clipping so the decimal-exact sum never casts

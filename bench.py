@@ -61,6 +61,7 @@ HEADLINE = [
     "docs_source_report",
     "docs_bpe_pair_counts",
     "docs_vocab_sketch",
+    "docs_source_divergence",
     "emb_quantize_int8",
     "emb_pq_encode",
     "emb_dim_stats",
