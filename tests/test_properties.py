@@ -143,3 +143,55 @@ def test_chunk_windows_tiles_every_document(spark, n_tokens, window, data):
         for r in chunks:
             covered.update(r["chunk_text"].split())
         assert covered == set(all_tokens)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy-join lossless blocking (operators/fuzzy.py): the prefix-filter
+# + fallback-bucket candidate set must reproduce the cartesian answer
+# on arbitrary strings — including repetitive, short, and empty ones.
+# ---------------------------------------------------------------------------
+
+fuzzy_strings = st.lists(
+    st.text(alphabet="abcx", min_size=0, max_size=8),
+    min_size=2,
+    max_size=10,
+)
+
+
+@given(fuzzy_strings)
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_fuzzy_pairs_match_bruteforce(spark, strings):
+    import functools
+    import itertools
+
+    from aurora_mito_etl_spark.operators import fuzzy as fz
+
+    def lev(a: str, b: str) -> int:
+        @functools.lru_cache(maxsize=None)
+        def d(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            return min(
+                d(i - 1, j) + 1,
+                d(i, j - 1) + 1,
+                d(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+            )
+
+        return d(len(a), len(b))
+
+    rows = list(enumerate(strings))
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fz.fuzzy_self_pairs(df, "id", "s").collect()
+    }
+    want = {
+        (ia, ib, lev(sa, sb))
+        for (ia, sa), (ib, sb) in itertools.combinations(rows, 2)
+        if lev(sa, sb) <= 1
+    }
+    assert got == want
