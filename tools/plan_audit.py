@@ -17,6 +17,16 @@ BNLJs are single-row aggregate cross-joins (corpus totals riding along
 with a count), which are constant-size broadcasts at any SF.
 
 Usage: python tools/plan_audit.py [sf_dir] [query ...]
+       python tools/plan_audit.py --save            # write plan_baseline.json
+       python tools/plan_audit.py --check           # diff against baseline
+
+`--save` snapshots each query's posture to tools/plan_baseline.json;
+`--check` exits 1 if any query's exchanges/cartesians/python_stages
+INCREASED vs the snapshot — the cross-round guard against silent plan
+regressions (an extra shuffle passes every correctness gate but costs
+real money at 100 TB). New queries (absent from the baseline) are
+reported informationally, never fatal; re-run --save after intended
+plan changes.
 """
 
 from __future__ import annotations
@@ -73,9 +83,17 @@ def audit_one(plan: str) -> dict:
     }
 
 
+BASELINE = __file__.rsplit("/", 1)[0] + "/plan_baseline.json"
+_REGRESSION_KEYS = ("exchanges", "cartesian", "python_stages")
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:]]
+    save = "--save" in args
+    check = "--check" in args
+    args = [a for a in args if a not in ("--save", "--check")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     from aurora_mito_etl_spark.plans.queries import QUERIES
     from aurora_mito_etl_spark.session import get_spark
@@ -117,7 +135,33 @@ def main() -> int:
         "cartesian_products": n_cartesian,
     }))
     spark.stop()
-    return 1 if n_cartesian else 0
+
+    rc = 1 if n_cartesian else 0
+    if save:
+        with open(BASELINE, "w") as fh:
+            json.dump({r["query"]: {k: r[k] for k in _REGRESSION_KEYS}
+                       for r in rows}, fh, indent=0, sort_keys=True)
+        print(f"baseline saved: {len(rows)} queries -> {BASELINE}")
+    if check:
+        with open(BASELINE) as fh:
+            base = json.load(fh)
+        regressed, new = [], []
+        for r in rows:
+            b = base.get(r["query"])
+            if b is None:
+                new.append(r["query"])
+                continue
+            worse = {k: (b[k], r[k]) for k in _REGRESSION_KEYS if r[k] > b[k]}
+            if worse:
+                regressed.append((r["query"], worse))
+        for q, worse in regressed:
+            print(f"PLAN REGRESSION {q}: " + ", ".join(
+                f"{k} {a}->{b}" for k, (a, b) in worse.items()))
+        if new:
+            print(f"not in baseline (run --save to adopt): {sorted(new)}")
+        print(f"plan check: {len(regressed)} regressed, {len(new)} new")
+        rc = rc or (1 if regressed else 0)
+    return rc
 
 
 if __name__ == "__main__":
