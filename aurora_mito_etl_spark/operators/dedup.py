@@ -985,3 +985,74 @@ def dedup_clusters_best(
     )
     losers = comp.join(winners, "id", "left_anti").select(F.col("id").alias(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_docs: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup: directed pairs where one document's
+    shingle set is mostly CONTAINED in another's —
+    ``containment(inner→outer) = |S(inner) ∩ S(outer)| / |S(inner)|``.
+
+    Jaccard misses the excerpt/quote case by construction: a 50-token
+    quote inside a 5,000-token article has Jaccard ≈ 0.01 but
+    containment ≈ 1.0. This is the Broder containment measure — the
+    right trigger for "drop the fragment, keep the superset" policies
+    in corpus dedup.
+
+    Same plan shape and hot-shingle cap as :func:`ngram_jaccard_pairs`
+    (one shared-shingle equi-join computes the intersection once per
+    unordered pair; both directed containments derive from it).
+    Output: (inner_id, outer_id, containment) for every direction
+    meeting the threshold — near-identical pairs appear in both
+    directions.
+    """
+    sh = (
+        _spread(df)
+        .select(F.col(id_col), F.explode(shingles_arrow(F.col(text_col), k)).alias("s"))
+        .select(F.col(id_col), F.xxhash64("s").alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    joinable = sh
+    if max_shingle_docs is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_docs)
+            .select("sh")
+        )
+        joinable = sh.join(hot, "sh", "left_anti")
+    a = joinable.select(F.col(id_col).alias("id_a"), "sh")
+    b = joinable.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    both = inter.join(
+        sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a"
+    ).join(
+        sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b"
+    )
+    d1 = both.select(
+        F.col("id_a").alias("inner_id"),
+        F.col("id_b").alias("outer_id"),
+        F.round(F.col("inter").cast("double") / F.col("sz_a").cast("double"), 6).alias(
+            "containment"
+        ),
+    )
+    d2 = both.select(
+        F.col("id_b").alias("inner_id"),
+        F.col("id_a").alias("outer_id"),
+        F.round(F.col("inter").cast("double") / F.col("sz_b").cast("double"), 6).alias(
+            "containment"
+        ),
+    )
+    return d1.unionByName(d2).filter(F.col("containment") >= threshold)

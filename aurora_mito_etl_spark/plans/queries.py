@@ -2588,6 +2588,57 @@ def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf_.tfidf_topk(load_table(spark, sf_dir, "documents"), k=5)
 
 
+# Asymmetric containment near-dup (dedup.containment_pairs): the
+# excerpt/quote detector Jaccard structurally misses. Oracle joins on
+# the shingle STRING (the operator's xxhash64 keys only rename the
+# join values — counts are identical modulo nil 64-bit collisions,
+# the ngram_jaccard precedent).
+_CONTAINMENT_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM grams a JOIN grams b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pb AS (
+      SELECT id_a, id_b, i, sa.sz AS sz_a, sb.sz AS sz_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    ),
+    u AS (
+      SELECT id_a AS inner_id, id_b AS outer_id,
+             round(CAST(i AS DOUBLE) / CAST(sz_a AS DOUBLE), 6) AS containment
+      FROM pb
+      UNION ALL
+      SELECT id_b AS inner_id, id_a AS outer_id,
+             round(CAST(i AS DOUBLE) / CAST(sz_b AS DOUBLE), 6) AS containment
+      FROM pb
+    )
+    SELECT inner_id, outer_id, containment FROM u WHERE containment >= 0.5
+"""
+
+
+@_register("docs_containment_pairs", _CONTAINMENT_ORACLE)
+def docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment pairs (shingle-set containment >= 0.5,
+    k=3): the excerpt/quote near-dup detector — drop the fragment,
+    keep the superset."""
+    return dd.containment_pairs(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        k=3, threshold=0.5,
+    )
+
+
 # Per-source distribution drift: KL(source unigram dist ‖ corpus
 # unigram dist) — the mixture-diagnostics signal (a source whose
 # vocabulary drifts from the corpus skews training mixes). KL over

@@ -69,6 +69,7 @@ HEADLINE = [
     # dedup
     "docs_exact_dedup",
     "docs_ngram_jaccard_pairs",
+    "docs_containment_pairs",
     "docs_minhash_lsh_pairs",
     "docs_simhash_pairs",
     "docs_near_dedup_survivors",

@@ -578,3 +578,38 @@ def test_pq_encode_arrow_matches_on_real_table(spark):
         for r in qz.pq_encode_arrow(e, dim=64, m=4, n_centroids=16).collect()
     }
     assert expr == arrow and len(expr) >= 500
+
+
+def test_containment_catches_excerpts_jaccard_misses(spark):
+    from aurora_mito_etl_spark.operators import dedup as dd
+
+    article = " ".join(f"w{i}" for i in range(300))
+    quote = " ".join(f"w{i}" for i in range(40, 60))  # 20-token excerpt
+    df = spark.createDataFrame(
+        [(1, article), (2, quote), (3, "totally different words entirely here")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r["inner_id"], r["outer_id"]): r["containment"]
+        for r in dd.containment_pairs(df, "text", "doc_id", threshold=0.8).collect()
+    }
+    # the quote is fully contained in the article...
+    assert cont[(2, 1)] == 1.0
+    # ...but NOT vice versa, and the unrelated doc matches nothing
+    assert (1, 2) not in cont
+    assert not any(3 in p for p in cont)
+    # Jaccard on the same pair is tiny — the case this operator exists for
+    jac = dd.ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.5).collect()
+    assert not any({r["id_a"], r["id_b"]} == {1, 2} for r in jac)
+
+
+def test_containment_symmetric_for_identical_docs(spark):
+    from aurora_mito_etl_spark.operators import dedup as dd
+
+    t = "alpha beta gamma delta epsilon zeta eta"
+    df = spark.createDataFrame([(1, t), (2, t)], "doc_id long, text string")
+    cont = {
+        (r["inner_id"], r["outer_id"]): r["containment"]
+        for r in dd.containment_pairs(df, "text", "doc_id").collect()
+    }
+    assert cont == {(1, 2): 1.0, (2, 1): 1.0}
