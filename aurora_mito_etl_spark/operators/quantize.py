@@ -214,3 +214,80 @@ def pq_encode_arrow(
             yield pd.DataFrame(cols)
 
     return df.select(id_col, vec_col).mapInPandas(encode, out_schema)
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 4,
+    n_centroids: int = 16,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 11,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k over PQ codes —
+    the search half of product quantization (Jégou et al., TPAMI
+    2011): the corpus is represented ONLY by its m nibble codes; each
+    query precomputes an m×n_centroids distance table and a corpus
+    row's approximate distance is m table lookups, never a d-dim dot.
+
+    The per-(query, subspace, centroid) entry is
+    ``‖c‖² − 2·dot(q_sub, c)`` — rank-equivalent to ‖q_sub − c‖²
+    (the per-query ‖q_sub‖² constant cancels in ranking). Distance
+    tables are expression arrays riding on the broadcast query rows
+    (constant-key equi-join, a BroadcastHashJoin); the m lookups sum
+    in one fixed-order expression, so distances are bit-reproducible
+    and the whole search is a single projection + top-k window per
+    query over the codes table.
+
+    Output: (query_id, vec_id, adc_dist, rank), rank 1..k ascending
+    distance, ties by vec_id.
+    """
+    from pyspark.sql import Window
+
+    books = pq_codebooks(dim, m, n_centroids, seed)
+    subdim = dim // m
+    codes = pq_encode(
+        vectors, dim, m, n_centroids, vec_col=vec_col, seed=seed
+    ).select(id_col, *[f"pq_{j}" for j in range(m)])
+
+    qcols = [F.col(query_id_col)]
+    for j, book in enumerate(books):
+        sub = F.slice(
+            F.transform(F.col(query_vec_col), lambda x: x.cast("double")),
+            j * subdim + 1,
+            subdim,
+        )
+        entries = []
+        for cent in book:
+            n2 = sum(x * x for x in cent)
+            dot = F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.array(*[F.lit(float(x)) for x in cent]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            entries.append(F.lit(float(n2)) - F.lit(2.0) * dot)
+        qcols.append(F.array(*entries).alias(f"_dt_{j}"))
+    qt = queries.select(*qcols).withColumn("_k", F.lit(1))
+
+    joined = codes.withColumn("_k", F.lit(1)).join(F.broadcast(qt), "_k")
+    adc = F.element_at(F.col("_dt_0"), F.col("pq_0") + 1)
+    for j in range(1, m):
+        adc = adc + F.element_at(F.col(f"_dt_{j}"), F.col(f"pq_{j}") + 1)
+    scored = joined.select(query_id_col, id_col, adc.alias("adc_dist"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adc_dist", "rank")
+    )

@@ -4382,6 +4382,88 @@ def _pq_oracle(dim: int = 64, m: int = 4, n_centroids: int = 16) -> str:
     """
 
 
+def _pq_adc_oracle(
+    dim: int = 64, m: int = 4, n_centroids: int = 16, k: int = 5
+) -> str:
+    """ADC search replay: codes via the PQ-encode argmax (same as
+    _pq_oracle), per-query distance tables n2 − 2·dot, MAX-CASE pivot
+    and the explicit left-associated 4-term sum matching the Spark
+    expression order."""
+    from aurora_mito_etl_spark.operators.quantize import pq_codebooks
+
+    books = pq_codebooks(dim, m, n_centroids)
+    subdim = dim // m
+    values = ",\n      ".join(
+        f"({j}, {cell}, [{', '.join(repr(x) for x in cent)}]::DOUBLE[], "
+        f"{sum(x * x for x in cent) / 2.0!r}, {sum(x * x for x in cent)!r})"
+        for j, book in enumerate(books)
+        for cell, cent in enumerate(book)
+    )
+    code_cols = ",\n           ".join(
+        f"MAX(CASE WHEN sub = {j} THEN cell END) AS pq_{j}" for j in range(m)
+    )
+    uncode = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, {j} AS sub, pq_{j} AS cell FROM codes" for j in range(m)
+    )
+    adc_sum = " + ".join(f"MAX(CASE WHEN u.sub = {j} THEN d END)" for j in range(m))
+    return f"""
+    WITH cents(sub, cell, c, hn, n2) AS (
+      VALUES
+      {values}
+    ),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    assigned AS (
+      SELECT vec_id, sub, cell,
+             row_number() OVER (
+               PARTITION BY vec_id, sub
+               ORDER BY list_dot_product(e[sub * {subdim} + 1 : sub * {subdim} + {subdim}], c) - hn DESC,
+                        cell DESC
+             ) AS rn
+      FROM v, cents
+    ),
+    codes AS (
+      SELECT vec_id,
+           {code_cols}
+      FROM assigned WHERE rn = 1 GROUP BY vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id < 3),
+    qd AS (
+      SELECT query_id, sub, cell,
+             n2 - 2 * list_dot_product(e[sub * {subdim} + 1 : sub * {subdim} + {subdim}], c) AS d
+      FROM q, cents
+    ),
+    uncode AS (
+      {uncode}
+    ),
+    adc AS (
+      SELECT qd.query_id, u.vec_id, ({adc_sum}) AS adc_dist
+      FROM uncode u JOIN qd ON u.sub = qd.sub AND u.cell = qd.cell
+      GROUP BY qd.query_id, u.vec_id
+    ),
+    r AS (
+      SELECT query_id, vec_id, adc_dist,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY adc_dist ASC, vec_id
+             ) AS rnk
+      FROM adc
+    )
+    SELECT query_id, vec_id, adc_dist, CAST(rnk AS INTEGER) AS rank
+    FROM r WHERE rnk <= {k}
+    """
+
+
+@_register("emb_pq_adc_topk", _pq_adc_oracle())
+def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC approximate top-5 over PQ codes: the corpus side is only
+    its 4 nibble codes; each of 3 queries precomputes a 4×16 distance
+    table and scores every row with 4 lookups."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return qz.pq_adc_topk(e, q, dim=64, m=4, n_centroids=16, k=5)
+
+
 @_register("emb_pq_encode", _pq_oracle())
 def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization codes over pinned per-subspace codebooks:

@@ -64,6 +64,7 @@ HEADLINE = [
     "docs_source_divergence",
     "emb_quantize_int8",
     "emb_pq_encode",
+    "emb_pq_adc_topk",
     "emb_dim_stats",
     "emb_kmeans_assign",
     # dedup

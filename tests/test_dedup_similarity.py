@@ -613,3 +613,38 @@ def test_containment_symmetric_for_identical_docs(spark):
         for r in dd.containment_pairs(df, "text", "doc_id").collect()
     }
     assert cont == {(1, 2): 1.0, (2, 1): 1.0}
+
+
+def test_pq_adc_topk_retrieves_own_cluster(spark):
+    from aurora_mito_etl_spark.operators import quantize as qz
+
+    # two well-separated clusters in 8-dim; PQ with 2 subspaces x 4
+    # centroids must retrieve same-cluster rows for each query
+    rows = [(i, [10.0 + (i % 3) * 0.1] * 8) for i in range(10)] + [
+        (100 + i, [-10.0 - (i % 3) * 0.1] * 8) for i in range(10)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    import pyspark.sql.functions as F
+
+    q = spark.createDataFrame(
+        [(0, [10.05] * 8), (1, [-10.05] * 8)],
+        "query_id long, query_vec array<double>",
+    )
+    out = qz.pq_adc_topk(vecs, q, dim=8, m=2, n_centroids=4, k=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    assert sorted(v for _, v in got[0]) == sorted(v for _, v in got[0])
+    assert all(v < 100 for _, v in got[0])       # positive cluster
+    assert all(v >= 100 for _, v in got[1])      # negative cluster
+    assert [r for r, _ in sorted(got[0])] == [1, 2, 3, 4, 5]
+    # deterministic
+    again = {
+        (r["query_id"], r["rank"], r["vec_id"], r["adc_dist"])
+        for r in qz.pq_adc_topk(vecs, q, dim=8, m=2, n_centroids=4, k=5).collect()
+    }
+    first = {
+        (r["query_id"], r["rank"], r["vec_id"], r["adc_dist"])
+        for r in out.collect()
+    }
+    assert again == first
