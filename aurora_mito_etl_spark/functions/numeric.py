@@ -84,3 +84,27 @@ def fixed6(x: Column) -> Column:
     for every oracle-checked per-row fraction — change it here or
     nowhere."""
     return F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000
+
+
+def fixed6_sql(expr: str) -> str:
+    """DuckDB SQL twin of :func:`fixed6` — identical IEEE op sequence
+    (double multiply, double add, floor, exact power-of-ten divide).
+    Use this for every oracle-side 6-digit rounding; never round()."""
+    return f"floor(({expr}) * 1000000 + 0.5) / 1000000"
+
+
+def fixed6_py(x: float) -> float:
+    """Python twin of :func:`fixed6` for Arrow/driver-side paths that
+    must stay bit-identical to the Catalyst expression (math.floor on
+    a float is the same IEEE floor)."""
+    import math
+
+    return math.floor(x * 1_000_000 + 0.5) / 1_000_000
+
+
+def fixed6_np(a):
+    """NumPy twin of :func:`fixed6` (np.round is HALF_EVEN — a silent
+    twin-divergence on ties; this floor form is the portable one)."""
+    import numpy as np
+
+    return np.floor(a * 1_000_000 + 0.5) / 1_000_000

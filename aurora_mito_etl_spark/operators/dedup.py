@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aurora_mito_etl_spark.functions.hashing import md5_prefix60
+from aurora_mito_etl_spark.functions.numeric import fixed6 as _fixed6
 from aurora_mito_etl_spark.operators.textstats import (
     fingerprint_md5,
     shingles,
@@ -233,10 +234,9 @@ def ngram_jaccard_pairs(
         .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
         .withColumn(
             "jaccard",
-            F.round(
+            _fixed6(
                 F.col("inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
-                6,
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
             ),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -441,10 +441,9 @@ def _jaccard_verify_sets(
         .withColumn("inter", F.size(F.array_intersect("shs_a", "shs_b")))
         .withColumn(
             "jaccard",
-            F.round(
+            _fixed6(
                 F.col("inter").cast("double")
-                / (F.size("shs_a") + F.size("shs_b") - F.col("inter")).cast("double"),
-                6,
+                / (F.size("shs_a") + F.size("shs_b") - F.col("inter")).cast("double")
             ),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -1044,15 +1043,15 @@ def containment_pairs(
     d1 = both.select(
         F.col("id_a").alias("inner_id"),
         F.col("id_b").alias("outer_id"),
-        F.round(F.col("inter").cast("double") / F.col("sz_a").cast("double"), 6).alias(
-            "containment"
-        ),
+        _fixed6(
+            F.col("inter").cast("double") / F.col("sz_a").cast("double")
+        ).alias("containment"),
     )
     d2 = both.select(
         F.col("id_b").alias("inner_id"),
         F.col("id_a").alias("outer_id"),
-        F.round(F.col("inter").cast("double") / F.col("sz_b").cast("double"), 6).alias(
-            "containment"
-        ),
+        _fixed6(
+            F.col("inter").cast("double") / F.col("sz_b").cast("double")
+        ).alias("containment"),
     )
     return d1.unionByName(d2).filter(F.col("containment") >= threshold)

@@ -27,6 +27,8 @@ from collections.abc import Callable, Iterator
 from dataclasses import dataclass
 
 import numpy as np
+
+from aurora_mito_etl_spark.functions.numeric import fixed6_np as _f6np, fixed6_py as _f6py
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -179,8 +181,8 @@ def image_features(
                 out.append(
                     (
                         mid,
-                        flat.mean(axis=0).round(6).tolist(),
-                        flat.std(axis=0).round(6).tolist(),
+                        _f6np(flat.mean(axis=0)).tolist(),
+                        _f6np(flat.std(axis=0)).tolist(),
                         f"{int(bits, 2):016x}",
                     )
                 )
@@ -219,7 +221,7 @@ def audio_features(
                 samples, sr = be.decode_audio(bytes(data))
                 rms = float(np.sqrt(np.mean(samples**2)))
                 zc = int(np.count_nonzero(np.diff(np.signbit(samples))))
-                out.append((mid, round(rms, 6), zc, sr))
+                out.append((mid, _f6py(rms), zc, sr))
             yield pd.DataFrame(
                 out, columns=["media_id", "rms", "zero_crossings", "sample_rate"]
             )
@@ -256,7 +258,7 @@ def video_frame_sample(
                     continue
                 for i, frame in enumerate(be.sample_video_frames(bytes(data), n_frames)):
                     gray = frame.astype(np.float64).mean(axis=-1)
-                    out.append((mid, i, round(float(gray.mean()), 6),
+                    out.append((mid, i, _f6py(float(gray.mean())),
                                 hashlib.md5(frame.tobytes()).hexdigest()[:16]))
             yield pd.DataFrame(
                 out, columns=["media_id", "frame_idx", "frame_mean", "frame_phash"]

@@ -22,6 +22,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from aurora_mito_etl_spark.functions.numeric import fixed6 as _fixed6, fixed6_np as _fixed6_np
+
 
 def _to_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -76,9 +78,8 @@ def brute_force_topk(
     scored = v.crossJoin(F.broadcast(q)).select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(
-            dot_arrow(F.col("__v"), F.col("__q")) / (F.col("__vn") * F.col("__qn")),
-            6,
+        _fixed6(
+            dot_arrow(F.col("__v"), F.col("__q")) / (F.col("__vn") * F.col("__qn"))
         ).alias("score"),
     )
     return _rank_topk(scored, query_id_col, id_col, k)
@@ -229,7 +230,7 @@ def dot_arrow(a: Column, b: Column) -> Column:
     list_dot_product: accumulates dimension-at-a-time in input order
     (`acc += a[j]*b[j]`), elementwise IEEE doubles, no BLAS — every
     partial sum is the exact left-to-right sequence, so downstream
-    round(cos,6) values hash-match the oracles.
+    fixed6(cos) values hash-match the oracles.
 
     NULL inputs and length-mismatched pairs → NULL (zip_with null-pad
     semantics); rows are grouped by array length per batch so any
@@ -294,9 +295,8 @@ def lsh_bucketed_topk(
     scored = vb.join(F.broadcast(qb), "bucket").select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(
-            dot_arrow(F.col("__v"), F.col("__q")) / (F.col("__vn") * F.col("__qn")),
-            6,
+        _fixed6(
+            dot_arrow(F.col("__v"), F.col("__q")) / (F.col("__vn") * F.col("__qn"))
         ).alias("score"),
     )
     return _rank_topk(scored, query_id_col, id_col, k)
@@ -383,7 +383,7 @@ def exact_near_dup_pairs_blocked(
                 ia, ib = ids_a[lo:hi][ai], ids_b[bj]
                 out_a.append(np.minimum(ia, ib))
                 out_b.append(np.maximum(ia, ib))
-                out_s.append(np.round(sims[ai, bj], 6))
+                out_s.append(_fixed6_np(sims[ai, bj]))
 
         if pa_blk == pb_blk:
             ids, mat = _normed(pdf)
@@ -492,10 +492,9 @@ def ivf_topk(
     scored = vb.join(F.broadcast(qb), "cell").select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(
+        _fixed6(
             dot_arrow(F.col("__v"), F.col("__q"))
-            / (safe_norm(F.col("__vn")) * safe_norm(F.col("__qn"))),
-            6,
+            / (safe_norm(F.col("__vn")) * safe_norm(F.col("__qn")))
         ).alias("score"),
     )
     return _rank_topk(scored, query_id_col, id_col, k)
@@ -703,14 +702,14 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("id"), "__v", "__vn", "bucket", F.lit(1).alias("side")
     )
     both = a.unionByName(b)
-    # raw (unrounded) cosine crosses the boundary; rounding and the
-    # exact threshold test stay in Catalyst so round-half-up semantics
-    # are Spark's own — the numpy prefilter keeps a safety margin.
+    # raw (unrounded) cosine crosses the boundary; fixed6 rounding and
+    # the exact threshold test stay in Catalyst (engine-portable floor
+    # form) — the numpy prefilter keeps a safety margin.
     out = (
         _same_bucket_pairs(
             both, vectors.schema[id_col].dataType, threshold - 1e-6, blas=blas
         )
-        .select("id_a", "id_b", F.round(F.col("__raw"), 6).alias("cos_sim"))
+        .select("id_a", "id_b", _fixed6(F.col("__raw")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
     # multi-probe can surface the same pair via several buckets
@@ -793,8 +792,8 @@ def semantic_dedup(
     shuffle); each vector then shuffles ONCE on its cell id, and one
     `applyInPandas` pass per cell emits the roster row directly with
     the max prior-id cosine attached. The keep/drop decision itself
-    stays in Catalyst (``round(max_prior,6) >= threshold`` — max
-    commutes with the monotonic round, so the verdict is bit-identical
+    stays in Catalyst (``fixed6(max_prior) >= threshold`` — max
+    commutes with the monotonic fixed6, so the verdict is bit-identical
     to enumerating pairs), which keeps the operator oracle-checkable.
     The earlier pair-join formulation shipped every vector through the
     exchange TWICE (a two-sided union) and needed two more shuffles
@@ -866,9 +865,9 @@ def semantic_dedup(
     return out.select(
         F.col("id").alias(id_col),
         "cell",
-        # NULL max (no qualifying prior) → kept; rounding stays in
-        # Catalyst so round-half-up semantics are Spark's own
+        # NULL max (no qualifying prior) → kept; fixed6 rounding stays
+        # in Catalyst (engine-portable floor form)
         F.coalesce(
-            F.round(F.col("__best"), 6) < F.lit(threshold), F.lit(True)
+            _fixed6(F.col("__best")) < F.lit(threshold), F.lit(True)
         ).alias("kept"),
     )

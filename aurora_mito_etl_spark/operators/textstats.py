@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from aurora_mito_etl_spark.functions.numeric import fixed6 as _fixed6
+
 # Tiny per-language stopword panels. A real deployment swaps in a
 # larger dictionary; the operator shape (regex-hit counting + argmax)
 # is what matters and is identical at any dictionary size.
@@ -78,7 +80,10 @@ def quality_score(col: Column) -> Column:
         n > 0, F.when(punct / n <= 0.1, 1.0).otherwise(0.5)
     ).otherwise(F.lit(0.0))
     wl_band = F.when((mean_wl >= 2.0) & (mean_wl <= 12.0), 1.0).otherwise(0.5)
-    return F.round((len_band + alpha_band + punct_band + wl_band) / 4.0, 6)
+    # fixed6, NOT round(,6): Spark rounds doubles HALF_UP, DuckDB
+    # half-even — a score landing on a 6-dp tie digit hash-mismatches
+    # the oracle (this exact site shipped driver-red in round 5).
+    return _fixed6((len_band + alpha_band + punct_band + wl_band) / 4.0)
 
 
 def fingerprint_md5(col: Column) -> Column:
@@ -123,19 +128,17 @@ def repetition_signals(df, text_col: str, id_col: str):
             F.col(id_col),
             F.coalesce("total_words", F.lit(0)).alias("total_words"),
             F.coalesce("distinct_words", F.lit(0)).alias("distinct_words"),
-            F.round(
+            _fixed6(
                 F.when(
                     F.col("total_words") > 0,
                     1.0 - F.col("distinct_words") / F.col("total_words"),
-                ).otherwise(F.lit(0.0)),
-                6,
+                ).otherwise(F.lit(0.0))
             ).alias("dup_word_frac"),
-            F.round(
+            _fixed6(
                 F.when(
                     F.col("total_words") > 0,
                     F.col("top_count") / F.col("total_words"),
-                ).otherwise(F.lit(0.0)),
-                6,
+                ).otherwise(F.lit(0.0))
             ).alias("top_word_frac"),
         )
     )

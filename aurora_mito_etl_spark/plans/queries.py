@@ -636,12 +636,12 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_array_ops",
     """
     SELECT vec_id,
-           round(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
-                             (a, b) -> a + b), 6) AS sq_norm,
+           floor((list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                             (a, b) -> a + b)) * 1000000 + 0.5) / 1000000 AS sq_norm,
            len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS n_positive,
-           round(embedding[1]::DOUBLE + embedding[2]::DOUBLE, 6) AS first_two_sum,
-           round(list_reduce(list_transform(embedding[1:8]::DOUBLE[], x -> x),
-                             (a, b) -> CASE WHEN b > a THEN b ELSE a END), 6) AS max_of_8
+           floor((embedding[1]::DOUBLE + embedding[2]::DOUBLE) * 1000000 + 0.5) / 1000000 AS first_two_sum,
+           floor((list_reduce(list_transform(embedding[1:8]::DOUBLE[], x -> x),
+                             (a, b) -> CASE WHEN b > a THEN b ELSE a END)) * 1000000 + 0.5) / 1000000 AS max_of_8
     FROM embeddings WHERE vec_id < 200
     """,
 )
@@ -655,21 +655,19 @@ def emb_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = F.transform("embedding", lambda x: x.cast("double"))
     return e.select(
         "vec_id",
-        F.round(
+        fixed6(
             F.aggregate(
                 F.transform(arr, lambda x: x * x), F.lit(0.0), lambda a, b: a + b
-            ),
-            6,
+            )
         ).alias("sq_norm"),
         F.size(F.filter(arr, lambda x: x > 0)).alias("n_positive"),
-        F.round(arr[0] + arr[1], 6).alias("first_two_sum"),
-        F.round(
+        fixed6(arr[0] + arr[1]).alias("first_two_sum"),
+        fixed6(
             F.aggregate(
                 F.slice(arr, 2, 7),
                 arr[0],
                 lambda a, b: F.when(b > a, b).otherwise(a),
-            ),
-            6,
+            )
         ).alias("max_of_8"),
     )
 
@@ -735,7 +733,7 @@ def docs_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey,
            ntile(4) OVER w AS quartile,
-           round(percent_rank() OVER w, 6) AS pct_rank,
+           floor((percent_rank() OVER w) * 1000000 + 0.5) / 1000000 AS pct_rank,
            CAST(rank() OVER w AS BIGINT) AS rnk,
            CAST(dense_rank() OVER w AS BIGINT) AS drnk
     FROM customer
@@ -752,7 +750,7 @@ def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        fixed6(F.percent_rank().over(w)).alias("pct_rank"),
         F.rank().over(w).cast("long").alias("rnk"),
         F.dense_rank().over(w).cast("long").alias("drnk"),
     )
@@ -1001,12 +999,12 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id, regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS text FROM documents)
     )
     SELECT doc_id,
-           round((
+           floor(((
              (CASE WHEN n >= 50 AND n <= 20000 THEN 1.0 ELSE 0.25 END)
              + (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END)
              + (CASE WHEN n > 0 THEN (CASE WHEN punct / n <= 0.1 THEN 1.0 ELSE 0.5 END) ELSE 0.0 END)
              + (CASE WHEN words > 0 AND (n - words + 1) / words >= 2.0 AND (n - words + 1) / words <= 12.0 THEN 1.0 ELSE 0.5 END)
-           ) / 4.0, 6) AS quality
+           ) / 4.0) * 1000000 + 0.5) / 1000000 AS quality
     FROM q
     """,
 )
@@ -1095,12 +1093,12 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id,
            CAST(COALESCE(total_words, 0) AS BIGINT) AS total_words,
            CAST(COALESCE(distinct_words, 0) AS BIGINT) AS distinct_words,
-           round(CASE WHEN total_words > 0
+           floor((CASE WHEN total_words > 0
                       THEN 1.0 - distinct_words / total_words
-                      ELSE 0.0 END, 6) AS dup_word_frac,
-           round(CASE WHEN total_words > 0
+                      ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS dup_word_frac,
+           floor((CASE WHEN total_words > 0
                       THEN top_count / total_words
-                      ELSE 0.0 END, 6) AS top_word_frac
+                      ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS top_word_frac
     FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)
     """,
 )
@@ -1265,12 +1263,13 @@ _SHINGLE_SQL = """
       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
-    SELECT id_a, id_b,
-           round(CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON inter.id_a = sa.doc_id
-    JOIN sizes sb ON inter.id_b = sb.doc_id
-    WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.15
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b,
+             floor((CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS jaccard
+      FROM inter
+      JOIN sizes sa ON inter.id_a = sa.doc_id
+      JOIN sizes sb ON inter.id_b = sb.doc_id
+    ) WHERE jaccard >= 0.15
     """,
 )
 def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1337,13 +1336,14 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.3
       FROM hm a JOIN hm b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
-    SELECT c.id_a, c.id_b,
-           round(CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE), 6) AS jaccard
-    FROM cand c
-    JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
-    JOIN sizes sa ON c.id_a = sa.doc_id
-    JOIN sizes sb ON c.id_b = sb.doc_id
-    WHERE CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) >= {threshold}
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT c.id_a, c.id_b,
+             floor((CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS jaccard
+      FROM cand c
+      JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+      JOIN sizes sa ON c.id_a = sa.doc_id
+      JOIN sizes sb ON c.id_b = sb.doc_id
+    ) WHERE jaccard >= {threshold}
     """
 
 
@@ -1452,7 +1452,7 @@ _COS_SQL = """
     f"""
     WITH scored AS (
       SELECT b.vec_id AS query_id, a.vec_id,
-             round({_COS_SQL}, 6) AS score
+             floor(({_COS_SQL}) * 1000000 + 0.5) / 1000000 AS score
       FROM embeddings a, embeddings b
       WHERE b.vec_id % 100 = 0
     ),
@@ -1478,7 +1478,7 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_near_dup_exact",
     f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({_COS_SQL}, 6) AS cos_sim
+           floor(({_COS_SQL}) * 1000000 + 0.5) / 1000000 AS cos_sim
     FROM embeddings a, embeddings b
     WHERE a.vec_id < b.vec_id
       AND {_COS_SQL} >= 0.5
@@ -1525,7 +1525,7 @@ def _lsh_near_dup_oracle(
     ),
     pairs AS (
       SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
-             round(list_dot_product(a.e, bb.e) / (a.nrm * bb.nrm), 6) AS cos_sim
+             floor((list_dot_product(a.e, bb.e) / (a.nrm * bb.nrm)) * 1000000 + 0.5) / 1000000 AS cos_sim
       FROM probed a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
       WHERE a.nrm > 0 AND bb.nrm > 0  -- zero-norm: NaN never passes in Spark
     )
@@ -1568,7 +1568,7 @@ def _lsh_topk_oracle(n_planes: int = 8, dim: int = 64, k: int = 5) -> str:
           FROM b WHERE vec_id % 100 = 0),
     scored AS (
       SELECT q.query_id, b.vec_id,
-             round(list_dot_product(b.e, q.qe) / (b.nrm * q.qn), 6) AS score
+             floor((list_dot_product(b.e, q.qe) / (b.nrm * q.qn)) * 1000000 + 0.5) / 1000000 AS score
       FROM b JOIN q ON b.bucket = q.bucket
     ),
     ranked AS (
@@ -1632,9 +1632,9 @@ def _ivf_topk_oracle(
     ),
     scored AS (
       SELECT q.query_id, vcell.vec_id,
-             round(list_dot_product(vcell.e, q.qe)
-                   / (CASE WHEN vcell.nrm = 0 THEN 1.0 ELSE vcell.nrm END * q.qn),
-                   6) AS score
+             floor((list_dot_product(vcell.e, q.qe)
+                   / (CASE WHEN vcell.nrm = 0 THEN 1.0 ELSE vcell.nrm END * q.qn))
+                   * 1000000 + 0.5) / 1000000 AS score
       FROM vcell JOIN q ON vcell.cell = q.cell
     ),
     ranked AS (
@@ -1909,9 +1909,9 @@ def orders_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lineitem_price_percentiles",
     """
     SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
-           round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
-           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+           floor((quantile_cont(l_extendedprice, 0.5)) * 1000000 + 0.5) / 1000000 AS p50,
+           floor((quantile_cont(l_extendedprice, 0.9)) * 1000000 + 0.5) / 1000000 AS p90,
+           floor((quantile_cont(l_extendedprice, 0.99)) * 1000000 + 0.5) / 1000000 AS p99
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -1929,9 +1929,9 @@ def lineitem_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "l_returnflag",
-        F.round(F.col("__ps")[0], 6).alias("p50"),
-        F.round(F.col("__ps")[1], 6).alias("p90"),
-        F.round(F.col("__ps")[2], 6).alias("p99"),
+        fixed6(F.col("__ps")[0]).alias("p50"),
+        fixed6(F.col("__ps")[1]).alias("p90"),
+        fixed6(F.col("__ps")[2]).alias("p99"),
     )
 
 
@@ -2090,7 +2090,7 @@ def _media_features_oracle() -> str:
       FROM documents, UNNEST(range(64)) AS t(p)
     ),
     agg AS (
-      SELECT media_id, round(avg(r), 6) AS mean_r,
+      SELECT media_id, floor((avg(r)) * 1000000 + 0.5) / 1000000 AS mean_r,
              SUM(r + g + b) AS s_total
       FROM px GROUP BY media_id
     ),
@@ -2133,7 +2133,7 @@ def docs_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = mm.image_features(d, mm.fake_media_backend)
     return out.select(
         "media_id",
-        F.round(F.element_at("mean_rgb", 1), 6).alias("mean_r"),
+        fixed6(F.element_at("mean_rgb", 1)).alias("mean_r"),
         "phash",
     )
 
@@ -2617,11 +2617,11 @@ _CONTAINMENT_ORACLE = r"""
     ),
     u AS (
       SELECT id_a AS inner_id, id_b AS outer_id,
-             round(CAST(i AS DOUBLE) / CAST(sz_a AS DOUBLE), 6) AS containment
+             floor((CAST(i AS DOUBLE) / CAST(sz_a AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS containment
       FROM pb
       UNION ALL
       SELECT id_b AS inner_id, id_a AS outer_id,
-             round(CAST(i AS DOUBLE) / CAST(sz_b AS DOUBLE), 6) AS containment
+             floor((CAST(i AS DOUBLE) / CAST(sz_b AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS containment
       FROM pb
     )
     SELECT inner_id, outer_id, containment FROM u WHERE containment >= 0.5
@@ -3297,9 +3297,9 @@ def _semantic_dedup_oracle(
       FROM vc a JOIN vc b ON a.cell = b.cell AND a.vec_id < b.vec_id
       -- zero-norm guard: Spark's verify yields NaN for these pairs and
       -- never drops them; DuckDB's NaN orders LARGEST so an unguarded
-      -- round(x/0,6) >= t would drop them — pin the Spark semantics
+      -- fixed6(x/0) >= t would drop them — pin the Spark semantics
       WHERE a.nrm > 0 AND b.nrm > 0
-        AND round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= {threshold}
+        AND floor((list_dot_product(a.e, b.e) / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000 >= {threshold}
     )
     SELECT vc.vec_id, vc.cell, (d.vec_id IS NULL) AS kept
     FROM vc LEFT JOIN dropped d ON vc.vec_id = d.vec_id
@@ -4104,12 +4104,12 @@ def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH q AS (
       SELECT source, lang, n_chars,
-             round((
+             floor(((
                (CASE WHEN n >= 50 AND n <= 20000 THEN 1.0 ELSE 0.25 END)
                + (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END)
                + (CASE WHEN n > 0 THEN (CASE WHEN punct / n <= 0.1 THEN 1.0 ELSE 0.5 END) ELSE 0.0 END)
                + (CASE WHEN words > 0 AND (n - words + 1) / words >= 2.0 AND (n - words + 1) / words <= 12.0 THEN 1.0 ELSE 0.5 END)
-             ) / 4.0, 6) AS quality,
+             ) / 4.0) * 1000000 + 0.5) / 1000000 AS quality,
              md5(lower(trim(text))) AS fp
       FROM (
         SELECT source, lang, n_chars,
@@ -4308,13 +4308,14 @@ def _minhash_join_oracle(
       WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
       GROUP BY 1, 2
     )
-    SELECT c.new_id, c.corpus_id,
-           round(CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE), 6) AS jaccard
-    FROM cand c
-    JOIN inter i ON c.new_id = i.new_id AND c.corpus_id = i.corpus_id
-    JOIN sizes sa ON c.new_id = sa.doc_id
-    JOIN sizes sb ON c.corpus_id = sb.doc_id
-    WHERE CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) >= {threshold}
+    SELECT new_id, corpus_id, jaccard FROM (
+      SELECT c.new_id, c.corpus_id,
+             floor((CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS jaccard
+      FROM cand c
+      JOIN inter i ON c.new_id = i.new_id AND c.corpus_id = i.corpus_id
+      JOIN sizes sa ON c.new_id = sa.doc_id
+      JOIN sizes sb ON c.corpus_id = sb.doc_id
+    ) WHERE jaccard >= {threshold}
     """
 
 

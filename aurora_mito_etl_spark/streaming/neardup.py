@@ -29,6 +29,8 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
+
+from aurora_mito_etl_spark.functions.numeric import fixed6_py as _f6py
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -151,7 +153,7 @@ def minhash_near_dup_stream(
                     est = sum(x == y for x, y in zip(nsig, osig)) / len(nsig)
                     if est >= threshold:
                         a, b = (oid, nid) if oid < nid else (nid, oid)
-                        rows.append((a, b, round(est, 6)))
+                        rows.append((a, b, _f6py(est)))
                 # membership check: an at-least-once source re-delivers
                 # documents, and re-admitting one would duplicate its
                 # future pair emissions and eat the bucket cap
@@ -195,7 +197,7 @@ def minhash_near_dup_batch(
                 (ia, sa), (ib, sb) = members[i], members[j]
                 est = sum(x == y for x, y in zip(sa, sb)) / len(sa)
                 if est >= threshold:
-                    rows.append((int(ia), int(ib), round(est, 6)))
+                    rows.append((int(ia), int(ib), _f6py(est)))
         return pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard"])
 
     banded = _banded(df, text_col, id_col, k_shingle, num_hashes, bands)

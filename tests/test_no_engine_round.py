@@ -1,0 +1,72 @@
+"""Pin the fixed6 convention: no engine-specific 6-digit rounding
+anywhere an oracle can see.
+
+Spark's round() on doubles is HALF_UP (BigDecimal on the exact decimal
+expansion); DuckDB's is half-even — a value landing on a 6-dp tie digit
+hash-mismatches the driver gate (docs_source_report shipped driver-red
+in round 5 through exactly this). The portable form is fixed6:
+floor(x*1e6 + 0.5)/1e6 — the identical IEEE op sequence in both
+engines (functions/numeric.py:77).
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+PKG = Path(__file__).resolve().parent.parent / "aurora_mito_etl_spark"
+
+
+def test_no_spark_round_in_package():
+    """F.round must not appear anywhere in the package — every rounded
+    value either feeds an oracle (fixed6 required) or a twin test
+    (fixed6 required for np/py parity)."""
+    hits = []
+    for f in PKG.rglob("*.py"):
+        for i, line in enumerate(f.read_text().splitlines(), 1):
+            if "F.round(" in line:
+                hits.append(f"{f.relative_to(PKG.parent)}:{i}: {line.strip()}")
+    assert not hits, "engine-specific F.round found:\n" + "\n".join(hits)
+
+
+def test_no_np_round_in_package():
+    """np.round is HALF_EVEN — silently diverges from both Spark's
+    HALF_UP and fixed6 on ties; production twins must use fixed6_np."""
+    hits = []
+    for f in PKG.rglob("*.py"):
+        for i, line in enumerate(f.read_text().splitlines(), 1):
+            if re.search(r"\bnp\.round\(|\.round\(6\)", line):
+                hits.append(f"{f.relative_to(PKG.parent)}:{i}: {line.strip()}")
+    assert not hits, "half-even numpy rounding found:\n" + "\n".join(hits)
+
+
+def test_no_sql_round_in_oracles():
+    """Every oracle SQL string must use the floor twin, never round()."""
+    from aurora_mito_etl_spark.plans.queries import ORACLES
+
+    pat = re.compile(r"(?<![_A-Za-z])round\s*\(", re.IGNORECASE)
+    hits = []
+    for name, sql in ORACLES.items():
+        if sql is None:
+            continue
+        for m in pat.finditer(sql):
+            # show a window around the hit for debuggability
+            lo = max(0, m.start() - 40)
+            hits.append(f"{name}: ...{sql[lo:m.end() + 60]}...")
+    assert not hits, "round() in oracle SQL:\n" + "\n".join(hits)
+
+
+def test_fixed6_twins_agree():
+    """fixed6_py / fixed6_np are the same function (incl. on decimal
+    ties, where round()-family implementations disagree)."""
+    import math
+
+    import numpy as np
+
+    from aurora_mito_etl_spark.functions.numeric import fixed6_np, fixed6_py
+
+    vals = [0.1234565, 0.1234575, -0.1234565, 1.5e-7, -1.5e-7, 0.0, 123.9999995]
+    for v in vals:
+        expect = math.floor(v * 1_000_000 + 0.5) / 1_000_000
+        assert fixed6_py(v) == expect
+        assert fixed6_np(np.array([v]))[0] == expect
