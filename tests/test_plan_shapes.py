@@ -189,3 +189,21 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     plan = plan_of(joined)
     assert "dynamicpruning" in plan.lower()
     assert joined.count() == 300  # 3 of 10 day-partitions survive
+
+
+def test_topk_tails_are_two_phase(spark):
+    """The ranking tail of ADC (and every shared _rank_topk path) must
+    be two-phase: a partition-local MapInPandas top-k BELOW the exact
+    rank Window, so no single-partition sort of the full scored table
+    survives (the VERDICT r5 scale-killer). In the formatted plan the
+    Window's child chain must contain MapInPandas — i.e. the window
+    ranks only the ≤ k·P survivors."""
+    for qname in ("emb_pq_adc_topk", "emb_cosine_topk", "emb_lsh_topk", "emb_ivf_topk"):
+        plan = plan_of(QUERIES[qname](spark, SF))
+        assert "MapInPandas" in plan, qname
+        # formatted explain lists operators leaves-last in the tree
+        # header; use the numbered operator list order: the
+        # MapInPandas id must be HIGHER (deeper) than the Window's
+        win = plan.index("Window")
+        mip = plan.index("MapInPandas")
+        assert mip > win, f"{qname}: MapInPandas not below Window\n{plan}"
