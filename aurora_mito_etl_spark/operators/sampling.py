@@ -147,8 +147,15 @@ def weighted_sample(
     ).cast("double") / F.lit(float(1 << 60))
     wt = F.col(weight_col).cast("double")
     key = fixed6(-F.log(u) / wt)
+    # A-Res requires w > 0: wt = 0 makes the key NULL (Spark double
+    # div-by-zero) and wt < 0 makes it negative, and BOTH sort first
+    # under ascending orderBy — silently inverting the semantics to
+    # "prefer invalid-weight rows". Exclude them at the operator level
+    # (ADVICE r5): zero/negative/NULL weight means zero inclusion
+    # probability.
     return (
         df.select(F.col(id_col), wt.alias("wt"), key.alias("skey"))
+        .where(F.col("wt") > 0)
         .orderBy("skey", id_col)
         .limit(k)
     )

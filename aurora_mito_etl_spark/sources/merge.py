@@ -33,6 +33,20 @@ from __future__ import annotations
 
 import uuid
 from pathlib import Path
+from urllib.parse import unquote, urlparse
+
+
+def _local_path(uri: str) -> Path:
+    """input_file_name() yields a URI string — percent-decoded path
+    extraction, not a bare removeprefix('file:') (a target directory
+    with spaces or other URL-encoded characters would otherwise make
+    the post-write unlink miss its file, leaving duplicate rows for
+    updated keys on the next read — ADVICE r5)."""
+    parsed = urlparse(uri)
+    if parsed.scheme in ("", "file"):
+        return Path(unquote(parsed.path or uri))
+    # non-local filesystems never reach the Path-based unlink here
+    return Path(unquote(parsed.path))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,6 +67,15 @@ def merge_upsert(
     files_total / files_rewritten / rows_updated / rows_inserted /
     rows_deleted.
     """
+    if snapshot_versions(target_path):
+        # plain-mode MERGE deletes replaced files that older manifests
+        # still reference — silently corrupting prior snapshots. A
+        # snapshot-controlled table must go through
+        # merge_upsert_snapshot (ADVICE r5).
+        raise ValueError(
+            f"{target_path} is snapshot-controlled (_manifest present) — "
+            "use merge_upsert_snapshot"
+        )
     dup = updates.groupBy(key_col).count().where(F.col("count") > 1).limit(1).count()
     if dup:
         raise ValueError(f"updates carry duplicate {key_col!r} keys — ambiguous MERGE")
@@ -62,8 +85,10 @@ def merge_upsert(
 
     target = spark.read.parquet(target_path)
     files_total = len(target.inputFiles())
+    # decode URIs up front: both the re-read and the unlink below
+    # need the real filesystem path, not the percent-encoded URI
     affected = [
-        r["_f"]
+        str(_local_path(r["_f"]))
         for r in target.withColumn("_f", F.input_file_name())
         .join(change_keys, key_col, "semi")
         .select("_f")
@@ -107,7 +132,7 @@ def merge_upsert(
         leftover.unlink()
     tmp.rmdir()
     for f in affected:
-        p = Path(f.removeprefix("file:"))
+        p = Path(f)
         if p.exists():
             p.unlink()
     return stats
@@ -131,6 +156,15 @@ def compact_small_files(
     before old ones are removed. Returns counts for the caller's
     manifest.
     """
+    if snapshot_versions(target_path):
+        # compaction deletes the small files it packed — files older
+        # manifests may still reference (ADVICE r5). Snapshot tables
+        # need a snapshot-publishing compaction; refuse rather than
+        # corrupt.
+        raise ValueError(
+            f"{target_path} is snapshot-controlled (_manifest present) — "
+            "plain compact_small_files would corrupt prior snapshots"
+        )
     files = [
         (p, p.stat().st_size) for p in sorted(Path(target_path).glob("*.parquet"))
     ]
@@ -261,7 +295,7 @@ def merge_upsert_snapshot(
     paths = [str(Path(table) / f) for f in current]
     target = spark.read.parquet(*paths)
     affected = {
-        Path(r["_f"].removeprefix("file:")).name
+        _local_path(r["_f"]).name
         for r in target.withColumn("_f", F.input_file_name())
         .join(change_keys, key_col, "semi")
         .select("_f")
@@ -315,6 +349,11 @@ def vacuum(table: str, keep_last: int = 2) -> dict[str, int]:
     versions = snapshot_versions(table)
     if not versions:
         raise ValueError(f"{table} has no snapshots")
+    if keep_last < 1:
+        # keep_last=0 would keep every file live (versions[-0:] is the
+        # whole list) yet delete ALL manifests — data files stranded
+        # behind an unreadable table (ADVICE r5).
+        raise ValueError("vacuum requires keep_last >= 1")
     kept_versions = versions[-keep_last:]
     live: set[str] = set()
     for v in kept_versions:
@@ -325,7 +364,7 @@ def vacuum(table: str, keep_last: int = 2) -> dict[str, int]:
             p.unlink()
             removed_files += 1
     removed_manifests = 0
-    for v in versions[:-keep_last] if keep_last else versions:
+    for v in versions[:-keep_last]:
         (_manifest_path(table) / f"v{v:05d}.json").unlink()
         removed_manifests += 1
     return {

@@ -94,7 +94,32 @@ def test_plan_shape(spark):
     the corpus side reaches the Bloom filter without an Exchange."""
     docs = _docs(spark)
     bench = docs.filter(BENCH_FILTER)
-    out = bl.ngram_contamination_bloom(docs, bench, n=4, m_bits=1 << 12, k=3)
+    out = bl.ngram_contamination_bloom(
+        docs, bench, n=4, m_bits=1 << 12, k=3, hits_broadcast_rows=None
+    )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan
     assert plan.count("BroadcastHashJoin") >= 3  # k block joins (+ hits-back)
+
+
+def test_hits_broadcast_guard(spark):
+    """The hits-back join broadcasts only under the row cap; a
+    pathological probe set (hits above cap) must fall back to a
+    shuffle join instead of OOMing the driver (VERDICT r5 #8)."""
+    docs = _docs(spark)
+    bench = docs.filter(BENCH_FILTER)
+    guarded = bl.ngram_contamination_bloom(
+        docs, bench, n=4, m_bits=1 << 12, k=3, hits_broadcast_rows=0
+    )
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    # the final id-join must NOT broadcast when hits exceeds the cap
+    # (the checkpoint truncates the verify sub-plan, so the only joins
+    # left in this plan are the hits-back join)
+    assert "BroadcastHashJoin" not in plan
+    # and the results are identical to the broadcast form
+    unguarded = bl.ngram_contamination_bloom(
+        docs, bench, n=4, m_bits=1 << 12, k=3, hits_broadcast_rows=None
+    )
+    assert sorted(map(tuple, guarded.collect())) == sorted(
+        map(tuple, unguarded.collect())
+    )

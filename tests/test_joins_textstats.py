@@ -241,3 +241,17 @@ def test_weighted_sample_plan_is_distributed_topk(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan  # no global Sort+Exchange
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from aurora_mito_etl_spark.operators import sampling as sp
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, None), (4, 1.0), (5, 2.0)],
+        "id long, w double",
+    )
+    got = {r["id"] for r in sp.weighted_sample(df, "id", "w", k=5).collect()}
+    # A-Res requires w > 0: zero/negative/NULL weights must have zero
+    # inclusion probability, never preferential (their keys previously
+    # sorted FIRST — NULL/negative under ascending order)
+    assert got == {4, 5}

@@ -190,3 +190,49 @@ def test_snapshot_init_twice_refused(spark, tmp_path):
     m.snapshot_init(path)
     with pytest.raises(ValueError, match="already"):
         m.snapshot_init(path)
+
+
+def test_plain_merge_refused_on_snapshot_table(spark, tmp_path):
+    from aurora_mito_etl_spark.sources.merge import (
+        compact_small_files,
+        snapshot_init,
+    )
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    snapshot_init(path)
+    updates = spark.createDataFrame([(5, "NEW5", 99)], "k long, val string, grp int")
+    with pytest.raises(ValueError, match="snapshot-controlled"):
+        merge_upsert(spark, path, updates, "k")
+    with pytest.raises(ValueError, match="snapshot-controlled"):
+        compact_small_files(spark, path)
+
+
+def test_vacuum_keep_last_zero_refused(spark, tmp_path):
+    from aurora_mito_etl_spark.sources.merge import snapshot_init, vacuum
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    snapshot_init(path)
+    with pytest.raises(ValueError, match="keep_last"):
+        vacuum(path, keep_last=0)
+    # table still readable afterwards
+    from aurora_mito_etl_spark.sources.merge import read_snapshot
+
+    assert read_snapshot(spark, path).count() == 400
+
+
+def test_merge_handles_percent_encoded_paths(spark, tmp_path):
+    # input_file_name() returns a URI: a directory with a space is
+    # percent-encoded, and the post-write unlink must decode it or the
+    # old file versions survive (duplicate rows for updated keys)
+    path = str(tmp_path / "with space" / "t")
+    _seed(spark, path)
+    updates = spark.createDataFrame(
+        [(5, "NEW5", 99)], "k long, val string, grp int"
+    )
+    stats = merge_upsert(spark, path, updates, "k")
+    assert stats["files_rewritten"] == 1
+    got = spark.read.parquet(path)
+    assert got.count() == 400  # no duplicate row for key 5
+    assert got.where("k = 5").collect()[0]["val"] == "NEW5"
