@@ -4494,55 +4494,60 @@ def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
-    # Flagships
+    # Flagships (pinned every round)
     "flagship_training_corpus",
     "flagship_compound_mentions",
     # LLM quality / filtering / mixing tier
     "docs_gopher_quality",
-    "docs_c4_filter",
-    "docs_decontaminate",
     "docs_pii_redact",
     "docs_dsir_weights",
     "docs_pack_sequences",
     "docs_mixture_sample",
-    "docs_epoch_shuffle",
-    "docs_chunk_windows",
     "docs_bigram_pmi",
     "docs_source_report",
     # Dedup tier
     "docs_exact_dedup",
     "docs_minhash_lsh_pairs",
     "docs_simhash_pairs",
-    "docs_ngram_jaccard_pairs",
     "docs_near_dedup_survivors",
     "docs_near_dedup_best",
     "docs_incremental_near_dup",
     "docs_duplicate_spans",
-    # Round-5 novel families: bloom-prefiltered decontamination (the
-    # non-broadcastable-probe scale path), sparse lexical similarity,
-    # iterative graph. Swapped in for three family-duplicate text/
-    # embedding rows (fingerprint, ngram_repetition, cosine_topk) that
-    # stay covered by tools/verify_local.py.
     "docs_decontaminate_bloom",
     "docs_tfidf_topk",
     "events_pagerank",
+    # Round-6 rotation (VERDICT r5 ask #4): ten families that had
+    # never seen the hard gate — BM25, PQ-ADC search, fuzzy join,
+    # HLL sketches, Z-order layout, winsorized/correlation stats,
+    # containment near-dup, funnel windows, weighted sampling —
+    # swapped in for driver-green family duplicates (c4/gopher,
+    # broadcast/bloom decontam, epoch/mixture sample, chunk/pack,
+    # ngram-jaccard/containment, exact/LSH emb near-dup, token_stats,
+    # paren/typos §2.2 dups, keep_first relational dup) that stay
+    # covered by tools/verify_local.py every round.
+    "docs_bm25_search",
+    "emb_pq_adc_topk",
+    "supplier_fuzzy_pairs",
+    "docs_vocab_sketch",
+    "orders_zorder_key",
+    "lineitem_corr_stats",
+    "lineitem_winsorized",
+    "docs_containment_pairs",
+    "events_funnel",
+    "docs_weighted_sample",
     # Embedding / similarity tier
     "emb_semantic_dedup",
     "emb_pq_encode",
     "emb_kmeans_assign",
-    "emb_near_dup_exact",
     "emb_lsh_near_dup",
     "emb_ivf_topk",
     # Text-analysis tier
     "docs_lang_id",
     "docs_quality",
-    "docs_token_stats",
     "docs_repetition",
     # Reference text-filter surface (§2.2)
     "docs_clean_text",
     "docs_dict_anti_filter",
-    "docs_paren_truncate",
-    "docs_ordered_typos",
     "part_normalize_dedup",
     # LLM source + multimodal (§2.1 S8 / D5, multimodal columns)
     "docs_classify_stub",
@@ -4550,7 +4555,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # Relational-spine family representatives (§2.3/§2.4)
     "pricing_summary",
     "order_rollup_per_customer",
-    "keep_first_order_per_customer",
     "two_tier_lookup",
     "customers_without_orders",
     "events_asof_join",

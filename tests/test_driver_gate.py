@@ -52,7 +52,7 @@ def test_driver_sample_covers_llm_tier():
     must_sample = {
         "flagship_training_corpus",
         "docs_gopher_quality",
-        "docs_decontaminate",
+        "docs_decontaminate_bloom",
         "docs_pii_redact",
         "emb_semantic_dedup",
         "docs_pack_sequences",
@@ -60,6 +60,17 @@ def test_driver_sample_covers_llm_tier():
         "emb_pq_encode",
         "docs_incremental_near_dup",
         "docs_near_dedup_best",
+        # round-6 rotation: first-time hard-gate families
+        "docs_bm25_search",
+        "emb_pq_adc_topk",
+        "supplier_fuzzy_pairs",
+        "docs_vocab_sketch",
+        "orders_zorder_key",
+        "lineitem_corr_stats",
+        "lineitem_winsorized",
+        "docs_containment_pairs",
+        "events_funnel",
+        "docs_weighted_sample",
     }
     assert must_sample <= first50
     # The reorder is a permutation: nothing dropped, oracles intact.
