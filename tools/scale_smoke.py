@@ -21,12 +21,28 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F
 
 from aurora_mito_etl_spark.operators import bloom as bl
+from aurora_mito_etl_spark.operators import clustering as cl
 from aurora_mito_etl_spark.operators import decontaminate as dc
+from aurora_mito_etl_spark.operators import quantize as qz
 from aurora_mito_etl_spark.operators import tfidf as tfi
 from aurora_mito_etl_spark.operators import dedup as dd
 from aurora_mito_etl_spark.operators import quality as ql
 from aurora_mito_etl_spark.session import get_spark
 from aurora_mito_etl_spark.sources.catalog import load_table
+
+
+def replicate_embeddings(df, times: int):
+    """times x copies of the embeddings table with distinct vec_ids;
+    vectors unchanged (the ADC/KMeans cost is per-row arithmetic —
+    duplicate values don't change the plan's work)."""
+    n = df.agg(F.max("vec_id")).collect()[0][0] + 1
+    out = None
+    for i in range(times):
+        c = df.select(
+            (F.col("vec_id") + i * n).alias("vec_id"), "embedding"
+        )
+        out = c if out is None else out.unionByName(c)
+    return out
 
 
 def replicate(df, times: int):
@@ -110,6 +126,46 @@ def main() -> int:
         df.unpersist()
         results[f] = {"rows": n, **t}
         print(json.dumps({"factor": f, **results[f]}))
+
+    # Round-6 tier: PQ-ADC search (two-phase top-k — the corpus-side
+    # scan must scale linearly now that no single-partition sort of
+    # the scored table remains) and KMeans assignment (one shuffle per
+    # Lloyd round, centroid state k x dim).
+    emb_base = load_table(spark, "/root/testdata/sf0.1", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    for f in factors:
+        emb = replicate_embeddings(emb_base, f).repartition(32).cache()
+        n = emb.count()
+        queries = emb_base.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        t0 = time.perf_counter()
+        qz.pq_adc_topk(emb, queries, dim=64, k=5).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        adc = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        import math as _math
+
+        from aurora_mito_etl_spark.operators import similarity as sim
+
+        init = [
+            [_math.floor(x * 1e6 + 0.5) / 1e6 for x in c]
+            for c in sim.ivf_centroids(16, 8, seed=7)
+        ]
+        cl.kmeans_assignments(emb, init, iterations=2).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        km = round(time.perf_counter() - t0, 2)
+        emb.unpersist()
+        print(
+            json.dumps(
+                {"emb_factor": f, "vec_rows": n, "pq_adc_topk": adc,
+                 "kmeans_fit_assign": km}
+            )
+        )
 
     # Adversarial LSH skew tier: one text replicated factor*2000 times
     # lands every copy in the same (band, band-hash) buckets — the
