@@ -1,0 +1,111 @@
+"""Corpus-trained bigram language-model scoring — the CCNet-style
+perplexity quality filter (Wenzek et al. 2020: documents are ranked by
+LM score and the worst tail dropped; beyond-reference surface per the
+BASELINE.json north star — the reference has no LM filtering at all).
+
+Instead of an external KenLM binary, the model is trained ON the
+corpus itself inside the same plan: unigram/bigram occurrence counts
+with add-one (Laplace) smoothing over the corpus vocabulary,
+
+    P(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V)
+
+and a document's score is the mean log-probability over its bigram
+occurrences. Self-scoring flags exactly what a perplexity filter
+flags: repeated boilerplate scores high, random token soup scores
+low. A model trained on a held-out reference corpus is the same plan
+with the count tables built from a second DataFrame.
+
+Portability contract (CLAUDE.md): ln() is transcendental — the JVM
+and libm can disagree in the last ulp — so every per-bigram
+contribution is fixed6-rounded (the DSIR log convention) and summed
+exactly in DECIMAL(18,6); the per-document mean is ONE final IEEE
+division then fixed6. Result values are engine-identical.
+
+Scale shape: two map-side-combined count aggregations (vocab-sized
+results), two hash joins against them (many-to-one on bigram / first
+token; AQE handles the Zipf-hot keys), and one per-doc aggregation.
+The vocabulary size V rides along as a broadcast one-row aggregate —
+no driver collect anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from aurora_mito_etl_spark.functions.numeric import dec, dec_to_double, fixed6
+from aurora_mito_etl_spark.operators.textstats import shingles_arrow
+
+
+def _tokens(col: Column) -> Column:
+    """THE shared tokenization (identical to textstats.shingles /
+    ascii_ws_tokens and the _SHINGLE_SQL oracles): ASCII-ws collapse,
+    trim, lower, split on single space."""
+    return F.split(
+        F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))), " "
+    )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_threshold: float = -8.0,
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """(id, n_bigrams, avg_logprob, lm_keep) for every input document.
+
+    `train` (default: the corpus itself) provides the count tables;
+    documents with no bigrams (< 2 tokens) score 0.0 and are kept —
+    length filtering is the quality battery's job, not the LM's.
+    `lm_keep` is ``avg_logprob >= keep_threshold`` on the fixed6
+    value, so the verdict is engine-stable.
+    """
+    train = docs if train is None else train
+
+    words = train.select(
+        F.explode(_tokens(F.col(text_col))).alias("w")
+    ).filter(F.col("w") != "")
+    uni = words.groupBy("w").agg(F.count("*").alias("c1"))
+    vocab = uni.agg(F.count("*").alias("V"))
+
+    train_bg = train.select(
+        F.explode(shingles_arrow(F.col(text_col), 2)).alias("bg")
+    )
+    bi = train_bg.groupBy("bg").agg(F.count("*").alias("c2"))
+
+    doc_bg = docs.select(
+        F.col(id_col), F.explode(shingles_arrow(F.col(text_col), 2)).alias("bg")
+    )
+    # LEFT joins: a bigram/context unseen in training still gets its
+    # Laplace mass ((0+1)/(0+V)) instead of silently dropping out —
+    # the whole point of smoothing (caught by the external-train test).
+    contrib = (
+        doc_bg.join(bi, "bg", "left")
+        .withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
+        .join(uni.select(F.col("w").alias("w1"), "c1"), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            fixed6(
+                F.log(
+                    (F.coalesce("c2", F.lit(0)) + 1).cast("double")
+                    / (F.coalesce("c1", F.lit(0)) + F.col("V")).cast("double")
+                )
+            ).alias("f6"),
+        )
+    )
+    agg = contrib.groupBy(id_col).agg(
+        dec_to_double(F.sum(dec(F.col("f6")))).alias("s"),
+        F.count("*").alias("n"),
+    )
+    ids = docs.select(id_col).distinct()
+    avg = F.when(F.col("n") > 0, F.col("s") / F.col("n")).otherwise(F.lit(0.0))
+    return ids.join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n", F.lit(0)).alias("n_bigrams"),
+        fixed6(F.coalesce(avg, F.lit(0.0))).alias("avg_logprob"),
+        (fixed6(F.coalesce(avg, F.lit(0.0))) >= F.lit(keep_threshold)).alias(
+            "lm_keep"
+        ),
+    )

@@ -304,8 +304,11 @@ def pq_adc_topk(
     pruned = partial_topk(
         scored, query_id_col, id_col, k, score_col="adc_dist", ascending=True
     )
+    # asc_nulls_last: Spark's bare asc sorts NULL first (DuckDB sorts
+    # it last) — a NULL distance must never outrank a real one, and
+    # the partial phase already sorts na_position='last'
     w = Window.partitionBy(query_id_col).orderBy(
-        F.col("adc_dist").asc(), F.col(id_col)
+        F.asc_nulls_last("adc_dist"), F.col(id_col)
     )
     return (
         pruned.withColumn("rank", F.row_number().over(w))

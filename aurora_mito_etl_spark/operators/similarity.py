@@ -432,12 +432,15 @@ def partial_topk(
     bit-unchanged), so the exact rank window downstream sees at most
     k·P survivors instead of the whole corpus.
 
-    Correctness: (score, id) is a total order, every partition keeps
-    its k best under it, and the global top-k is a subset of the union
-    of partition-local top-k — the final window over survivors is
-    exactly the window over the full table. NULL scores are dropped
-    here (they can never outrank a real candidate in either engine's
-    oracle ordering — DuckDB sorts NULLS LAST)."""
+    Correctness: (score NULLS LAST, id) is a total order, every
+    partition keeps its k best under it, and the global top-k is a
+    subset of the union of partition-local top-k — the final window
+    over survivors is exactly the window over the full table. NULL
+    scores sort LAST (na_position) in both directions, matching the
+    explicit nulls-last window downstream and DuckDB's default — a
+    NaN-poisoned vector (NULL score via dot_arrow) still appears at
+    the tail when fewer than k real candidates exist, it just never
+    outranks one (pinned by test_nan_vector_ranks_last)."""
     import pandas as pd
 
     sort_asc = [ascending, True]
@@ -445,21 +448,21 @@ def partial_topk(
     def prune(batches):
         best: dict = {}
         for pdf in batches:
-            pdf = pdf[pdf[score_col].notna()]
             if not len(pdf):
                 continue
             for qid, g in pdf.groupby(query_id_col, sort=False):
                 cur = best.get(qid)
                 cat = g if cur is None else pd.concat((cur, g))
                 best[qid] = cat.sort_values(
-                    [score_col, id_col], ascending=sort_asc, kind="mergesort"
+                    [score_col, id_col],
+                    ascending=sort_asc,
+                    kind="mergesort",
+                    na_position="last",
                 ).head(k)
         if best:
             yield pd.concat(best.values())
 
-    return scored.where(F.col(score_col).isNotNull()).mapInPandas(
-        prune, scored.schema
-    )
+    return scored.mapInPandas(prune, scored.schema)
 
 
 def _rank_topk(scored: DataFrame, query_id_col: str, id_col: str, k: int) -> DataFrame:
@@ -468,7 +471,9 @@ def _rank_topk(scored: DataFrame, query_id_col: str, id_col: str, k: int) -> Dat
     scored table), then the exact rank over the ≤ k·P survivors by
     (score desc, id asc)."""
     pruned = partial_topk(scored, query_id_col, id_col, k, "score", ascending=False)
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc_nulls_last("score"), F.asc(id_col)
+    )
     return (
         pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -4478,6 +4478,176 @@ def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LM_SCORE_ORACLE = r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    words AS (
+      SELECT w FROM (SELECT unnest(t) AS w FROM base) WHERE w <> ''
+    ),
+    uni AS (SELECT w, COUNT(*) AS c1 FROM words GROUP BY w),
+    vocab AS (SELECT COUNT(*) AS V FROM uni),
+    bg AS (
+      SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bg
+      FROM base, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+    ),
+    bi AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+    contrib AS (
+      -- LEFT joins mirror the operator's Laplace smoothing of unseen
+      -- bigrams/contexts (self-trained here, so always matched — the
+      -- form is pinned for external-train parity)
+      SELECT b.doc_id,
+             floor((ln(CAST(COALESCE(bi.c2, 0) + 1 AS DOUBLE) / CAST(COALESCE(u.c1, 0) + v.V AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS f6
+      FROM bg b
+      LEFT JOIN bi USING (bg)
+      LEFT JOIN uni u ON u.w = split_part(b.bg, ' ', 1)
+      CROSS JOIN vocab v
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(CAST(SUM(CAST(f6 AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS s,
+             COUNT(*) AS n
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_bigrams,
+           floor((CASE WHEN a.n > 0 THEN a.s / a.n ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS avg_logprob,
+           floor((CASE WHEN a.n > 0 THEN a.s / a.n ELSE 0.0 END) * 1000000 + 0.5) / 1000000 >= -8.0 AS lm_keep
+    FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+_SOURCE_ENTROPY_ORACLE = r"""
+    WITH words AS (
+      SELECT source, w FROM (
+        SELECT source,
+               unnest(string_split(lower(trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ')) AS w
+        FROM documents)
+      WHERE w <> ''
+    ),
+    cnt AS (SELECT source, w, COUNT(*) AS c FROM words GROUP BY source, w),
+    tot AS (SELECT source, SUM(c) AS n, COUNT(*) AS types FROM cnt GROUP BY source),
+    contrib AS (
+      SELECT cnt.source,
+             floor(((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                    * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS f6
+      FROM cnt JOIN tot USING (source)
+    )
+    SELECT t.source,
+           CAST(t.n AS BIGINT) AS n_tokens,
+           CAST(t.types AS BIGINT) AS n_types,
+           -(CAST(CAST(SUM(CAST(c.f6 AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)) AS entropy
+    FROM tot t JOIN contrib c USING (source)
+    GROUP BY t.source, t.n, t.types
+"""
+
+
+@_register("docs_source_entropy", _SOURCE_ENTROPY_ORACLE)
+def docs_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution Shannon entropy + vocabulary
+    size — the lexical-diversity diagnostic behind mixture
+    rebalancing (a source whose entropy collapses is boilerplate).
+    Portable math: each p·ln(p) contribution is fixed6-rounded, summed
+    exactly in DECIMAL, negated once (the KL-divergence convention).
+    Two map-side-combined aggregations on (source, token) then
+    (source); no collects, no windows."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "source",
+        F.explode(
+            F.split(
+                F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "
+            )
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    cnt = words.groupBy("source", "w").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("source").agg(
+        F.sum("c").alias("n"), F.count("*").alias("types")
+    )
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    contrib = cnt.join(tot, "source").select(
+        "source", fixed6(p * F.log(p)).alias("f6")
+    )
+    agg = contrib.groupBy("source").agg(
+        (-dec_to_double(F.sum(dec(F.col("f6"))))).alias("entropy")
+    )
+    return tot.join(agg, "source").select(
+        "source",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("types").cast("long").alias("n_types"),
+        "entropy",
+    )
+
+
+def _lsh_recall_oracle(k: int = 5) -> str:
+    """Compose the LSH-top-k and brute-force-top-k oracle chains and
+    measure per-query overlap — the recall diagnostic both engines can
+    compute exactly because each side's ranking is a total order."""
+    lsh = _lsh_topk_oracle(k=k)
+    brute = ORACLES["emb_cosine_topk"]
+    return f"""
+    WITH lsh AS ({lsh}),
+    brute AS ({brute}),
+    hits AS (
+      SELECT l.query_id, COUNT(*) AS n_hits
+      FROM lsh l JOIN brute b
+        ON l.query_id = b.query_id AND l.vec_id = b.vec_id
+      GROUP BY l.query_id
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           floor((CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {k}.0) * 1000000 + 0.5) / 1000000 AS recall_at_k
+    FROM (SELECT DISTINCT query_id FROM brute) q
+    LEFT JOIN hits h USING (query_id)
+    """
+
+
+@_register("emb_lsh_recall", _lsh_recall_oracle())
+def emb_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality diagnostic: per-query recall@5 of the hyperplane-
+    LSH top-k against the exact brute-force top-k — the measurement
+    every approximate index needs before production rollout. Both
+    rankings are total orders ((score desc, id asc), bit-portable
+    cosines), so the overlap is exact and oracle-checkable. At 100 TB
+    you run this on a SAMPLED query set (the brute side is the
+    expensive half); the LSH side is the production plan unchanged."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    k = 5
+    lsh = sim.lsh_bucketed_topk(e, q, dim=64, k=k, n_planes=8)
+    brute = sim.brute_force_topk(e, q, k=k)
+    hits = (
+        lsh.join(brute, ["query_id", "vec_id"], "semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    qs = brute.select("query_id").distinct()
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        fixed6(
+            F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(float(k))
+        ).alias("recall_at_k"),
+    )
+
+
+@_register("docs_lm_score", _LM_SCORE_ORACLE)
+def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter: corpus-trained Laplace-smoothed
+    bigram model, per-document mean log-probability, keep flag at the
+    fixed6 threshold. The whole model (unigram/bigram count tables +
+    vocab scalar) is part of the one declarative plan — no external
+    binary, no driver collect (operators/lm_score.py)."""
+    from aurora_mito_etl_spark.operators import lm_score as lms
+
+    d = load_table(spark, sf_dir, "documents")
+    return lms.bigram_lm_score(d, "text", "doc_id", keep_threshold=-8.0)
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample curation.
 #

@@ -79,6 +79,8 @@ HEADLINE = [
     # similarity search
     "docs_tfidf_topk",
     "docs_bm25_search",
+    "docs_lm_score",
+    "emb_lsh_recall",
     "emb_cosine_topk",
     "emb_near_dup_exact",
     "emb_lsh_near_dup",

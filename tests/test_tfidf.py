@@ -112,3 +112,46 @@ def test_bm25_deterministic(spark):
     a = [tuple(r) for r in tfi.bm25_search(docs, "alpha w3", k=5).collect()]
     b = [tuple(r) for r in tfi.bm25_search(docs, "alpha w3", k=5).collect()]
     assert a == b and len(a) == 5
+
+
+def test_bigram_lm_score_ranks_boilerplate_above_soup(spark):
+    from aurora_mito_etl_spark.operators.lm_score import bigram_lm_score
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "zxq vbn mkl pqr stw uvx yzb cde fgh"),  # token soup
+        (5, "hi"),  # < 2 tokens: no bigrams
+        (6, "the quick brown fox naps under the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_lm_score(df).collect()}
+    assert len(got) == 6
+    # repeated boilerplate: every bigram seen 3-4x -> high logprob;
+    # the soup's bigrams are singletons -> low
+    assert got[1]["avg_logprob"] > got[4]["avg_logprob"]
+    assert got[6]["avg_logprob"] > got[4]["avg_logprob"]
+    # no-bigram doc scores 0.0 and is kept (length filtering is the
+    # quality battery's job)
+    assert got[5]["n_bigrams"] == 0
+    assert got[5]["avg_logprob"] == 0.0
+    assert bool(got[5]["lm_keep"])
+    # identical docs score identically
+    assert got[1]["avg_logprob"] == got[2]["avg_logprob"] == got[3]["avg_logprob"]
+
+
+def test_bigram_lm_score_external_train_corpus(spark):
+    from aurora_mito_etl_spark.operators.lm_score import bigram_lm_score
+
+    train = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta") for i in range(5)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_lm_score(docs, train=train).collect()}
+    # doc 1 follows the training transitions, doc 2 reverses them
+    assert got[1]["avg_logprob"] > got[2]["avg_logprob"]
