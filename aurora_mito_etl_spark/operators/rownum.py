@@ -1,0 +1,85 @@
+"""Contiguous global sequence assignment without a global sort.
+
+`row_number() OVER (ORDER BY key)` is the textbook way to hand every
+row a dense 0..n-1 id (epoch shuffling, shard addressing, sample
+bookkeeping all want one) — and on a cluster it is a single-partition
+sort: every row shuffles to ONE task. The scalable shape is the
+two-phase partition-offset pattern:
+
+1. range-partition + sort WITHIN partitions by the key (one shuffle,
+   fully parallel — this is what a distributed ORDER BY does anyway);
+2. count rows per partition (a few hundred longs to the driver);
+3. broadcast the exclusive prefix sums back and add each row's
+   within-partition position.
+
+Output is bit-identical to the window form whenever the key order is
+total (enforce with a unique key), which keeps the operator
+DuckDB-oracle-checkable while the plan stays straggler-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def assign_contiguous_ids(
+    df: DataFrame,
+    order_col: str,
+    out_col: str = "seq",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add `out_col` = dense 0-based rank of `order_col` (which must be
+    unique — ties would make the assignment partition-dependent).
+
+    Plan: repartitionByRange(order_col) → sortWithinPartitions →
+    one count-per-partition pass (collects P longs, the documented
+    bounded driver op) → mapInPandas adds offset + local position.
+    No single-partition stage anywhere; the range exchange is the
+    same shuffle a global ORDER BY pays, minus its final merge.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    parts = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    ranged = df.repartitionByRange(int(parts), F.col(order_col)).sortWithinPartitions(
+        order_col
+    )
+    # materialize once: the count pass and the assignment pass must see
+    # the SAME partitioning (repartitionByRange samples its boundaries;
+    # re-executing it twice would also double the shuffle work)
+    ranged = ranged.localCheckpoint()
+    counts = (
+        ranged.select(F.spark_partition_id().alias("p"))
+        .groupBy("p")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    sizes = {r["p"]: r["n"] for r in counts}
+    offsets = {}
+    acc = 0
+    for p in sorted(sizes):
+        offsets[p] = acc
+        acc += sizes[p]
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType(), False)]
+    )
+
+    def add_seq(batches):
+        # partition id is constant per task; read it lazily from the
+        # TaskContext (mapInPandas keeps partitioning)
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = offsets.get(pid, 0)
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = range(base + seen, base + seen + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    return ranged.mapInPandas(add_seq, out_schema)

@@ -4519,6 +4519,27 @@ _LM_SCORE_ORACLE = r"""
 """
 
 
+@_register(
+    "docs_contiguous_ids",
+    """
+    SELECT doc_id, source,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS seq
+    FROM documents
+    """,
+)
+def docs_contiguous_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 0..n-1 sequence per document in doc_id order WITHOUT the
+    single-partition sort a bare row_number() window is: range
+    partition + within-partition sort, count-per-partition prefix
+    sums broadcast back (operators/rownum.py). Bit-identical to the
+    window form because doc_id is unique — the oracle IS that window.
+    The epoch-shuffle/shard-addressing primitive at 100 TB."""
+    from aurora_mito_etl_spark.operators.rownum import assign_contiguous_ids
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return assign_contiguous_ids(d, "doc_id", "seq")
+
+
 _SOURCE_ENTROPY_ORACLE = r"""
     WITH words AS (
       SELECT source, w FROM (

