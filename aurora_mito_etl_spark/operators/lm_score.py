@@ -61,7 +61,8 @@ def bigram_lm_score(
     `lm_keep` is ``avg_logprob >= keep_threshold`` on the fixed6
     value, so the verdict is engine-stable.
     """
-    train = docs if train is None else train
+    self_train = train is None
+    train = docs if self_train else train
 
     words = train.select(
         F.explode(_tokens(F.col(text_col))).alias("w")
@@ -69,14 +70,19 @@ def bigram_lm_score(
     uni = words.groupBy("w").agg(F.count("*").alias("c1"))
     vocab = uni.agg(F.count("*").alias("V"))
 
-    train_bg = train.select(
-        F.explode(shingles_arrow(F.col(text_col), 2)).alias("bg")
-    )
-    bi = train_bg.groupBy("bg").agg(F.count("*").alias("c2"))
-
     doc_bg = docs.select(
         F.col(id_col), F.explode(shingles_arrow(F.col(text_col), 2)).alias("bg")
     )
+    # self-training reuses the document bigram explode for the count
+    # table instead of shingling the corpus a second time (the Arrow
+    # shingle pass is the expensive half of the plan)
+    if self_train:
+        bi = doc_bg.groupBy("bg").agg(F.count("*").alias("c2"))
+    else:
+        train_bg = train.select(
+            F.explode(shingles_arrow(F.col(text_col), 2)).alias("bg")
+        )
+        bi = train_bg.groupBy("bg").agg(F.count("*").alias("c2"))
     # LEFT joins: a bigram/context unseen in training still gets its
     # Laplace mass ((0+1)/(0+V)) instead of silently dropping out —
     # the whole point of smoothing (caught by the external-train test).
