@@ -169,11 +169,37 @@ def rdkit_backend() -> ChemBackend:
     return ChemBackend(canon, fp, sub, fp_panel)
 
 
+def minichem_backend() -> ChemBackend:
+    """REAL pure-Python chemistry (operators/minichem.py): SMILES →
+    molecular graph, Morgan-refinement canonicalization (invariant
+    under atom reordering — the property D2 dedup actually needs),
+    ECFP-style circular count/bit fingerprints, and backtracking
+    subgraph-isomorphism substructure match. Scope limits vs RDKit
+    (no aromatization/tautomers/uncharging) are documented in the
+    module docstring; `tools/chem_parity.py` remains the bridge to
+    full RDKit semantics on hosts that have it."""
+    from aurora_mito_etl_spark.operators import minichem as mc
+
+    def canon(smiles: str) -> str | None:
+        return mc.canonical_smiles(smiles or "")
+
+    def fp(smiles: str) -> dict[int, int] | None:
+        return mc.morgan_count_fp(smiles or "", radius=2, largest_only=True)
+
+    def fp_panel(smiles: str) -> dict[int, int] | None:
+        return mc.morgan_bit_fp(smiles or "", radius=2, n_bits=2048)
+
+    def sub(query: str, target: str) -> bool:
+        return mc.has_substructure(query or "", target or "")
+
+    return ChemBackend(canon, fp, sub, fp_panel)
+
+
 def default_backend() -> ChemBackend:
     try:
         return rdkit_backend()
     except ImportError:
-        return fake_backend()
+        return minichem_backend()
 
 
 BackendFactory = Callable[[], ChemBackend]

@@ -1,0 +1,635 @@
+"""Pure-Python mini-cheminformatics kernel — a REAL (if deliberately
+small) chemistry backend for the D2-D4 operators when RDKit is not
+installable (this container): SMILES parsing to a molecular graph,
+Morgan-refinement canonicalization, ECFP-style circular fingerprints,
+and subgraph-isomorphism substructure search.
+
+Replaces the string-trigram `fake_backend` as the default fallback:
+canonicalization is now invariant under atom REORDERING of the input
+SMILES (the property that makes D2 dedup real — pinned by a
+randomized re-writing test), fingerprints encode actual circular
+atom environments, and substructure match is graph matching, not
+substring containment.
+
+Honest scope vs RDKit (documented, deliberate — the parity harness
+`tools/chem_parity.py` remains the bridge to full RDKit semantics,
+reference scripts/finalize_realease.py:146-227,275-451):
+
+- NO aromaticity perception/kekulization: `c1ccccc1` and
+  `C1=CC=CC=C1` parse as written and do not unify (each notation is
+  self-consistent, so a corpus using one convention canonicalizes
+  consistently).
+- NO tautomer enumeration, normalization, or uncharging.
+- Stereochemistry is stripped (the reference itself writes
+  isomericSmiles=False).
+- Canonical tie-breaking refines by invariants only; atoms left tied
+  after full refinement are graph-automorphic in every molecule this
+  engine's fixtures contain (highly regular cages could in principle
+  stall the refinement — out of scope).
+
+Grammar: organic-subset atoms B C N O P S F Cl Br I (+ aromatic
+b c n o p s), bracket atoms with isotope/charge/H-count (isotope
+dropped, stereo dropped), bonds - = # : (/ and \\ read as single),
+branches, %nn and digit ring closures, dot-separated fragments.
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass, field
+
+_ORGANIC = {"B", "C", "N", "O", "P", "S", "F", "Cl", "Br", "I"}
+_AROMATIC_OK = {"b", "c", "n", "o", "p", "s"}
+# default valences for implicit-H computation (first matching >= bond sum)
+_VALENCES = {
+    "B": (3,),
+    "C": (4,),
+    "N": (3, 5),
+    "O": (2,),
+    "P": (3, 5),
+    "S": (2, 4, 6),
+    "F": (1,),
+    "Cl": (1,),
+    "Br": (1,),
+    "I": (1,),
+}
+
+
+@dataclass
+class Atom:
+    element: str
+    aromatic: bool = False
+    charge: int = 0
+    h_count: int | None = None  # explicit [..H n]; None = implicit
+    bracket: bool = False
+
+
+@dataclass
+class Mol:
+    atoms: list[Atom] = field(default_factory=list)
+    # adjacency: bonds[i] = list of (j, order); order: 1,2,3 or 4=aromatic
+    bonds: dict[int, list[tuple[int, int]]] = field(default_factory=dict)
+
+    def add_atom(self, a: Atom) -> int:
+        i = len(self.atoms)
+        self.atoms.append(a)
+        self.bonds[i] = []
+        return i
+
+    def add_bond(self, i: int, j: int, order: int) -> None:
+        self.bonds[i].append((j, order))
+        self.bonds[j].append((i, order))
+
+    def degree(self, i: int) -> int:
+        return len(self.bonds[i])
+
+    def bond_order_sum(self, i: int) -> float:
+        return sum(1.5 if o == 4 else o for _, o in self.bonds[i])
+
+    def implicit_h(self, i: int) -> int:
+        a = self.atoms[i]
+        if a.h_count is not None:
+            return a.h_count
+        if a.bracket:
+            return 0  # bracket atom without H spec has zero H (SMILES rule)
+        s = self.bond_order_sum(i)
+        for v in _VALENCES.get(a.element, (0,)):
+            if v >= s - 1e-9:
+                return int(round(v - s))
+        return 0
+
+
+class SmilesError(ValueError):
+    pass
+
+
+_TWO_LETTER = ("Cl", "Br")
+
+
+def parse_smiles(s: str) -> Mol:
+    """SMILES string → molecular graph (see module docstring scope)."""
+    if not isinstance(s, str) or not s.strip() or " " in s.strip():
+        raise SmilesError(f"bad smiles: {s!r}")
+    s = s.strip()
+    mol = Mol()
+    prev: int | None = None
+    pending_bond: int | None = None
+    stack: list[int | None] = []
+    ring: dict[int, tuple[int, int | None]] = {}  # number -> (atom, bond)
+    i, n = 0, len(s)
+
+    def attach(idx: int) -> None:
+        nonlocal prev, pending_bond
+        if prev is not None:
+            order = pending_bond
+            if order is None:
+                a, b = mol.atoms[prev], mol.atoms[idx]
+                order = 4 if (a.aromatic and b.aromatic) else 1
+            mol.add_bond(prev, idx, order)
+        prev = idx
+        pending_bond = None
+
+    while i < n:
+        c = s[i]
+        if c in "-/\\":
+            pending_bond = 1
+            i += 1
+        elif c == "=":
+            pending_bond = 2
+            i += 1
+        elif c == "#":
+            pending_bond = 3
+            i += 1
+        elif c == ":":
+            pending_bond = 4
+            i += 1
+        elif c == "(":
+            stack.append(prev)
+            i += 1
+        elif c == ")":
+            if not stack:
+                raise SmilesError(f"unbalanced ')' in {s!r}")
+            prev = stack.pop()
+            i += 1
+        elif c == ".":
+            prev = None
+            pending_bond = None
+            i += 1
+        elif c == "%":
+            if i + 2 >= n or not s[i + 1 : i + 3].isdigit():
+                raise SmilesError(f"bad %ring in {s!r}")
+            num = int(s[i + 1 : i + 3])
+            i += 3
+            _ring_closure(mol, ring, num, prev, pending_bond, s)
+            pending_bond = None
+        elif c.isdigit():
+            _ring_closure(mol, ring, int(c), prev, pending_bond, s)
+            pending_bond = None
+            i += 1
+        elif c == "[":
+            j = s.find("]", i)
+            if j < 0:
+                raise SmilesError(f"unbalanced '[' in {s!r}")
+            idx = mol.add_atom(_parse_bracket(s[i + 1 : j]))
+            attach(idx)
+            i = j + 1
+        else:
+            two = s[i : i + 2]
+            if two in _TWO_LETTER:
+                idx = mol.add_atom(Atom(two))
+                attach(idx)
+                i += 2
+            elif c.upper() in _ORGANIC and len(c) == 1:
+                if c.islower():
+                    if c not in _AROMATIC_OK:
+                        raise SmilesError(f"bad aromatic atom {c!r} in {s!r}")
+                    idx = mol.add_atom(Atom(c.upper(), aromatic=True))
+                else:
+                    idx = mol.add_atom(Atom(c))
+                attach(idx)
+                i += 1
+            else:
+                raise SmilesError(f"unexpected {c!r} at {i} in {s!r}")
+    if ring:
+        raise SmilesError(f"unclosed ring bond(s) {sorted(ring)} in {s!r}")
+    if stack:
+        raise SmilesError(f"unbalanced '(' in {s!r}")
+    if not mol.atoms:
+        raise SmilesError(f"empty smiles {s!r}")
+    return mol
+
+
+def _ring_closure(mol, ring, num, prev, pending_bond, s) -> None:
+    if prev is None:
+        raise SmilesError(f"ring digit before any atom in {s!r}")
+    if num in ring:
+        other, obond = ring.pop(num)
+        order = pending_bond if pending_bond is not None else obond
+        if order is None:
+            a, b = mol.atoms[prev], mol.atoms[other]
+            order = 4 if (a.aromatic and b.aromatic) else 1
+        if other == prev:
+            raise SmilesError(f"self ring bond in {s!r}")
+        mol.add_bond(prev, other, order)
+    else:
+        ring[num] = (prev, pending_bond)
+
+
+def _parse_bracket(body: str) -> Atom:
+    """[isotope? element stereo? Hcount? charge? class?] — isotope,
+    stereo (@/@@) and atom class (:n) are parsed and dropped."""
+    i, n = 0, len(body)
+    while i < n and body[i].isdigit():  # isotope
+        i += 1
+    if i < n and body[i : i + 2] in _TWO_LETTER:
+        el, aromatic = body[i : i + 2], False
+        i += 2
+    elif i < n and body[i].isalpha():
+        ch = body[i]
+        aromatic = ch.islower()
+        el = ch.upper()
+        i += 1
+        # two-letter elements beyond the organic subset (Na, Se, ...)
+        if i < n and body[i].isalpha() and body[i].islower() and body[i] != "h":
+            el = el + body[i]
+            i += 1
+    else:
+        raise SmilesError(f"bad bracket atom [{body}]")
+    while i < n and body[i] == "@":  # stereo dropped
+        i += 1
+    h = 0
+    if i < n and body[i] == "H":
+        i += 1
+        d = ""
+        while i < n and body[i].isdigit():
+            d += body[i]
+            i += 1
+        h = int(d) if d else 1
+    charge = 0
+    while i < n and body[i] in "+-":
+        sign = 1 if body[i] == "+" else -1
+        i += 1
+        d = ""
+        while i < n and body[i].isdigit():
+            d += body[i]
+            i += 1
+        charge += sign * (int(d) if d else 1)
+    if i < n and body[i] == ":":  # atom class dropped
+        i += 1
+        while i < n and body[i].isdigit():
+            i += 1
+    if i != n:
+        raise SmilesError(f"trailing {body[i:]!r} in bracket atom [{body}]")
+    return Atom(el, aromatic=aromatic, charge=charge, h_count=h, bracket=True)
+
+
+# ---------------------------------------------------------------------------
+# Canonical ranking (Morgan-style iterative refinement)
+# ---------------------------------------------------------------------------
+
+
+def _h32(obj) -> int:
+    return zlib.crc32(repr(obj).encode())
+
+
+def canonical_ranks(mol: Mol, atoms: list[int] | None = None) -> dict[int, int]:
+    """Order-invariant canonical rank per atom (0 = canonical root).
+
+    Refinement: each atom's invariant is hashed with the sorted
+    multiset of (bond order, neighbor invariant); iterate until the
+    partition stops refining; remaining ties break by splitting the
+    smallest-invariant tied class and re-refining (tied atoms are
+    automorphic for in-scope molecules, so the split choice cannot
+    change the canonical string)."""
+    idxs = list(range(len(mol.atoms))) if atoms is None else list(atoms)
+    inset = set(idxs)
+    inv: dict[int, int] = {}
+    for i in idxs:
+        a = mol.atoms[i]
+        inv[i] = _h32(
+            (
+                a.element,
+                a.aromatic,
+                a.charge,
+                mol.implicit_h(i),
+                len([1 for j, _ in mol.bonds[i] if j in inset]),
+                int(mol.bond_order_sum(i) * 2),
+            )
+        )
+
+    def refine(cur: dict[int, int]) -> dict[int, int]:
+        while True:
+            nxt = {
+                i: _h32(
+                    (
+                        cur[i],
+                        tuple(
+                            sorted(
+                                (o, cur[j])
+                                for j, o in mol.bonds[i]
+                                if j in inset
+                            )
+                        ),
+                    )
+                )
+                for i in idxs
+            }
+            if len(set(nxt.values())) == len(set(cur.values())):
+                return nxt
+            cur = nxt
+
+    inv = refine(inv)
+    # tie-break loop: force apart the first tied class until discrete
+    while len(set(inv.values())) < len(idxs):
+        by_val: dict[int, list[int]] = {}
+        for i in idxs:
+            by_val.setdefault(inv[i], []).append(i)
+        tied = min(
+            (v for v in by_val.values() if len(v) > 1),
+            key=lambda v: inv[v[0]],
+        )
+        chosen = min(tied)  # automorphic for in-scope molecules
+        inv = dict(inv)
+        inv[chosen] = _h32(("split", inv[chosen]))
+        inv = refine(inv)
+    order = sorted(idxs, key=lambda i: inv[i])
+    return {i: r for r, i in enumerate(order)}
+
+
+def fragments(mol: Mol) -> list[list[int]]:
+    seen: set[int] = set()
+    out = []
+    for i in range(len(mol.atoms)):
+        if i in seen:
+            continue
+        comp, todo = [], [i]
+        seen.add(i)
+        while todo:
+            x = todo.pop()
+            comp.append(x)
+            for j, _ in mol.bonds[x]:
+                if j not in seen:
+                    seen.add(j)
+                    todo.append(j)
+        out.append(comp)
+    return out
+
+
+def largest_fragment(mol: Mol) -> list[int]:
+    """Largest fragment by heavy-atom count; ties by bond count then
+    by canonical SMILES string (fully deterministic)."""
+    frags = fragments(mol)
+    if len(frags) == 1:
+        return frags[0]
+
+    def key(comp):
+        nb = sum(len(mol.bonds[i]) for i in comp) // 2
+        return (len(comp), nb, _write(mol, comp, canonical_ranks(mol, comp)))
+
+    return max(frags, key=key)
+
+
+# ---------------------------------------------------------------------------
+# Canonical writer
+# ---------------------------------------------------------------------------
+
+_BOND_SYM = {1: "", 2: "=", 3: "#", 4: ""}
+
+
+def _atom_token(mol: Mol, i: int) -> str:
+    a = mol.atoms[i]
+    el = a.element.lower() if a.aromatic else a.element
+    needs_bracket = (
+        a.charge != 0
+        or a.element not in _ORGANIC
+        or (a.bracket and (a.h_count or 0) > 0 and a.aromatic)
+        or (a.bracket and mol.implicit_h(i) != _free_valence_h(mol, i))
+    )
+    if not needs_bracket:
+        return el
+    h = mol.implicit_h(i)
+    htxt = "" if h == 0 else ("H" if h == 1 else f"H{h}")
+    c = a.charge
+    ctxt = "" if c == 0 else ("+" * c if 0 < c <= 2 else "-" * -c if -2 <= c < 0 else (f"+{c}" if c > 0 else str(c)))
+    return f"[{el}{htxt}{ctxt}]"
+
+
+def _free_valence_h(mol: Mol, i: int) -> int:
+    """H count the organic-subset reader would infer for this atom if
+    written WITHOUT brackets."""
+    a = mol.atoms[i]
+    s = mol.bond_order_sum(i)
+    for v in _VALENCES.get(a.element, (0,)):
+        if v >= s - 1e-9:
+            return int(round(v - s))
+    return 0
+
+
+def _write(mol: Mol, atoms: list[int], ranks: dict[int, int], order_key=None) -> str:
+    """Write the fragment as SMILES following `ranks` (canonical) or a
+    caller-supplied neighbor order (used by the invariance test)."""
+    inset = set(atoms)
+    key = order_key or (lambda i: ranks[i])
+    root = min(atoms, key=key)
+    visited: set[int] = set()
+    ring_num = [0]
+    ring_open: dict[tuple[int, int], int] = {}
+    # pre-pass: find ring-closure edges via DFS tree
+    tree_parent: dict[int, int | None] = {root: None}
+    back_edges: set[frozenset] = set()
+    stack = [root]
+    seen = {root}
+    while stack:
+        x = stack.pop()
+        for j, _ in sorted(mol.bonds[x], key=lambda t: key(t[0])):
+            if j not in inset:
+                continue
+            if j not in seen:
+                seen.add(j)
+                tree_parent[j] = x
+                stack.append(j)
+            elif tree_parent.get(x) != j:
+                back_edges.add(frozenset((x, j)))
+
+    ring_digit: dict[frozenset, int] = {}
+
+    def digit_txt(d: int) -> str:
+        return str(d) if d <= 9 else f"%{d:02d}"
+
+    def emit(i: int, parent: int | None) -> str:
+        visited.add(i)
+        out = _atom_token(mol, i)
+        # ring closures at this atom
+        for j, o in sorted(mol.bonds[i], key=lambda t: key(t[0])):
+            e = frozenset((i, j))
+            if j in inset and e in back_edges:
+                if e not in ring_digit:
+                    ring_num[0] += 1
+                    ring_digit[e] = ring_num[0]
+                    out += _bond_sym(mol, i, j, o) + digit_txt(ring_digit[e])
+                else:
+                    out += _bond_sym(mol, i, j, o) + digit_txt(ring_digit[e])
+        children = [
+            (j, o)
+            for j, o in sorted(mol.bonds[i], key=lambda t: key(t[0]))
+            if j in inset
+            and j != parent
+            and frozenset((i, j)) not in back_edges
+            and j not in visited
+        ]
+        for idx, (j, o) in enumerate(children):
+            sub = _bond_sym(mol, i, j, o) + emit(j, i)
+            if idx < len(children) - 1:
+                out += f"({sub})"
+            else:
+                out += sub
+        return out
+
+    return emit(root, None)
+
+
+def _bond_sym(mol: Mol, i: int, j: int, order: int) -> str:
+    if order == 4:
+        return ""
+    if order == 1:
+        a, b = mol.atoms[i], mol.atoms[j]
+        # explicit single bond between two aromatic atoms (biphenyl)
+        return "-" if (a.aromatic and b.aromatic) else ""
+    return _BOND_SYM[order]
+
+
+def canonical_smiles(s: str, keep_all_fragments: bool = False) -> str | None:
+    """Canonical SMILES of the LARGEST fragment (the reference's
+    fragment-cleanup convention) — None on parse failure. With
+    `keep_all_fragments`, every fragment is canonicalized and joined
+    with '.' in sorted order."""
+    try:
+        mol = parse_smiles(s)
+    except SmilesError:
+        return None
+    if keep_all_fragments:
+        parts = sorted(
+            _write(mol, f, canonical_ranks(mol, f)) for f in fragments(mol)
+        )
+        return ".".join(parts)
+    frag = largest_fragment(mol)
+    return _write(mol, frag, canonical_ranks(mol, frag))
+
+
+# ---------------------------------------------------------------------------
+# ECFP-style circular count fingerprint
+# ---------------------------------------------------------------------------
+
+
+def morgan_count_fp(
+    s: str, radius: int = 2, largest_only: bool = True
+) -> dict[int, int] | None:
+    """dict[env_hash -> count] over atom environments of radius
+    0..`radius` — the count-fingerprint shape the D4 metrics consume.
+    Hashes are order-invariant (sorted neighbor envs)."""
+    try:
+        mol = parse_smiles(s)
+    except SmilesError:
+        return None
+    atoms = largest_fragment(mol) if largest_only else list(range(len(mol.atoms)))
+    inset = set(atoms)
+    env: dict[int, int] = {}
+    for i in atoms:
+        a = mol.atoms[i]
+        env[i] = _h32(
+            ("a", a.element, a.aromatic, a.charge, mol.implicit_h(i))
+        )
+    fp: dict[int, int] = {}
+    for h in env.values():
+        fp[h] = fp.get(h, 0) + 1
+    for _ in range(radius):
+        nxt = {
+            i: _h32(
+                (
+                    "e",
+                    env[i],
+                    tuple(
+                        sorted((o, env[j]) for j, o in mol.bonds[i] if j in inset)
+                    ),
+                )
+            )
+            for i in atoms
+        }
+        env = nxt
+        for h in env.values():
+            fp[h] = fp.get(h, 0) + 1
+    return fp
+
+
+def morgan_bit_fp(s: str, radius: int = 2, n_bits: int = 2048) -> dict[int, int] | None:
+    """2048-bit folded variant (the D3 panel form): on-bits as
+    {bit: 1}."""
+    fp = morgan_count_fp(s, radius, largest_only=False)
+    if fp is None:
+        return None
+    return {h % n_bits: 1 for h in fp}
+
+
+# ---------------------------------------------------------------------------
+# Substructure search (backtracking subgraph isomorphism)
+# ---------------------------------------------------------------------------
+
+
+def has_substructure(query: str, target: str) -> bool:
+    """True iff the query graph embeds in the target graph (element,
+    aromaticity and charge must match; bond orders must match, with
+    aromatic matching aromatic)."""
+    try:
+        q = parse_smiles(query)
+        t = parse_smiles(target)
+    except SmilesError:
+        return False
+    nq, nt = len(q.atoms), len(t.atoms)
+    if nq > nt:
+        return False
+
+    def atom_ok(qi: int, ti: int) -> bool:
+        a, b = q.atoms[qi], t.atoms[ti]
+        if a.element != b.element or a.aromatic != b.aromatic:
+            return False
+        if a.charge != b.charge:
+            return False
+        if a.h_count is not None and t_implicit[ti] < a.h_count:
+            return False
+        return True
+
+    t_implicit = [t.implicit_h(i) for i in range(nt)]
+    # order query atoms connectivity-first for early pruning
+    order: list[int] = []
+    seen: set[int] = set()
+    for start in range(nq):
+        if start in seen:
+            continue
+        todo = [start]
+        seen.add(start)
+        while todo:
+            x = todo.pop(0)
+            order.append(x)
+            for j, _ in q.bonds[x]:
+                if j not in seen:
+                    seen.add(j)
+                    todo.append(j)
+
+    mapping: dict[int, int] = {}
+    used: set[int] = set()
+
+    def extend(pos: int) -> bool:
+        if pos == nq:
+            return True
+        qi = order[pos]
+        # candidates: neighbors of already-mapped query neighbors
+        anchor = None
+        for j, o in q.bonds[qi]:
+            if j in mapping:
+                anchor = (j, o)
+                break
+        cands = (
+            [tj for tj, _ in t.bonds[mapping[anchor[0]]]]
+            if anchor
+            else range(nt)
+        )
+        for ti in cands:
+            if ti in used or not atom_ok(qi, ti):
+                continue
+            ok = True
+            for j, o in q.bonds[qi]:
+                if j in mapping:
+                    t_orders = [oo for tj, oo in t.bonds[ti] if tj == mapping[j]]
+                    if not t_orders or o not in t_orders:
+                        ok = False
+                        break
+            if ok:
+                mapping[qi] = ti
+                used.add(ti)
+                if extend(pos + 1):
+                    return True
+                del mapping[qi]
+                used.discard(ti)
+        return False
+
+    return extend(0)

@@ -202,16 +202,25 @@ def reference_rows(panel: dict[str, str], candidates: list[str]) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 
-def fake_rows(panel: dict[str, str], candidates: list[str]) -> list[dict]:
-    """Same shape as reference_rows but via the deterministic fake
-    backend's primitives in a plain python loop — checks that the
-    Spark plumbing (UDF batching, column wiring, NULL shapes, ties,
-    rounding) reproduces a single-process computation."""
-    be = chem.fake_backend()
+def fake_rows(
+    panel: dict[str, str], candidates: list[str], backend_factory=None
+) -> list[dict]:
+    """Same shape as reference_rows but via the given backend's
+    primitives in a plain python loop — checks that the Spark
+    plumbing (UDF batching, column wiring, NULL shapes, ties,
+    rounding) reproduces a single-process computation. Default
+    backend: the deterministic fake; pass chem.minichem_backend to
+    run the REAL pure-Python kernel through the same check."""
+    be = (backend_factory or chem.fake_backend)()
     # mirror the engine/reference: refs canonicalize before use
     panel = {k: c for k, v in panel.items() if (c := be.canonicalize(v)) is not None}
     names = sorted(panel)
-    pfs = {n: be.fingerprint(panel[n]) for n in names}
+    # the similarity-panel operator (D3) uses the PANEL fingerprint
+    # form when the backend provides one; the biguanide block (D4)
+    # always uses the count form — mirror both here
+    panel_fp = be.fingerprint_panel or be.fingerprint
+    pfs = {n: panel_fp(panel[n]) for n in names}
+    cfs = {n: be.fingerprint(panel[n]) for n in names}
 
     def conf(v):
         if v is None:
@@ -225,8 +234,9 @@ def fake_rows(panel: dict[str, str], candidates: list[str]) -> list[dict]:
     rows = []
     for smi in candidates:
         row: dict = {"SMILES": smi, "SMILES_canonical": be.canonicalize(smi)}
-        fp = be.fingerprint(smi) if smi else None
-        if fp is None:
+        fp = panel_fp(smi) if smi else None
+        cfp = be.fingerprint(smi) if smi else None
+        if fp is None or cfp is None:
             row.update(
                 MaxSim_all=None, TopKMean_all=None, BestRef_name=None,
                 confidence_similarity=None,
@@ -241,8 +251,8 @@ def fake_rows(panel: dict[str, str], candidates: list[str]) -> list[dict]:
         best = max(s for s, _ in sims)
         top = sorted((s for s, _ in sims), reverse=True)[:TOPK]
         tkm = sum(top) / len(top)
-        tv = [(chem.tversky_sim(fp, pfs[n], ALPHA, BETA), n) for n in names]
-        dc = [(chem.dice_sim(fp, pfs[n]), n) for n in names]
+        tv = [(chem.tversky_sim(cfp, cfs[n], ALPHA, BETA), n) for n in names]
+        dc = [(chem.dice_sim(cfp, cfs[n]), n) for n in names]
         bt, bd = max(s for s, _ in tv), max(s for s, _ in dc)
         row.update(
             MaxSim_all=round(best, 3),
@@ -252,9 +262,9 @@ def fake_rows(panel: dict[str, str], candidates: list[str]) -> list[dict]:
             has_biguanide_core=be.has_substructure(panel["biguanide"], smi),
             has_biguanide_motif=be.has_substructure(panel["biguanide_motif"], smi),
             sim_biguanide_tversky=round(
-                chem.tversky_sim(fp, pfs["biguanide"], ALPHA, BETA), 3
+                chem.tversky_sim(cfp, cfs["biguanide"], ALPHA, BETA), 3
             ),
-            sim_biguanide_dice=round(chem.dice_sim(fp, pfs["biguanide"]), 3),
+            sim_biguanide_dice=round(chem.dice_sim(cfp, cfs["biguanide"]), 3),
             best_biguanide_like_tversky=round(bt, 3),
             best_ref_name_tversky=next(n for s, n in tv if s == bt),
             best_biguanide_like_dice=round(bd, 3),
@@ -320,6 +330,13 @@ def main() -> int:
             fake_rows(PANEL, CANDIDATES),
             spark_rows(spark, chem.fake_backend),
             "fake-backend plumbing",
+        )
+        # the real pure-Python kernel through the identical check —
+        # always runnable (no RDKit needed)
+        bad += compare(
+            fake_rows(PANEL, CANDIDATES, chem.minichem_backend),
+            spark_rows(spark, chem.minichem_backend),
+            "minichem-backend plumbing",
         )
         try:
             import rdkit  # noqa: F401
