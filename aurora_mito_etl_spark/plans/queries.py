@@ -4696,6 +4696,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "docs_mixture_sample",
     "docs_bigram_pmi",
     "docs_source_report",
+    "docs_lm_score",
     # Dedup tier
     "docs_exact_dedup",
     "docs_minhash_lsh_pairs",
@@ -4732,9 +4733,9 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "emb_kmeans_assign",
     "emb_lsh_near_dup",
     "emb_ivf_topk",
-    # Text-analysis tier
+    # Text-analysis tier (docs_quality's fixed6 expression is gate-
+    # covered through docs_source_report's aggregation of it)
     "docs_lang_id",
-    "docs_quality",
     "docs_repetition",
     # Reference text-filter surface (§2.2)
     "docs_clean_text",

@@ -71,6 +71,7 @@ def test_driver_sample_covers_llm_tier():
         "docs_containment_pairs",
         "events_funnel",
         "docs_weighted_sample",
+        "docs_lm_score",
     }
     assert must_sample <= first50
     # The reorder is a permutation: nothing dropped, oracles intact.
