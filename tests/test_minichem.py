@@ -124,3 +124,69 @@ def test_minichem_backend_via_operators(spark):
     assert got[3] == got[4] and got[3] is not None
     assert got[1] != got[3]
     assert got[5] is None
+
+
+# ---------------------------------------------------------------------------
+# Property-based invariance over random molecular graphs
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from aurora_mito_etl_spark.operators.minichem import Atom, Mol
+
+
+@st.composite
+def random_mols(draw):
+    """Random connected multigraph-free molecule: a spanning tree over
+    3..10 atoms plus up to 3 extra ring edges, organic-subset
+    elements, bond orders 1-3."""
+    n = draw(st.integers(3, 10))
+    elements = draw(
+        st.lists(st.sampled_from(["C", "N", "O", "S", "P"]), min_size=n, max_size=n)
+    )
+    mol = Mol()
+    for el in elements:
+        mol.add_atom(Atom(el))
+    edges = set()
+    for i in range(1, n):
+        parent = draw(st.integers(0, i - 1))
+        order = draw(st.integers(1, 3))
+        mol.add_bond(i, parent, order)
+        edges.add(frozenset((i, parent)))
+    for _ in range(draw(st.integers(0, 3))):
+        a = draw(st.integers(0, n - 1))
+        b = draw(st.integers(0, n - 1))
+        if a != b and frozenset((a, b)) not in edges:
+            mol.add_bond(a, b, draw(st.integers(1, 2)))
+            edges.add(frozenset((a, b)))
+    return mol
+
+
+@settings(max_examples=150, deadline=None)
+@given(random_mols(), st.randoms(use_true_random=False))
+def test_property_canonical_is_order_invariant(mol, rng):
+    """For ANY random molecular graph: every random DFS writing parses
+    back to the same canonical SMILES."""
+    atoms = list(range(len(mol.atoms)))
+    ranks = canonical_ranks(mol)
+    base = _write(mol, atoms, ranks)
+    canon = canonical_smiles(base)
+    assert canon is not None
+    for _ in range(5):
+        perm = {i: rng.random() for i in atoms}
+        alt = _write(mol, atoms, ranks, order_key=lambda i: perm[i])
+        assert canonical_smiles(alt) == canon, (base, alt)
+
+
+@settings(max_examples=100, deadline=None)
+@given(random_mols())
+def test_property_fingerprint_and_selfmatch(mol):
+    """Round-tripped molecules fingerprint identically and match
+    themselves as substructure."""
+    atoms = list(range(len(mol.atoms)))
+    s = _write(mol, atoms, canonical_ranks(mol))
+    fp = morgan_count_fp(s)
+    assert fp is not None and sum(fp.values()) == 3 * len(atoms)
+    assert morgan_count_fp(canonical_smiles(s)) == fp
+    assert has_substructure(s, s)
