@@ -485,15 +485,20 @@ def canonical_smiles(s: str, keep_all_fragments: bool = False) -> str | None:
     with '.' in sorted order."""
     try:
         mol = parse_smiles(s)
+        if keep_all_fragments:
+            parts = sorted(
+                _write(mol, f, canonical_ranks(mol, f)) for f in fragments(mol)
+            )
+            return ".".join(parts)
+        frag = largest_fragment(mol)
+        return _write(mol, frag, canonical_ranks(mol, frag))
     except SmilesError:
         return None
-    if keep_all_fragments:
-        parts = sorted(
-            _write(mol, f, canonical_ranks(mol, f)) for f in fragments(mol)
-        )
-        return ".".join(parts)
-    frag = largest_fragment(mol)
-    return _write(mol, frag, canonical_ranks(mol, frag))
+    except RecursionError:
+        # the DFS writer recurses once per chain atom — a polymer-
+        # sized molecule degrades to None rather than crashing the
+        # Arrow batch
+        return None
 
 
 # ---------------------------------------------------------------------------
@@ -564,6 +569,10 @@ def has_substructure(query: str, target: str) -> bool:
         t = parse_smiles(target)
     except SmilesError:
         return False
+    return _match(q, t)
+
+
+def _match(q: Mol, t: Mol) -> bool:
     nq, nt = len(q.atoms), len(t.atoms)
     if nq > nt:
         return False
@@ -632,4 +641,7 @@ def has_substructure(query: str, target: str) -> bool:
                 used.discard(ti)
         return False
 
-    return extend(0)
+    try:
+        return extend(0)
+    except RecursionError:
+        return False
