@@ -4656,6 +4656,71 @@ def emb_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LM_SCORE_XTRAIN_ORACLE = r"""
+    WITH train_base AS (
+      SELECT string_split(lower(trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    score_base AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    words AS (
+      SELECT w FROM (SELECT unnest(t) AS w FROM train_base) WHERE w <> ''
+    ),
+    uni AS (SELECT w, COUNT(*) AS c1 FROM words GROUP BY w),
+    vocab AS (SELECT COUNT(*) AS V FROM uni),
+    train_bg AS (
+      SELECT array_to_string(t[i:i+1], ' ') AS bg
+      FROM train_base, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+    ),
+    bi AS (SELECT bg, COUNT(*) AS c2 FROM train_bg GROUP BY bg),
+    bg AS (
+      SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bg
+      FROM score_base, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+    ),
+    contrib AS (
+      SELECT b.doc_id,
+             floor((ln(CAST(COALESCE(bi.c2, 0) + 1 AS DOUBLE) / CAST(COALESCE(u.c1, 0) + v.V AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS f6
+      FROM bg b
+      LEFT JOIN bi USING (bg)
+      LEFT JOIN uni u ON u.w = split_part(b.bg, ' ', 1)
+      CROSS JOIN vocab v
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(CAST(SUM(CAST(f6 AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS s,
+             COUNT(*) AS n
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_bigrams,
+           floor((CASE WHEN a.n > 0 THEN a.s / a.n ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS avg_logprob,
+           floor((CASE WHEN a.n > 0 THEN a.s / a.n ELSE 0.0 END) * 1000000 + 0.5) / 1000000 >= -8.0 AS lm_keep
+    FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 1) d
+    LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@_register("docs_lm_score_external", _LM_SCORE_XTRAIN_ORACLE)
+def docs_lm_score_external(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out LM scoring (the CCNet deployment shape): even doc_ids
+    train the bigram model, odd doc_ids are scored against it —
+    bigrams unseen in training exercise the Laplace-smoothing LEFT
+    joins ((0+1)/(0+V)) that self-training never hits."""
+    from aurora_mito_etl_spark.operators import lm_score as lms
+
+    d = load_table(spark, sf_dir, "documents")
+    return lms.bigram_lm_score(
+        d.filter(F.col("doc_id") % 2 == 1),
+        "text",
+        "doc_id",
+        keep_threshold=-8.0,
+        train=d.filter(F.col("doc_id") % 2 == 0),
+    )
+
+
 @_register("docs_lm_score", _LM_SCORE_ORACLE)
 def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality filter: corpus-trained Laplace-smoothed
