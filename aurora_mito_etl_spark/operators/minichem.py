@@ -15,10 +15,15 @@ Honest scope vs RDKit (documented, deliberate — the parity harness
 `tools/chem_parity.py` remains the bridge to full RDKit semantics,
 reference scripts/finalize_realease.py:146-227,275-451):
 
-- NO aromaticity perception/kekulization: `c1ccccc1` and
-  `C1=CC=CC=C1` parse as written and do not unify (each notation is
-  self-consistent, so a corpus using one convention canonicalizes
-  consistently).
+- BOUNDED aromaticity perception (not full Hückel): 6-rings of C/N
+  with alternating single/double bonds and 5-rings with two double
+  bonds plus one N/O/S lone-pair donor aromatize, iterated to a
+  fixpoint so fused systems (naphthalene, indole, purines) unify
+  ring-by-ring — `C1=CC=CC=C1` and `c1ccccc1` canonicalize
+  identically, as do the kekulé/aromatic forms of pyridine, pyrrole,
+  furan, thiophene, naphthalene, indole and caffeine (pinned by
+  tests). Exotic aromatics (7-rings, charged rings, fixed quinoid
+  systems) stay as written.
 - NO tautomer enumeration, normalization, or uncharging.
 - Stereochemistry is stripped (the reference itself writes
   isomericSmiles=False).
@@ -93,6 +98,14 @@ class Mol:
         if a.bracket:
             return 0  # bracket atom without H spec has zero H (SMILES rule)
         s = self.bond_order_sum(i)
+        if a.aromatic:
+            # aromatic model: lowest standard valence, aromatic bonds
+            # floor-summed, clamped at 0 (thiophene s: 2-3 -> 0 H;
+            # benzene c: 4-3 -> 1 H; fusion c: 4-4 -> 0 H)
+            import math
+
+            v = _VALENCES.get(a.element, (0,))[0]
+            return max(0, v - math.floor(s + 1e-9))
         for v in _VALENCES.get(a.element, (0,)):
             if v >= s - 1e-9:
                 return int(round(v - s))
@@ -396,9 +409,15 @@ def _atom_token(mol: Mol, i: int) -> str:
 
 def _free_valence_h(mol: Mol, i: int) -> int:
     """H count the organic-subset reader would infer for this atom if
-    written WITHOUT brackets."""
+    written WITHOUT brackets (mirrors Mol.implicit_h's non-bracket
+    branches exactly, including the aromatic model)."""
+    import math
+
     a = mol.atoms[i]
     s = mol.bond_order_sum(i)
+    if a.aromatic:
+        v = _VALENCES.get(a.element, (0,))[0]
+        return max(0, v - math.floor(s + 1e-9))
     for v in _VALENCES.get(a.element, (0,)):
         if v >= s - 1e-9:
             return int(round(v - s))
@@ -478,13 +497,157 @@ def _bond_sym(mol: Mol, i: int, j: int, order: int) -> str:
     return _BOND_SYM[order]
 
 
+# ---------------------------------------------------------------------------
+# Aromaticity perception (bounded Hückel subset)
+# ---------------------------------------------------------------------------
+
+_AROMATIZABLE = {"C", "N", "O", "S"}
+
+
+def _small_rings(mol: Mol, max_size: int = 6) -> list[list[int]]:
+    """Simple rings of size <= max_size: for each bond, the shortest
+    alternative path between its endpoints (BFS without that bond)
+    closes the smallest ring through it. Deduplicated by atom set."""
+    seen: set[frozenset] = set()
+    rings: list[list[int]] = []
+    for u in range(len(mol.atoms)):
+        for v, _ in mol.bonds[u]:
+            if v < u:
+                continue
+            # BFS u -> v avoiding the direct edge
+            prev = {u: None}
+            queue = [u]
+            found = False
+            while queue and not found:
+                nxt = []
+                for x in queue:
+                    for y, _o in mol.bonds[x]:
+                        if x == u and y == v:
+                            continue
+                        if y not in prev:
+                            prev[y] = x
+                            if y == v:
+                                found = True
+                                break
+                            nxt.append(y)
+                    if found:
+                        break
+                queue = nxt
+            if not found:
+                continue
+            path = [v]
+            while path[-1] is not None and path[-1] != u:
+                path.append(prev[path[-1]])
+            ring = path[:-1] + [u] if path[-1] == u else path
+            ring = [a for a in path if a is not None]
+            if len(ring) <= max_size:
+                key = frozenset(ring)
+                if len(key) == len(ring) and key not in seen:
+                    seen.add(key)
+                    rings.append(ring)
+    return rings
+
+
+def _ring_bond_orders(mol: Mol, ring: list[int]) -> list[int]:
+    n = len(ring)
+    out = []
+    for i in range(n):
+        a, b = ring[i], ring[(i + 1) % n]
+        o = next(oo for j, oo in mol.bonds[a] if j == b)
+        out.append(o)
+    return out
+
+
+def _try_aromatize_ring(mol: Mol, ring: list[int]) -> bool:
+    """Mark `ring` aromatic when it matches the bounded Hückel rules:
+
+    * size 6, atoms C/N, bonds alternate single/double around the
+      ring (aromatic bonds from an earlier pass count as wildcards);
+    * size 5, atoms C/N/O/S, exactly two non-adjacent ring double
+      bonds, and the remaining lone-pair donor (the atom flanked by
+      two ring single bonds) is N/O/S.
+
+    Returns True when it changed anything."""
+    n = len(ring)
+    atoms = [mol.atoms[i] for i in ring]
+    if any(a.element not in _AROMATIZABLE for a in atoms):
+        return False
+    if all(a.aromatic for a in atoms):
+        return False
+    orders = _ring_bond_orders(mol, ring)
+    if any(o == 3 for o in orders):
+        return False
+    ok = False
+    if n == 6 and all(a.element in ("C", "N") for a in atoms):
+        for parity in (0, 1):
+            if all(
+                o == 4 or o == (2 if (i % 2 == parity) else 1)
+                for i, o in enumerate(orders)
+            ):
+                ok = True
+                break
+    elif n == 5:
+        doubles = [i for i, o in enumerate(orders) if o == 2]
+        wilds = [i for i, o in enumerate(orders) if o == 4]
+        if len(doubles) + len(wilds) >= 2 and len(doubles) <= 2:
+            # the donor atom: both incident ring bonds single
+            donors = [
+                i
+                for i in range(n)
+                if orders[i] == 1 and orders[(i - 1) % n] == 1
+            ]
+            if len(donors) == 1 and atoms[donors[0]].element in ("N", "O", "S"):
+                ok = True
+    if not ok:
+        return False
+    changed = False
+    # preserve each atom's H count through the bond-order rewrite
+    old_h = {i: mol.implicit_h(i) for i in ring}
+    for i in ring:
+        if not mol.atoms[i].aromatic:
+            mol.atoms[i].aromatic = True
+            changed = True
+    ring_set = set(ring)
+    for i in ring:
+        mol.bonds[i] = [
+            (j, 4 if (j in ring_set and _adjacent_in_ring(ring, i, j)) else o)
+            for j, o in mol.bonds[i]
+        ]
+    for i in ring:
+        a = mol.atoms[i]
+        if a.h_count is None and mol.implicit_h(i) != old_h[i]:
+            a.h_count = old_h[i]
+            a.bracket = True
+            changed = True
+    return changed
+
+
+def _adjacent_in_ring(ring: list[int], a: int, b: int) -> bool:
+    n = len(ring)
+    for i in range(n):
+        if {ring[i], ring[(i + 1) % n]} == {a, b}:
+            return True
+    return False
+
+
+def aromatize(mol: Mol) -> Mol:
+    """Iterate the ring rules to a fixpoint (fused systems aromatize
+    ring-by-ring, earlier rings\' aromatic bonds acting as wildcards
+    for their neighbors)."""
+    rings = _small_rings(mol)
+    for _ in range(len(rings) + 1):
+        if not any(_try_aromatize_ring(mol, r) for r in rings):
+            break
+    return mol
+
+
 def canonical_smiles(s: str, keep_all_fragments: bool = False) -> str | None:
     """Canonical SMILES of the LARGEST fragment (the reference's
     fragment-cleanup convention) — None on parse failure. With
     `keep_all_fragments`, every fragment is canonicalized and joined
     with '.' in sorted order."""
     try:
-        mol = parse_smiles(s)
+        mol = aromatize(parse_smiles(s))
         if keep_all_fragments:
             parts = sorted(
                 _write(mol, f, canonical_ranks(mol, f)) for f in fragments(mol)
@@ -513,7 +676,7 @@ def morgan_count_fp(
     0..`radius` — the count-fingerprint shape the D4 metrics consume.
     Hashes are order-invariant (sorted neighbor envs)."""
     try:
-        mol = parse_smiles(s)
+        mol = aromatize(parse_smiles(s))
     except SmilesError:
         return None
     atoms = largest_fragment(mol) if largest_only else list(range(len(mol.atoms)))
@@ -565,8 +728,8 @@ def has_substructure(query: str, target: str) -> bool:
     aromaticity and charge must match; bond orders must match, with
     aromatic matching aromatic)."""
     try:
-        q = parse_smiles(query)
-        t = parse_smiles(target)
+        q = aromatize(parse_smiles(query))
+        t = aromatize(parse_smiles(target))
     except SmilesError:
         return False
     return _match(q, t)

@@ -190,3 +190,28 @@ def test_property_fingerprint_and_selfmatch(mol):
     assert fp is not None and sum(fp.values()) == 3 * len(atoms)
     assert morgan_count_fp(canonical_smiles(s)) == fp
     assert has_substructure(s, s)
+
+
+def test_aromatize_unifies_kekule_and_aromatic_forms():
+    pairs = [
+        ("c1ccccc1", "C1=CC=CC=C1"),
+        ("c1ccncc1", "C1=CC=NC=C1"),
+        ("[nH]1cccc1", "N1C=CC=C1"),
+        ("o1cccc1", "O1C=CC=C1"),
+        ("s1cccc1", "S1C=CC=C1"),
+        ("c1ccc2ccccc2c1", "C1=CC2=CC=CC=C2C=C1"),       # naphthalene
+        ("c1ccc2[nH]ccc2c1", "C1=CC2=C(C=C1)C=CN2"),     # indole
+        ("CC(=O)Oc1ccccc1C(=O)O", "CC(=O)OC1=CC=CC=C1C(=O)O"),
+    ]
+    for a, b in pairs:
+        ca, cb = canonical_smiles(a), canonical_smiles(b)
+        assert ca is not None and ca == cb, (a, b, ca, cb)
+
+
+def test_aromatize_leaves_nonaromatic_rings_alone():
+    # partially saturated / non-alternating rings must NOT aromatize
+    assert canonical_smiles("C1CCCCC1") != canonical_smiles("c1ccccc1")
+    assert canonical_smiles("C1CCC=CC1") != canonical_smiles("c1ccccc1")
+    # and substructure respects the unified perception
+    assert has_substructure("c1ccccc1", "CC1=CC=CC=C1")  # kekule toluene
+    assert not has_substructure("c1ccccc1", "C1CCCCC1")
