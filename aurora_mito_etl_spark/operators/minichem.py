@@ -504,48 +504,37 @@ def _bond_sym(mol: Mol, i: int, j: int, order: int) -> str:
 _AROMATIZABLE = {"C", "N", "O", "S"}
 
 
-def _small_rings(mol: Mol, max_size: int = 6) -> list[list[int]]:
-    """Simple rings of size <= max_size: for each bond, the shortest
-    alternative path between its endpoints (BFS without that bond)
-    closes the smallest ring through it. Deduplicated by atom set."""
-    seen: set[frozenset] = set()
-    rings: list[list[int]] = []
-    for u in range(len(mol.atoms)):
-        for v, _ in mol.bonds[u]:
-            if v < u:
-                continue
-            # BFS u -> v avoiding the direct edge
-            prev = {u: None}
-            queue = [u]
-            found = False
-            while queue and not found:
-                nxt = []
-                for x in queue:
-                    for y, _o in mol.bonds[x]:
-                        if x == u and y == v:
-                            continue
-                        if y not in prev:
-                            prev[y] = x
-                            if y == v:
-                                found = True
-                                break
-                            nxt.append(y)
-                    if found:
-                        break
-                queue = nxt
-            if not found:
-                continue
-            path = [v]
-            while path[-1] is not None and path[-1] != u:
-                path.append(prev[path[-1]])
-            ring = path[:-1] + [u] if path[-1] == u else path
-            ring = [a for a in path if a is not None]
-            if len(ring) <= max_size:
-                key = frozenset(ring)
-                if len(key) == len(ring) and key not in seen:
-                    seen.add(key)
-                    rings.append(ring)
-    return rings
+def _all_small_cycles(mol: Mol, max_size: int = 6) -> list[list[int]]:
+    """EVERY simple cycle of length 3..max_size, each exactly once, as
+    an ordered atom tuple. The SET is a pure graph property — no
+    dependence on atom numbering or traversal order — which is what
+    keeps aromatization isomorphism-invariant (the hypothesis property
+    test caught a shortest-ring-per-bond variant picking different
+    rings for different atom numberings of the same graph).
+
+    Enumeration: DFS paths from each start atom restricted to
+    higher-numbered atoms, closing back to the start; each cycle is
+    found from its minimum atom only, once per direction — deduped by
+    frozenset."""
+    cycles: dict[frozenset, list[int]] = {}
+
+    def dfs(start: int, path: list[int], on_path: set[int]) -> None:
+        last = path[-1]
+        for j, _ in mol.bonds[last]:
+            if j == start and len(path) >= 3:
+                key = frozenset(path)
+                if len(key) == len(path) and key not in cycles:
+                    cycles[key] = list(path)
+            elif j > start and j not in on_path and len(path) < max_size:
+                on_path.add(j)
+                path.append(j)
+                dfs(start, path, on_path)
+                path.pop()
+                on_path.discard(j)
+
+    for a in range(len(mol.atoms)):
+        dfs(a, [a], {a})
+    return list(cycles.values())
 
 
 def _ring_bond_orders(mol: Mol, ring: list[int]) -> list[int]:
@@ -558,68 +547,43 @@ def _ring_bond_orders(mol: Mol, ring: list[int]) -> list[int]:
     return out
 
 
-def _try_aromatize_ring(mol: Mol, ring: list[int]) -> bool:
-    """Mark `ring` aromatic when it matches the bounded Hückel rules:
+def _ring_matches(mol: Mol, ring: list[int]) -> bool:
+    """Read-only test of the bounded Hückel rules:
 
     * size 6, atoms C/N, bonds alternate single/double around the
       ring (aromatic bonds from an earlier pass count as wildcards);
-    * size 5, atoms C/N/O/S, exactly two non-adjacent ring double
-      bonds, and the remaining lone-pair donor (the atom flanked by
-      two ring single bonds) is N/O/S.
-
-    Returns True when it changed anything."""
+    * size 5, atoms C/N/O/S, two double bonds (or earlier-pass
+      aromatic wildcards), and the lone-pair donor (the atom flanked
+      by two ring single bonds) is N/O/S.
+    """
     n = len(ring)
     atoms = [mol.atoms[i] for i in ring]
     if any(a.element not in _AROMATIZABLE for a in atoms):
         return False
     if all(a.aromatic for a in atoms):
-        return False
+        return False  # already done — terminates the fixpoint
     orders = _ring_bond_orders(mol, ring)
     if any(o == 3 for o in orders):
         return False
-    ok = False
     if n == 6 and all(a.element in ("C", "N") for a in atoms):
         for parity in (0, 1):
             if all(
                 o == 4 or o == (2 if (i % 2 == parity) else 1)
                 for i, o in enumerate(orders)
             ):
-                ok = True
-                break
-    elif n == 5:
+                return True
+        return False
+    if n == 5:
         doubles = [i for i, o in enumerate(orders) if o == 2]
         wilds = [i for i, o in enumerate(orders) if o == 4]
         if len(doubles) + len(wilds) >= 2 and len(doubles) <= 2:
-            # the donor atom: both incident ring bonds single
             donors = [
                 i
                 for i in range(n)
                 if orders[i] == 1 and orders[(i - 1) % n] == 1
             ]
-            if len(donors) == 1 and atoms[donors[0]].element in ("N", "O", "S"):
-                ok = True
-    if not ok:
-        return False
-    changed = False
-    # preserve each atom's H count through the bond-order rewrite
-    old_h = {i: mol.implicit_h(i) for i in ring}
-    for i in ring:
-        if not mol.atoms[i].aromatic:
-            mol.atoms[i].aromatic = True
-            changed = True
-    ring_set = set(ring)
-    for i in ring:
-        mol.bonds[i] = [
-            (j, 4 if (j in ring_set and _adjacent_in_ring(ring, i, j)) else o)
-            for j, o in mol.bonds[i]
-        ]
-    for i in ring:
-        a = mol.atoms[i]
-        if a.h_count is None and mol.implicit_h(i) != old_h[i]:
-            a.h_count = old_h[i]
-            a.bracket = True
-            changed = True
-    return changed
+            return len(donors) == 1 and atoms[donors[0]].element in ("N", "O", "S")
+    return False
 
 
 def _adjacent_in_ring(ring: list[int], a: int, b: int) -> bool:
@@ -630,13 +594,53 @@ def _adjacent_in_ring(ring: list[int], a: int, b: int) -> bool:
     return False
 
 
+def _apply_aromatic(mol: Mol, ring: list[int]) -> bool:
+    changed = False
+    ring_set = set(ring)
+    for i in ring:
+        if not mol.atoms[i].aromatic:
+            mol.atoms[i].aromatic = True
+            changed = True
+    for i in ring:
+        new_bonds = []
+        for j, o in mol.bonds[i]:
+            if j in ring_set and _adjacent_in_ring(ring, i, j) and o != 4:
+                new_bonds.append((j, 4))
+                changed = True
+            else:
+                new_bonds.append((j, o))
+        mol.bonds[i] = new_bonds
+    return changed
+
+
 def aromatize(mol: Mol) -> Mol:
-    """Iterate the ring rules to a fixpoint (fused systems aromatize
-    ring-by-ring, earlier rings\' aromatic bonds acting as wildcards
-    for their neighbors)."""
-    rings = _small_rings(mol)
+    """Fixpoint of the ring rules with SIMULTANEOUS application: every
+    pass evaluates all cycles against the frozen current state, then
+    aromatizes every match at once — no dependence on ring processing
+    order, so isomorphic graphs aromatize identically. H counts are
+    preserved through the bond-order rewrite via explicit brackets
+    where they would change ([nH] pyrrole)."""
+    try:
+        rings = _all_small_cycles(mol)
+    except RecursionError:
+        return mol
+    if not rings:
+        return mol
     for _ in range(len(rings) + 1):
-        if not any(_try_aromatize_ring(mol, r) for r in rings):
+        matched = [r for r in rings if _ring_matches(mol, r)]
+        if not matched:
+            break
+        affected = {i for r in matched for i in r}
+        old_h = {i: mol.implicit_h(i) for i in affected}
+        changed = False
+        for r in matched:
+            changed |= _apply_aromatic(mol, r)
+        for i in affected:
+            a = mol.atoms[i]
+            if a.h_count is None and mol.implicit_h(i) != old_h[i]:
+                a.h_count = old_h[i]
+                a.bracket = True
+        if not changed:
             break
     return mol
 
