@@ -146,7 +146,7 @@ def ngram_contamination_bloom(
     bench_text_col: str = "text",
     m_bits: int = 1 << 23,
     k: int = 4,
-    hits_broadcast_rows: int | None = 5_000_000,
+    hits_broadcast_rows: int | None = None,
 ) -> DataFrame:
     """`decontaminate.ngram_contamination` for a benchmark too large
     to broadcast: same output contract — one row per document,
@@ -181,22 +181,21 @@ def ngram_contamination_bloom(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hit_ngrams"))
     )
-    # hits is bounded by contaminated-DOC count — normally tiny, so
-    # broadcasting it back onto the full id list avoids shuffling
-    # every corpus id. But the bound is data-dependent (a benchmark
-    # that overlaps most of the corpus makes hits corpus-sized), and
-    # an unconditional broadcast of an unbounded side can OOM the
-    # driver — so materialize hits once (localCheckpoint: it is the
-    # output of the whole verify pipeline; count+join then reuse it),
-    # count it, and fall back to a shuffle join above the cap
-    # (VERDICT r5 ask #8). hits_broadcast_rows=None restores the
-    # unguarded single-plan form (plan-shape tests inspect it).
+    # hits is bounded by contaminated-DOC count — normally tiny — but
+    # the bound is data-dependent (a benchmark overlapping most of the
+    # corpus makes hits corpus-sized), and an unconditional broadcast
+    # of an unbounded side can OOM the driver (VERDICT r5 ask #8).
+    # Default (None): NO broadcast hint — AQE's size-based join
+    # selection broadcasts the hits side at runtime when its actual
+    # size is under spark.sql.autoBroadcastJoinThreshold, and keeps a
+    # shuffle join otherwise; the plan stays lazy and fully auditable.
+    # An explicit row cap selects the count-guarded path for AQE-off
+    # sessions: materialize hits once (localCheckpoint), count it,
+    # broadcast only under the cap.
     if hits_broadcast_rows is not None:
         hits = hits.localCheckpoint()
         if hits.count() <= hits_broadcast_rows:
             hits = F.broadcast(hits)
-    else:
-        hits = F.broadcast(hits)
     return docs.select(id_col).join(hits, id_col, "left").select(
         F.col(id_col),
         F.coalesce("n_hit_ngrams", F.lit(0)).alias("n_hit_ngrams"),

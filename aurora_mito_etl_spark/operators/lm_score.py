@@ -34,16 +34,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from aurora_mito_etl_spark.functions.numeric import dec, dec_to_double, fixed6
-from aurora_mito_etl_spark.operators.textstats import shingles_arrow
-
-
-def _tokens(col: Column) -> Column:
-    """THE shared tokenization (identical to textstats.shingles /
-    ascii_ws_tokens and the _SHINGLE_SQL oracles): ASCII-ws collapse,
-    trim, lower, split on single space."""
-    return F.split(
-        F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))), " "
-    )
+from aurora_mito_etl_spark.operators.textstats import (
+    shingles_arrow,
+    tokens_expr as _tokens,
+)
 
 
 def bigram_lm_score(

@@ -489,7 +489,11 @@ def _write(mol: Mol, atoms: list[int], ranks: dict[int, int], order_key=None) ->
 
 def _bond_sym(mol: Mol, i: int, j: int, order: int) -> str:
     if order == 4:
-        return ""
+        a, b = mol.atoms[i], mol.atoms[j]
+        # an explicit ':' bond between NON-aromatic atoms must stay
+        # explicit — writing it bare would collapse C:C onto ethane
+        # and break write/parse idempotence
+        return "" if (a.aromatic and b.aromatic) else ":"
     if order == 1:
         a, b = mol.atoms[i], mol.atoms[j]
         # explicit single bond between two aromatic atoms (biphenyl)
@@ -681,9 +685,12 @@ def morgan_count_fp(
     Hashes are order-invariant (sorted neighbor envs)."""
     try:
         mol = aromatize(parse_smiles(s))
-    except SmilesError:
+        # largest_fragment's tie-break may invoke the recursive writer
+        atoms = (
+            largest_fragment(mol) if largest_only else list(range(len(mol.atoms)))
+        )
+    except (SmilesError, RecursionError):
         return None
-    atoms = largest_fragment(mol) if largest_only else list(range(len(mol.atoms)))
     inset = set(atoms)
     env: dict[int, int] = {}
     for i in atoms:

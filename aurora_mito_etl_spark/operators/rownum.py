@@ -41,8 +41,12 @@ def assign_contiguous_ids(
     import pandas as pd
     from pyspark.sql import types as T
 
-    parts = num_partitions or df.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "32"
+    if num_partitions is not None and num_partitions < 1:
+        raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
+    parts = (
+        num_partitions
+        if num_partitions is not None
+        else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
     ranged = df.repartitionByRange(int(parts), F.col(order_col)).sortWithinPartitions(
         order_col

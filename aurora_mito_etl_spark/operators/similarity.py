@@ -79,10 +79,20 @@ def brute_force_topk(
         F.col(query_id_col),
         F.col(id_col),
         _fixed6(
-            dot_arrow(F.col("__v"), F.col("__q")) / (F.col("__vn") * F.col("__qn"))
+            dot_arrow(F.col("__v"), F.col("__q"))
+            / (_safe_norm(F.col("__vn")) * _safe_norm(F.col("__qn")))
         ).alias("score"),
     )
     return _rank_topk(scored, query_id_col, id_col, k)
+
+
+def _safe_norm(c):
+    """Zero-norm guard for cosine denominators: norm 0 → 1.0, so a
+    zero vector scores a finite dot/1 instead of a NaN — a NaN score
+    would be rewritten to NULL by partial_topk's Arrow round-trip and
+    rank LAST while the DuckDB oracles rank NaN FIRST. Every top-k
+    oracle mirrors this with CASE WHEN nrm = 0 THEN 1.0."""
+    return F.when(c == 0, F.lit(1.0)).otherwise(c)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -296,7 +306,8 @@ def lsh_bucketed_topk(
         F.col(query_id_col),
         F.col(id_col),
         _fixed6(
-            dot_arrow(F.col("__v"), F.col("__q")) / (F.col("__vn") * F.col("__qn"))
+            dot_arrow(F.col("__v"), F.col("__q"))
+            / (_safe_norm(F.col("__vn")) * _safe_norm(F.col("__qn")))
         ).alias("score"),
     )
     return _rank_topk(scored, query_id_col, id_col, k)
@@ -440,7 +451,13 @@ def partial_topk(
     explicit nulls-last window downstream and DuckDB's default — a
     NaN-poisoned vector (NULL score via dot_arrow) still appears at
     the tail when fewer than k real candidates exist, it just never
-    outranks one (pinned by test_nan_vector_ranks_last)."""
+    outranks one (pinned by test_nan_vector_ranks_last).
+
+    Two Arrow caveats the callers must respect: a Catalyst NaN score
+    is rewritten to NULL on the pandas round-trip (so upstream
+    scoring must never emit NaN — zero norms are guarded to 1.0 via
+    `_safe_norm` in every caller), and NULL group keys survive only
+    because groupby runs with dropna=False."""
     import pandas as pd
 
     sort_asc = [ascending, True]
@@ -450,7 +467,7 @@ def partial_topk(
         for pdf in batches:
             if not len(pdf):
                 continue
-            for qid, g in pdf.groupby(query_id_col, sort=False):
+            for qid, g in pdf.groupby(query_id_col, sort=False, dropna=False):
                 cur = best.get(qid)
                 cat = g if cur is None else pd.concat((cur, g))
                 best[qid] = cat.sort_values(

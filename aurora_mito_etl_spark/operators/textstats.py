@@ -55,6 +55,17 @@ def lang_id(col: Column) -> Column:
     return F.when(best["h"] > 0, best["code"]).otherwise("und")
 
 
+def tokens_expr(col: Column) -> Column:
+    """THE shared Catalyst-side tokenization (ASCII-ws collapse, trim,
+    lower, split on single space) — the Column twin of
+    :func:`ascii_ws_tokens` and the exact chain every SQL oracle's
+    string_split mirrors. Import this instead of re-deriving it
+    (copies silently de-synchronize token streams across paths)."""
+    return F.split(
+        F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))), " "
+    )
+
+
 def token_count_ws(col: Column) -> Column:
     """Whitespace token count."""
     return F.size(F.split(F.trim(col), r"\s+"))
@@ -153,7 +164,7 @@ def shingles(col: Column, k: int = 3) -> Column:
     (HOF lambdas evaluate interpreted, ~15 µs per shingle; the hot
     dedup operators use the Arrow twin, pinned by a parity test).
     """
-    toks = F.split(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))), " ")
+    toks = tokens_expr(col)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
     return F.when(

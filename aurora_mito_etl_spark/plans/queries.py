@@ -1450,10 +1450,18 @@ _COS_SQL = """
 @_register(
     "emb_cosine_topk",
     f"""
-    WITH scored AS (
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    g AS (  -- zero-norm guard: Spark scores dot/1.0 for zero vectors
+      SELECT vec_id, e, CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END AS nrm FROM v
+    ),
+    scored AS (
       SELECT b.vec_id AS query_id, a.vec_id,
-             floor(({_COS_SQL}) * 1000000 + 0.5) / 1000000 AS score
-      FROM embeddings a, embeddings b
+             floor((list_dot_product(a.e, b.e) / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000 AS score
+      FROM g a, g b
       WHERE b.vec_id % 100 = 0
     ),
     ranked AS (
@@ -1481,6 +1489,10 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(({_COS_SQL}) * 1000000 + 0.5) / 1000000 AS cos_sim
     FROM embeddings a, embeddings b
     WHERE a.vec_id < b.vec_id
+      -- zero-norm guard: the numpy mask's NaN >= t is False, while
+      -- DuckDB orders NaN LARGEST — pin the Spark semantics
+      AND sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) > 0
+      AND sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) > 0
       AND {_COS_SQL} >= 0.5
     """,
 )
@@ -1563,10 +1575,13 @@ def _lsh_topk_oracle(n_planes: int = 8, dim: int = 64, k: int = 5) -> str:
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       FROM embeddings
     ),
-    b AS (SELECT vec_id, e, nrm, {bucket_terms} AS bucket FROM v),
+    b AS (SELECT vec_id, e,
+                 CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END AS nrm,
+                 {bucket_terms} AS bucket FROM v),
     q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, bucket
           FROM b WHERE vec_id % 100 = 0),
     scored AS (
+      -- norms pre-guarded in b (zero-norm -> 1.0, the Spark twin)
       SELECT q.query_id, b.vec_id,
              floor((list_dot_product(b.e, q.qe) / (b.nrm * q.qn)) * 1000000 + 0.5) / 1000000 AS score
       FROM b JOIN q ON b.bucket = q.bucket
@@ -4576,12 +4591,7 @@ def docs_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source); no collects, no windows."""
     d = load_table(spark, sf_dir, "documents")
     words = d.select(
-        "source",
-        F.explode(
-            F.split(
-                F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "
-            )
-        ).alias("w"),
+        "source", F.explode(ts.tokens_expr(F.col("text"))).alias("w")
     ).filter(F.col("w") != "")
     cnt = words.groupBy("source", "w").agg(F.count("*").alias("c"))
     tot = cnt.groupBy("source").agg(

@@ -648,3 +648,38 @@ def test_pq_adc_topk_retrieves_own_cluster(spark):
         for r in out.collect()
     }
     assert again == first
+
+
+def test_zero_norm_vector_scores_finite(spark):
+    """A zero-norm corpus vector must score dot/1.0 (finite, defined)
+    — a NaN score would be rewritten to NULL by partial_topk's Arrow
+    round-trip and rank last while DuckDB ranks NaN first; the
+    safe-norm guard (and its CASE WHEN oracle twin) removes the NaN
+    entirely. Regression for the review's regenerated-testdata
+    scenario."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+        (2, [0.5, 0.5, 0.0, 0.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    out = {r["vec_id"]: r for r in sim.brute_force_topk(vecs, q, k=3).collect()}
+    assert len(out) == 3  # zero vector present, not dropped
+    assert out[1]["score"] == 0.0  # dot/1.0, not NaN/NULL
+    assert out[1]["rank"] == 3  # and it never outranks a real match
+
+
+def test_partial_topk_keeps_null_query_groups(spark):
+    """NULL query ids form their own ranked group (pandas groupby
+    dropna=False), matching the window semantics over the full table."""
+    scored = spark.createDataFrame(
+        [(None, 1, 0.9), (None, 2, 0.8), (10, 3, 0.7)],
+        "query_id long, vec_id long, score double",
+    ).coalesce(1)  # one partition: the partial phase must prune to k
+    pruned = sim.partial_topk(scored, "query_id", "vec_id", k=1).collect()
+    got = {(r["query_id"], r["vec_id"]) for r in pruned}
+    assert (None, 1) in got and (10, 3) in got
+    assert (None, 2) not in got  # pruned to k=1 within the NULL group

@@ -90,8 +90,9 @@ def test_assign_contiguous_ids_matches_global_rank(spark):
     by_key = sorted(got, key=lambda r: r["k"])
     # dense, 0-based, ordered by k, no duplicates
     assert [r["seq"] for r in by_key] == list(range(1009))
-    # payload column rides along untouched
-    assert all(r["v"] == f"v{(r['k'] * 433) % 1009}" or True for r in got)
+    # payload column rides along untouched: original rows were
+    # (k*7 % 1009, f"v{k}"), and 7^-1 mod 1009 = 865
+    assert all(r["v"] == f"v{(r['k'] * 865) % 1009}" for r in got)
 
 
 def test_assign_contiguous_ids_plan_has_no_global_sort(spark):
