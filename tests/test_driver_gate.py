@@ -57,23 +57,38 @@ def test_driver_sample_covers_llm_tier():
         "emb_semantic_dedup",
         "docs_pack_sequences",
         "docs_dsir_weights",
-        "emb_pq_encode",
         "docs_incremental_near_dup",
-        "docs_near_dedup_best",
-        # round-6 rotation: first-time hard-gate families
-        "docs_bm25_search",
-        "emb_pq_adc_topk",
-        "supplier_fuzzy_pairs",
-        "docs_vocab_sketch",
-        "orders_zorder_key",
-        "lineitem_corr_stats",
-        "lineitem_winsorized",
-        "docs_containment_pairs",
-        "events_funnel",
-        "docs_weighted_sample",
         "docs_lm_score",
+        # round-7 bisection block: the driver-red parent plus its
+        # three column-split variants, adjacent (VERDICT r6 ask #1)
+        "docs_source_report",
+        "docs_source_report_counts",
+        "docs_source_report_quality",
+        "docs_source_report_qsum",
+        # round-7 rotation: first-time hard-gate families + the
+        # streaming batch-twin (VERDICT r6 asks #2/#6)
+        "docs_lm_score_external",
+        "docs_source_entropy",
+        "emb_lsh_recall",
+        "lineitem_price_percentiles_approx",
+        "orders_pivot_priority",
+        "events_cube",
+        "events_hourly_gap_filled",
+        "events_retention",
+        "docs_chunk_windows",
+        "docs_hash_sample",
+        "events_sessionize",
     }
     assert must_sample <= first50
+    # The bisection block is contiguous and immediately follows the
+    # parent, so one CORRECTNESS file reads as a bisection table.
+    i = names.index("docs_source_report")
+    assert names[i : i + 4] == [
+        "docs_source_report",
+        "docs_source_report_counts",
+        "docs_source_report_quality",
+        "docs_source_report_qsum",
+    ]
     # The reorder is a permutation: nothing dropped, oracles intact.
     assert len(names) == len(set(names)) >= 91
     assert set(ORACLES) <= set(QUERIES)
