@@ -35,8 +35,16 @@ def _term_weights(
     docs: DataFrame, text_col: str, id_col: str, max_df_frac: float
 ) -> DataFrame:
     """(id, tok, wn): L2-normalized fixed6 TF-IDF weights, stopword
-    tokens (df > max_df_frac * N) excluded from the index."""
-    n_docs = docs.count()  # scalar; also recomputed identically by the oracle
+    tokens (df > max_df_frac * N) excluded from the index.
+
+    N enters the plan as a broadcast 1-row aggregate (the lm_score.py
+    vocab-scalar pattern), not a driver `.count()` — one plan, no
+    extra full-scan job, no driver round-trip at 100 TB. The
+    arithmetic is identical to the old scalar form: Python
+    `int(frac * n)` == floor on a non-negative double product, and
+    `float(n + 1)` == `n.cast(double) + 1.0` at these magnitudes, so
+    the oracle SQL (which recomputes N itself) is unchanged."""
+    nd = docs.agg(F.count("*").alias("n_docs"))
     toks = F.split(
         F.lower(F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " "))),
         " ",
@@ -47,10 +55,20 @@ def _term_weights(
         .groupBy("id", "tok")
         .agg(F.count("*").alias("tf"))
     )
-    df_t = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    df_t = df_t.where(F.col("df") <= F.lit(int(max_df_frac * n_docs)))
+    df_t = (
+        tf.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .where(
+            F.col("df")
+            <= F.floor(F.lit(max_df_frac) * F.col("n_docs").cast("double"))
+        )
+    )
     idf = fixed6(
-        F.log((F.lit(float(n_docs + 1))) / (F.col("df").cast("double") + F.lit(1.0)))
+        F.log(
+            (F.col("n_docs").cast("double") + F.lit(1.0))
+            / (F.col("df").cast("double") + F.lit(1.0))
+        )
     )
     w = tf.join(df_t, "tok").select(
         "id", "tok", fixed6(F.col("tf").cast("double") * idf).alias("wt")
@@ -148,17 +166,30 @@ def bm25_search(
         .agg(F.count("*").alias("tf"))
     )
     doclen = tf_all.groupBy("id").agg(F.sum("tf").alias("dl"))
-    n_docs = doclen.count()  # docs with at least one token
-    avg_dl = (
-        doclen.agg(F.sum("dl")).collect()[0][0] / float(n_docs)
-    )  # exact int sum / count — engine-identical division
+    # Corpus stats (N = docs with at least one token, avg_dl) as a
+    # broadcast 1-row aggregate — the lm_score.py pattern — instead of
+    # a driver count + collect: no extra full-scan jobs, one plan.
+    # avg_dl is the identical IEEE division (exact int sum cast to
+    # double / count cast to double) the old driver-side form did.
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).select(
+        "n_docs",
+        (F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")).alias(
+            "avg_dl"
+        ),
+    )
 
     tf_q = tf_all.where(F.col("tok").isin(terms))
-    df_t = tf_q.groupBy("tok").agg(F.count("*").alias("df"))
+    df_t = (
+        tf_q.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(stats))
+    )
     idf = fixed6(
         F.log(
             F.lit(1.0)
-            + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
             / (F.col("df") + F.lit(0.5))
         )
     )
@@ -166,7 +197,10 @@ def bm25_search(
     norm = tfd * F.lit(k1 + 1.0) / (
         tfd
         + F.lit(k1)
-        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avg_dl))
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("dl").cast("double") / F.col("avg_dl")
+        )
     )
     scored = (
         tf_q.join(df_t, "tok")

@@ -2698,12 +2698,16 @@ def docs_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = t.groupBy("source", "tok").agg(F.count("*").alias("c"))
     stot = st.groupBy("source").agg(F.sum("c").alias("ts"))
     ct = st.groupBy("tok").agg(F.sum("c").alias("cc"))
-    tc = ct.agg(F.sum("cc")).collect()[0][0]  # scalar total, exact int
+    # corpus token total as a broadcast 1-row aggregate (lm_score.py
+    # pattern), not a driver collect — one plan, no extra scan job;
+    # cast(double) of the exact int total == the old float(tc) literal
+    tot = ct.agg(F.sum("cc").alias("tc"))
     p = F.col("c").cast("double") / F.col("ts")
-    q = F.col("cc").cast("double") / F.lit(float(tc))
+    q = F.col("cc").cast("double") / F.col("tc").cast("double")
     contrib = (
         st.join(stot, "source")
         .join(ct, "tok")
+        .crossJoin(F.broadcast(tot))
         .select("source", fixed6(p * F.log(p / q)).alias("kx"))
     )
     return contrib.groupBy("source").agg(
