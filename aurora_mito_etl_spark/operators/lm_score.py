@@ -62,7 +62,21 @@ def bigram_lm_score(
         F.explode(_tokens(F.col(text_col))).alias("w")
     ).filter(F.col("w") != "")
     uni = words.groupBy("w").agg(F.count("*").alias("c1"))
-    vocab = uni.agg(F.count("*").alias("V"))
+    # Degenerate-train guard, plan-side (no driver pull): V=0 would
+    # make every Laplace denominator (c1+V) zero and each contribution
+    # ln(x/0) = +inf — fail loudly at the one-row aggregate instead.
+    vocab = uni.agg(F.count("*").alias("V")).select(
+        F.when(F.col("V") > 0, F.col("V"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "bigram_lm_score: training corpus has an empty "
+                    "vocabulary (no non-whitespace tokens)"
+                )
+            ).cast("long")
+        )
+        .alias("V")
+    )
 
     doc_bg = docs.select(
         F.col(id_col), F.explode(shingles_arrow(F.col(text_col), 2)).alias("bg")

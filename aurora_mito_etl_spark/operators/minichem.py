@@ -217,6 +217,18 @@ def _ring_closure(mol, ring, num, prev, pending_bond, s) -> None:
         raise SmilesError(f"ring digit before any atom in {s!r}")
     if num in ring:
         other, obond = ring.pop(num)
+        # standard SMILES readers reject mismatched explicit ring-bond
+        # symbols (e.g. 'C-1CCCC=1'); silently letting one side win
+        # would canonicalize two disagreeing inputs without diagnostic
+        if (
+            pending_bond is not None
+            and obond is not None
+            and pending_bond != obond
+        ):
+            raise SmilesError(
+                f"conflicting ring-closure bond orders {obond} vs "
+                f"{pending_bond} for ring {num} in {s!r}"
+            )
         order = pending_bond if pending_bond is not None else obond
         if order is None:
             a, b = mol.atoms[prev], mol.atoms[other]

@@ -56,11 +56,20 @@ def assign_contiguous_ids(
     # re-executing it twice would also double the shuffle work)
     ranged = ranged.localCheckpoint()
     counts = (
-        ranged.select(F.spark_partition_id().alias("p"))
+        ranged.select(F.spark_partition_id().alias("p"), F.col(order_col))
         .groupBy("p")
-        .agg(F.count("*").alias("n"))
+        .agg(F.count("*").alias("n"), F.count(order_col).alias("nn"))
         .collect()
     )
+    # Contract guard (free in the existing count pass): NULL keys would
+    # sort NULLS FIRST in Spark but NULLS LAST in a DuckDB oracle's
+    # row_number() — fail fast instead of silently diverging.
+    n_null = sum(r["n"] - r["nn"] for r in counts)
+    if n_null:
+        raise ValueError(
+            f"assign_contiguous_ids: order_col {order_col!r} has {n_null} "
+            "NULL values; the assignment would be engine-dependent"
+        )
     sizes = {r["p"]: r["n"] for r in counts}
     offsets = {}
     acc = 0
@@ -80,8 +89,23 @@ def assign_contiguous_ids(
         pid = TaskContext.get().partitionId()
         base = offsets.get(pid, 0)
         seen = 0
+        prev_last = None
         for pdf in batches:
             pdf = pdf.copy()
+            # Uniqueness guard: range partitioning co-locates equal
+            # keys and each partition is sorted, so any duplicate is
+            # adjacent — within a batch or across the batch boundary.
+            if len(pdf):
+                vals = pdf[order_col]
+                dup_in_batch = bool((vals.values[1:] == vals.values[:-1]).any())
+                dup_at_seam = prev_last is not None and vals.iloc[0] == prev_last
+                if dup_in_batch or dup_at_seam:
+                    raise ValueError(
+                        f"assign_contiguous_ids: order_col {order_col!r} has "
+                        "duplicate values; the assignment would be "
+                        "partition-dependent"
+                    )
+                prev_last = vals.iloc[-1]
             pdf[out_col] = range(base + seen, base + seen + len(pdf))
             seen += len(pdf)
             yield pdf

@@ -468,9 +468,15 @@ def partial_topk(
             if not len(pdf):
                 continue
             for qid, g in pdf.groupby(query_id_col, sort=False, dropna=False):
-                cur = best.get(qid)
+                # NULL query ids surface as NaN floats here, and
+                # hash(nan) is identity-based on Python 3.10+ — NaN
+                # keys from different Arrow batches would open separate
+                # dict entries and break the k×n_queries state bound.
+                # Normalize the NULL group to one sentinel key.
+                key = None if pd.isna(qid) else qid
+                cur = best.get(key)
                 cat = g if cur is None else pd.concat((cur, g))
-                best[qid] = cat.sort_values(
+                best[key] = cat.sort_values(
                     [score_col, id_col],
                     ascending=sort_asc,
                     kind="mergesort",

@@ -683,3 +683,24 @@ def test_partial_topk_keeps_null_query_groups(spark):
     got = {(r["query_id"], r["vec_id"]) for r in pruned}
     assert (None, 1) in got and (10, 3) in got
     assert (None, 2) not in got  # pruned to k=1 within the NULL group
+
+
+def test_partial_topk_null_group_spans_arrow_batches(spark):
+    """NULL query ids surface as NaN floats in pandas, and hash(nan)
+    is identity-based on Python 3.10+ — NaN keys arriving in DIFFERENT
+    Arrow batches must still accumulate in one state entry, or a
+    partition emits more than k rows for the NULL group (ADVICE r6).
+    Forces 2-row Arrow batches so the 6 NULL-group rows span 3."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "2")
+    try:
+        rows = [(None, i, 1.0 - i / 10.0) for i in range(6)]
+        scored = spark.createDataFrame(
+            rows, "query_id long, vec_id long, score double"
+        ).coalesce(1)
+        pruned = sim.partial_topk(scored, "query_id", "vec_id", k=1).collect()
+    finally:
+        spark.conf.set(key, old)
+    assert len(pruned) == 1  # ONE entry for the NULL group, pruned to k
+    assert pruned[0]["vec_id"] == 0  # and it kept the best-scored row

@@ -215,3 +215,22 @@ def test_aromatize_leaves_nonaromatic_rings_alone():
     # and substructure respects the unified perception
     assert has_substructure("c1ccccc1", "CC1=CC=CC=C1")  # kekule toluene
     assert not has_substructure("c1ccccc1", "C1CCCCC1")
+
+
+def test_ring_closure_bond_conflict_rejected():
+    """Standard SMILES readers reject mismatched explicit ring-bond
+    symbols; silently letting one side win would canonicalize two
+    disagreeing inputs without diagnostic (ADVICE r6)."""
+    import pytest
+
+    from aurora_mito_etl_spark.operators.minichem import (
+        SmilesError,
+        parse_smiles,
+    )
+
+    with pytest.raises(SmilesError, match="conflicting ring-closure"):
+        parse_smiles("C-1CCCC=1")
+    # agreeing explicit symbols and one-sided explicit symbols are fine
+    assert parse_smiles("C=1CCCC=1") is not None
+    assert parse_smiles("C1CCCC=1") is not None
+    assert parse_smiles("C=1CCCC1") is not None

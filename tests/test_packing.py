@@ -113,3 +113,32 @@ def test_assign_contiguous_ids_plan_has_no_global_sort(spark):
     out = assign_contiguous_ids(df, "k", "seq")
     final = out._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in final and "Window" not in final
+
+
+def test_assign_contiguous_ids_rejects_null_keys(spark):
+    """NULL order keys would sort NULLS FIRST in Spark but NULLS LAST
+    in a DuckDB row_number() oracle — the guard fails fast instead of
+    letting a regenerated-testdata round silently diverge (ADVICE r6)."""
+    import pytest
+
+    from aurora_mito_etl_spark.operators.rownum import assign_contiguous_ids
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (3, "c")], "k long, v string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        assign_contiguous_ids(df, "k", "seq")
+
+
+def test_assign_contiguous_ids_rejects_duplicate_keys(spark):
+    """Duplicate order keys make the assignment partition-dependent;
+    range partitioning co-locates equal keys and each partition is
+    sorted, so the adjacent-value check catches every duplicate."""
+    import pytest
+
+    from aurora_mito_etl_spark.operators.rownum import assign_contiguous_ids
+
+    rows = [(k, f"v{k}") for k in range(50)] + [(25, "dup")]
+    df = spark.createDataFrame(rows, "k long, v string").repartition(4)
+    with pytest.raises(Exception, match="duplicate"):
+        assign_contiguous_ids(df, "k", "seq").collect()

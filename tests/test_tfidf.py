@@ -155,3 +155,21 @@ def test_bigram_lm_score_external_train_corpus(spark):
     got = {r["doc_id"]: r for r in bigram_lm_score(docs, train=train).collect()}
     # doc 1 follows the training transitions, doc 2 reverses them
     assert got[1]["avg_logprob"] > got[2]["avg_logprob"]
+
+
+def test_bigram_lm_score_rejects_empty_vocabulary(spark):
+    """A training corpus with no non-whitespace tokens gives V=0 and
+    every Laplace denominator zero — the plan-side guard raises
+    instead of emitting ln(x/0)=+inf scores (ADVICE r6)."""
+    import pytest
+
+    from aurora_mito_etl_spark.operators.lm_score import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [("d1", "some real text here")], "doc_id string, text string"
+    )
+    train = spark.createDataFrame(
+        [("t1", "   "), ("t2", "")], "doc_id string, text string"
+    )
+    with pytest.raises(Exception, match="empty vocabulary"):
+        bigram_lm_score(docs, train=train).collect()

@@ -147,13 +147,11 @@ def main() -> int:
         ).save()
         adc = round(time.perf_counter() - t0, 2)
         t0 = time.perf_counter()
-        import math as _math
-
+        from aurora_mito_etl_spark.functions.numeric import fixed6_py
         from aurora_mito_etl_spark.operators import similarity as sim
 
         init = [
-            [_math.floor(x * 1e6 + 0.5) / 1e6 for x in c]
-            for c in sim.ivf_centroids(16, 8, seed=7)
+            [fixed6_py(x) for x in c] for c in sim.ivf_centroids(16, 8, seed=7)
         ]
         cl.kmeans_assignments(emb, init, iterations=2).write.format(
             "noop"
