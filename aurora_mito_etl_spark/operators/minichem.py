@@ -24,7 +24,12 @@ reference scripts/finalize_realease.py:146-227,275-451):
   furan, thiophene, naphthalene, indole and caffeine (pinned by
   tests). Exotic aromatics (7-rings, charged rings, fixed quinoid
   systems) stay as written.
-- NO tautomer enumeration, normalization, or uncharging.
+- Uncharging IS implemented (`uncharge`: cations shed their protons,
+  anions gain them, zwitterion parity retained for permanent cations)
+  and runs in canonical_smiles / morgan fingerprints /
+  has_substructure, mirroring the reference's Uncharger placement.
+  NO tautomer enumeration or normalization — the one remaining scope
+  exclusion vs the reference's canonic pipeline.
 - Stereochemistry is stripped (the reference itself writes
   isomericSmiles=False).
 - Canonical tie-breaking refines by invariants only; atoms left tied
@@ -394,6 +399,70 @@ def largest_fragment(mol: Mol) -> list[int]:
     return max(frags, key=key)
 
 
+def uncharge(mol: Mol, atoms: list[int] | None = None) -> Mol:
+    """RDKit-Uncharger-style neutralization (reference canonic step,
+    finalize_realease.py:246, and the D4 mol prep, :352-430): returns
+    a modified copy; the input is untouched. `atoms` restricts the
+    scope (atom indices are preserved) — the callers that select the
+    largest fragment FIRST pass it here, so a dropped counterion
+    (e.g. [Na+] in a carboxylate salt) no longer holds the kept
+    fragment's charge in place via zwitterion parity, exactly as the
+    reference's largest-fragment-then-uncharge prep behaves.
+
+    - Positive atoms shed the protons they carry: charge and hydrogen
+      count both decrease until charge 0 or no H left ([NH3+] -> N;
+      quaternary [N+](C)(C)(C)C has no H and stays a permanent cation).
+    - Negative atoms gain protons up to charge 0 ([O-] -> O), except
+      that enough anionic charge is RETAINED to balance permanent
+      cations (zwitterion parity, as RDKit's Uncharger): retained
+      anions are chosen deterministically by canonical rank (highest
+      ranks keep their charge). RDKit chooses by acid-strength
+      patterns instead — a documented divergence that only matters
+      for molecules with BOTH a permanent cation and 2+ distinct
+      anion sites.
+
+    Tautomer canonicalization (the reference's final canonic step,
+    :247) remains minichem's one documented scope exclusion."""
+    scope = list(range(len(mol.atoms))) if atoms is None else list(atoms)
+    if all(mol.atoms[i].charge == 0 for i in scope):
+        return mol
+    import copy
+
+    out = copy.deepcopy(mol)
+    permanent_pos = 0
+    for i in scope:
+        a = out.atoms[i]
+        if a.charge > 0:
+            h = out.implicit_h(i)
+            shed = min(a.charge, h)
+            a.charge -= shed
+            a.h_count = h - shed
+            permanent_pos += a.charge
+    neg = [i for i in scope if out.atoms[i].charge < 0]
+    if not neg:
+        return out
+    total_neg = sum(-out.atoms[i].charge for i in neg)
+    to_neutralize = total_neg - min(total_neg, permanent_pos)
+    if to_neutralize == total_neg:
+        order = neg  # all protonated; visit order is immaterial
+    else:
+        # retention must be isomorphism-invariant: neutralize in
+        # ascending canonical-rank order, so the highest-ranked anion
+        # sites keep the balancing charge regardless of input order
+        ranks = canonical_ranks(mol, scope)
+        order = sorted(neg, key=lambda x: ranks[x])
+    for i in order:
+        if to_neutralize <= 0:
+            break
+        a = out.atoms[i]
+        add = min(-a.charge, to_neutralize)
+        h = out.implicit_h(i)
+        a.charge += add
+        a.h_count = h + add
+        to_neutralize -= add
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Canonical writer
 # ---------------------------------------------------------------------------
@@ -665,15 +734,25 @@ def canonical_smiles(s: str, keep_all_fragments: bool = False) -> str | None:
     """Canonical SMILES of the LARGEST fragment (the reference's
     fragment-cleanup convention) — None on parse failure. With
     `keep_all_fragments`, every fragment is canonicalized and joined
-    with '.' in sorted order."""
+    with '.' in sorted order.
+
+    Pipeline mirrors the reference's prep order (fragment selection ->
+    uncharge -> aromatic perception -> canonical write), minus
+    tautomer canonicalization (documented scope exclusion). Fragment
+    selection runs FIRST so a dropped counterion ([Na+]) cannot hold
+    the kept fragment's charge via zwitterion parity; uncharging runs
+    before aromatization so a protonated ring (pyridinium)
+    neutralizes and then unifies with the neutral form."""
     try:
-        mol = aromatize(parse_smiles(s))
+        mol = parse_smiles(s)
         if keep_all_fragments:
+            mol = aromatize(uncharge(mol))
             parts = sorted(
                 _write(mol, f, canonical_ranks(mol, f)) for f in fragments(mol)
             )
             return ".".join(parts)
         frag = largest_fragment(mol)
+        mol = aromatize(uncharge(mol, frag))
         return _write(mol, frag, canonical_ranks(mol, frag))
     except SmilesError:
         return None
@@ -694,13 +773,17 @@ def morgan_count_fp(
 ) -> dict[int, int] | None:
     """dict[env_hash -> count] over atom environments of radius
     0..`radius` — the count-fingerprint shape the D4 metrics consume.
-    Hashes are order-invariant (sorted neighbor envs)."""
+    Hashes are order-invariant (sorted neighbor envs). Mol prep
+    mirrors the reference's D4 prep (finalize_realease.py:352-430):
+    largest fragment, then uncharge scoped to it — so [NH3+]/[O-]
+    salts fingerprint identically to their neutral parents."""
     try:
-        mol = aromatize(parse_smiles(s))
+        mol = parse_smiles(s)
         # largest_fragment's tie-break may invoke the recursive writer
         atoms = (
             largest_fragment(mol) if largest_only else list(range(len(mol.atoms)))
         )
+        mol = aromatize(uncharge(mol, atoms if largest_only else None))
     except (SmilesError, RecursionError):
         return None
     inset = set(atoms)
@@ -749,10 +832,15 @@ def morgan_bit_fp(s: str, radius: int = 2, n_bits: int = 2048) -> dict[int, int]
 def has_substructure(query: str, target: str) -> bool:
     """True iff the query graph embeds in the target graph (element,
     aromaticity and charge must match; bond orders must match, with
-    aromatic matching aromatic)."""
+    aromatic matching aromatic). Both sides are uncharged first — the
+    reference preps query AND target through its uncharger before
+    matching (finalize_realease.py:352-430), so a protonated amine
+    still matches a neutral pattern."""
     try:
-        q = aromatize(parse_smiles(query))
-        t = aromatize(parse_smiles(target))
+        qm = parse_smiles(query)
+        tm = parse_smiles(target)
+        q = aromatize(uncharge(qm, largest_fragment(qm)))
+        t = aromatize(uncharge(tm, largest_fragment(tm)))
     except SmilesError:
         return False
     return _match(q, t)

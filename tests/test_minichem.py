@@ -234,3 +234,67 @@ def test_ring_closure_bond_conflict_rejected():
     assert parse_smiles("C=1CCCC=1") is not None
     assert parse_smiles("C1CCCC=1") is not None
     assert parse_smiles("C=1CCCC1") is not None
+
+
+# ---------------------------------------------------------------------------
+# Uncharging (VERDICT r6 ask #3: reference Uncharger semantics,
+# finalize_realease.py:230-249 canonic and :352-430 D4 prep)
+# ---------------------------------------------------------------------------
+
+
+def test_uncharge_unifies_salts_and_protonated_forms():
+    pairs = [
+        ("C[NH3+]", "CN"),                          # protonated amine
+        ("CC(=O)[O-]", "CC(=O)O"),                  # carboxylate
+        ("CC(=O)[O-].[Na+]", "CC(=O)O"),            # salt: counterion dropped first
+        ("CN(C)C(=N)NC(=N)N.Cl", METFORMIN),        # metformin hydrochloride
+        ("[NH2+]=C(N)NC(=N)N", BIGUANIDE),          # protonated biguanide
+        ("c1cc[nH+]cc1", "c1ccncc1"),               # pyridinium -> pyridine
+        ("[NH3+]CC(=O)[O-]", "NCC(=O)O"),           # simple zwitterion
+    ]
+    for charged, neutral in pairs:
+        assert canonical_smiles(charged) == canonical_smiles(neutral), (
+            charged,
+            neutral,
+        )
+
+
+def test_uncharge_respects_permanent_cations():
+    # quaternary N+ has no proton to shed — stays charged
+    assert "[N+]" in canonical_smiles("C[N+](C)(C)C")
+    # betaine: the permanent cation retains one balancing anion
+    bet = canonical_smiles("[O-]C(=O)CC[N+](C)(C)C")
+    assert "[N+]" in bet and "[O-]" in bet
+    # and it does NOT unify with the fully neutral analogue
+    assert bet != canonical_smiles("OC(=O)CCN(C)C")
+
+
+def test_uncharged_fingerprint_and_substructure_match_neutral():
+    assert morgan_count_fp("CC(=O)[O-].[Na+]") == morgan_count_fp("CC(=O)O")
+    assert morgan_count_fp("CN(C)C(=N)NC(=N)N.Cl") == morgan_count_fp(METFORMIN)
+    # neutral biguanide pattern must hit the protonated target (the
+    # reference preps both sides through its uncharger)
+    assert has_substructure(BIGUANIDE, "NC(=[NH2+])NC(=N)N")
+    assert has_substructure(BIGUANIDE, "CN(C)C(=N)NC(=N)N.Cl")
+
+
+def test_property_uncharge_is_order_invariant():
+    """Canonical SMILES of charged inputs must be invariant under
+    fragment reordering and atom-rewriting of the SMILES string."""
+    rng = random.Random(11)
+    cases = [
+        "CC(=O)[O-].[Na+]",
+        "[NH3+]CC(=O)[O-]",
+        "[O-]C(=O)CC[N+](C)(C)C",
+        "CN(C)C(=N)NC(=N)N.Cl",
+    ]
+    for s in cases:
+        base = canonical_smiles(s)
+        assert base is not None
+        # fragment order permutation
+        frags = s.split(".")
+        for _ in range(4):
+            rng.shuffle(frags)
+            assert canonical_smiles(".".join(frags)) == base, (s, frags)
+        # re-write from the canonical form round-trips
+        assert canonical_smiles(base) == base, (s, base)

@@ -318,6 +318,39 @@ def compare(expected: list[dict], actual: list[dict], label: str) -> int:
     return n_bad
 
 
+def minichem_uncharge_checks() -> int:
+    """Reference-semantics spot checks for minichem's fragment +
+    uncharge prep (finalize_realease.py:230-249,352-430) that need no
+    RDKit: salts and protonated species must unify with their neutral
+    parents; permanent cations and balanced zwitterions must not."""
+    from aurora_mito_etl_spark.operators.minichem import (
+        canonical_smiles as canon,
+    )
+
+    unify = [
+        ("CN(C)C(=N)NC(=N)N.Cl", "CN(C)C(=N)NC(=N)N"),  # metformin HCl
+        ("[NH2+]=C(N)NC(=N)N", "N=C(N)NC(=N)N"),        # protonated biguanide
+        ("CC(=O)[O-].[Na+]", "CC(=O)O"),                # sodium acetate
+        ("[NH3+]CC(=O)[O-]", "NCC(=O)O"),               # glycine zwitterion
+    ]
+    distinct = [
+        ("C[N+](C)(C)C", "CN(C)C"),                     # permanent cation
+        ("[O-]C(=O)CC[N+](C)(C)C", "OC(=O)CCN(C)C"),    # betaine stays zwitterionic
+    ]
+    bad = 0
+    for a, b in unify:
+        if canon(a) != canon(b):
+            print(f"FAIL minichem-uncharge: {a!r} != {b!r}")
+            bad += 1
+    for a, b in distinct:
+        if canon(a) == canon(b):
+            print(f"FAIL minichem-uncharge: {a!r} wrongly unified with {b!r}")
+            bad += 1
+    if not bad:
+        print(f"OK   minichem-uncharge semantics ({len(unify) + len(distinct)} cases)")
+    return bad
+
+
 def main() -> int:
     from aurora_mito_etl_spark.session import get_spark
 
@@ -338,6 +371,7 @@ def main() -> int:
             spark_rows(spark, chem.minichem_backend),
             "minichem-backend plumbing",
         )
+        bad += minichem_uncharge_checks()
         try:
             import rdkit  # noqa: F401
         except ImportError:
