@@ -228,11 +228,51 @@ def main() -> int:
     # The driver captures only the tail of stdout (BENCH_r05.json was
     # truncated mid-object at 2,000 chars) — ALWAYS persist the full
     # per-query JSON to a committed artifact so numbers survive.
+    repo = os.path.dirname(os.path.abspath(__file__))
     try:
-        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_full_latest.json")
-        with open(out, "w") as f:
+        with open(os.path.join(repo, "bench_full_latest.json"), "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass
+    # Round-over-round hygiene (VERDICT r6 ask #5): builder runs and
+    # driver runs land under different load, so single totals mix run
+    # conditions. Snapshot the per-query MINIMUM across every committed
+    # bench artifact plus this run — the per-query minima are the plan
+    # costs; deltas of minima compare like with like.
+    minima: dict[str, float] = dict(per_query)
+    n_artifacts = 1
+    import glob
+
+    for path in sorted(
+        glob.glob(os.path.join(repo, "BENCH_r*.json"))
+        + glob.glob(os.path.join(repo, "bench_full_*.json"))
+    ):
+        try:
+            with open(path) as f:
+                prior = json.load(f).get("queries", {})
+        except (OSError, ValueError):
+            continue  # truncated driver capture — skip, don't crash
+        n_artifacts += 1
+        for q, sec in prior.items():
+            # only queries in the CURRENT suite: retired names from old
+            # artifacts must not inflate the noise-floor total
+            if q in minima and isinstance(sec, (int, float)):
+                minima[q] = round(min(minima[q], sec), 3)
+    try:
+        with open(os.path.join(repo, "bench_min_latest.json"), "w") as f:
+            json.dump(
+                {
+                    "metric": "per_query_minima_across_artifacts",
+                    "n_artifacts": n_artifacts,
+                    "total_of_minima": round(sum(minima.values()), 3),
+                    "queries": minima,
+                    "sf": sf,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
             f.write("\n")
     except OSError:
         pass
