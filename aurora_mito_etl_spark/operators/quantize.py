@@ -216,6 +216,191 @@ def pq_encode_arrow(
     return df.select(id_col, vec_col).mapInPandas(encode, out_schema)
 
 
+def ivfpq_encode_arrow(
+    df: DataFrame,
+    dim: int,
+    centroids: list[list[float]],
+    m: int = 4,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 11,
+) -> DataFrame:
+    """ONE-PASS IVF-PQ index build: (id, cell, pq_0..pq_{m-1}) per
+    vector — the coarse-quantizer cell AND the PQ codes from a single
+    corpus scan (at 100 TB this is the table you persist, partitioned
+    by cell: the standard disk-ANN layout; computing cell and codes in
+    separate scans would double the read and need a corpus-corpus
+    join to reunite them).
+
+    Bit-parity contracts (both oracle-checked by emb_ivfpq_topk):
+    cell = argmax(dot(v,c) − ‖c‖²/2) with ties → larger cell, dots as
+    the ordered per-dimension fold (`_ordered_gram`) and half-norms as
+    Python-float left-to-right sums — the exact convention of
+    `similarity.ivf_topk`'s expression path and `pq_encode_arrow`.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from aurora_mito_etl_spark.operators.similarity import _ordered_gram
+
+    books_raw = pq_codebooks(dim, m, n_centroids, seed)
+    books = [np.array(b, dtype=np.float64) for b in books_raw]
+    half_norms = [
+        np.array([sum(x * x for x in cent) / 2.0 for cent in b], dtype=np.float64)
+        for b in books_raw
+    ]
+    cents = np.array(centroids, dtype=np.float64)
+    cell_half = np.array(
+        [sum(x * x for x in c) / 2.0 for c in centroids], dtype=np.float64
+    )
+    subdim = dim // m
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("cell", T.IntegerType(), False),
+            *[T.StructField(f"pq_{j}", T.IntegerType(), False) for j in range(m)],
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cols = {id_col: pdf[id_col].to_numpy()}
+            score = _ordered_gram(mat, cents) - cell_half[None, :]
+            cols["cell"] = (
+                (score.shape[1] - 1) - np.argmax(score[:, ::-1], axis=1)
+            ).astype(np.int32)
+            for j, book in enumerate(books):
+                sv = mat[:, j * subdim : (j + 1) * subdim]
+                s = _ordered_gram(sv, book) - half_norms[j][None, :]
+                c = (s.shape[1] - 1) - np.argmax(s[:, ::-1], axis=1)
+                cols[f"pq_{j}"] = c.astype(np.int32)
+            yield pd.DataFrame(cols)
+
+    return df.select(id_col, vec_col).mapInPandas(encode, out_schema)
+
+
+def ivfpq_adc_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 4,
+    n_centroids: int = 16,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 11,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (Jégou et al., TPAMI 2011 §V — the
+    architecture every production-scale ANN system ships): a coarse
+    quantizer restricts each query to its `n_probe` nearest of
+    `n_cells` cells, and WITHIN the probed cells distances are ADC
+    lookups over m nibble codes — so a query touches
+    ~n_probe/n_cells of the corpus and reads only codes, never raw
+    vectors. Compare `pq_adc_topk` (scans ALL codes) and
+    `similarity.ivf_topk` (probes cells but scores raw vectors).
+
+    Plan: one Arrow corpus pass builds (cell, codes); probed queries
+    broadcast with their m×n_centroids distance tables riding along;
+    the equi-join on cell is the candidate pruning; ranking is the
+    repo-standard two-phase top-k (`partial_topk` then the exact
+    window over ≤ k·P survivors). Zero shuffles of corpus-sized data.
+
+    Output: (query_id, vec_id, adc_dist, rank), rank 1..k ascending
+    distance, ties by vec_id. Fully oracle-checked over pinned
+    centroids/codebooks (emb_ivfpq_topk).
+    """
+    from pyspark.sql import Window
+
+    from aurora_mito_etl_spark.operators import similarity as _sim
+    from aurora_mito_etl_spark.operators.similarity import partial_topk
+
+    if centroids is None:
+        centroids = _sim.ivf_centroids(dim, n_cells)
+    books = pq_codebooks(dim, m, n_centroids, seed)
+    subdim = dim // m
+
+    index = ivfpq_encode_arrow(
+        vectors, dim, centroids, m, n_centroids, vec_col=vec_col,
+        id_col=id_col, seed=seed,
+    )
+
+    # Probed cells: top-n_probe by (dot(q,c) − ‖c‖²/2, cell) struct
+    # sort descending — identical tie convention (larger cell wins) to
+    # the corpus-side argmax and the oracle's ORDER BY ... DESC,
+    # cell DESC.
+    qvec = F.transform(F.col(query_vec_col), lambda x: x.cast("double"))
+    scored_cells = F.array(
+        *[
+            F.struct(
+                (
+                    F.aggregate(
+                        F.zip_with(
+                            qvec,
+                            F.array(*[F.lit(float(x)) for x in c]),
+                            lambda x, y: x * y,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    - F.lit(sum(x * x for x in c) / 2.0)
+                ).alias("s"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probe = F.transform(
+        F.slice(F.sort_array(scored_cells, asc=False), 1, n_probe),
+        lambda t: t["cell"],
+    )
+
+    qcols = [F.col(query_id_col), F.explode(probe).alias("cell")]
+    for j, book in enumerate(books):
+        sub = F.slice(qvec, j * subdim + 1, subdim)
+        entries = []
+        for cent in book:
+            n2 = sum(x * x for x in cent)
+            dot = F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.array(*[F.lit(float(x)) for x in cent]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            entries.append(F.lit(float(n2)) - F.lit(2.0) * dot)
+        qcols.append(F.array(*entries).alias(f"_dt_{j}"))
+    qt = queries.select(*qcols)
+
+    joined = index.join(F.broadcast(qt), "cell")
+    adc = F.element_at(F.col("_dt_0"), F.col("pq_0") + 1)
+    for j in range(1, m):
+        adc = adc + F.element_at(F.col(f"_dt_{j}"), F.col(f"pq_{j}") + 1)
+    scored = joined.select(query_id_col, id_col, adc.alias("adc_dist"))
+    pruned = partial_topk(
+        scored, query_id_col, id_col, k, score_col="adc_dist", ascending=True
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc_nulls_last("adc_dist"), F.col(id_col)
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adc_dist", "rank")
+    )
+
+
 def pq_adc_topk(
     vectors: DataFrame,
     queries: DataFrame,

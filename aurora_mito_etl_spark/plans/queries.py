@@ -4621,6 +4621,136 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qz.pq_adc_topk(e, q, dim=64, m=4, n_centroids=16, k=5)
 
 
+def _ivfpq_oracle(
+    dim: int = 64,
+    m: int = 4,
+    n_centroids: int = 16,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> str:
+    """IVF-PQ replay: pinned IVF centroids assign every vector its
+    cell (argmax dot−‖c‖²/2, ties → larger cell — the `_ivf_topk_
+    oracle` convention), pinned PQ codebooks give it codes (the
+    `_pq_adc_oracle` convention), queries probe their n_probe nearest
+    cells, and ADC distances are summed left-associated exactly as
+    the Spark expression."""
+    from aurora_mito_etl_spark.operators.quantize import pq_codebooks
+
+    ivf_cents = sim.ivf_centroids(dim, n_cells)
+    ivf_values = ",\n      ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[], "
+        f"{sum(x * x for x in c) / 2.0!r})"
+        for i, c in enumerate(ivf_cents)
+    )
+    books = pq_codebooks(dim, m, n_centroids)
+    subdim = dim // m
+    pq_values = ",\n      ".join(
+        f"({j}, {cell}, [{', '.join(repr(x) for x in cent)}]::DOUBLE[], "
+        f"{sum(x * x for x in cent) / 2.0!r}, {sum(x * x for x in cent)!r})"
+        for j, book in enumerate(books)
+        for cell, cent in enumerate(book)
+    )
+    code_cols = ",\n           ".join(
+        f"MAX(CASE WHEN sub = {j} THEN cell END) AS pq_{j}" for j in range(m)
+    )
+    uncode = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, {j} AS sub, pq_{j} AS cell FROM codes" for j in range(m)
+    )
+    adc_sum = " + ".join(f"MAX(CASE WHEN u.sub = {j} THEN d END)" for j in range(m))
+    return f"""
+    WITH ivfcents(ivfcell, ic, ihn) AS (
+      VALUES
+      {ivf_values}
+    ),
+    pqcents(sub, cell, c, hn, n2) AS (
+      VALUES
+      {pq_values}
+    ),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    vassigned AS (
+      SELECT vec_id, e, ivfcell,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_dot_product(e, ic) - ihn DESC, ivfcell DESC
+             ) AS rn
+      FROM v, ivfcents
+    ),
+    vcell AS (SELECT vec_id, ivfcell FROM vassigned WHERE rn = 1),
+    passigned AS (
+      SELECT vec_id, sub, cell,
+             row_number() OVER (
+               PARTITION BY vec_id, sub
+               ORDER BY list_dot_product(e[sub * {subdim} + 1 : sub * {subdim} + {subdim}], c) - hn DESC,
+                        cell DESC
+             ) AS rn
+      FROM v, pqcents
+    ),
+    codes AS (
+      SELECT vec_id,
+           {code_cols}
+      FROM passigned WHERE rn = 1 GROUP BY vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id % 100 = 0),
+    qprobe AS (
+      SELECT query_id, ivfcell FROM (
+        SELECT query_id, ivfcell,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY list_dot_product(e, ic) - ihn DESC, ivfcell DESC
+               ) AS rn
+        FROM q, ivfcents
+      ) WHERE rn <= {n_probe}
+    ),
+    qd AS (
+      SELECT query_id, sub, cell,
+             n2 - 2 * list_dot_product(e[sub * {subdim} + 1 : sub * {subdim} + {subdim}], c) AS d
+      FROM q, pqcents
+    ),
+    uncode AS (
+      {uncode}
+    ),
+    cands AS (
+      SELECT p.query_id, vcell.vec_id
+      FROM qprobe p JOIN vcell ON vcell.ivfcell = p.ivfcell
+    ),
+    adc AS (
+      SELECT cd.query_id, cd.vec_id, ({adc_sum}) AS adc_dist
+      FROM cands cd
+      JOIN uncode u ON u.vec_id = cd.vec_id
+      JOIN qd ON qd.query_id = cd.query_id AND qd.sub = u.sub AND qd.cell = u.cell
+      GROUP BY cd.query_id, cd.vec_id
+    ),
+    r AS (
+      SELECT query_id, vec_id, adc_dist,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY adc_dist ASC, vec_id
+             ) AS rnk
+      FROM adc
+    )
+    SELECT query_id, vec_id, adc_dist, CAST(rnk AS INTEGER) AS rank
+    FROM r WHERE rnk <= {k}
+    """
+
+
+@_register("emb_ivfpq_topk", _ivfpq_oracle())
+def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-k — the production disk-ANN composition
+    (coarse quantizer prunes to n_probe/n_cells of the corpus, ADC
+    scores codes, never raw vectors) over pinned centroids AND pinned
+    codebooks, so the whole index build + search replays exactly in
+    SQL. One Arrow corpus pass builds (cell, codes); candidates come
+    from a broadcast equi-join on cell; two-phase top-k tail."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return qz.ivfpq_adc_topk(
+        e, q, dim=64, m=4, n_centroids=16, k=5, n_cells=16, n_probe=4,
+        centroids=sim.ivf_centroids(64, 16),
+    )
+
+
 @_register("emb_pq_encode", _pq_oracle())
 def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization codes over pinned per-subspace codebooks:
@@ -4883,6 +5013,55 @@ def docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return lms.bigram_lm_score(d, "text", "doc_id", keep_threshold=-8.0)
+
+
+@_register(
+    "docs_ccnet_buckets",
+    f"""
+    WITH lm AS ({_LM_SCORE_ORACLE}),
+    j AS (
+      SELECT lm.doc_id, lm.avg_logprob, d.source
+      FROM lm JOIN documents d USING (doc_id)
+    ),
+    b AS (
+      SELECT source,
+             CASE WHEN avg_logprob >= -3.39 THEN 'head'
+                  WHEN avg_logprob >= -3.43 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             avg_logprob
+      FROM j
+    )
+    SELECT source, bucket, COUNT(*) AS n_docs,
+           {oracle_dec_avg('avg_logprob', 'mean_logprob')}
+    FROM b GROUP BY source, bucket
+    """,
+)
+def docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity partitioning (Wenzek et al.
+    2020 §3.3): per source × LM-quality bucket, document count and
+    mean log-probability — the table that decides which slices of a
+    crawl enter the training mix. Buckets split on the fixed6
+    avg_logprob from the corpus-trained bigram LM, so the boundary
+    comparison is engine-identical; per-bucket means go through the
+    decimal-exact dec_avg twin. Bucket thresholds are fixed
+    constants (CCNet uses corpus-relative quantile cuts; fixed cuts
+    keep the oracle closed-form — swap in percentile boundaries via
+    the lineitem_price_percentiles pattern if data-relative cuts are
+    needed). One grouped aggregation on top of the lm_score plan."""
+    from aurora_mito_etl_spark.operators import lm_score as lms
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = lms.bigram_lm_score(d, "text", "doc_id")
+    j = scored.join(d.select("doc_id", "source"), "doc_id")
+    bucket = (
+        F.when(F.col("avg_logprob") >= -3.39, "head")
+        .when(F.col("avg_logprob") >= -3.43, "middle")
+        .otherwise("tail")
+    )
+    return j.groupBy("source", bucket.alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        dec_avg("avg_logprob", "mean_logprob"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -65,6 +65,7 @@ HEADLINE = [
     "emb_quantize_int8",
     "emb_pq_encode",
     "emb_pq_adc_topk",
+    "emb_ivfpq_topk",
     "emb_dim_stats",
     "emb_kmeans_assign",
     # dedup

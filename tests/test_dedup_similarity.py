@@ -704,3 +704,50 @@ def test_partial_topk_null_group_spans_arrow_batches(spark):
         spark.conf.set(key, old)
     assert len(pruned) == 1  # ONE entry for the NULL group, pruned to k
     assert pruned[0]["vec_id"] == 0  # and it kept the best-scored row
+
+
+def test_ivfpq_candidates_are_cell_pruned_and_ranked(spark):
+    """IVF-PQ: every returned neighbor must lie in one of the query's
+    n_probe probed cells (the pruning contract) and ranks must ascend
+    by adc_dist with vec_id ties. Exact values are pinned by the
+    emb_ivfpq_topk oracle; this pins the pruning semantics the SQL
+    replay alone can't distinguish from a full scan."""
+    import numpy as np
+
+    from aurora_mito_etl_spark.operators import quantize as qz
+    from aurora_mito_etl_spark.sources.catalog import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = sim.ivf_centroids(64, 16)
+    got = qz.ivfpq_adc_topk(
+        e, q, dim=64, m=4, n_centroids=16, k=5, n_cells=16, n_probe=4,
+        centroids=cents,
+    ).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert by_q, "no results"
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        dists = [r["adc_dist"] for r in rows]
+        assert dists == sorted(dists)
+    # pruning contract: recompute cells + probes python-side with the
+    # same argmax rule (ties -> larger cell) and check membership
+    cell_of = {
+        r["vec_id"]: r["cell"]
+        for r in qz.ivfpq_encode_arrow(e, 64, cents).collect()
+    }
+    cents_np = np.array(cents, dtype=np.float64)
+    half = np.array([sum(x * x for x in c) / 2.0 for c in cents])
+    for r in q.collect():
+        s = cents_np @ np.array(r["query_vec"], dtype=np.float64) - half
+        best = np.lexsort((-np.arange(len(s)), -s))[:4]
+        probed = set(int(i) for i in best)
+        for row in by_q[r["query_id"]]:
+            assert cell_of[row["vec_id"]] in probed, (r["query_id"], row)

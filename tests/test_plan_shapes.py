@@ -198,7 +198,13 @@ def test_topk_tails_are_two_phase(spark):
     survives (the VERDICT r5 scale-killer). In the formatted plan the
     Window's child chain must contain MapInPandas — i.e. the window
     ranks only the ≤ k·P survivors."""
-    for qname in ("emb_pq_adc_topk", "emb_cosine_topk", "emb_lsh_topk", "emb_ivf_topk"):
+    for qname in (
+        "emb_pq_adc_topk",
+        "emb_cosine_topk",
+        "emb_lsh_topk",
+        "emb_ivf_topk",
+        "emb_ivfpq_topk",
+    ):
         plan = plan_of(QUERIES[qname](spark, SF))
         assert "MapInPandas" in plan, qname
         # formatted explain lists operators leaves-last in the tree
