@@ -86,6 +86,71 @@ def brute_force_topk(
     return _rank_topk(scored, query_id_col, id_col, k)
 
 
+def knn_classify(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 5,
+) -> DataFrame:
+    """k-NN majority-vote classification over an embedding column:
+    ``(query_id, pred_label, n_votes)`` — the evaluation/serving
+    workload on top of any labeled vector table (probe a training
+    corpus's class structure, label new items by neighborhood).
+
+    Leave-one-out: a query never votes for itself (id != query_id),
+    so running the corpus against itself measures real neighborhood
+    coherence instead of trivial self-matches. Scoring is the exact
+    brute-force cosine contract (fixed6, zero-norm guard) with the
+    broadcast-query / streaming-corpus plan and the two-phase top-k
+    tail; the vote argmax breaks ties (n_votes desc, label asc) so
+    predictions are engine-stable. The label column rides through the
+    partial_topk Arrow pass untouched — no second corpus join to
+    recover it."""
+    from pyspark.sql import Window
+
+    v = with_norm(vectors, vec_col, "__v", "__vn")
+    q = with_norm(queries, query_vec_col, "__q", "__qn")
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.col(label_col),
+            _fixed6(
+                dot_arrow(F.col("__v"), F.col("__q"))
+                / (_safe_norm(F.col("__vn")) * _safe_norm(F.col("__qn")))
+            ).alias("score"),
+        )
+    )
+    pruned = partial_topk(scored, query_id_col, id_col, k, "score")
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc_nulls_last("score"), F.asc(id_col)
+    )
+    top = pruned.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+    votes = top.groupBy(query_id_col, label_col).agg(
+        F.count("*").alias("n_votes")
+    )
+    pick = Window.partitionBy(query_id_col).orderBy(
+        F.col("n_votes").desc(), F.col(label_col).asc()
+    )
+    return (
+        votes.withColumn("__r", F.row_number().over(pick))
+        .where(F.col("__r") == 1)
+        .select(
+            query_id_col,
+            F.col(label_col).alias("pred_label"),
+            "n_votes",
+        )
+    )
+
+
 def _safe_norm(c):
     """Zero-norm guard for cosine denominators: norm 0 → 1.0, so a
     zero vector scores a finite dot/1 instead of a NaN — a NaN score

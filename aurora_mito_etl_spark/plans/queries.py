@@ -1483,6 +1483,69 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "emb_knn_classify",
+    """
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    g AS (  -- zero-norm guard: Spark scores dot/1.0 for zero vectors
+      SELECT vec_id, label, e, CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END AS nrm
+      FROM v
+    ),
+    scored AS (
+      SELECT b.vec_id AS query_id, a.vec_id, a.label,
+             floor((list_dot_product(a.e, b.e) / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000 AS score
+      FROM g a, g b
+      WHERE b.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, label,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rnk
+      FROM scored
+    ),
+    votes AS (
+      SELECT query_id, label, COUNT(*) AS n_votes
+      FROM ranked WHERE rnk <= 5 GROUP BY query_id, label
+    ),
+    pick AS (
+      SELECT query_id, label AS pred_label, n_votes,
+             row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, label ASC) AS pr
+      FROM votes
+    )
+    SELECT p.query_id, t.label AS true_label, p.pred_label, p.n_votes
+    FROM pick p
+    JOIN (SELECT vec_id AS query_id, label FROM embeddings WHERE vec_id % 50 = 0) t
+      USING (query_id)
+    WHERE p.pr = 1
+    """,
+)
+def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out k-NN majority-vote classification over the
+    labeled embeddings table: every 50th vector is classified by its
+    5 nearest (cosine) neighbors' labels, reported against its true
+    label — the standard embedding-quality eval (and the serving
+    shape for labeling new items by neighborhood). Exact-cosine
+    baseline; swap the scorer for the LSH/IVF/IVF-PQ candidates at
+    100 TB — the vote tail is identical."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    out = sim.knn_classify(
+        e,
+        q.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        ),
+        k=5,
+    )
+    truth = q.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    return out.join(F.broadcast(truth), "query_id").select(
+        "query_id", "true_label", "pred_label", "n_votes"
+    )
+
+
+@_register(
     "emb_near_dup_exact",
     f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
