@@ -28,6 +28,7 @@ from aurora_mito_etl_spark.functions.numeric import (
     dec_sum,
     dec_to_double,
     fixed6,
+    fixed6_sql,
     oracle_dec_avg,
     oracle_dec_sum,
 )
@@ -4376,6 +4377,117 @@ def docs_source_report_qsum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("quality")).cast("string").alias("quality_sum"),
             F.count("quality").alias("n_quality"),
         )
+    )
+
+
+@_register(
+    "events_value_anomaly",
+    f"""
+    WITH med AS (
+      SELECT event_type,
+             {fixed6_sql('quantile_cont(value, 0.5)')} AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type,
+             {fixed6_sql('quantile_cont(abs(e.value - m.med), 0.5)')} AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    ),
+    scored AS (
+      SELECT e.event_id, e.event_type, e.value,
+             {fixed6_sql('abs(e.value - m.med) / (CASE WHEN d.mad = 0 THEN 1.0 ELSE d.mad END)')} AS robust_score
+      FROM events e
+      JOIN med m USING (event_type)
+      JOIN mad d USING (event_type)
+    )
+    SELECT event_id, event_type, value, robust_score
+    FROM scored WHERE robust_score >= 3.5
+    """,
+)
+def events_value_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier detection per event type: flag
+    events whose |value − median| exceeds 3.5 MADs — the classic
+    monitoring/data-validation pass that survives the heavy tails a
+    mean/stddev z-score is wrecked by. Median and MAD are exact
+    interpolated percentiles (the quantile_cont twin), fixed6-rounded
+    before use so the flag boundary is engine-identical; the per-type
+    constants broadcast back onto the stream (5 rows — never a
+    shuffle of the events table beyond the two grouped aggs)."""
+    ev = load_table(spark, sf_dir, "events")
+    med = (
+        ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5D)").alias("__m"))
+        .select("event_type", fixed6(F.col("__m")).alias("med"))
+    )
+    j = ev.join(F.broadcast(med), "event_type")
+    mad = (
+        j.groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - med), 0.5D)").alias("__d"))
+        .select("event_type", fixed6(F.col("__d")).alias("mad"))
+    )
+    scored = j.join(F.broadcast(mad), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        fixed6(
+            F.abs(F.col("value") - F.col("med"))
+            / F.when(F.col("mad") == 0, F.lit(1.0)).otherwise(F.col("mad"))
+        ).alias("robust_score"),
+    )
+    return scored.where(F.col("robust_score") >= 3.5)
+
+
+@_register(
+    "events_key_skew_report",
+    f"""
+    WITH c AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    hot AS (
+      SELECT user_id AS hot_key, n AS hot_rows
+      FROM c ORDER BY n DESC, user_id ASC LIMIT 1
+    )
+    SELECT (SELECT COUNT(*) FROM c) AS n_keys,
+           (SELECT SUM(n) FROM c) AS n_rows,
+           hot.hot_key,
+           hot.hot_rows,
+           {fixed6_sql('hot.hot_rows / CAST((SELECT SUM(n) FROM c) AS DOUBLE)')} AS hot_share,
+           (SELECT {fixed6_sql('quantile_cont(n, 0.5)')} FROM c) AS p50_rows,
+           (SELECT {fixed6_sql('quantile_cont(n, 0.99)')} FROM c) AS p99_rows
+    FROM hot
+    """,
+)
+def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew diagnostic for the events stream keyed by
+    user_id: key cardinality, hottest key and its share of all rows,
+    and the p50/p99 of per-key row counts — the numbers that decide
+    whether a downstream keyed join needs salting or AQE skew
+    handling at 100 TB. One groupBy(user_id) with map-side combine,
+    then a single-row final aggregate (the per-key count table never
+    leaves the cluster); hot-key tie-break is (rows desc, key asc) in
+    both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    return c.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        # struct max: largest n, then (via negated id) smallest user_id
+        F.max(F.struct(F.col("n"), (-F.col("user_id")).alias("__nid"))).alias(
+            "__hot"
+        ),
+        F.expr("percentile(n, 0.5D)").alias("__p50"),
+        F.expr("percentile(n, 0.99D)").alias("__p99"),
+    ).select(
+        "n_keys",
+        "n_rows",
+        (-F.col("__hot.__nid")).alias("hot_key"),
+        F.col("__hot.n").alias("hot_rows"),
+        fixed6(
+            F.col("__hot.n").cast("double") / F.col("n_rows").cast("double")
+        ).alias("hot_share"),
+        fixed6(F.col("__p50")).alias("p50_rows"),
+        fixed6(F.col("__p99")).alias("p99_rows"),
     )
 
 
