@@ -5239,6 +5239,71 @@ def docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "docs_quality_ensemble",
+    None,  # oracle added below (composes four generated oracles)
+)
+def docs_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pre-training quality gate every pipeline actually
+    ships: Gopher rules AND C4 rules AND bigram-LM keep AND target
+    language, per document, with the per-gate verdicts and a pass
+    count so rejected docs are attributable. Four single-projection
+    branches over one scan lineage joined on doc_id — each component
+    is itself oracle-checked standalone; this query pins their
+    COMPOSITION (join alignment, boolean semantics) end-to-end."""
+    from aurora_mito_etl_spark.operators import lm_score as lms
+
+    d = load_table(spark, sf_dir, "documents")
+    g = ql.gopher_signals(d, **_GOPHER_QUERY_OVERRIDES).select(
+        "doc_id", "gopher_keep"
+    )
+    c = ql.c4_signals(d).select("doc_id", "c4_keep")
+    lm = lms.bigram_lm_score(d, "text", "doc_id").select("doc_id", "lm_keep")
+    la = d.select("doc_id", ts.lang_id(F.col("text")).alias("lang_pred"))
+    j = g.join(c, "doc_id").join(lm, "doc_id").join(la, "doc_id")
+    lang_ok = F.col("lang_pred") == "en"
+    n_pass = (
+        F.col("gopher_keep").cast("int")
+        + F.col("c4_keep").cast("int")
+        + F.col("lm_keep").cast("int")
+        + lang_ok.cast("int")
+    )
+    return j.select(
+        "doc_id",
+        "gopher_keep",
+        "c4_keep",
+        "lm_keep",
+        lang_ok.alias("lang_ok"),
+        n_pass.alias("n_pass"),
+        (
+            F.col("gopher_keep")
+            & F.col("c4_keep")
+            & F.col("lm_keep")
+            & lang_ok
+        ).alias("keep"),
+    )
+
+
+ORACLES["docs_quality_ensemble"] = f"""
+    WITH g AS ({_gopher_oracle(**_GOPHER_QUERY_OVERRIDES)}),
+    c AS ({_C4_ORACLE}),
+    lm AS ({_LM_SCORE_ORACLE}),
+    la AS ({_lang_id_oracle()})
+    SELECT g.doc_id,
+           g.gopher_keep, c.c4_keep, lm.lm_keep,
+           (la.lang_pred = 'en') AS lang_ok,
+           (CAST(g.gopher_keep AS INTEGER) + CAST(c.c4_keep AS INTEGER)
+            + CAST(lm.lm_keep AS INTEGER)
+            + CAST(la.lang_pred = 'en' AS INTEGER)) AS n_pass,
+           (g.gopher_keep AND c.c4_keep AND lm.lm_keep
+            AND la.lang_pred = 'en') AS keep
+    FROM g
+    JOIN c USING (doc_id)
+    JOIN lm USING (doc_id)
+    JOIN la USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample curation.
 #
