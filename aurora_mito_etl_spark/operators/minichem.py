@@ -736,15 +736,19 @@ def canonical_smiles(s: str, keep_all_fragments: bool = False) -> str | None:
     `keep_all_fragments`, every fragment is canonicalized and joined
     with '.' in sorted order.
 
-    Pipeline mirrors the reference's prep order (fragment selection ->
-    uncharge -> aromatic perception -> canonical write), minus
-    tautomer canonicalization (documented scope exclusion). Fragment
-    selection runs FIRST so a dropped counterion ([Na+]) cannot hold
-    the kept fragment's charge via zwitterion parity; uncharging runs
-    before aromatization so a protonated ring (pyridinium)
-    neutralizes and then unifies with the neutral form."""
+    Pipeline: aromatize -> fragment selection -> uncharge (scoped to
+    the kept fragment) -> re-aromatize -> canonical write; tautomer
+    canonicalization is the documented scope exclusion. Aromatization
+    runs FIRST so fragment tie-breaking and uncharge's retention
+    ranks see the perception-unified graph (selecting on the raw
+    parse made both kekulization-dependent — two writings of the same
+    salt could keep different fragments); fragment selection precedes
+    uncharge so a dropped counterion ([Na+]) cannot hold the kept
+    fragment's charge via zwitterion parity; and the second aromatize
+    picks up rings that only become aromatizable once neutralized
+    (kekulized pyridinium)."""
     try:
-        mol = parse_smiles(s)
+        mol = aromatize(parse_smiles(s))
         if keep_all_fragments:
             mol = aromatize(uncharge(mol))
             parts = sorted(
@@ -775,10 +779,12 @@ def morgan_count_fp(
     0..`radius` — the count-fingerprint shape the D4 metrics consume.
     Hashes are order-invariant (sorted neighbor envs). Mol prep
     mirrors the reference's D4 prep (finalize_realease.py:352-430):
-    largest fragment, then uncharge scoped to it — so [NH3+]/[O-]
-    salts fingerprint identically to their neutral parents."""
+    aromatize, largest fragment, then uncharge scoped to it — so
+    [NH3+]/[O-] salts fingerprint identically to their neutral
+    parents (fragment selection and retention ranks run on the
+    aromatized graph; see canonical_smiles on why)."""
     try:
-        mol = parse_smiles(s)
+        mol = aromatize(parse_smiles(s))
         # largest_fragment's tie-break may invoke the recursive writer
         atoms = (
             largest_fragment(mol) if largest_only else list(range(len(mol.atoms)))
@@ -837,8 +843,8 @@ def has_substructure(query: str, target: str) -> bool:
     matching (finalize_realease.py:352-430), so a protonated amine
     still matches a neutral pattern."""
     try:
-        qm = parse_smiles(query)
-        tm = parse_smiles(target)
+        qm = aromatize(parse_smiles(query))
+        tm = aromatize(parse_smiles(target))
         q = aromatize(uncharge(qm, largest_fragment(qm)))
         t = aromatize(uncharge(tm, largest_fragment(tm)))
     except SmilesError:

@@ -147,6 +147,90 @@ def pq_encode(
     )
 
 
+def _subspace_codes(mat, books, half_norms, subdim):
+    """One int32 code array per sub-codebook: argmax(dot − ‖c‖²/2)
+    with ties → larger cell, dots as the ordered per-dimension fold
+    (`_ordered_gram`, the exact aggregate(zip_with) sequence) and
+    half-norms as the caller's Python-float left-to-right sums.
+
+    SHARED by pq_encode_arrow and ivfpq_encode_arrow (and, with a
+    single full-width "book", the IVF cell assignment) — the
+    bit-parity contract every oracle replay depends on lives here or
+    nowhere; a fix applied to one copy and not another would silently
+    break the twin (code-review r7 finding)."""
+    import numpy as np
+
+    from aurora_mito_etl_spark.operators.similarity import _ordered_gram
+
+    out = []
+    for j, book in enumerate(books):
+        sv = mat[:, j * subdim : (j + 1) * subdim]
+        score = _ordered_gram(sv, book) - half_norms[j][None, :]
+        out.append(
+            ((score.shape[1] - 1) - np.argmax(score[:, ::-1], axis=1)).astype(
+                np.int32
+            )
+        )
+    return out
+
+
+def _adc_distance_table_cols(books, subdim: int, query_vec_col: str):
+    """Per-subspace ADC distance tables as expression array columns
+    ``_dt_j``: entry = ‖c‖² − 2·dot(q_sub, c) (rank-equivalent to
+    ‖q_sub − c‖²; the per-query ‖q_sub‖² constant cancels), dots as
+    left-to-right folds over embedded centroid literals. SHARED by
+    pq_adc_topk and ivfpq_adc_topk — identical to both oracles' qd."""
+    qvec = F.transform(F.col(query_vec_col), lambda x: x.cast("double"))
+    cols = []
+    for j, book in enumerate(books):
+        sub = F.slice(qvec, j * subdim + 1, subdim)
+        entries = []
+        for cent in book:
+            n2 = sum(x * x for x in cent)
+            dot = F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.array(*[F.lit(float(x)) for x in cent]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            entries.append(F.lit(float(n2)) - F.lit(2.0) * dot)
+        cols.append(F.array(*entries).alias(f"_dt_{j}"))
+    return cols
+
+
+def _adc_rank_tail(
+    joined: DataFrame, m: int, query_id_col: str, id_col: str, k: int
+) -> DataFrame:
+    """The shared ADC ranking tail: m element_at lookups summed
+    left-associated (matching the oracles' MAX(CASE)+… order), then
+    the repo-standard two-phase top-k — partition-local prune, exact
+    asc_nulls_last window over the ≤ k·P survivors (Spark's bare asc
+    sorts NULL first, DuckDB last; a NULL distance must never outrank
+    a real one)."""
+    from pyspark.sql import Window
+
+    from aurora_mito_etl_spark.operators.similarity import partial_topk
+
+    adc = F.element_at(F.col("_dt_0"), F.col("pq_0") + 1)
+    for j in range(1, m):
+        adc = adc + F.element_at(F.col(f"_dt_{j}"), F.col(f"pq_{j}") + 1)
+    scored = joined.select(query_id_col, id_col, adc.alias("adc_dist"))
+    pruned = partial_topk(
+        scored, query_id_col, id_col, k, score_col="adc_dist", ascending=True
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc_nulls_last("adc_dist"), F.col(id_col)
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adc_dist", "rank")
+    )
+
+
 def pq_encode_arrow(
     df: DataFrame,
     dim: int,
@@ -171,8 +255,6 @@ def pq_encode_arrow(
     the reversed-index argmax. Code equality pinned by pytest."""
     import numpy as np
     from pyspark.sql import types as T
-
-    from aurora_mito_etl_spark.operators.similarity import _ordered_gram
 
     books_raw = pq_codebooks(dim, m, n_centroids, seed)
     books = [np.array(b, dtype=np.float64) for b in books_raw]
@@ -199,14 +281,12 @@ def pq_encode_arrow(
         for pdf in batches:
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             cols = {id_col: pdf[id_col].to_numpy()}
+            # ties → larger cell index (match F.greatest's struct
+            # comparison in the expression path) — shared kernel
+            code_arrays = _subspace_codes(mat, books, half_norms, subdim)
             codes = []
-            for j, book in enumerate(books):
-                sv = mat[:, j * subdim : (j + 1) * subdim]
-                score = _ordered_gram(sv, book) - half_norms[j][None, :]
-                # ties → larger cell index (match F.greatest's struct
-                # comparison in the expression path)
-                c = (score.shape[1] - 1) - np.argmax(score[:, ::-1], axis=1)
-                cols[f"pq_{j}"] = c.astype(np.int32)
+            for j, c in enumerate(code_arrays):
+                cols[f"pq_{j}"] = c
                 codes.append(c.astype(str))
             cols["pq_csv"] = np.array(
                 [",".join(row) for row in zip(*codes)]
@@ -242,8 +322,6 @@ def ivfpq_encode_arrow(
     import numpy as np
     from pyspark.sql import types as T
 
-    from aurora_mito_etl_spark.operators.similarity import _ordered_gram
-
     books_raw = pq_codebooks(dim, m, n_centroids, seed)
     books = [np.array(b, dtype=np.float64) for b in books_raw]
     half_norms = [
@@ -270,15 +348,15 @@ def ivfpq_encode_arrow(
         for pdf in batches:
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             cols = {id_col: pdf[id_col].to_numpy()}
-            score = _ordered_gram(mat, cents) - cell_half[None, :]
-            cols["cell"] = (
-                (score.shape[1] - 1) - np.argmax(score[:, ::-1], axis=1)
-            ).astype(np.int32)
-            for j, book in enumerate(books):
-                sv = mat[:, j * subdim : (j + 1) * subdim]
-                s = _ordered_gram(sv, book) - half_norms[j][None, :]
-                c = (s.shape[1] - 1) - np.argmax(s[:, ::-1], axis=1)
-                cols[f"pq_{j}"] = c.astype(np.int32)
+            # IVF cell = the same argmax kernel with one full-width
+            # "book" (the coarse centroids)
+            cols["cell"] = _subspace_codes(
+                mat, [cents], [cell_half], mat.shape[1]
+            )[0]
+            for j, c in enumerate(
+                _subspace_codes(mat, books, half_norms, subdim)
+            ):
+                cols[f"pq_{j}"] = c
             yield pd.DataFrame(cols)
 
     return df.select(id_col, vec_col).mapInPandas(encode, out_schema)
@@ -319,10 +397,7 @@ def ivfpq_adc_topk(
     distance, ties by vec_id. Fully oracle-checked over pinned
     centroids/codebooks (emb_ivfpq_topk).
     """
-    from pyspark.sql import Window
-
     from aurora_mito_etl_spark.operators import similarity as _sim
-    from aurora_mito_etl_spark.operators.similarity import partial_topk
 
     if centroids is None:
         centroids = _sim.ivf_centroids(dim, n_cells)
@@ -364,41 +439,14 @@ def ivfpq_adc_topk(
         lambda t: t["cell"],
     )
 
-    qcols = [F.col(query_id_col), F.explode(probe).alias("cell")]
-    for j, book in enumerate(books):
-        sub = F.slice(qvec, j * subdim + 1, subdim)
-        entries = []
-        for cent in book:
-            n2 = sum(x * x for x in cent)
-            dot = F.aggregate(
-                F.zip_with(
-                    sub,
-                    F.array(*[F.lit(float(x)) for x in cent]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            entries.append(F.lit(float(n2)) - F.lit(2.0) * dot)
-        qcols.append(F.array(*entries).alias(f"_dt_{j}"))
-    qt = queries.select(*qcols)
+    qt = queries.select(
+        F.col(query_id_col),
+        F.explode(probe).alias("cell"),
+        *_adc_distance_table_cols(books, subdim, query_vec_col),
+    )
 
     joined = index.join(F.broadcast(qt), "cell")
-    adc = F.element_at(F.col("_dt_0"), F.col("pq_0") + 1)
-    for j in range(1, m):
-        adc = adc + F.element_at(F.col(f"_dt_{j}"), F.col(f"pq_{j}") + 1)
-    scored = joined.select(query_id_col, id_col, adc.alias("adc_dist"))
-    pruned = partial_topk(
-        scored, query_id_col, id_col, k, score_col="adc_dist", ascending=True
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.asc_nulls_last("adc_dist"), F.col(id_col)
-    )
-    return (
-        pruned.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, id_col, "adc_dist", "rank")
-    )
+    return _adc_rank_tail(joined, m, query_id_col, id_col, k)
 
 
 def pq_adc_topk(
@@ -440,10 +488,6 @@ def pq_adc_topk(
     Output: (query_id, vec_id, adc_dist, rank), rank 1..k ascending
     distance, ties by vec_id.
     """
-    from pyspark.sql import Window
-
-    from aurora_mito_etl_spark.operators.similarity import partial_topk
-
     books = pq_codebooks(dim, m, n_centroids, seed)
     subdim = dim // m
     # Corpus codes default to the Arrow encoder — BIT-IDENTICAL to the
@@ -458,45 +502,9 @@ def pq_adc_topk(
             vectors, dim, m, n_centroids, vec_col=vec_col, seed=seed
         ).select(id_col, *[f"pq_{j}" for j in range(m)])
 
-    qcols = [F.col(query_id_col)]
-    for j, book in enumerate(books):
-        sub = F.slice(
-            F.transform(F.col(query_vec_col), lambda x: x.cast("double")),
-            j * subdim + 1,
-            subdim,
-        )
-        entries = []
-        for cent in book:
-            n2 = sum(x * x for x in cent)
-            dot = F.aggregate(
-                F.zip_with(
-                    sub,
-                    F.array(*[F.lit(float(x)) for x in cent]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            entries.append(F.lit(float(n2)) - F.lit(2.0) * dot)
-        qcols.append(F.array(*entries).alias(f"_dt_{j}"))
-    qt = queries.select(*qcols).withColumn("_k", F.lit(1))
+    qt = queries.select(
+        F.col(query_id_col), *_adc_distance_table_cols(books, subdim, query_vec_col)
+    ).withColumn("_k", F.lit(1))
 
     joined = codes.withColumn("_k", F.lit(1)).join(F.broadcast(qt), "_k")
-    adc = F.element_at(F.col("_dt_0"), F.col("pq_0") + 1)
-    for j in range(1, m):
-        adc = adc + F.element_at(F.col(f"_dt_{j}"), F.col(f"pq_{j}") + 1)
-    scored = joined.select(query_id_col, id_col, adc.alias("adc_dist"))
-    pruned = partial_topk(
-        scored, query_id_col, id_col, k, score_col="adc_dist", ascending=True
-    )
-    # asc_nulls_last: Spark's bare asc sorts NULL first (DuckDB sorts
-    # it last) — a NULL distance must never outrank a real one, and
-    # the partial phase already sorts na_position='last'
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.asc_nulls_last("adc_dist"), F.col(id_col)
-    )
-    return (
-        pruned.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, id_col, "adc_dist", "rank")
-    )
+    return _adc_rank_tail(joined, m, query_id_col, id_col, k)

@@ -137,8 +137,11 @@ def knn_classify(
     votes = top.groupBy(query_id_col, label_col).agg(
         F.count("*").alias("n_votes")
     )
+    # explicit null ordering (repo invariant): a NULL label tying at
+    # max votes must lose to a real label in BOTH engines (Spark's
+    # bare asc sorts NULL first, DuckDB last)
     pick = Window.partitionBy(query_id_col).orderBy(
-        F.col("n_votes").desc(), F.col(label_col).asc()
+        F.desc_nulls_last("n_votes"), F.asc_nulls_last(label_col)
     )
     return (
         votes.withColumn("__r", F.row_number().over(pick))

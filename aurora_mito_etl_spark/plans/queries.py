@@ -5339,6 +5339,14 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "docs_source_report_quality",
     "docs_source_report_qsum",
     "docs_lm_score",
+    # New r7 LLM-tier queries (CLAUDE.md: new LLM-tier queries belong
+    # in the window): CCNet perplexity buckets and the composed
+    # Gopher∧C4∧LM∧lang quality gate. They replace docs_lang_id
+    # (driver-green r6; its expression is gate-covered through the
+    # ensemble's lang_ok column) and emb_lsh_near_dup (driver-green
+    # r6; LSH family stays sampled via emb_lsh_recall).
+    "docs_ccnet_buckets",
+    "docs_quality_ensemble",
     # Dedup tier (simhash / near_dedup_best / duplicate_spans /
     # emb_pq_encode rotated OUT after driver-green r6; still covered
     # by tools/verify_local.py every round)
@@ -5370,11 +5378,10 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # Embedding / similarity tier
     "emb_semantic_dedup",
     "emb_kmeans_assign",
-    "emb_lsh_near_dup",
     "emb_ivf_topk",
     # Text-analysis tier (docs_quality's fixed6 expression is gate-
-    # covered through docs_source_report's aggregation of it)
-    "docs_lang_id",
+    # covered through docs_source_report's aggregation of it;
+    # docs_lang_id's through docs_quality_ensemble's lang_ok)
     "docs_repetition",
     # Reference text-filter surface (§2.2)
     "docs_clean_text",

@@ -743,10 +743,14 @@ def test_ivfpq_candidates_are_cell_pruned_and_ranked(spark):
         r["vec_id"]: r["cell"]
         for r in qz.ivfpq_encode_arrow(e, 64, cents).collect()
     }
+    # expected-side scores must use the SAME ordered per-dimension
+    # fold as the product (BLAS matmul can differ in the last ulp and
+    # flip a near-tie probe — the repo's numeric-twin invariant)
     cents_np = np.array(cents, dtype=np.float64)
     half = np.array([sum(x * x for x in c) / 2.0 for c in cents])
     for r in q.collect():
-        s = cents_np @ np.array(r["query_vec"], dtype=np.float64) - half
+        qv = np.array(r["query_vec"], dtype=np.float64)[None, :]
+        s = sim._ordered_gram(qv, cents_np)[0] - half
         best = np.lexsort((-np.arange(len(s)), -s))[:4]
         probed = set(int(i) for i in best)
         for row in by_q[r["query_id"]]:

@@ -78,6 +78,9 @@ def test_driver_sample_covers_llm_tier():
         "docs_chunk_windows",
         "docs_hash_sample",
         "events_sessionize",
+        # new r7 LLM-tier queries (CLAUDE.md window rule)
+        "docs_ccnet_buckets",
+        "docs_quality_ensemble",
     }
     assert must_sample <= first50
     # The bisection block is contiguous and immediately follows the

@@ -298,3 +298,25 @@ def test_property_uncharge_is_order_invariant():
             assert canonical_smiles(".".join(frags)) == base, (s, frags)
         # re-write from the canonical form round-trips
         assert canonical_smiles(base) == base, (s, base)
+
+
+def test_fragment_selection_is_kekulization_invariant():
+    """Code-review r7 finding: largest_fragment's tie-break must see
+    the AROMATIZED graph — selecting on the raw parse made a
+    tied-fragment salt keep different fragments depending on how the
+    input was kekulized."""
+    a = canonical_smiles("C1=CC=CC=C1.c1ccncc1")
+    b = canonical_smiles("c1ccccc1.C1=CC=NC=C1")
+    assert a == b == canonical_smiles("c1ccncc1")  # pyridine wins both
+
+
+def test_uncharge_retention_is_kekulization_invariant():
+    """Code-review r7 finding: zwitterion-parity anion retention must
+    rank atoms on the aromatized graph, or which anion keeps its
+    charge flips with the input's kekulization."""
+    a = canonical_smiles("[O-]c1ccc(C[N+](C)(C)C)cc1C(=O)[O-]")
+    b = canonical_smiles("[O-]C1=CC=C(C[N+](C)(C)C)C=C1C(=O)[O-]")
+    assert a == b
+    # kekulized pyridinium unifies with pyridine (uncharge then the
+    # second aromatize pass picks the now-neutral ring up)
+    assert canonical_smiles("C1=CC=[NH+]C=C1") == canonical_smiles("c1ccncc1")
