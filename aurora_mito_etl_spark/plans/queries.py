@@ -2724,6 +2724,71 @@ def docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the source's own support needs only p>0 terms; per-term
 # contributions are fixed6-rounded (the DSIR log convention) and
 # decimal-summed, so the divergence is engine-identical.
+@_register(
+    "docs_ngram_novelty",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ),
+    dfs AS (SELECT s, COUNT(*) AS nd FROM grams GROUP BY s),
+    per AS (
+      SELECT g.doc_id, COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN d.nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+      FROM grams g JOIN dfs d USING (s) GROUP BY g.doc_id
+    )
+    SELECT i.doc_id,
+           COALESCE(p.n_shingles, 0) AS n_shingles,
+           COALESCE(p.n_unique, 0) AS n_unique,
+           floor((CASE WHEN COALESCE(p.n_shingles, 0) > 0
+                       THEN CAST(p.n_unique AS DOUBLE) / p.n_shingles
+                       ELSE 1.0 END) * 1000000 + 0.5) / 1000000 AS novel_frac
+    FROM (SELECT DISTINCT doc_id FROM documents) i
+    LEFT JOIN per p USING (doc_id)
+    """,
+)
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shingle novelty: the fraction of a document's
+    distinct 3-gram shingles that appear in NO other document — the
+    curation signal between exact dedup and near-dup (low novelty =
+    boilerplate/recombined content even when no single pair crosses a
+    dedup threshold). Shares the repo tokenizer (shingles_arrow), so
+    numbers are comparable with the dedup tier's. Plan: explode →
+    distinct pairs → shingle document-frequency → one join back →
+    per-doc aggregate; no pairing anywhere, so hot shingles cost a
+    count, never a quadratic bucket. Docs with <3 tokens report 0
+    shingles and novelty 1.0 (vacuously novel)."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(ts.shingles_arrow(F.col("text"), 3)).alias("s")
+    ).distinct()
+    dfs = grams.groupBy("s").agg(F.count("*").alias("nd"))
+    per = (
+        grams.join(dfs, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("nd") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+    )
+    ids = d.select("doc_id").distinct()
+    ns = F.coalesce("n_shingles", F.lit(0))
+    nu = F.coalesce("n_unique", F.lit(0))
+    return ids.join(per, "doc_id", "left").select(
+        "doc_id",
+        ns.alias("n_shingles"),
+        nu.alias("n_unique"),
+        fixed6(
+            F.when(ns > 0, nu / F.col("n_shingles")).otherwise(F.lit(1.0))
+        ).alias("novel_frac"),
+    )
+
+
 _SOURCE_KL_ORACLE = r"""
     WITH toks AS (
       SELECT source,
