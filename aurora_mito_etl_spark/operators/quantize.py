@@ -205,19 +205,30 @@ def _adc_rank_tail(
     joined: DataFrame, m: int, query_id_col: str, id_col: str, k: int
 ) -> DataFrame:
     """The shared ADC ranking tail: m element_at lookups summed
-    left-associated (matching the oracles' MAX(CASE)+… order), then
-    the repo-standard two-phase top-k — partition-local prune, exact
-    asc_nulls_last window over the ≤ k·P survivors (Spark's bare asc
-    sorts NULL first, DuckDB last; a NULL distance must never outrank
-    a real one)."""
+    left-associated (matching the oracles' MAX(CASE)+… order) and
+    fixed6-rounded BEFORE ranking, then the repo-standard two-phase
+    top-k — partition-local prune, exact asc_nulls_last window over
+    the ≤ k·P survivors (Spark's bare asc sorts NULL first, DuckDB
+    last; a NULL distance must never outrank a real one).
+
+    fixed6 on the distance is load-bearing, not cosmetic: DuckDB
+    1.0's list_dot_product is NOT a strict left-to-right fold (its
+    accumulation order matches neither the sequential fold, FMA, nor
+    pairwise — measured one-ulp divergence on sf0.1 query 1700), so
+    a raw double distance would hash-mismatch the oracle and a
+    one-ulp near-tie could even flip a rank. Rounding both engines'
+    sums to the 1e-6 grid before the (adc_dist, id) order makes the
+    ranking and the hashed values engine-identical — the same
+    mitigation every cosine path uses."""
     from pyspark.sql import Window
 
+    from aurora_mito_etl_spark.functions.numeric import fixed6
     from aurora_mito_etl_spark.operators.similarity import partial_topk
 
     adc = F.element_at(F.col("_dt_0"), F.col("pq_0") + 1)
     for j in range(1, m):
         adc = adc + F.element_at(F.col(f"_dt_{j}"), F.col(f"pq_{j}") + 1)
-    scored = joined.select(query_id_col, id_col, adc.alias("adc_dist"))
+    scored = joined.select(query_id_col, id_col, fixed6(adc).alias("adc_dist"))
     pruned = partial_topk(
         scored, query_id_col, id_col, k, score_col="adc_dist", ascending=True
     )

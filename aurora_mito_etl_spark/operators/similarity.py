@@ -304,11 +304,15 @@ def dot_arrow(a: Column, b: Column) -> Column:
     hot path (millions of candidate pairs × dim elements; Catalyst
     higher-order functions evaluate interpreted, per element, per row).
 
-    BIT-PARITY BY CONSTRUCTION with :func:`dot` and DuckDB's
-    list_dot_product: accumulates dimension-at-a-time in input order
-    (`acc += a[j]*b[j]`), elementwise IEEE doubles, no BLAS — every
-    partial sum is the exact left-to-right sequence, so downstream
-    fixed6(cos) values hash-match the oracles.
+    BIT-PARITY BY CONSTRUCTION with :func:`dot`: accumulates
+    dimension-at-a-time in input order (`acc += a[j]*b[j]`),
+    elementwise IEEE doubles, no BLAS — every partial sum is the
+    exact left-to-right sequence. CAUTION (measured r7): DuckDB
+    1.0's list_dot_product is NOT guaranteed to match this fold —
+    its kernel diverged by one ulp on a real sf0.1 input — which is
+    why every dot-derived value that reaches an oracle hash MUST go
+    through fixed6 (cosines always did; the ADC distances now do),
+    and why raw dots must never be compared engine-to-engine.
 
     NULL inputs and length-mismatched pairs → NULL (zip_with null-pad
     semantics); rows are grouped by array length per batch so any

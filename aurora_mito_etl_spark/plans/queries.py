@@ -4802,7 +4802,13 @@ def _pq_adc_oracle(
     uncode = "\n      UNION ALL\n      ".join(
         f"SELECT vec_id, {j} AS sub, pq_{j} AS cell FROM codes" for j in range(m)
     )
-    adc_sum = " + ".join(f"MAX(CASE WHEN u.sub = {j} THEN d END)" for j in range(m))
+    # fixed6 BEFORE ranking: DuckDB's list_dot_product accumulation
+    # order is engine-specific (one-ulp divergence measured at sf0.1),
+    # so raw double ADC sums would hash-mismatch — round both engines
+    # to the 1e-6 grid, as every cosine path does.
+    adc_sum = fixed6_sql(
+        " + ".join(f"MAX(CASE WHEN u.sub = {j} THEN d END)" for j in range(m))
+    )
     return f"""
     WITH cents(sub, cell, c, hn, n2) AS (
       VALUES
@@ -4897,7 +4903,12 @@ def _ivfpq_oracle(
     uncode = "\n      UNION ALL\n      ".join(
         f"SELECT vec_id, {j} AS sub, pq_{j} AS cell FROM codes" for j in range(m)
     )
-    adc_sum = " + ".join(f"MAX(CASE WHEN u.sub = {j} THEN d END)" for j in range(m))
+    # fixed6 before ranking — same list_dot_product rationale as
+    # _pq_adc_oracle (this query is where the sf0.1 ulp divergence
+    # was actually caught: query 1700's sub-1 entry)
+    adc_sum = fixed6_sql(
+        " + ".join(f"MAX(CASE WHEN u.sub = {j} THEN d END)" for j in range(m))
+    )
     return f"""
     WITH ivfcents(ivfcell, ic, ihn) AS (
       VALUES
@@ -4988,6 +4999,63 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qz.ivfpq_adc_topk(
         e, q, dim=64, m=4, n_centroids=16, k=5, n_cells=16, n_probe=4,
         centroids=sim.ivf_centroids(64, 16),
+    )
+
+
+def _ivfpq_recall_oracle(k: int = 5) -> str:
+    """Compose the IVF-PQ and brute-force oracle chains and measure
+    per-query overlap — the emb_lsh_recall pattern for the quantized
+    index (recall loss here combines cell-miss AND code-distortion)."""
+    ivfpq = _ivfpq_oracle(k=k)
+    brute = ORACLES["emb_cosine_topk"]
+    return f"""
+    WITH ivfpq AS ({ivfpq}),
+    brute AS ({brute}),
+    hits AS (
+      SELECT a.query_id, COUNT(*) AS n_hits
+      FROM ivfpq a JOIN brute b
+        ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+      GROUP BY a.query_id
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           floor((CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {k}.0) * 1000000 + 0.5) / 1000000 AS recall_at_k
+    FROM (SELECT DISTINCT query_id FROM brute) q
+    LEFT JOIN hits h USING (query_id)
+    """
+
+
+@_register("emb_ivfpq_recall", _ivfpq_recall_oracle())
+def emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF-PQ index against the exact brute-force
+    top-k — the rollout measurement for the quantized index, where
+    recall loss combines coarse-cell misses (n_probe too low) with PQ
+    code distortion (m/n_centroids too coarse). Same sampled-query
+    posture as emb_lsh_recall: the brute side is the expensive half
+    and runs on the sample only; the IVF-PQ side is the production
+    plan unchanged."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    k = 5
+    approx = qz.ivfpq_adc_topk(
+        e.select("vec_id", "embedding"), q, dim=64, m=4, n_centroids=16,
+        k=k, n_cells=16, n_probe=4, centroids=sim.ivf_centroids(64, 16),
+    )
+    brute = sim.brute_force_topk(e, q, k=k)
+    hits = (
+        approx.join(brute, ["query_id", "vec_id"], "semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    qs = brute.select("query_id").distinct()
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        fixed6(
+            F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(float(k))
+        ).alias("recall_at_k"),
     )
 
 
