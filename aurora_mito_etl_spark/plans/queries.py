@@ -5373,6 +5373,54 @@ def docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "docs_temperature_mixture",
+    f"""
+    WITH c AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs,
+             {fixed6_sql('pow(CAST(n_docs AS DOUBLE), 0.7)')} AS weight
+      FROM c
+    ),
+    t AS (
+      SELECT CAST(CAST(SUM(CAST(weight AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total
+      FROM w
+    )
+    SELECT w.source, w.n_docs, w.weight,
+           {fixed6_sql('w.weight / t.total')} AS mix_prob
+    FROM w, t
+    """,
+)
+def docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing weights (the GPT-3 §2.2 /
+    Pile-style table): per-source sampling probability ∝ n_docs^α
+    with α=0.7 — upweights small high-quality sources relative to
+    their raw share. pow() is libm in both engines (≤1 ulp), so the
+    weight is fixed6-rounded immediately (the F.log convention); the
+    normalizer is a decimal-exact sum broadcast back as a one-row
+    aggregate (no driver collect); the final probability is one
+    identical IEEE division, fixed6-rounded. Feed `mix_prob` into
+    packing.mixture_sample's target rates to materialize the mix."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = c.select(
+        "source",
+        "n_docs",
+        fixed6(F.pow(F.col("n_docs").cast("double"), F.lit(0.7))).alias(
+            "weight"
+        ),
+    )
+    t = w.agg(dec_to_double(F.sum(dec("weight"))).alias("total"))
+    return w.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "weight",
+        fixed6(F.col("weight") / F.col("total")).alias("mix_prob"),
+    )
+
+
+@_register(
     "docs_quality_ensemble",
     None,  # oracle added below (composes four generated oracles)
 )
