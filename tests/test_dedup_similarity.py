@@ -755,3 +755,40 @@ def test_ivfpq_candidates_are_cell_pruned_and_ranked(spark):
         probed = set(int(i) for i in best)
         for row in by_q[r["query_id"]]:
             assert cell_of[row["vec_id"]] in probed, (r["query_id"], row)
+
+
+def test_argmax_and_sign_margins_dwarf_engine_ulps(spark):
+    """Canary for the r7 list_dot_product finding: engine kernels can
+    disagree by ~1 ulp on a dot product, so any ORACLE-REPLAYED
+    argmax (IVF cell, PQ code) or sign test (LSH bucket) is safe only
+    while the data's decision margins dwarf that. Measure the minimum
+    top-2 score gap / |dot| on the gate tables and require a margin
+    of >= 1e-9 — ten-plus orders above a ulp, tripping loudly if the
+    driver ever regenerates data with a genuine near-tie (the fix
+    then is fixed6-before-argmax on BOTH engines, as _adc_rank_tail
+    already does for distances)."""
+    import numpy as np
+
+    from aurora_mito_etl_spark.operators.quantize import pq_codebooks
+    from aurora_mito_etl_spark.sources.catalog import load_table
+
+    rows = (
+        load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        .select("embedding")
+        .collect()
+    )
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+    def min_gap(scores):
+        s = np.sort(scores, axis=1)
+        return float(np.min(s[:, -1] - s[:, -2]))
+
+    cents = np.array(sim.ivf_centroids(64, 16))
+    half = np.array([sum(x * x for x in c) / 2.0 for c in sim.ivf_centroids(64, 16)])
+    assert min_gap(M @ cents.T - half) > 1e-9
+    for j, b in enumerate(pq_codebooks(64, 4, 16)):
+        B = np.array(b)
+        h = np.array([sum(x * x for x in c) / 2.0 for c in b])
+        assert min_gap(M[:, j * 16 : (j + 1) * 16] @ B.T - h) > 1e-9, j
+    planes = np.array(sim._hyperplanes(64, 8))
+    assert float(np.min(np.abs(M @ planes.T))) > 1e-9
