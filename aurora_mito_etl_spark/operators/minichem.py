@@ -28,8 +28,15 @@ reference scripts/finalize_realease.py:146-227,275-451):
   anions gain them, zwitterion parity retained for permanent cations)
   and runs in canonical_smiles / morgan fingerprints /
   has_substructure, mirroring the reference's Uncharger placement.
-  NO tautomer enumeration or normalization — the one remaining scope
-  exclusion vs the reference's canonic pipeline.
+- BOUNDED tautomer canonicalization IS implemented
+  (`tautomer_variants`): amidine/guanidine 1,3-H shifts — the
+  tautomerism of every biguanide the reference scores — enumerated
+  with cross-center combinations; canonical_smiles picks the
+  lexicographically smallest canonical string (isomorphism-invariant
+  by construction) and has_substructure tries every QUERY tautomer,
+  the reference's tautomer_submatch shape. Other tautomer classes
+  (keto-enol, imine-enamine, ring-chain) and Normalizer functional-
+  group rewrites remain the documented scope exclusion.
 - Stereochemistry is stripped (the reference itself writes
   isomericSmiles=False).
 - Canonical tie-breaking refines by invariants only; atoms left tied
@@ -463,6 +470,113 @@ def uncharge(mol: Mol, atoms: list[int] | None = None) -> Mol:
     return out
 
 
+def _amidine_centers(mol: Mol, atoms: list[int] | None = None) -> list[int]:
+    """Indices of non-aromatic carbons bearing exactly one C=N double
+    bond (no other double/triple bonds) plus at least one
+    single-bonded, uncharged, H-bearing, non-aromatic N — the
+    amidine/guanidine tautomeric system (the group every biguanide is
+    built from, reference finalize_realease.py:252-259 panel)."""
+    scope = set(range(len(mol.atoms)) if atoms is None else atoms)
+    out = []
+    for c in scope:
+        a = mol.atoms[c]
+        if a.element != "C" or a.aromatic:
+            continue
+        dbl = [(j, o) for j, o in mol.bonds[c] if o >= 2]
+        if len(dbl) != 1 or dbl[0][1] != 2:
+            continue
+        nd = dbl[0][0]
+        nda = mol.atoms[nd]
+        if nda.element != "N" or nda.aromatic or nda.charge != 0 or nd not in scope:
+            continue
+        singles = [
+            j
+            for j, o in mol.bonds[c]
+            if o == 1
+            and j in scope
+            and mol.atoms[j].element == "N"
+            and not mol.atoms[j].aromatic
+            and mol.atoms[j].charge == 0
+            and mol.implicit_h(j) >= 1
+            and not any(oo >= 2 for _, oo in mol.bonds[j])
+        ]
+        if singles:
+            out.append(c)
+    return out
+
+
+def _shift_double(m: Mol, c: int, t: int) -> Mol | None:
+    """Copy of `m` with center c's C=N double bond moved to the
+    single-bonded nitrogen `t` (1,3-H shift); None if `t` cannot
+    accept it in m's CURRENT state (no H, already double-bonded,
+    charged). Returns `m` itself when t already holds the double."""
+    import copy
+
+    cur = [j for j, o in m.bonds[c] if o == 2 and m.atoms[j].element == "N"]
+    if len(cur) != 1:
+        return None
+    nd = cur[0]
+    if t == nd:
+        return m
+    ta = m.atoms[t]
+    if ta.element != "N" or ta.aromatic or ta.charge != 0:
+        return None
+    if [o for j, o in m.bonds[c] if j == t] != [1]:
+        return None
+    if m.implicit_h(t) < 1 or any(o >= 2 for _, o in m.bonds[t]):
+        return None
+    out = copy.deepcopy(m)
+
+    def set_order(i: int, j: int, o: int) -> None:
+        out.bonds[i] = [(jj, o if jj == j else oo) for jj, oo in out.bonds[i]]
+        out.bonds[j] = [(ii, o if ii == i else oo) for ii, oo in out.bonds[j]]
+
+    set_order(c, nd, 1)
+    set_order(c, t, 2)
+    # bracket atoms carry explicit H counts; organic-subset atoms
+    # recompute implicit H from the new bond sums automatically
+    if out.atoms[nd].h_count is not None:
+        out.atoms[nd].h_count += 1
+    if out.atoms[t].h_count is not None:
+        out.atoms[t].h_count -= 1
+    return out
+
+
+def tautomer_variants(
+    mol: Mol, atoms: list[int] | None = None, max_variants: int = 256
+) -> list[Mol]:
+    """All bounded amidine/guanidine double-bond placements of `mol`
+    (always includes the input itself). The canonical-tautomer
+    consumers pick the variant whose canonical SMILES is
+    lexicographically smallest — isomorphism-invariant BY
+    CONSTRUCTION (no rank heuristics over erased graphs), the same
+    selection shape as the reference's TautomerEnumerator.Canonicalize
+    (finalize_realease.py:247). Cross-center combinations are
+    enumerated (biguanides chain two centers through a bridging N;
+    invalid combos — the bridge can't take two doubles — prune
+    themselves). Above `max_variants` the input is returned alone and
+    tautomer canonicalization is skipped for that molecule (documented
+    bound; 4 chained centers ≈ 81 variants fit comfortably)."""
+    centers = _amidine_centers(mol, atoms)
+    variants: list[Mol] = [mol]
+    for c in centers:
+        new: list[Mol] = []
+        for m in variants:
+            cands = {j for j, o in m.bonds[c] if o == 2} | {
+                j for j, o in m.bonds[c] if o == 1
+            }
+            for t in sorted(cands):
+                if m.atoms[t].element != "N":
+                    continue
+                v = _shift_double(m, c, t)
+                if v is not None:
+                    new.append(v)
+        variants = new or variants
+        if len(variants) > max_variants:
+            return [mol]
+    return variants
+
+
 # ---------------------------------------------------------------------------
 # Canonical writer
 # ---------------------------------------------------------------------------
@@ -757,7 +871,14 @@ def canonical_smiles(s: str, keep_all_fragments: bool = False) -> str | None:
             return ".".join(parts)
         frag = largest_fragment(mol)
         mol = aromatize(uncharge(mol, frag))
-        return _write(mol, frag, canonical_ranks(mol, frag))
+        # canonical tautomer: smallest canonical string over the
+        # bounded amidine/guanidine placements (mirrors the
+        # reference's TautomerEnumerator.Canonicalize step; unifies
+        # N=C(N)... with NC(=N)... writings of the same biguanide)
+        return min(
+            _write(v, frag, canonical_ranks(v, frag))
+            for v in tautomer_variants(mol, frag)
+        )
     except SmilesError:
         return None
     except RecursionError:
@@ -849,7 +970,10 @@ def has_substructure(query: str, target: str) -> bool:
         t = aromatize(uncharge(tm, largest_fragment(tm)))
     except SmilesError:
         return False
-    return _match(q, t)
+    # tautomer-aware, exactly the reference's shape (tautomer_submatch,
+    # finalize_realease.py:363-375): ANY tautomer of the QUERY may
+    # embed in the target; the target is prepped but not enumerated
+    return any(_match(qv, t) for qv in tautomer_variants(q))
 
 
 def _match(q: Mol, t: Mol) -> bool:
