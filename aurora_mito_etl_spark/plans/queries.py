@@ -4272,7 +4272,7 @@ def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            COUNT(DISTINCT lang) AS n_langs,
            COUNT(*) - COUNT(DISTINCT fp) AS n_exact_dups,
            {oracle_dec_avg('quality', 'mean_quality')}
@@ -4374,7 +4374,7 @@ def _source_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            COUNT(DISTINCT lang) AS n_langs,
            COUNT(*) - COUNT(DISTINCT fp) AS n_exact_dups
     FROM q GROUP BY source
@@ -4514,7 +4514,7 @@ def events_value_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c ORDER BY n DESC, user_id ASC LIMIT 1
     )
     SELECT (SELECT COUNT(*) FROM c) AS n_keys,
-           (SELECT SUM(n) FROM c) AS n_rows,
+           (SELECT CAST(SUM(n) AS BIGINT) FROM c) AS n_rows,
            hot.hot_key,
            hot.hot_rows,
            {fixed6_sql('hot.hot_rows / CAST((SELECT SUM(n) FROM c) AS DOUBLE)')} AS hot_share,

@@ -1,0 +1,53 @@
+"""Pin: no oracle may emit a DuckDB HUGEINT (or width-38 decimal) column.
+
+DuckDB widens SUM over integer columns to HUGEINT (int128); the driver
+compares results through Arrow, where HUGEINT surfaces as decimal128 and
+hash-mismatches Spark's int64 even when every value is identical. This
+bit `docs_source_report`/`_counts` in rounds 6-7 (CORRECTNESS_r0{6,7}:
+rows/schema green, hash red; bisection `_counts` red vs `_quality`
+green localized it to the only uncast integer SUMs in the sample).
+`tools/verify_local.py` can NOT catch this class — it fetches Python
+ints, where int128 and int64 stringify identically.
+
+The fix convention: every integer aggregate that can widen must be
+wrapped `CAST(... AS BIGINT)` in the oracle SQL. This test binds every
+oracle in DuckDB (bind only — no execution) and fails on any output
+column whose declared type is HUGEINT/UHUGEINT or a precision-38
+decimal, so a new uncast SUM never reaches the driver gate again.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from aurora_mito_etl_spark.plans.queries import ORACLES
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+BANNED = ("HUGEINT", "UHUGEINT", "DECIMAL(38")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def test_no_hugeint_oracle_outputs(con):
+    flagged = []
+    for name, sql in ORACLES.items():
+        rel = con.sql(sql)  # binds + type-resolves; does not execute
+        for col, typ in zip(rel.columns, (str(t).upper() for t in rel.types)):
+            if any(b in typ for b in BANNED):
+                flagged.append((name, col, typ))
+    assert not flagged, (
+        "oracle columns widen to HUGEINT/DECIMAL38 in DuckDB — wrap the "
+        f"aggregate in CAST(... AS BIGINT): {flagged}"
+    )
