@@ -406,6 +406,26 @@ def largest_fragment(mol: Mol) -> list[int]:
     return max(frags, key=key)
 
 
+def extract_fragment(mol: Mol, atoms: list[int]) -> Mol:
+    """New Mol containing exactly `atoms` (a connected component from
+    fragments()), reindexed. Lossless: fragments have no cross-
+    component bonds, bracket atoms carry their explicit H counts, and
+    organic-subset atoms re-infer the same implicit H from the same
+    bond sums."""
+    import copy
+
+    out = Mol()
+    remap = {}
+    for i in sorted(atoms):
+        remap[i] = out.add_atom(copy.deepcopy(mol.atoms[i]))
+    inset = set(atoms)
+    for i in sorted(atoms):
+        for j, o in mol.bonds[i]:
+            if j in inset and i < j:
+                out.add_bond(remap[i], remap[j], o)
+    return out
+
+
 def uncharge(mol: Mol, atoms: list[int] | None = None) -> Mol:
     """RDKit-Uncharger-style neutralization (reference canonic step,
     finalize_realease.py:246, and the D4 mol prep, :352-430): returns
@@ -851,8 +871,19 @@ def canonical_smiles(s: str, keep_all_fragments: bool = False) -> str | None:
     with '.' in sorted order.
 
     Pipeline: aromatize -> fragment selection -> uncharge (scoped to
-    the kept fragment) -> re-aromatize -> canonical write; tautomer
-    canonicalization is the documented scope exclusion. Aromatization
+    the kept fragment) -> re-aromatize -> canonical-tautomer selection
+    -> canonical write.
+
+    IDENTITY IS TAUTOMER-LEVEL: the bounded amidine/guanidine
+    1,3-shift enumeration (tautomer_variants) means two tautomeric
+    writings of the same system ('NC=NC' and 'N=CNC') canonicalize to
+    the SAME string, mirroring the reference's TautomerEnumerator
+    .Canonicalize step (finalize_realease.py:247). morgan_count_fp is
+    deliberately NOT tautomer-canonical (it mirrors the reference's
+    D4 prep, which has no tautomer step), so fp(canonical_smiles(s))
+    may differ from fp(s) when canonicalization picks the other
+    tautomer; the function IS idempotent, so fp∘canonical_smiles is a
+    well-defined tautomer-level fingerprint when one is needed. Aromatization
     runs FIRST so fragment tie-breaking and uncharge's retention
     ranks see the perception-unified graph (selecting on the raw
     parse made both kekulization-dependent — two writings of the same
@@ -903,7 +934,13 @@ def morgan_count_fp(
     aromatize, largest fragment, then uncharge scoped to it — so
     [NH3+]/[O-] salts fingerprint identically to their neutral
     parents (fragment selection and retention ranks run on the
-    aromatized graph; see canonical_smiles on why)."""
+    aromatized graph; see canonical_smiles on why).
+
+    TAUTOMER-SENSITIVE by design: no tautomer canonicalization runs
+    here (the reference's D4 prep has none), so 'NC=NC' and 'N=CNC'
+    fingerprint differently even though canonical_smiles unifies
+    them. Compose fp(canonical_smiles(s)) for a tautomer-level
+    fingerprint."""
     try:
         mol = aromatize(parse_smiles(s))
         # largest_fragment's tie-break may invoke the recursive writer
@@ -962,12 +999,18 @@ def has_substructure(query: str, target: str) -> bool:
     aromatic matching aromatic). Both sides are uncharged first — the
     reference preps query AND target through its uncharger before
     matching (finalize_realease.py:352-430), so a protonated amine
-    still matches a neutral pattern."""
+    still matches a neutral pattern.
+
+    Both sides are also reduced to their LARGEST FRAGMENT before
+    matching — the reference's mol_from_smiles drops non-largest
+    fragments, so a query must embed in the parent molecule itself,
+    never in a counterion (query 'Cl' does NOT match '...guanidine.Cl')."""
     try:
         qm = aromatize(parse_smiles(query))
         tm = aromatize(parse_smiles(target))
-        q = aromatize(uncharge(qm, largest_fragment(qm)))
-        t = aromatize(uncharge(tm, largest_fragment(tm)))
+        qf, tf = largest_fragment(qm), largest_fragment(tm)
+        q = aromatize(extract_fragment(uncharge(qm, qf), qf))
+        t = aromatize(extract_fragment(uncharge(tm, tf), tf))
     except SmilesError:
         return False
     # tautomer-aware, exactly the reference's shape (tautomer_submatch,

@@ -5504,83 +5504,82 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # Flagships (pinned every round)
     "flagship_training_corpus",
     "flagship_compound_mentions",
-    # LLM quality / filtering / mixing tier
+    # LLM quality / filtering / mixing tier (CLAUDE.md window rule).
+    # docs_mixture_sample and docs_bigram_pmi rotated OUT after
+    # driver-green r7 — their families stay sampled via the incoming
+    # docs_temperature_mixture and docs_bpe_pair_counts.
     "docs_gopher_quality",
     "docs_pii_redact",
     "docs_dsir_weights",
     "docs_pack_sequences",
-    "docs_mixture_sample",
-    "docs_bigram_pmi",
-    # docs_source_report bisection block (VERDICT r6 ask #1): the
-    # parent plus its three column-split variants, adjacent so one
-    # CORRECTNESS_r07.json localizes the driver-red to integer
-    # counts, the double mean, or the raw decimal sum.
+    "docs_lm_score",
+    "docs_ccnet_buckets",
+    "docs_quality_ensemble",
+    # docs_source_report bisection block: kept one more round as the
+    # control for the r8 fix (CAST(SUM(n_chars) AS BIGINT) — VERDICT
+    # r7 localized the driver-red to DuckDB HUGEINT widening of the
+    # only uncast integer sums in the sample). Expected: all 4 green.
     "docs_source_report",
     "docs_source_report_counts",
     "docs_source_report_quality",
     "docs_source_report_qsum",
-    "docs_lm_score",
-    # New r7 LLM-tier queries (CLAUDE.md: new LLM-tier queries belong
-    # in the window): CCNet perplexity buckets and the composed
-    # Gopher∧C4∧LM∧lang quality gate. They replace docs_lang_id
-    # (driver-green r6; its expression is gate-covered through the
-    # ensemble's lang_ok column) and emb_lsh_near_dup (driver-green
-    # r6; LSH family stays sampled via emb_lsh_recall).
-    "docs_ccnet_buckets",
-    "docs_quality_ensemble",
-    # Dedup tier (simhash / near_dedup_best / duplicate_spans /
-    # emb_pq_encode rotated OUT after driver-green r6; still covered
-    # by tools/verify_local.py every round)
+    # Dedup / decontamination tier representatives
     "docs_exact_dedup",
     "docs_minhash_lsh_pairs",
     "docs_near_dedup_survivors",
     "docs_incremental_near_dup",
     "docs_decontaminate_bloom",
-    "docs_tfidf_topk",
-    "events_pagerank",
-    # Round-7 rotation (VERDICT r6 asks #2 and #6): eleven never-gated
-    # queries — LSH recall diagnostic, held-out LM scoring, source
-    # entropy, approx percentiles, pivot, cube, gap-fill, retention,
-    # chunking, hash sampling, and the streaming batch-twin
-    # events_sessionize (r3's red family — prove it stays green on
-    # regenerated data). The ten r6-rotation names they replace all
-    # came back driver-green in CORRECTNESS_r06.json.
-    "docs_lm_score_external",
-    "docs_source_entropy",
-    "emb_lsh_recall",
-    "lineitem_price_percentiles_approx",
-    "orders_pivot_priority",
-    "events_cube",
-    "events_hourly_gap_filled",
-    "events_retention",
-    "docs_chunk_windows",
-    "docs_hash_sample",
-    "events_sessionize",
-    # Embedding / similarity tier
+    # Embedding tier core (emb_ivf_topk rotated OUT after driver-green
+    # r7; the IVF family stays sampled via incoming emb_ivfpq_topk)
     "emb_semantic_dedup",
     "emb_kmeans_assign",
-    "emb_ivf_topk",
-    # Text-analysis tier (docs_quality's fixed6 expression is gate-
-    # covered through docs_source_report's aggregation of it;
-    # docs_lang_id's through docs_quality_ensemble's lang_ok)
-    "docs_repetition",
-    # Reference text-filter surface (§2.2)
+    # Iterative-graph rep: the unrolled-CTE oracle family is the most
+    # exposed to regenerated-data drift, so it stays pinned.
+    "events_pagerank",
+    # Reference text-filter surface (§2.2); docs_dict_anti_filter
+    # rotated OUT (driver-green r7) for its never-sampled AC variant.
     "docs_clean_text",
-    "docs_dict_anti_filter",
     "part_normalize_dedup",
     # LLM source + multimodal (§2.1 S8 / D5, multimodal columns)
     "docs_classify_stub",
     "docs_media_features",
-    # Relational-spine family representatives (§2.3/§2.4)
+    # Relational-spine reps (§2.3/§2.4); two_tier_lookup and
+    # customers_without_orders rotated OUT after driver-green r7 —
+    # the join family stays sampled via customer_order_full_outer.
     "pricing_summary",
     "order_rollup_per_customer",
-    "two_tier_lookup",
-    "customers_without_orders",
     "events_asof_join",
-    # Windows (§2.5) and set ops (§2.7), scalar functions (§2.8)
+    # Windows (§2.5) and scalar functions (§2.8); priority_set_ops
+    # rotated OUT (driver-green r7) for orders_except_intersect_all.
     "window_order_stats",
-    "priority_set_ops",
     "scalar_function_parity",
+    # ------------------------------------------------------------------
+    # Round-8 rotation (VERDICT r7 ask #3): the TWENTY queries that had
+    # never appeared in any CORRECTNESS_r*.json window r1-r7. All are
+    # local-green at sf0.01; regenerated-data reds historically surface
+    # only at the driver, so each needs one driver-green row.
+    "emb_ivfpq_topk",
+    "emb_ivfpq_recall",
+    "emb_knn_classify",
+    "emb_dim_stats",
+    "events_value_anomaly",
+    "events_key_skew_report",
+    "events_top_paths",
+    "docs_temperature_mixture",
+    "docs_ngram_novelty",
+    "docs_ngram_repetition",
+    "docs_bpe_pair_counts",
+    "docs_source_divergence",
+    "docs_ac_dict_filter",
+    "docs_chunked",
+    "docs_contiguous_ids",
+    "docs_length_histogram",
+    "lineitem_price_percentiles",
+    "customer_order_full_outer",
+    "orders_except_intersect_all",
+    # rows-only sink e2e (no oracle by design): gives the K1-K4 sink
+    # family its first driver-side evidence; writes only to a tempdir.
+    "release_sink_smoke",
 )
 
 

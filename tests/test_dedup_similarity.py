@@ -774,7 +774,7 @@ def test_argmax_and_sign_margins_dwarf_engine_ulps(spark):
 
     rows = (
         load_table(spark, "/root/testdata/sf0.001", "embeddings")
-        .select("embedding")
+        .select("vec_id", "embedding")
         .collect()
     )
     M = np.array([r["embedding"] for r in rows], dtype=np.float64)
@@ -782,6 +782,12 @@ def test_argmax_and_sign_margins_dwarf_engine_ulps(spark):
     def min_gap(scores):
         s = np.sort(scores, axis=1)
         return float(np.min(s[:, -1] - s[:, -2]))
+
+    def rank_gap(scores, r):
+        """Min gap between the r-th and (r+1)-th best score per row —
+        the margin an oracle-replayed `rank <= r` cutoff rides on."""
+        s = np.sort(scores, axis=1)
+        return float(np.min(s[:, -r] - s[:, -r - 1]))
 
     cents = np.array(sim.ivf_centroids(64, 16))
     half = np.array([sum(x * x for x in c) / 2.0 for c in sim.ivf_centroids(64, 16)])
@@ -792,3 +798,48 @@ def test_argmax_and_sign_margins_dwarf_engine_ulps(spark):
         assert min_gap(M[:, j * 16 : (j + 1) * 16] @ B.T - h) > 1e-9, j
     planes = np.array(sim._hyperplanes(64, 8))
     assert float(np.min(np.abs(M @ planes.T))) > 1e-9
+    # IVF-PQ probe selection is `rank <= n_probe` over cell scores for
+    # the QUERY rows (gate: n_probe=4, queries vec_id % 100 == 0) — a
+    # near-tie at the 4th-vs-5th cell would flip the probed candidate
+    # SET without moving any top-1 argmax, so the boundary needs its
+    # own margin (ADVICE r7).
+    qmask = np.array([r["vec_id"] % 100 == 0 for r in rows])
+    assert qmask.any()
+    assert rank_gap(M[qmask] @ cents.T - half, 4) > 1e-9
+
+
+def test_argmax_margins_hold_at_sf01(spark):
+    """sf0.1 tier of the margin canary: the r7 list_dot_product ulp
+    only surfaced at sf0.1 (CLAUDE.md), so the argmax / sign /
+    probe-boundary margins must be re-measured where the divergence
+    actually lives, not only on the 600-row table. One collect of the
+    embedding column (~6k rows x 64 doubles) — cheap next to bench."""
+    import numpy as np
+
+    from aurora_mito_etl_spark.operators.quantize import pq_codebooks
+    from aurora_mito_etl_spark.sources.catalog import load_table
+
+    rows = (
+        load_table(spark, "/root/testdata/sf0.1", "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+    def rank_gap(scores, r):
+        s = np.sort(scores, axis=1)
+        return float(np.min(s[:, -r] - s[:, -r - 1]))
+
+    cents = np.array(sim.ivf_centroids(64, 16))
+    half = np.array([sum(x * x for x in c) / 2.0 for c in sim.ivf_centroids(64, 16)])
+    cell_scores = M @ cents.T - half
+    assert rank_gap(cell_scores, 1) > 1e-9
+    for j, b in enumerate(pq_codebooks(64, 4, 16)):
+        B = np.array(b)
+        h = np.array([sum(x * x for x in c) / 2.0 for c in b])
+        assert rank_gap(M[:, j * 16 : (j + 1) * 16] @ B.T - h, 1) > 1e-9, j
+    planes = np.array(sim._hyperplanes(64, 8))
+    assert float(np.min(np.abs(M @ planes.T))) > 1e-9
+    qmask = np.array([r["vec_id"] % 100 == 0 for r in rows])
+    assert qmask.any()
+    assert rank_gap(cell_scores[qmask], 4) > 1e-9

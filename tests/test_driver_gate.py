@@ -59,28 +59,38 @@ def test_driver_sample_covers_llm_tier():
         "docs_dsir_weights",
         "docs_incremental_near_dup",
         "docs_lm_score",
-        # round-7 bisection block: the driver-red parent plus its
-        # three column-split variants, adjacent (VERDICT r6 ask #1)
+        "docs_ccnet_buckets",
+        "docs_quality_ensemble",
+        # round-8 control block: the r7 driver-red parent plus its
+        # three column-split variants, kept adjacent one more round to
+        # confirm the BIGINT-cast fix (VERDICT r7 ask #1)
         "docs_source_report",
         "docs_source_report_counts",
         "docs_source_report_quality",
         "docs_source_report_qsum",
-        # round-7 rotation: first-time hard-gate families + the
-        # streaming batch-twin (VERDICT r6 asks #2/#6)
-        "docs_lm_score_external",
-        "docs_source_entropy",
-        "emb_lsh_recall",
-        "lineitem_price_percentiles_approx",
-        "orders_pivot_priority",
-        "events_cube",
-        "events_hourly_gap_filled",
-        "events_retention",
-        "docs_chunk_windows",
-        "docs_hash_sample",
-        "events_sessionize",
-        # new r7 LLM-tier queries (CLAUDE.md window rule)
-        "docs_ccnet_buckets",
-        "docs_quality_ensemble",
+        # round-8 rotation: every query that had never been driver-
+        # sampled in r1-r7 gets its first hard-gate row (VERDICT r7
+        # ask #3)
+        "emb_ivfpq_topk",
+        "emb_ivfpq_recall",
+        "emb_knn_classify",
+        "emb_dim_stats",
+        "events_value_anomaly",
+        "events_key_skew_report",
+        "events_top_paths",
+        "docs_temperature_mixture",
+        "docs_ngram_novelty",
+        "docs_ngram_repetition",
+        "docs_bpe_pair_counts",
+        "docs_source_divergence",
+        "docs_ac_dict_filter",
+        "docs_chunked",
+        "docs_contiguous_ids",
+        "docs_length_histogram",
+        "lineitem_price_percentiles",
+        "customer_order_full_outer",
+        "orders_except_intersect_all",
+        "release_sink_smoke",
     }
     assert must_sample <= first50
     # The bisection block is contiguous and immediately follows the

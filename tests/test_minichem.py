@@ -84,6 +84,11 @@ def test_substructure_matching():
     assert not has_substructure("c1ccccc1", METFORMIN)
     # charge must match: nitro N+ is not a plain N environment
     assert has_substructure("[N+](=O)[O-]", "O=[N+]([O-])c1ccccc1")
+    # reference mol_from_smiles parity: the target is reduced to its
+    # largest fragment, so a query must never match only a counterion
+    assert not has_substructure("Cl", "CN(C)C(=N)NC(=N)N.Cl")
+    # ... but still matches when the parent itself carries it
+    assert has_substructure("Cl", "ClCC(=O)O.[Na+]")
 
 
 def test_fingerprint_similarity_ordering():
@@ -179,17 +184,44 @@ def test_property_canonical_is_order_invariant(mol, rng):
         assert canonical_smiles(alt) == canon, (base, alt)
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=500, deadline=None)
 @given(random_mols())
 def test_property_fingerprint_and_selfmatch(mol):
-    """Round-tripped molecules fingerprint identically and match
-    themselves as substructure."""
+    """Fingerprints are total and self-match holds; canonicalization
+    is IDEMPOTENT, so the composed tautomer-level fingerprint
+    fp∘canonical is stable under re-canonicalization.
+
+    NOTE the invariant is deliberately NOT fp(canonical(s)) == fp(s):
+    canonical_smiles identity is tautomer-level (amidine 1,3-shifts
+    unify 'NC=NC' with 'N=CNC') while morgan_count_fp is
+    tautomer-sensitive (reference D4 prep has no tautomer step), so
+    canonicalization may legitimately pick the other tautomer."""
     atoms = list(range(len(mol.atoms)))
     s = _write(mol, atoms, canonical_ranks(mol))
     fp = morgan_count_fp(s)
     assert fp is not None and sum(fp.values()) == 3 * len(atoms)
-    assert morgan_count_fp(canonical_smiles(s)) == fp
+    c = canonical_smiles(s)
+    assert c is not None
+    assert canonical_smiles(c) == c, (s, c)
+    assert morgan_count_fp(c) == morgan_count_fp(canonical_smiles(c))
     assert has_substructure(s, s)
+
+
+def test_amidine_tautomer_unification_regression():
+    """Pinned hypothesis falsifier (r7): the amidine pair NC=NC /
+    N=CNC. Canonical SMILES must unify the tautomers (reference
+    TautomerCanonicalize parity); fingerprints stay tautomer-
+    sensitive, but the composed tautomer-level fingerprint agrees."""
+    a, b = "NC=NC", "N=CNC"
+    ca, cb = canonical_smiles(a), canonical_smiles(b)
+    assert ca is not None and ca == cb, (ca, cb)
+    assert canonical_smiles(ca) == ca
+    # tautomer-level fingerprint agrees across the pair
+    assert morgan_count_fp(ca) == morgan_count_fp(cb)
+    # raw fingerprints differ across tautomers — documented design
+    assert morgan_count_fp(a) != morgan_count_fp(b)
+    # each tautomer still embeds in itself
+    assert has_substructure(a, a) and has_substructure(b, b)
 
 
 def test_aromatize_unifies_kekule_and_aromatic_forms():
