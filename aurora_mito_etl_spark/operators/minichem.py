@@ -509,6 +509,16 @@ def _amidine_centers(mol: Mol, atoms: list[int] | None = None) -> list[int]:
         nda = mol.atoms[nd]
         if nda.element != "N" or nda.aromatic or nda.charge != 0 or nd not in scope:
             continue
+        # The double-bond N must be STANDARD TRIVALENT (bond sum <= 3):
+        # a hypervalent N (e.g. 'C(N)=N(C)CC', sum 4 — legal SMILES
+        # under N's (3,5) valence model) cannot accept the shifted H
+        # after losing the double bond, so the "shift" would not be a
+        # tautomer and the variant set would not be closed under it
+        # (found by the tautomer-level-identity property test: the
+        # reverse shift from the shifted form is impossible, so the
+        # two writings canonicalized differently).
+        if mol.bond_order_sum(nd) > 3 + 1e-9:
+            continue
         singles = [
             j
             for j, o in mol.bonds[c]
@@ -538,6 +548,10 @@ def _shift_double(m: Mol, c: int, t: int) -> Mol | None:
     nd = cur[0]
     if t == nd:
         return m
+    # mirror _amidine_centers' trivalent-donor guard (see there): a
+    # hypervalent donor N cannot receive the shifted H
+    if m.bond_order_sum(nd) > 3 + 1e-9:
+        return None
     ta = m.atoms[t]
     if ta.element != "N" or ta.aromatic or ta.charge != 0:
         return None

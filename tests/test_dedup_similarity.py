@@ -757,6 +757,17 @@ def test_ivfpq_candidates_are_cell_pruned_and_ranked(spark):
             assert cell_of[row["vec_id"]] in probed, (r["query_id"], row)
 
 
+def _rank_gap(scores, r):
+    """Min gap between the r-th and (r+1)-th best score per row — the
+    margin an oracle-replayed argmax (r=1) or `rank <= r` cutoff rides
+    on. Shared by both margin canaries so the gap definition cannot
+    drift between the sf0.001 and sf0.1 tiers."""
+    import numpy as np
+
+    s = np.sort(scores, axis=1)
+    return float(np.min(s[:, -r] - s[:, -r - 1]))
+
+
 def test_argmax_and_sign_margins_dwarf_engine_ulps(spark):
     """Canary for the r7 list_dot_product finding: engine kernels can
     disagree by ~1 ulp on a dot product, so any ORACLE-REPLAYED
@@ -779,23 +790,13 @@ def test_argmax_and_sign_margins_dwarf_engine_ulps(spark):
     )
     M = np.array([r["embedding"] for r in rows], dtype=np.float64)
 
-    def min_gap(scores):
-        s = np.sort(scores, axis=1)
-        return float(np.min(s[:, -1] - s[:, -2]))
-
-    def rank_gap(scores, r):
-        """Min gap between the r-th and (r+1)-th best score per row —
-        the margin an oracle-replayed `rank <= r` cutoff rides on."""
-        s = np.sort(scores, axis=1)
-        return float(np.min(s[:, -r] - s[:, -r - 1]))
-
     cents = np.array(sim.ivf_centroids(64, 16))
     half = np.array([sum(x * x for x in c) / 2.0 for c in sim.ivf_centroids(64, 16)])
-    assert min_gap(M @ cents.T - half) > 1e-9
+    assert _rank_gap(M @ cents.T - half, 1) > 1e-9
     for j, b in enumerate(pq_codebooks(64, 4, 16)):
         B = np.array(b)
         h = np.array([sum(x * x for x in c) / 2.0 for c in b])
-        assert min_gap(M[:, j * 16 : (j + 1) * 16] @ B.T - h) > 1e-9, j
+        assert _rank_gap(M[:, j * 16 : (j + 1) * 16] @ B.T - h, 1) > 1e-9, j
     planes = np.array(sim._hyperplanes(64, 8))
     assert float(np.min(np.abs(M @ planes.T))) > 1e-9
     # IVF-PQ probe selection is `rank <= n_probe` over cell scores for
@@ -805,7 +806,7 @@ def test_argmax_and_sign_margins_dwarf_engine_ulps(spark):
     # own margin (ADVICE r7).
     qmask = np.array([r["vec_id"] % 100 == 0 for r in rows])
     assert qmask.any()
-    assert rank_gap(M[qmask] @ cents.T - half, 4) > 1e-9
+    assert _rank_gap(M[qmask] @ cents.T - half, 4) > 1e-9
 
 
 def test_argmax_margins_hold_at_sf01(spark):
@@ -826,20 +827,16 @@ def test_argmax_margins_hold_at_sf01(spark):
     )
     M = np.array([r["embedding"] for r in rows], dtype=np.float64)
 
-    def rank_gap(scores, r):
-        s = np.sort(scores, axis=1)
-        return float(np.min(s[:, -r] - s[:, -r - 1]))
-
     cents = np.array(sim.ivf_centroids(64, 16))
     half = np.array([sum(x * x for x in c) / 2.0 for c in sim.ivf_centroids(64, 16)])
     cell_scores = M @ cents.T - half
-    assert rank_gap(cell_scores, 1) > 1e-9
+    assert _rank_gap(cell_scores, 1) > 1e-9
     for j, b in enumerate(pq_codebooks(64, 4, 16)):
         B = np.array(b)
         h = np.array([sum(x * x for x in c) / 2.0 for c in b])
-        assert rank_gap(M[:, j * 16 : (j + 1) * 16] @ B.T - h, 1) > 1e-9, j
+        assert _rank_gap(M[:, j * 16 : (j + 1) * 16] @ B.T - h, 1) > 1e-9, j
     planes = np.array(sim._hyperplanes(64, 8))
     assert float(np.min(np.abs(M @ planes.T))) > 1e-9
     qmask = np.array([r["vec_id"] % 100 == 0 for r in rows])
     assert qmask.any()
-    assert rank_gap(cell_scores[qmask], 4) > 1e-9
+    assert _rank_gap(cell_scores[qmask], 4) > 1e-9

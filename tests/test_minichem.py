@@ -196,6 +196,8 @@ def test_property_fingerprint_and_selfmatch(mol):
     unify 'NC=NC' with 'N=CNC') while morgan_count_fp is
     tautomer-sensitive (reference D4 prep has no tautomer step), so
     canonicalization may legitimately pick the other tautomer."""
+    from aurora_mito_etl_spark.operators.minichem import tautomer_variants
+
     atoms = list(range(len(mol.atoms)))
     s = _write(mol, atoms, canonical_ranks(mol))
     fp = morgan_count_fp(s)
@@ -203,7 +205,13 @@ def test_property_fingerprint_and_selfmatch(mol):
     c = canonical_smiles(s)
     assert c is not None
     assert canonical_smiles(c) == c, (s, c)
-    assert morgan_count_fp(c) == morgan_count_fp(canonical_smiles(c))
+    # tautomer-level identity: EVERY bounded tautomer placement of the
+    # molecule canonicalizes to the same string (hence fp∘canonical is
+    # a well-defined tautomer-level fingerprint) — the non-vacuous form
+    # of the deleted fp(canonical(s)) == fp(s) invariant.
+    for v in tautomer_variants(mol)[:8]:
+        sv = _write(v, atoms, canonical_ranks(v))
+        assert canonical_smiles(sv) == c, (s, sv, c)
     assert has_substructure(s, s)
 
 
@@ -216,8 +224,6 @@ def test_amidine_tautomer_unification_regression():
     ca, cb = canonical_smiles(a), canonical_smiles(b)
     assert ca is not None and ca == cb, (ca, cb)
     assert canonical_smiles(ca) == ca
-    # tautomer-level fingerprint agrees across the pair
-    assert morgan_count_fp(ca) == morgan_count_fp(cb)
     # raw fingerprints differ across tautomers — documented design
     assert morgan_count_fp(a) != morgan_count_fp(b)
     # each tautomer still embeds in itself

@@ -18,35 +18,40 @@ decimal, so a new uncast SUM never reaches the driver gate again.
 
 from __future__ import annotations
 
-import duckdb
+import sys
+from pathlib import Path
+
 import pytest
 
-from aurora_mito_etl_spark.plans.queries import ORACLES
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+
+from verify_local import connect_views  # noqa: E402
+
+from aurora_mito_etl_spark.plans.queries import ORACLES  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
 
 BANNED = ("HUGEINT", "UHUGEINT", "DECIMAL(38")
 
 
 @pytest.fixture(scope="module")
 def con():
-    c = duckdb.connect()
-    for t in TABLES:
-        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
-    return c
+    return connect_views(SF_DIR)
 
 
 def test_no_hugeint_oracle_outputs(con):
     flagged = []
+    errors = []
     for name, sql in ORACLES.items():
-        rel = con.sql(sql)  # binds + type-resolves; does not execute
+        try:
+            rel = con.sql(sql)  # binds + type-resolves; does not execute
+        except Exception as e:  # noqa: BLE001 — report per-oracle, keep scanning
+            errors.append((name, str(e)[:120]))
+            continue
         for col, typ in zip(rel.columns, (str(t).upper() for t in rel.types)):
             if any(b in typ for b in BANNED):
                 flagged.append((name, col, typ))
+    assert not errors, f"oracle bind failures: {errors}"
     assert not flagged, (
         "oracle columns widen to HUGEINT/DECIMAL38 in DuckDB — wrap the "
         f"aggregate in CAST(... AS BIGINT): {flagged}"

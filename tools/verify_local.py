@@ -15,6 +15,24 @@ import time
 
 import duckdb
 
+# Canonical driver-catalog table list — the single source of truth for
+# every DuckDB-view setup (run_gate here, tests/test_oracle_int_types,
+# tools/arrow_types_scan). The driver regenerates these parquet files
+# between rounds; add new tables HERE only.
+TABLES: tuple[str, ...] = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def connect_views(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+    """Fresh in-memory DuckDB connection with one view per catalog
+    table over `sf_dir`'s parquet files."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
 
 def normalize_cell(v):
     if v is None:
@@ -47,13 +65,7 @@ def run_gate(spark, sf_dir: str, only: set[str] | None = None) -> tuple[int, int
     shared test session (catches stale-artifact drift in-repo)."""
     from aurora_mito_etl_spark.plans.queries import ORACLES, QUERIES
 
-    con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events documents embeddings"
-    ).split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+    con = connect_views(sf_dir)
 
     n_pass = n_fail = 0
     for name, fn in QUERIES.items():
