@@ -25,9 +25,13 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 }
 
 # A BPE-ish pre-tokenizer: letter runs, digit runs, or single
-# non-space symbols (kept RE2-compatible so the DuckDB oracle can run
-# the identical pattern).
-TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# non-space symbols. The whitespace class is spelled out EXPLICITLY:
+# Java's \s is [ \t\n\x0b\f\r] but RE2's \s omits \x0b (vertical tab),
+# so a literal \s in a pattern shared with the DuckDB oracle counts
+# \x0b as a symbol token on one engine only (found by tools/
+# fuzz_gate.py on adversarial text; the shipped generator never emits
+# \x0b so the driver gate could not see it).
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]"
 
 
 def _word_re(w: str) -> str:

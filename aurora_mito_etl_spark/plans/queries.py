@@ -970,8 +970,8 @@ def docs_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_token_stats",
     r"""
     SELECT doc_id,
-           len(string_split(regexp_replace(trim(text), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')) AS n_tokens_ws,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe,
+           len(string_split(trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')), ' ')) AS n_tokens_ws,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]')) AS n_tokens_bpe,
            length(text) AS n_chars_actual
     FROM documents
     """,
@@ -2115,7 +2115,9 @@ def docs_ac_dict_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH toks AS (
       SELECT doc_id, string_split(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ') AS t
-      FROM documents WHERE doc_id < 50 AND trim(text) <> ''
+      FROM documents
+      WHERE doc_id < 50
+        AND trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) <> ''
     ),
     meta AS (
       SELECT doc_id, t, len(t) AS L,
@@ -2138,9 +2140,14 @@ def docs_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # non-empty filter keeps parity with the oracle (DuckDB splits ''
     # into [''] and would emit a phantom chunk; Python split() would
-    # not); no squeeze needed — str.split() collapses runs itself.
+    # not). The filter tests the SQUEEZED trim, not bare trim: both
+    # engines' trim strips only spaces, so a text of pure exotic
+    # whitespace ('\x0b') passes a bare-trim filter yet tokenizes to
+    # zero Python tokens vs one phantom DuckDB chunk (tools/
+    # fuzz_gate.py finding; the shipped generator never emits such
+    # docs). str.split() itself still needs no squeeze.
     d = load_table(spark, sf_dir, "documents").filter(
-        (F.col("doc_id") < 50) & (F.trim("text") != "")
+        (F.col("doc_id") < 50) & (tx.squeeze_ws(F.col("text")) != "")
     )
     return d.lateralJoin(udtfs.chunks(F.col("text").outer(), 8, 2)).select(
         "doc_id", "chunk_idx", "chunk", "n_tokens"

@@ -1,0 +1,76 @@
+"""One pinned seed of the adversarial-text oracle replay.
+
+tools/fuzz_gate.py regenerates the documents table with hostile text
+(regex metacharacters, exotic whitespace, empty/whitespace-only docs,
+huge tokens, planted duplicates) and re-runs the standard DuckDB
+compare for the documents-driven queries. Seed 8 found two real
+engine divergences in r8 (Java-vs-RE2 `\\s` on \\x0b in TOKEN_RE;
+phantom chunk for whitespace-only docs in docs_chunked) that the
+shipped generator's tame text could never expose. This test pins one
+seed so those stay fixed; run the tool directly for more seeds.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+
+import fuzz_gate  # noqa: E402
+from verify_local import TABLES, run_gate  # noqa: E402
+
+
+def test_fuzz_gate_seed8(spark, tmp_path):
+    import random
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(8)
+    sources = ["web", "books", "code", "wiki"]
+    langs = ["en", "fr", "de", "xx"]
+    rows = []
+    n_docs = 200
+    for i in range(n_docs):
+        t = fuzz_gate.make_text(rng)
+        rows.append((i, t, rng.choice(langs), rng.choice(sources)))
+    for i in range(n_docs, n_docs + 10):
+        rows.append(
+            (i, rows[rng.randrange(n_docs)][1], rng.choice(langs), rng.choice(sources))
+        )
+
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(f"{fuzz_gate.BASE_SF}/{t}.parquet", tmp_path / f"{t}.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+
+    # the light tier only — the full 49-query set is the tool's job
+    light = {
+        "docs_token_stats",
+        "docs_chunked",
+        "docs_clean_text",
+        "docs_quality",
+        "docs_exact_dedup",
+        "docs_token_explode",
+        "docs_paren_truncate",
+        "docs_length_histogram",
+        "docs_source_report_counts",
+        "docs_bpe_pair_counts",
+    }
+    assert light <= fuzz_gate.FUZZ_QUERIES
+    n_pass, n_fail = run_gate(spark, str(tmp_path), light)
+    assert n_fail == 0
+    assert n_pass == len(light)
