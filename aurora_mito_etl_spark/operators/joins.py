@@ -134,6 +134,19 @@ def asof_join(
     the last-seen right values forward (last_value ignorenulls), then
     keep left rows. Cost = one shuffle on the key + one sort — no
     range join, no per-row lookup; skew-safe under AQE.
+
+    NULL keys follow SQL EQUALITY semantics: a NULL-key left row
+    matches nothing (asof columns NULL) and a NULL-key right row is
+    never matched — even though the window trick would otherwise
+    co-partition all NULL keys into one matching group (Spark windows
+    group NULLs). Found by tools/fuzz_gate.py events tier: DuckDB's
+    ASOF JOIN `ON l.k = r.k` never matches NULL = NULL.
+
+    Right-timestamp TIES resolve deterministically to the
+    lexicographically-largest right struct (right_cols order), i.e.
+    the largest leading right column among the tied rows — native
+    engine ASOF joins leave this unspecified, so the oracle must
+    replay the same rule explicitly.
     """
     # Carry ALL right payload columns as ONE struct: the struct is
     # non-null for every right row even when individual fields are
@@ -142,7 +155,8 @@ def asof_join(
     # row must NOT resurrect an older row's value for that field).
     lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
     rt = (
-        right.select(
+        right.filter(F.col(on).isNotNull())  # NULL-key rights match nobody
+        .select(
             on,
             F.col(right_ts).alias("__ts"),
             F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("__r"),

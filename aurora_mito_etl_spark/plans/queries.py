@@ -574,7 +574,7 @@ def window_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
            event_type,
            COUNT(*) AS n_events,
-           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(floor((value) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -590,7 +590,10 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(
         F.count("*").alias("n_events"),
-        dec_sum("value", "total_value"),
+        # fixed6 BEFORE the decimal cast: double->decimal rounding of a
+        # >6-decimal double is engine-specific (CLAUDE.md invariant;
+        # fuzz_gate events tier). Shipped 2-decimal values are unchanged.
+        dec_sum(fixed6(F.col("value")), "total_value"),
     )
 
 
@@ -870,7 +873,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_moving_avg",
     """
     SELECT event_id, user_id,
-           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE)
+           CAST(CAST(SUM(CAST(floor((value) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE)
              / CAST(COUNT(value) OVER w AS DOUBLE) AS mov_avg3
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
@@ -888,7 +891,7 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         (
-            dec_to_double(F.sum(dec("value")).over(w))
+            dec_to_double(F.sum(dec(fixed6(F.col("value")))).over(w))
             / F.count("value").over(w).cast("double")
         ).alias("mov_avg3"),
     )
@@ -2056,19 +2059,34 @@ def lineitem_price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataF
 @_register(
     "events_asof_join",
     """
-    SELECT l.event_id, l.user_id,
-           r.event_id AS asof_event_id,
-           CAST(r.value AS DOUBLE) AS asof_value
+    SELECT l.event_id, l.user_id, r.asof_event_id, r.asof_value
     FROM (SELECT * FROM events WHERE event_type = 'click') l
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
-      ON l.user_id = r.user_id AND l.ts >= r.ts
+    LEFT JOIN LATERAL (
+      SELECT r.event_id AS asof_event_id,
+             CAST(r.value AS DOUBLE) AS asof_value
+      FROM events r
+      WHERE r.event_type = 'view'
+        AND r.user_id = l.user_id
+        AND r.ts <= l.ts
+      ORDER BY r.ts DESC, r.event_id DESC
+      LIMIT 1
+    ) r ON TRUE
     """,
 )
 def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (beyond-reference §2.3): each click matched to the
     user's latest prior-or-simultaneous view. One shuffle + one
-    window sort — no range join. DuckDB's native ASOF JOIN is the
-    oracle."""
+    window sort — no range join.
+
+    The oracle is a LATERAL top-1 rather than DuckDB's native ASOF
+    JOIN: native ASOF leaves two things unspecified that the operator
+    pins — NULL keys never match (equality semantics; the window
+    implementation must not co-partition NULL keys into a match
+    group) and right-timestamp ties resolve to the largest right
+    event_id (the operator's struct-lexicographic tie-break). The
+    LATERAL's ORDER BY r.ts DESC, r.event_id DESC LIMIT 1 replays
+    both rules exactly; on tie-free, NULL-free data it is value-
+    identical to ASOF LEFT JOIN (r7 and earlier gates)."""
     e = load_table(spark, sf_dir, "events")
     clicks = e.filter(F.col("event_type") == "click")
     views = e.filter(F.col("event_type") == "view").select(
@@ -3875,7 +3893,7 @@ def docs_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT event_type, CAST(user_id % 10 AS BIGINT) AS cohort,
            count(*) AS n_events,
-           {oracle_dec_sum('value', 'total_value')},
+           {oracle_dec_sum(fixed6_sql('value'), 'total_value')},
            CAST(GROUPING(event_type, CAST(user_id % 10 AS BIGINT)) AS BIGINT) AS gid
     FROM events
     GROUP BY CUBE(event_type, CAST(user_id % 10 AS BIGINT))
@@ -3890,7 +3908,7 @@ def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.cube("event_type", "cohort").agg(
         F.count("*").alias("n_events"),
-        dec_sum("value", "total_value"),
+        dec_sum(fixed6(F.col("value")), "total_value"),
         F.grouping_id().cast("long").alias("gid"),
     )
 

@@ -70,7 +70,39 @@ def test_fuzz_gate_seed8(spark, tmp_path):
         "docs_source_report_counts",
         "docs_bpe_pair_counts",
     }
-    assert light <= fuzz_gate.FUZZ_QUERIES
+    assert light <= fuzz_gate.DOCS_QUERIES
+    n_pass, n_fail = run_gate(spark, str(tmp_path), light)
+    assert n_fail == 0
+    assert n_pass == len(light)
+
+
+def test_fuzz_gate_events_seed8(spark, tmp_path):
+    """Events tier pin: timestamp ties, session/interval boundary
+    gaps, NULL keys/values, negative and >6-decimal doubles. Seed 8
+    found the asof NULL-key match and the raw double->decimal casts
+    in r8 — this keeps both fixed."""
+    import random
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    for t in TABLES:
+        if t != "events":
+            shutil.copy(f"{fuzz_gate.BASE_SF}/{t}.parquet", tmp_path / f"{t}.parquet")
+    pq.write_table(
+        fuzz_gate.make_events(random.Random(8), 800), tmp_path / "events.parquet"
+    )
+    light = {
+        "events_asof_join",
+        "events_hourly",
+        "events_moving_avg",
+        "events_cube",
+        "events_sessionize",
+        "events_interval_join",
+        "events_retention",
+        "events_json_extract",
+    }
+    assert light <= fuzz_gate.EVENTS_QUERIES
     n_pass, n_fail = run_gate(spark, str(tmp_path), light)
     assert n_fail == 0
     assert n_pass == len(light)

@@ -1,15 +1,23 @@
-"""Adversarial-text replay of the oracle gate.
+"""Adversarial-data replay of the oracle gate.
 
-The driver's correctness gate runs on generator-produced text whose
-character distribution is tame; a Spark-vs-DuckDB divergence in a
-regex class, trim semantics, or unicode case fold would only surface
-when a nasty string actually hits it. This tool regenerates the
-`documents` table with adversarial text — regex metacharacters,
-backslashes, quotes, mixed/exotic whitespace, accented letters,
-zero-length and whitespace-only docs, very long tokens — alongside
-the other nine tables copied verbatim from a real SF dir, then runs
-the standard `run_gate` compare for every documents-driven query that
-has an oracle.
+The driver's correctness gate runs on generator-produced data whose
+distributions are tame; a Spark-vs-DuckDB divergence in a regex class,
+trim semantics, window tie-break, or interval boundary only surfaces
+when a hostile value actually hits it. This tool regenerates ONE table
+with adversarial data — the other nine copied verbatim from a real SF
+dir — then runs the standard `run_gate` compare for every
+oracle-paired query driven by that table.
+
+Tiers:
+- docs: documents with regex metacharacters, backslashes, quotes,
+  mixed/exotic whitespace, accented letters, zero-length and
+  whitespace-only docs, very long tokens, planted duplicates.
+  r8 findings: Java-vs-RE2 `\\s` on \\x0b; trim-before-squeeze
+  off-by-one; whitespace-only phantom chunk.
+- events: timestamp TIES on (user_id, ts), gaps exactly at the
+  30-minute session boundary and the 5-minute interval-join boundary,
+  midnight/hour-edge timestamps, a hot user, NULL user_id/value rows,
+  negative/zero/huge values, edge-case JSON props.
 
 Deliberate scope bounds (documented, not bugs):
 - Text stays in Latin-1-ish + controlled specials. Full unicode is
@@ -20,9 +28,12 @@ Deliberate scope bounds (documented, not bugs):
   them.
 - Only the whitespace forms the shipped oracles already normalize
   (space, tab, newline, \x0b, \f, \r) are generated.
+- No NaN/Inf doubles and no NULL ts (a real ingest filters those
+  before analytics; the fixed6/decimal twins are not NaN-portable).
 
-Usage: python tools/fuzz_gate.py [seed] [n_docs]
-Exit 1 on any mismatched query.
+Usage: python tools/fuzz_gate.py [seed] [n_rows] [tier]
+tier in {docs, events, all} (default docs).
+Exit 1 on any mismatched query, 2 on bad arguments.
 """
 
 from __future__ import annotations
@@ -31,6 +42,7 @@ import random
 import shutil
 import sys
 import tempfile
+from datetime import datetime, timedelta
 from pathlib import Path
 
 sys.path.insert(0, ".")
@@ -39,7 +51,7 @@ sys.path.insert(0, "tools")
 BASE_SF = "/root/testdata/sf0.001"
 
 # Documents-driven, oracle-paired queries exercising the text tier.
-FUZZ_QUERIES = {
+DOCS_QUERIES = {
     "docs_clean_text",
     "docs_paren_truncate",
     "docs_ordered_typos",
@@ -92,6 +104,24 @@ FUZZ_QUERIES = {
     "docs_quality_ensemble",
 }
 
+EVENTS_QUERIES = {
+    "events_interval_join",
+    "events_hourly",
+    "events_sessionize",
+    "events_hourly_gap_filled",
+    "events_session_windows",
+    "events_json_extract",
+    "events_moving_avg",
+    "events_asof_join",
+    "events_pagerank",
+    "events_top_paths",
+    "events_cube",
+    "events_value_anomaly",
+    "events_key_skew_report",
+    "events_funnel",
+    "events_retention",
+}
+
 WORDS = [
     "alpha", "beta", "Gamma", "DELTA", "métro", "naïve", "café",
     "a.b", "a*b", "(x)", "[y]", "{z}", "x|y", "x+y", "x?y", "x^y",
@@ -125,59 +155,154 @@ def make_text(rng: random.Random) -> str:
     return txt
 
 
-def main() -> int:
-    seed = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 400
-
+def make_documents(rng: random.Random, n: int):
     import pyarrow as pa
+
+    sources = ["web", "books", "code", "wiki"]
+    langs = ["en", "fr", "de", "xx"]
+    rows = []
+    for i in range(n):
+        rows.append((i, make_text(rng), rng.choice(langs), rng.choice(sources)))
+    # a few exact duplicates for the dedup queries
+    for i in range(n, n + max(1, n // 20)):
+        rows.append(
+            (i, rows[rng.randrange(n)][1], rng.choice(langs), rng.choice(sources))
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+
+
+EVENT_TYPES = ["signup", "view", "click", "purchase", "error"]
+PROPS = [
+    '{"k": 0}', '{"k": 1}', '{"k": -7}', '{"k": 12345678901}',
+    '{"k": 3, "j": "x"}', '{"j": 1}', "{}", '{"k": null}',
+]
+
+
+def make_events(rng: random.Random, n: int):
+    """Adversarial events: exact timestamp ties per user, gaps landing
+    EXACTLY on the 30-min sessionize and 5-min interval-join
+    boundaries, midnight/hour-edge timestamps, a hot user, sparse NULL
+    user_id/value rows, negative/zero/huge values."""
+    import pyarrow as pa
+
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    users = list(range(1, 21))
+    cur: dict[int, datetime] = {}
+    rows = []
+    for i in range(n):
+        r = rng.random()
+        # the hot user takes ~25% of all rows (skew-report stress)
+        u = 1 if r < 0.25 else rng.choice(users)
+        if rng.random() < 0.02:
+            u = None  # NULL key rows
+        prev = cur.get(u if u is not None else -1, base)
+        g = rng.random()
+        if g < 0.10:
+            step = timedelta(0)  # exact tie with previous event
+        elif g < 0.20:
+            step = timedelta(minutes=30)  # exactly the session gap
+        elif g < 0.26:
+            step = timedelta(minutes=5)  # exactly the interval bound
+        elif g < 0.32:
+            # land exactly on the next hour edge
+            nxt = (prev + timedelta(hours=1)).replace(
+                minute=0, second=0, microsecond=0
+            )
+            step = nxt - prev
+        elif g < 0.36:
+            # land exactly on the next midnight (retention day edge)
+            nxt = (prev + timedelta(days=1)).replace(
+                hour=0, minute=0, second=0, microsecond=0
+            )
+            step = nxt - prev
+        else:
+            step = timedelta(seconds=rng.randint(1, 4000),
+                             microseconds=rng.randint(0, 999999))
+        ts = prev + step
+        cur[u if u is not None else -1] = ts
+        v = rng.random()
+        if v < 0.05:
+            value = None
+        elif v < 0.12:
+            value = 0.0
+        elif v < 0.2:
+            value = -rng.randint(1, 500) / 100.0
+        elif v < 0.25:
+            value = 1e9 + rng.randint(0, 999) / 7.0
+        else:
+            value = rng.randint(0, 30000) / 100.0
+        rows.append(
+            (i, ts, u, rng.choice(EVENT_TYPES), value, rng.choice(PROPS))
+        )
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+
+
+TIERS = {
+    "docs": ("documents", make_documents, DOCS_QUERIES),
+    "events": ("events", make_events, EVENTS_QUERIES),
+}
+
+
+def run_tier(spark, rng: random.Random, tier: str, n: int) -> tuple[int, int]:
     import pyarrow.parquet as pq
-    from pyspark.sql import SparkSession
 
     from verify_local import TABLES, run_gate
 
-    rng = random.Random(seed)
-    rows = []
-    sources = ["web", "books", "code", "wiki"]
-    langs = ["en", "fr", "de", "xx"]
-    for i in range(n_docs):
-        t = make_text(rng)
-        rows.append((i, t, rng.choice(langs), rng.choice(sources), len(t)))
-    # a few exact duplicates for the dedup queries
-    for i in range(n_docs, n_docs + 20):
-        rows.append((i, rows[rng.randrange(n_docs)][1],
-                     rng.choice(langs), rng.choice(sources), None))
-    rows = [(i, t, lg, src, len(t)) for (i, t, lg, src, _x) in rows]
-
-    tmp = Path(tempfile.mkdtemp(prefix="fuzz_gate_"))
+    table, builder, queries = TIERS[tier]
+    tmp = Path(tempfile.mkdtemp(prefix=f"fuzz_gate_{tier}_"))
     try:
         for t in TABLES:
-            if t != "documents":
+            if t != table:
                 shutil.copy(f"{BASE_SF}/{t}.parquet", tmp / f"{t}.parquet")
-        tbl = pa.table(
-            {
-                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
-                "text": pa.array([r[1] for r in rows], pa.string()),
-                "lang": pa.array([r[2] for r in rows], pa.string()),
-                "source": pa.array([r[3] for r in rows], pa.string()),
-                "n_chars": pa.array([r[4] for r in rows], pa.int64()),
-            }
-        )
-        pq.write_table(tbl, tmp / "documents.parquet")
-
-        spark = (
-            SparkSession.builder.master("local[8]")
-            .config("spark.sql.shuffle.partitions", "8")
-            .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-            .appName("fuzz_gate")
-            .getOrCreate()
-        )
-        n_pass, n_fail = run_gate(spark, str(tmp), FUZZ_QUERIES)
-        print(f"fuzz_gate seed={seed} n_docs={len(rows)}: "
-              f"{n_pass} passed, {n_fail} failed")
-        spark.stop()
-        return 1 if n_fail else 0
+        pq.write_table(builder(rng, n), tmp / f"{table}.parquet")
+        return run_gate(spark, str(tmp), queries)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> int:
+    seed = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 400
+    tier = sys.argv[3] if len(sys.argv) > 3 else "docs"
+    tiers = list(TIERS) if tier == "all" else [tier]
+    if any(t not in TIERS for t in tiers):
+        print(f"unknown tier {tier!r}; choose from {sorted(TIERS)} or 'all'")
+        return 2
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .appName("fuzz_gate")
+        .getOrCreate()
+    )
+    rc = 0
+    for t in tiers:
+        n_pass, n_fail = run_tier(spark, random.Random(seed), t, n)
+        print(f"fuzz_gate tier={t} seed={seed} n={n}: "
+              f"{n_pass} passed, {n_fail} failed")
+        rc = rc or (1 if n_fail else 0)
+    spark.stop()
+    return rc
 
 
 if __name__ == "__main__":
