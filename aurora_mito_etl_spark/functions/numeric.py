@@ -82,8 +82,21 @@ def fixed6(x: Column) -> Column:
     form is the identical IEEE op sequence in both engines; the SQL
     twin is ``floor((expr) * 1000000 + 0.5) / 1000000``. Load-bearing
     for every oracle-checked per-row fraction — change it here or
-    nowhere."""
-    return F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000
+    nowhere.
+
+    Magnitude guard: Spark's floor(double) returns LONG and SATURATES
+    at 2^63 (so |x| beyond ~9.2e12 silently pinned to 9223372036854.77
+    while DuckDB's double floor kept going — found by the embeddings
+    fuzz tier on a 1e6-magnitude vector's squared norm). Beyond 2^53
+    every double is already integral, so floor(y) == y there; the
+    branch keeps the small range on the exact long path and passes the
+    big range through unchanged — bit-identical to DuckDB's double
+    floor at every magnitude (same identity holds for fixed6_py/np)."""
+    y = x * 1_000_000 + F.lit(0.5)
+    fl = F.when(
+        F.abs(y) < F.lit(float(2**53)), F.floor(y).cast("double")
+    ).otherwise(y)
+    return fl / 1_000_000
 
 
 def fixed6_sql(expr: str) -> str:

@@ -53,7 +53,15 @@ def _qi(col: Column) -> Column:
 
 def _int_dot(vi: Column, c_ints: list[int]) -> Column:
     """Exact integer dot of a quantized vector with quantized literal
-    centroids — a type-stable long fold."""
+    centroids — a type-stable long fold.
+
+    INPUT-MAGNITUDE CONTRACT: the 1e-6-grid longs multiply pairwise
+    and sum over `dim` elements inside int64, so the fold is exact
+    only while dim·(max|x|·1e6)² < 2^63 — at dim 64 that is
+    max|x| ≲ 380. Real embedding features sit orders of magnitude
+    below this; an out-of-contract vector fails LOUDLY with Spark's
+    ANSI long-overflow error rather than wrapping (verified by the
+    embeddings fuzz tier at magnitude 1e6)."""
     carr = F.array(*[F.lit(ci).cast("long") for ci in c_ints])
     return F.aggregate(
         F.zip_with(vi, carr, lambda x, y: x * y),

@@ -106,3 +106,66 @@ def test_fuzz_gate_events_seed8(spark, tmp_path):
     n_pass, n_fail = run_gate(spark, str(tmp_path), light)
     assert n_fail == 0
     assert n_pass == len(light)
+
+
+def test_fuzz_gate_lineitem_seed8(spark, tmp_path):
+    """Lineitem tier pin: heavy exact ties in quantity/price
+    (percentile interpolation, winsorize cuts, top-k means), zero
+    values, ship dates exactly at the pricing cutoff midnight,
+    real foreign keys."""
+    import random
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    for t in TABLES:
+        if t != "lineitem":
+            shutil.copy(f"{fuzz_gate.BASE_SF}/{t}.parquet", tmp_path / f"{t}.parquet")
+    pq.write_table(
+        fuzz_gate.make_lineitem(random.Random(8), 1500), tmp_path / "lineitem.parquet"
+    )
+    light = {
+        "pricing_summary",
+        "lineitem_price_percentiles",
+        "lineitem_winsorized",
+        "lineitem_corr_stats",
+        "topk_mean_supplier",
+        "pricing_rollup",
+    }
+    assert light <= fuzz_gate.LINEITEM_QUERIES
+    n_pass, n_fail = run_gate(spark, str(tmp_path), light)
+    assert n_fail == 0
+    assert n_pass == len(light)
+
+
+def test_fuzz_gate_embeddings_seed8(spark, tmp_path):
+    """Embeddings tier pin: exact duplicate clusters (cosine/ADC
+    ties resolved only by the id tie-break), a zero vector, negated
+    copies, a magnitude-300 vector (the fixed6 long-saturation repro
+    class), NULL labels. Seed 8 found the fixed6 floor->long
+    saturation in r8 — this keeps it fixed."""
+    import random
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    for t in TABLES:
+        if t != "embeddings":
+            shutil.copy(f"{fuzz_gate.BASE_SF}/{t}.parquet", tmp_path / f"{t}.parquet")
+    pq.write_table(
+        fuzz_gate.make_embeddings(random.Random(8), 300),
+        tmp_path / "embeddings.parquet",
+    )
+    light = {
+        "emb_array_ops",
+        "emb_cosine_topk",
+        "emb_near_dup_exact",
+        "emb_kmeans_assign",
+        "emb_semantic_dedup",
+        "emb_knn_classify",
+        "emb_dim_stats",
+    }
+    assert light <= fuzz_gate.EMB_QUERIES
+    n_pass, n_fail = run_gate(spark, str(tmp_path), light)
+    assert n_fail == 0
+    assert n_pass == len(light)

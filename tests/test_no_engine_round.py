@@ -70,3 +70,47 @@ def test_fixed6_twins_agree():
         expect = math.floor(v * 1_000_000 + 0.5) / 1_000_000
         assert fixed6_py(v) == expect
         assert fixed6_np(np.array([v]))[0] == expect
+
+
+def test_fixed6_no_long_saturation_across_engines(spark):
+    """Spark's floor(double) returns LONG and saturates at 2^63;
+    before r8, fixed6 of |x| beyond ~9.2e12 silently pinned to
+    9223372036854.775807/1e6 while DuckDB's double floor kept going
+    (embeddings fuzz tier: a huge vector's squared norm). The fixed
+    form branches on 2^53 — beyond it every double is integral and
+    floor(y) == y. Pin Spark == DuckDB == py == np at magnitudes on
+    both sides of every boundary."""
+    import duckdb
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from aurora_mito_etl_spark.functions.numeric import (
+        fixed6,
+        fixed6_np,
+        fixed6_py,
+        fixed6_sql,
+    )
+
+    vals = [
+        0.1234565,
+        -7.25,
+        9.2e12,          # just below the old saturation cliff
+        9.3e12,          # just above it (old code: pinned)
+        5.142177e13,     # the fuzz repro's magnitude
+        9.007199254740992e15,  # 2^53 boundary region
+        2.3e18,
+        -5.1e14,
+        -3.7e18,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got_spark = [
+        r["y"] for r in df.select(fixed6(F.col("x")).alias("y")).collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(f"SELECT {fixed6_sql('CAST(? AS DOUBLE)')}", [v]).fetchone()[0]
+        for v in vals
+    ]
+    got_py = [fixed6_py(v) for v in vals]
+    got_np = list(fixed6_np(np.array(vals)))
+    assert got_spark == got_duck == got_py == got_np

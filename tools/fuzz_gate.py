@@ -32,7 +32,8 @@ Deliberate scope bounds (documented, not bugs):
   before analytics; the fixed6/decimal twins are not NaN-portable).
 
 Usage: python tools/fuzz_gate.py [seed] [n_rows] [tier]
-tier in {docs, events, all} (default docs).
+tier in {docs, events, lineitem, embeddings, all} (default docs);
+n_rows 0 (or omitted) uses each tier's default size.
 Exit 1 on any mismatched query, 2 on bad arguments.
 """
 
@@ -102,6 +103,39 @@ DOCS_QUERIES = {
     "docs_pack_sequences",
     "docs_epoch_shuffle",
     "docs_quality_ensemble",
+}
+
+LINEITEM_QUERIES = {
+    "pricing_summary",
+    "revenue_by_nation",
+    "local_supplier_volume",
+    "order_priority_counts",
+    "topk_mean_supplier",
+    "lineitem_qty_range_join",
+    "pricing_rollup",
+    "lineitem_price_percentiles",
+    "lineitem_price_percentiles_approx",
+    "lineitem_winsorized",
+    "lineitem_corr_stats",
+}
+
+EMB_QUERIES = {
+    "emb_array_ops",
+    "emb_quantize_int8",
+    "emb_cosine_topk",
+    "emb_knn_classify",
+    "emb_near_dup_exact",
+    "emb_lsh_near_dup",
+    "emb_lsh_topk",
+    "emb_ivf_topk",
+    "emb_kmeans_assign",
+    "emb_dim_stats",
+    "emb_semantic_dedup",
+    "emb_pq_adc_topk",
+    "emb_ivfpq_topk",
+    "emb_ivfpq_recall",
+    "emb_pq_encode",
+    "emb_lsh_recall",
 }
 
 EVENTS_QUERIES = {
@@ -254,9 +288,136 @@ def make_events(rng: random.Random, n: int):
     )
 
 
+def make_lineitem(rng: random.Random, n: int):
+    """Adversarial lineitem: heavy exact TIES in quantity and price
+    (percentile interpolation between equal values, winsorize cut
+    points, top-k mean tie-breaks), zero quantities/prices/discounts,
+    ship dates exactly AT the pricing-summary cutoff midnight, and
+    foreign keys sampled from the REAL sibling tables so the join
+    queries still match rows. Money stays 2-decimal — TPC-H money is
+    2-decimal BY CONTRACT, and the decimal-cast convention for
+    arbitrary doubles is exercised by the events tier instead."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def keys(table: str, col: str) -> list[int]:
+        return (
+            pq.read_table(f"{BASE_SF}/{table}.parquet", columns=[col])
+            .column(col)
+            .to_pylist()
+        )
+
+    okeys = keys("orders", "o_orderkey")
+    pkeys = keys("part", "p_partkey")
+    skeys = keys("supplier", "s_suppkey")
+    cutoff = datetime(1998, 9, 2)  # TPC-H Q1 boundary
+    rows = []
+    for i in range(n):
+        q = rng.random()
+        if q < 0.3:
+            qty = 25.0  # the tie block
+        elif q < 0.36:
+            qty = 0.0
+        else:
+            qty = rng.randint(1, 50) * 1.0
+        p = rng.random()
+        if p < 0.3:
+            price = 10000.00  # tie block
+        elif p < 0.35:
+            price = 0.0
+        else:
+            price = rng.randint(100, 9999999) / 100.0
+        d = rng.random()
+        if d < 0.4:
+            ship = cutoff  # exactly at the cutoff midnight
+        elif d < 0.5:
+            ship = cutoff + timedelta(days=rng.choice([-1, 1]))
+        else:
+            ship = datetime(1995, 1, 1) + timedelta(
+                days=rng.randint(0, 2000), seconds=rng.randint(0, 86399)
+            )
+        rows.append(
+            (
+                rng.choice(okeys),
+                rng.choice(pkeys),
+                rng.choice(skeys),
+                rng.randint(1, 7),
+                qty,
+                price,
+                rng.choice([0.0, 0.0, 0.01, 0.05, 0.1]),
+                rng.choice([0.0, 0.02, 0.08]),
+                rng.choice(["A", "N", "R"]),
+                rng.choice(["F", "O"]),
+                ship,
+            )
+        )
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "l_orderkey": pa.array(cols[0], pa.int64()),
+            "l_partkey": pa.array(cols[1], pa.int64()),
+            "l_suppkey": pa.array(cols[2], pa.int64()),
+            "l_linenumber": pa.array(cols[3], pa.int32()),
+            "l_quantity": pa.array(cols[4], pa.float64()),
+            "l_extendedprice": pa.array(cols[5], pa.float64()),
+            "l_discount": pa.array(cols[6], pa.float64()),
+            "l_tax": pa.array(cols[7], pa.float64()),
+            "l_returnflag": pa.array(cols[8], pa.string()),
+            "l_linestatus": pa.array(cols[9], pa.string()),
+            "l_shipdate": pa.array(cols[10], pa.timestamp("us")),
+        }
+    )
+
+
+def make_embeddings(rng: random.Random, n: int):
+    """Adversarial embeddings (float32, dim 64): EXACT duplicate
+    clusters (cosine/ADC ties resolved only by the explicit id
+    tie-break), a zero vector (norm guard), negated copies (cosine
+    -1), a huge-magnitude vector, and sparse NULL labels (null-safe
+    kNN vote). Exact ties are portable — both engines see bit-equal
+    scores and the (score, id) ordering decides; NEAR-ties (the ulp
+    canary's subject) are not generated."""
+    import numpy as np
+    import pyarrow as pa
+
+    dim = 64
+    rng_np = np.random.RandomState(rng.randint(0, 2**31 - 1))
+    base = rng_np.randn(n, dim).astype(np.float32)
+    # duplicate cluster: ids 2..11 share id 2's vector
+    for i in range(3, 12):
+        base[i] = base[2]
+    base[1] = 0.0  # zero vector in the corpus
+    base[13] = -base[2]  # exact negation
+    # Huge magnitude, same direction. 300 is extreme for an embedding
+    # but inside the kmeans long-grid input contract (clustering.py
+    # _int_dot: dim 64 -> max|x| ~ 380); magnitude 1e6 correctly makes
+    # the grid fold fail LOUDLY with ANSI long overflow (and exposed
+    # the fixed6 floor->long saturation, fixed in functions/numeric).
+    base[14] = base[2] * np.float32(300.0)
+    # make one QUERY row (vec_id 100) a member of the duplicate cluster
+    if n > 100:
+        base[100] = base[2]
+    labels = []
+    for i in range(n):
+        labels.append(None if rng.random() < 0.05 else rng.randint(0, 4))
+    return pa.table(
+        {
+            "vec_id": pa.array(list(range(n)), pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in row] for row in base],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+
+
+# tier -> (table, builder, queries, default_n)
 TIERS = {
-    "docs": ("documents", make_documents, DOCS_QUERIES),
-    "events": ("events", make_events, EVENTS_QUERIES),
+    "docs": ("documents", make_documents, DOCS_QUERIES, 1500),
+    "events": ("events", make_events, EVENTS_QUERIES, 1500),
+    "lineitem": ("lineitem", make_lineitem, LINEITEM_QUERIES, 3000),
+    "embeddings": ("embeddings", make_embeddings, EMB_QUERIES, 600),
 }
 
 
@@ -265,7 +426,7 @@ def run_tier(spark, rng: random.Random, tier: str, n: int) -> tuple[int, int]:
 
     from verify_local import TABLES, run_gate
 
-    table, builder, queries = TIERS[tier]
+    table, builder, queries, _n0 = TIERS[tier]
     tmp = Path(tempfile.mkdtemp(prefix=f"fuzz_gate_{tier}_"))
     try:
         for t in TABLES:
@@ -279,7 +440,7 @@ def run_tier(spark, rng: random.Random, tier: str, n: int) -> tuple[int, int]:
 
 def main() -> int:
     seed = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 400
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 0  # 0 = per-tier default
     tier = sys.argv[3] if len(sys.argv) > 3 else "docs"
     tiers = list(TIERS) if tier == "all" else [tier]
     if any(t not in TIERS for t in tiers):
@@ -297,8 +458,9 @@ def main() -> int:
     )
     rc = 0
     for t in tiers:
-        n_pass, n_fail = run_tier(spark, random.Random(seed), t, n)
-        print(f"fuzz_gate tier={t} seed={seed} n={n}: "
+        nt = n or TIERS[t][3]
+        n_pass, n_fail = run_tier(spark, random.Random(seed), t, nt)
+        print(f"fuzz_gate tier={t} seed={seed} n={nt}: "
               f"{n_pass} passed, {n_fail} failed")
         rc = rc or (1 if n_fail else 0)
     spark.stop()
