@@ -25,35 +25,13 @@ def test_fuzz_gate_seed8(spark, tmp_path):
     import random
     import shutil
 
-    import pyarrow as pa
     import pyarrow.parquet as pq
-
-    rng = random.Random(8)
-    sources = ["web", "books", "code", "wiki"]
-    langs = ["en", "fr", "de", "xx"]
-    rows = []
-    n_docs = 200
-    for i in range(n_docs):
-        t = fuzz_gate.make_text(rng)
-        rows.append((i, t, rng.choice(langs), rng.choice(sources)))
-    for i in range(n_docs, n_docs + 10):
-        rows.append(
-            (i, rows[rng.randrange(n_docs)][1], rng.choice(langs), rng.choice(sources))
-        )
 
     for t in TABLES:
         if t != "documents":
             shutil.copy(f"{fuzz_gate.BASE_SF}/{t}.parquet", tmp_path / f"{t}.parquet")
     pq.write_table(
-        pa.table(
-            {
-                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
-                "text": pa.array([r[1] for r in rows], pa.string()),
-                "lang": pa.array([r[2] for r in rows], pa.string()),
-                "source": pa.array([r[3] for r in rows], pa.string()),
-                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
-            }
-        ),
+        fuzz_gate.make_documents(random.Random(8), 200),
         tmp_path / "documents.parquet",
     )
 

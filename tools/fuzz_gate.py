@@ -163,6 +163,9 @@ WORDS = [
     "it's", 'quo"te', "tab\tinside", "comma,sep", "5'-utr", "β",
     "Æon", "ØRSTED", "ß", "ÿ", "the", "of", "and", "is", "was",
     "diabetes", "metformin", "aspirin", "mitochondria",
+    # terms the topical-filter / BM25 queries actually match, so the
+    # fuzz exercises their positive paths too (they were 0-row before)
+    "scan", "merge", "window", "stream", "hash", "join", "sort",
 ]
 WS = [" ", "  ", "\t", "\n", "\x0b", "\f", "\r", " \t ", "\n\n"]
 PARENS = ["(note)", "(a(b)c)", "(unclosed", "closed)", "()", "( )"]
@@ -192,7 +195,9 @@ def make_text(rng: random.Random) -> str:
 def make_documents(rng: random.Random, n: int):
     import pyarrow as pa
 
-    sources = ["web", "books", "code", "wiki"]
+    # the REAL source domain is src0..src19 (the mixture/temperature
+    # queries target specific src names — web/books/etc matched none)
+    sources = [f"src{i}" for i in range(20)]
     langs = ["en", "fr", "de", "xx"]
     rows = []
     for i in range(n):
