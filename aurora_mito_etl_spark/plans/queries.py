@@ -679,14 +679,16 @@ def emb_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "orders_above_segment_avg",
     """
-    SELECT o.o_orderkey, c.c_mktsegment
-    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    WHERE c.c_mktsegment IS NOT NULL
-      AND o.o_totalprice > (
-      SELECT AVG(o2.o_totalprice)
-      FROM orders o2 JOIN customer c2 ON o2.o_custkey = c2.c_custkey
-      WHERE c2.c_mktsegment = c.c_mktsegment
+    SELECT o_orderkey, c_mktsegment FROM (
+      SELECT o.o_orderkey, c.c_mktsegment, o.o_totalprice,
+             CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6)))
+                       OVER (PARTITION BY c.c_mktsegment) AS VARCHAR) AS DOUBLE)
+               / CAST(COUNT(*) OVER (PARTITION BY c.c_mktsegment) AS DOUBLE)
+               AS seg_avg
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IS NOT NULL
     )
+    WHERE o_totalprice > seg_avg
     """,
 )
 def orders_above_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -695,15 +697,25 @@ def orders_above_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-row subquery: one shuffle on segment, one comparison. NULL
     segments are excluded on both sides (a correlated equality never
     matches NULL, but a window partition WOULD group NULLs — the one
-    semantic gap between the two forms)."""
+    semantic gap between the two forms).
+
+    The average is a DECIMAL(18,6) window sum divided by the count —
+    order-independent, so the `>` compare sees the bit-identical
+    threshold in both engines. A raw double AVG is an ordered float
+    fold: on a segment of equal prices it can land one ulp off the
+    member value and flip rows at the boundary (CLAUDE.md invariant;
+    money is 2-decimal by contract, so the decimal cast is exact)."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     joined = o.join(c, o.o_custkey == c.c_custkey).filter(
         F.col("c_mktsegment").isNotNull()
     )
     w = Window.partitionBy("c_mktsegment")
+    seg_avg = dec_to_double(F.sum(dec("o_totalprice")).over(w)) / F.count(
+        "*"
+    ).over(w).cast("double")
     return (
-        joined.withColumn("__seg_avg", F.avg("o_totalprice").over(w))
+        joined.withColumn("__seg_avg", seg_avg)
         .filter(F.col("o_totalprice") > F.col("__seg_avg"))
         .select("o_orderkey", "c_mktsegment")
     )
@@ -741,16 +753,18 @@ def docs_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(rank() OVER w AS BIGINT) AS rnk,
            CAST(dense_rank() OVER w AS BIGINT) AS drnk
     FROM customer
-    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    WINDOW w AS (ORDER BY c_acctbal NULLS LAST, c_custkey)
     """,
 )
 def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5 ranking-family windows: ntile / percent_rank / rank /
-    dense_rank over one global ordering (tie-broken by key). A global
+    dense_rank over one global ordering (tie-broken by key; NULL
+    balances sort LAST explicitly — Spark's bare asc puts them first,
+    DuckDB last, the CLAUDE.md window-null invariant). A global
     window is a single-partition sort — fine for dimension tables,
     never for facts (partition it or use approx quantiles there)."""
     c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    w = Window.orderBy(F.asc_nulls_last("c_acctbal"), "c_custkey")
     return c.select(
         "c_custkey",
         F.ntile(4).over(w).alias("quartile"),
@@ -1290,14 +1304,24 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (
       SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
       FROM sh
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(h, ',' ORDER BY h) AS sketch
+      FROM ranked WHERE rn <= 8 GROUP BY doc_id
     )
-    SELECT doc_id, string_agg(h, ',' ORDER BY h) AS sketch
-    FROM ranked WHERE rn <= 8 GROUP BY doc_id
+    SELECT d.doc_id, COALESCE(a.sketch, '') AS sketch
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
     """,
 )
 def docs_bottom_k_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable MinHash-style bottom-k sketch (md5 — reproducible in
-    any engine; the xxhash64 banded-LSH variant is the scale path)."""
+    any engine; the xxhash64 banded-LSH variant is the scale path).
+
+    Contract: ONE row per document — the Spark side is a pure
+    projection (no explode/groupBy, so no row loss), and a doc with
+    fewer than k tokens carries an EMPTY sketch. The oracle mirrors
+    that with a LEFT JOIN from documents (a bare shingle GROUP BY
+    silently drops shingle-less docs — found by the r8 fuzz tier)."""
     d = load_table(spark, sf_dir, "documents")
     out = dd.bottom_k_sketch(d, "text", "doc_id", k=3, sketch_size=8)
     return out.select("doc_id", F.concat_ws(",", F.col("sketch")).alias("sketch"))

@@ -147,3 +147,44 @@ def test_fuzz_gate_embeddings_seed8(spark, tmp_path):
     n_pass, n_fail = run_gate(spark, str(tmp_path), light)
     assert n_fail == 0
     assert n_pass == len(light)
+
+
+def test_fuzz_gate_relational_seed8(spark, tmp_path):
+    """Relational tier pin: orders/customer/part/supplier regenerated
+    together — money exactly AT bin edges and the 400k strict-> bound,
+    constant-price blocks (segment-average boundary), NULL acctbals
+    (explicit window NULL ordering), normalization-colliding part
+    names with (norm, price) ties, edit-distance 0/1/2 supplier name
+    clusters and short fallback-bucket strings, dangling custkeys.
+    Seed 8 found the shingle-less-doc row loss in the bottom-k oracle
+    and motivated the decimal segment average + explicit NULLS LAST
+    quartile ordering in r8."""
+    import random
+
+    import pyarrow.parquet as pq
+
+    import shutil
+
+    built = fuzz_gate.make_relational(random.Random(8), 800)
+    assert set(built) == {"orders", "customer", "part", "supplier", "region"}
+    for t in TABLES:
+        if t not in built:
+            shutil.copy(f"{fuzz_gate.BASE_SF}/{t}.parquet", tmp_path / f"{t}.parquet")
+    for t, tb in built.items():
+        pq.write_table(tb, tmp_path / f"{t}.parquet")
+    light = {
+        "customer_balance_quartiles",
+        "orders_above_segment_avg",
+        "order_value_bins",
+        "order_rollup_per_customer",
+        "keep_first_order_per_customer",
+        "part_normalize_dedup",
+        "supplier_fuzzy_pairs",
+        "scalar_function_parity",
+        "window_order_stats",
+        "two_tier_lookup",
+    }
+    assert light <= fuzz_gate.RELATIONAL_QUERIES
+    n_pass, n_fail = run_gate(spark, str(tmp_path), light)
+    assert n_fail == 0
+    assert n_pass == len(light)

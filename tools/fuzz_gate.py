@@ -18,6 +18,13 @@ Tiers:
   30-minute session boundary and the 5-minute interval-join boundary,
   midnight/hour-edge timestamps, a hot user, NULL user_id/value rows,
   negative/zero/huge values, edge-case JSON props.
+- relational: orders+customer+part+supplier+region regenerated
+  TOGETHER (the one multi-table tier) — threshold/bin-boundary money,
+  window-tie blocks, NULL acctbals, normalization-colliding part
+  names, edit-distance name clusters, dangling FKs, case-variant
+  region names. r8 findings: shingle-less-doc row loss in the
+  bottom-k oracle; motivated the decimal segment average and the
+  explicit NULLS-LAST quartile ordering.
 
 Deliberate scope bounds (documented, not bugs):
 - Text stays in Latin-1-ish + controlled specials. Full unicode is
@@ -103,6 +110,57 @@ DOCS_QUERIES = {
     "docs_pack_sequences",
     "docs_epoch_shuffle",
     "docs_quality_ensemble",
+    # documents-only queries added in r8 so EVERY docs-driven oracle
+    # is fuzz-covered (they were simply missing from the set)
+    "docs_bottom_k_sketch",
+    "docs_classify_stub",
+    "docs_fingerprint",
+    "docs_incremental_near_dup",
+    "docs_lm_score_external",
+    "docs_media_features",
+    "docs_near_dedup_best",
+    "docs_source_report_qsum",
+    "docs_source_report_quality",
+    "docs_token_positions",
+    "docs_top_words",
+    "flagship_compound_mentions",
+    "flagship_training_corpus",
+}
+
+# Relational-spine queries driven by orders/customer/part/supplier —
+# the tier regenerates all four tables at once (hostile names, exact
+# threshold/bin-boundary money, heavy window ties, dangling FKs).
+# Scope bounds, same spirit as the docs tier's:
+# - key and name columns stay NON-NULL except s_name (both engines
+#   drop NULL names) and c_acctbal (NULL ordering made explicit in
+#   customer_balance_quartiles) — a NULL c_name would hit the known
+#   locate()-vs-CASE NULL gap in scalar_function_parity's oracle,
+#   which real data never exercises;
+# - supplier names stay ASCII: DuckDB levenshtein counts BYTES
+#   (café→cafe = 2) while Spark counts codepoints (= 1), so unicode
+#   edit distance is out of the gate contract;
+# - money stays 2-decimal (TPC-H contract; the DECIMAL(18,6) casts
+#   in the oracles are exact for 2-decimal values).
+RELATIONAL_QUERIES = {
+    "acctbal_threshold_label",
+    "best_part_per_brand",
+    "customer_balance_quartiles",
+    "customer_order_full_outer",
+    "customers_without_orders",
+    "keep_first_order_per_customer",
+    "order_rollup_per_customer",
+    "order_value_bins",
+    "orders_above_segment_avg",
+    "orders_except_intersect_all",
+    "orders_pivot_priority",
+    "orders_zorder_key",
+    "part_normalize_dedup",
+    "priority_set_ops",
+    "scalar_function_parity",
+    "supplier_fuzzy_pairs",
+    "two_tier_lookup",
+    "union_known_panel",
+    "window_order_stats",
 }
 
 LINEITEM_QUERIES = {
@@ -417,12 +475,235 @@ def make_embeddings(rng: random.Random, n: int):
     )
 
 
-# tier -> (table, builder, queries, default_n)
+SEGMENTS = [
+    "BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE",
+    # collides with union_known_panel's literal 'known' row
+    "LEGACY",
+    # lowercase: hits scalar_function_parity's lower() IN enum branch
+    "building",
+]
+PRIORITIES = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+    # off-domain: must fall outside the pinned pivot column list
+    "9-WEIRD",
+]
+# part-name variants that must COLLIDE after normalize_compound_name
+# (lower/trim, en/em-dash and minus -> '-', squeeze ws+hyphen,
+# de-pluralize trailing 's' unless us/is/os/gas)
+_PART_COLLIDERS = [
+    "Steel Rod", "steel rods", "STEEL–ROD", "steel\trod",
+    "  steel-rod  ", "steelrod", "steel—rods", "steel−rod",
+]
+# de-pluralization edge family: exceptions (us/is/os/gas), short
+# strings (<=4 chars keep the 's'), and regular plurals
+_PART_EDGE_NAMES = [
+    "gas", "Gas", "GAS ", "bus", "axis", "chaos", "virus", "viruses",
+    "lotus", "lotuses", "s", "ss", "sss", "glass", "glasses", "",
+    "masses", "mass", "mas",
+]
+_SUPPLIER_SEEDS = ["acme metals", "zenith forge", "Supplier Prime Co"]
+
+
+def _customer_name(rng: random.Random, i: int) -> str:
+    r = rng.random()
+    if r < 0.25:
+        return f"Customer#{i:09d}"  # realistic: '#' split + digits + '0's
+    if r < 0.30:
+        return ""  # empty: locate/substr/extract zero paths
+    if r < 0.36:
+        return f"  {rng.choice(WORDS)} \t{rng.choice(WORDS)}  "  # outer ws
+    if r < 0.46:
+        # multiple digit runs, several '#', a guaranteed '0'
+        return (f"{rng.choice(WORDS)}{rng.randint(0, 99)}"
+                f"#{rng.choice(WORDS)}0{rng.randint(0, 9)}")
+    if r < 0.52:
+        return "no digits here"  # regexp_extract no-match -> ''
+    if r < 0.57:
+        return "Müller café #00"  # multibyte before substr/len
+    if r < 0.62:
+        return rng.choice(["ab", "aba", "abab"]) * rng.randint(1, 5)
+    return " ".join(rng.choice(WORDS) for _ in range(rng.randint(1, 4)))
+
+
+def _acctbal(rng: random.Random):
+    r = rng.random()
+    if r < 0.03:
+        return None  # NULL ordering / CASE fall-through
+    if r < 0.18:
+        return rng.choice([2500.0, 5000.0, 7500.0])  # exact >= thresholds
+    if r < 0.24:
+        return rng.choice([2499.99, 4999.99, 7499.99, 7500.01])
+    if r < 0.40:
+        return 1111.11  # heavy tie block: ntile/rank/percent_rank ties
+    if r < 0.45:
+        return 0.0
+    if r < 0.50:
+        return -rng.randint(1, 99999) / 100.0
+    return rng.randint(-99999, 999999) / 100.0
+
+
+def _supplier_name(rng: random.Random, i: int):
+    r = rng.random()
+    if r < 0.30:
+        return f"Supplier#{i:08d}"  # shared boilerplate prefix stress
+    if r < 0.60:
+        # edit-cluster around a seed: dist 0/1/2 variants, case flips
+        s = rng.choice(_SUPPLIER_SEEDS)
+        v = rng.random()
+        if v < 0.25:
+            return s  # exact duplicate (dist 0 pair)
+        if v < 0.45:
+            k = rng.randrange(len(s))
+            return s[:k] + rng.choice("xyq") + s[k + 1:]  # 1 substitution
+        if v < 0.60:
+            k = rng.randrange(len(s))
+            return s[:k] + s[k + 1:]  # 1 deletion
+        if v < 0.75:
+            k = rng.randrange(len(s) + 1)
+            return s[:k] + rng.choice("xyq") + s[k:]  # 1 insertion
+        if v < 0.85:
+            return s[0].swapcase() + s[1:]  # case flip = 1 edit
+        k = rng.randrange(len(s) - 1)
+        return s[:k] + "qq" + s[k + 2:]  # 2 substitutions (excluded)
+    if r < 0.70:
+        # short/low-gram fallback-bucket strings (lossless-block edge)
+        return rng.choice(["", "a", "b", "ab", "ba", "ababab", "aabb"])
+    if r < 0.72:
+        return None  # dropped by BOTH engines
+    return "supply " + " ".join(
+        rng.choice(["north", "south", "iron", "grain", "x"])
+        for _ in range(rng.randint(1, 3))
+    )
+
+
+def make_relational(rng: random.Random, n: int) -> dict:
+    """Adversarial orders+customer+part+supplier+region (see scope
+    notes on RELATIONAL_QUERIES). Orders: money exactly AT the bin edges
+    (100k/200k right-closed, 400k strict >), constant-price blocks
+    (segment-average boundary), midnight date ties inside customer
+    windows, ~15% dangling custkeys. Customer: threshold-exact and
+    heavily tied balances, hostile names, enum-colliding segments.
+    Part: normalization-colliding name variants with (norm, price)
+    ties. Supplier: edit-distance 0/1/2 name clusters + short-string
+    fallback-bucket strings."""
+    import pyarrow as pa
+
+    n_cust = max(80, n // 5)
+    n_part = max(80, n // 6)
+    n_supp = max(60, n // 8)
+
+    cust = []
+    for i in range(1, n_cust + 1):
+        cust.append((i, _customer_name(rng, i), rng.randint(0, 24),
+                     _acctbal(rng), rng.choice(SEGMENTS)))
+
+    parts = []
+    for i in range(1, n_part + 1):
+        r = rng.random()
+        if r < 0.30:
+            name = rng.choice(_PART_COLLIDERS)
+        elif r < 0.45:
+            name = rng.choice(_PART_EDGE_NAMES)
+        else:
+            name = " ".join(rng.choice(WORDS) for _ in range(rng.randint(1, 3)))
+        p = rng.random()
+        if p < 0.40:
+            price = 500.00  # (norm, price) full ties -> partkey tie-break
+        else:
+            price = rng.randint(100, 200000) / 100.0
+        parts.append((i, name, f"Brand#{rng.randint(1, 3)}{rng.randint(1, 3)}",
+                      rng.choice(["STANDARD", "SMALL", "ECONOMY"]),
+                      rng.randint(1, 50), price))
+
+    supp = []
+    for i in range(1, n_supp + 1):
+        supp.append((i, _supplier_name(rng, i), rng.randint(0, 24),
+                     rng.randint(-9999, 999999) / 100.0))
+
+    # region: exact-match, lower-match, case-variant and unmatched
+    # names against two_tier_lookup's pinned (AFRICA/america/ASIA)
+    # lookup panel — exercises every tier of the fallback join
+    regions = [
+        (0, "AFRICA"), (1, "america"), (2, "ASIA"), (3, "AMERICA"),
+        (4, "AfRiCa"), (5, "asia"), (6, "EUROPE"), (7, "ASIA "),
+    ]
+
+    base = datetime(1995, 1, 1)
+    orders = []
+    for i in range(1, n + 1):
+        ck = (rng.randint(1, n_cust) if rng.random() < 0.85
+              else n_cust + rng.randint(1, 50))  # dangling FK
+        r = rng.random()
+        if r < 0.08:
+            price = 100000.00  # right-closed bin edge (<=)
+        elif r < 0.14:
+            price = 200000.00
+        elif r < 0.24:
+            price = 400000.00  # bin edge AND rollup's strict >
+        elif r < 0.28:
+            price = 400000.01
+        elif r < 0.32:
+            price = 0.0
+        elif r < 0.42:
+            price = 123456.78  # constant block: segment-avg boundary
+        else:
+            price = rng.randint(100, 60000000) / 100.0
+        if rng.random() < 0.5:
+            od = base + timedelta(days=rng.randint(0, 1500))  # midnight tie
+        else:
+            od = base + timedelta(days=rng.randint(0, 1500),
+                                  seconds=rng.randint(0, 86399),
+                                  microseconds=rng.randint(0, 999999))
+        orders.append((i, ck, rng.choice(["O", "O", "F", "F", "P"]),
+                       price, od, rng.choice(PRIORITIES)))
+
+    oc, cc, pc, sc = (list(zip(*t)) for t in (orders, cust, parts, supp))
+    return {
+        "orders": pa.table({
+            "o_orderkey": pa.array(oc[0], pa.int64()),
+            "o_custkey": pa.array(oc[1], pa.int64()),
+            "o_orderstatus": pa.array(oc[2], pa.string()),
+            "o_totalprice": pa.array(oc[3], pa.float64()),
+            "o_orderdate": pa.array(oc[4], pa.timestamp("us")),
+            "o_orderpriority": pa.array(oc[5], pa.string()),
+        }),
+        "customer": pa.table({
+            "c_custkey": pa.array(cc[0], pa.int64()),
+            "c_name": pa.array(cc[1], pa.string()),
+            "c_nationkey": pa.array(cc[2], pa.int32()),
+            "c_acctbal": pa.array(cc[3], pa.float64()),
+            "c_mktsegment": pa.array(cc[4], pa.string()),
+        }),
+        "part": pa.table({
+            "p_partkey": pa.array(pc[0], pa.int64()),
+            "p_name": pa.array(pc[1], pa.string()),
+            "p_brand": pa.array(pc[2], pa.string()),
+            "p_type": pa.array(pc[3], pa.string()),
+            "p_size": pa.array(pc[4], pa.int32()),
+            "p_retailprice": pa.array(pc[5], pa.float64()),
+        }),
+        "supplier": pa.table({
+            "s_suppkey": pa.array(sc[0], pa.int64()),
+            "s_name": pa.array(sc[1], pa.string()),
+            "s_nationkey": pa.array(sc[2], pa.int32()),
+            "s_acctbal": pa.array(sc[3], pa.float64()),
+        }),
+        "region": pa.table({
+            "r_regionkey": pa.array([r[0] for r in regions], pa.int32()),
+            "r_name": pa.array([r[1] for r in regions], pa.string()),
+        }),
+    }
+
+
+# tier -> (table(s) label, builder, queries, default_n); a builder may
+# return a dict {table: pyarrow table} to regenerate several at once
 TIERS = {
     "docs": ("documents", make_documents, DOCS_QUERIES, 1500),
     "events": ("events", make_events, EVENTS_QUERIES, 1500),
     "lineitem": ("lineitem", make_lineitem, LINEITEM_QUERIES, 3000),
     "embeddings": ("embeddings", make_embeddings, EMB_QUERIES, 600),
+    "relational": ("orders+customer+part+supplier", make_relational,
+                   RELATIONAL_QUERIES, 2500),
 }
 
 
@@ -434,10 +715,14 @@ def run_tier(spark, rng: random.Random, tier: str, n: int) -> tuple[int, int]:
     table, builder, queries, _n0 = TIERS[tier]
     tmp = Path(tempfile.mkdtemp(prefix=f"fuzz_gate_{tier}_"))
     try:
+        built = builder(rng, n)
+        if not isinstance(built, dict):
+            built = {table: built}
         for t in TABLES:
-            if t != table:
+            if t not in built:
                 shutil.copy(f"{BASE_SF}/{t}.parquet", tmp / f"{t}.parquet")
-        pq.write_table(builder(rng, n), tmp / f"{table}.parquet")
+        for t, tb in built.items():
+            pq.write_table(tb, tmp / f"{t}.parquet")
         return run_gate(spark, str(tmp), queries)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
