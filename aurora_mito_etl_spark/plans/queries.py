@@ -5534,6 +5534,69 @@ ORACLES["docs_quality_ensemble"] = f"""
 """
 
 
+_BP_LINES_CTE = """
+    WITH split AS (
+      SELECT source, doc_id, string_split(text, chr(10)) AS ls FROM documents
+    ),
+    lines AS (
+      SELECT source, doc_id, CAST(i - 1 AS INT) AS pos,
+             ls[i] AS raw, trim(ls[i]) AS line
+      FROM split, UNNEST(generate_series(1, len(ls))) AS u(i)
+    )
+"""
+
+
+@_register(
+    "docs_boilerplate_lines",
+    _BP_LINES_CTE
+    + """
+    SELECT source, line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM lines WHERE line <> ''
+    GROUP BY source, line HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def docs_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate detector (CCNet §4.1 / C4 line dedup):
+    non-empty trimmed lines shared by >= 2 distinct docs of a source —
+    the nav-bar/cookie-banner/footer family that span and shingle
+    dedup miss. One explode + one partial-aggregating groupBy; no
+    self-join (see operators/text.py boilerplate_lines)."""
+    d = load_table(spark, sf_dir, "documents")
+    return tx.boilerplate_lines(d, "text", "doc_id", "source", min_docs=2)
+
+
+@_register(
+    "docs_strip_boilerplate",
+    _BP_LINES_CTE
+    + """,
+    bp AS (
+      SELECT source, line FROM lines WHERE line <> ''
+      GROUP BY source, line HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    kept AS (
+      SELECT l.doc_id, l.pos, l.raw FROM lines l
+      LEFT JOIN bp ON l.source = bp.source AND l.line = bp.line
+      WHERE bp.line IS NULL
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(raw, chr(10) ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """,
+)
+def docs_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal transform: every doc rebuilt without its
+    source's repeated lines, raw line forms and order preserved
+    (array_sort over (pos, raw) — deterministic reassembly); docs that
+    were pure boilerplate come out empty rather than vanishing. The
+    boilerplate side of the anti join is threshold-filtered and
+    broadcast-eligible (AQE decides)."""
+    d = load_table(spark, sf_dir, "documents")
+    return tx.strip_boilerplate(d, "text", "doc_id", "source", min_docs=2)
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample curation.
 #

@@ -141,3 +141,51 @@ def test_chunk_windows_coverage_and_edges(spark):
     assert [r["n_chunk_tokens"] for r in c3] == [12, 5]       # tokens 8..12
     # overlap: chunk 1 of doc 3 starts at token 8 (stride), not 12
     assert c3[1]["chunk_text"].split()[0] == "w8"
+
+
+def test_boilerplate_lines_detector(spark):
+    rows = [
+        (1, "Cookie banner\nreal text one\n\nCookie banner", "s1"),
+        (2, "  Cookie banner  \nreal text two", "s1"),
+        (3, "real text three\nCookie banner", "s1"),
+        (4, "Cookie banner\nother source", "s2"),   # different group
+        (5, "\n\n\n", "s1"),                        # blank lines never count
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["source"], r["line"]): r["n_docs"]
+        for r in tx.boilerplate_lines(
+            df, "text", "doc_id", "source", min_docs=3
+        ).collect()
+    }
+    # doc 1 repeats the line twice but counts ONCE (distinct docs);
+    # s2's single occurrence is below threshold; '' is filtered.
+    assert got == {("s1", "Cookie banner"): 3}
+    import pytest
+
+    with pytest.raises(ValueError):
+        tx.boilerplate_lines(df, "text", "doc_id", "source", min_docs=1)
+
+
+def test_strip_boilerplate_rebuild(spark):
+    rows = [
+        (1, "BP\n keep one \nBP", "s1"),
+        (2, "  BP\nkeep two", "s1"),
+        (3, "BP", "s1"),              # pure boilerplate → ''
+        (4, "BP\nsolo source", "s2"), # below threshold in s2 → unchanged
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in tx.strip_boilerplate(
+            df, "text", "doc_id", "source", min_docs=2
+        ).collect()
+    }
+    # raw (untrimmed) forms and original order survive; matching is on
+    # the trimmed key ('  BP' in doc 2 is still stripped)
+    assert out == {
+        1: " keep one ",
+        2: "keep two",
+        3: "",
+        4: "BP\nsolo source",
+    }

@@ -125,6 +125,10 @@ DOCS_QUERIES = {
     "docs_top_words",
     "flagship_compound_mentions",
     "flagship_training_corpus",
+    # r8: line-level boilerplate family (same-source planted dups
+    # guarantee positive rows)
+    "docs_boilerplate_lines",
+    "docs_strip_boilerplate",
 }
 
 # Relational-spine queries driven by orders/customer/part/supplier —
@@ -260,11 +264,13 @@ def make_documents(rng: random.Random, n: int):
     rows = []
     for i in range(n):
         rows.append((i, make_text(rng), rng.choice(langs), rng.choice(sources)))
-    # a few exact duplicates for the dedup queries
+    # a few exact duplicates for the dedup queries; half keep the
+    # original's SOURCE so line-level boilerplate detection (which is
+    # per-source) has positive rows, not just the empty result
     for i in range(n, n + max(1, n // 20)):
-        rows.append(
-            (i, rows[rng.randrange(n)][1], rng.choice(langs), rng.choice(sources))
-        )
+        j = rng.randrange(n)
+        src = rows[j][3] if rng.random() < 0.5 else rng.choice(sources)
+        rows.append((i, rows[j][1], rng.choice(langs), src))
     return pa.table(
         {
             "doc_id": pa.array([r[0] for r in rows], pa.int64()),
