@@ -5610,6 +5610,11 @@ def docs_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # representative per SURVEY §2 family inside the first 50. Everything
 # else keeps its original relative order and stays covered by
 # tools/verify_local.py. Pinned by tests/test_driver_gate.py.
+#
+# r9 rotation note: docs_boilerplate_lines / docs_strip_boilerplate
+# landed after this round's 50-slot window was already full with the
+# twenty never-gated queries (VERDICT r7 ask #3) — rotate them in
+# next round in place of two long-green representatives.
 # ---------------------------------------------------------------------------
 
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (

@@ -70,6 +70,7 @@ HEADLINE = [
     "emb_kmeans_assign",
     # dedup
     "docs_exact_dedup",
+    "docs_strip_boilerplate",
     "docs_ngram_jaccard_pairs",
     "docs_containment_pairs",
     "docs_minhash_lsh_pairs",
