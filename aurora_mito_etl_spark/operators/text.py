@@ -434,3 +434,48 @@ def strip_boilerplate(
     return df.select(id_col).join(rebuilt, id_col, "left").select(
         F.col(id_col), F.coalesce(F.col(out_col), F.lit("")).alias(out_col)
     )
+
+
+def dedup_lines_within_doc(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """(id, clean_text): each document rebuilt with only the FIRST
+    occurrence of every repeated non-empty line kept (match key is the
+    trimmed line; the surviving occurrence keeps its raw untrimmed
+    form and position). Blank-after-trim lines are structure, not
+    content, and are never collapsed. The intra-document complement of
+    strip_boilerplate: scraped pages repeat their own nav/footer
+    lines, which a cross-document detector cannot see when the doc's
+    source has no siblings (Rae et al., "Gopher" repetition family).
+
+    Scale shape: one explode, one window partitioned by (doc, line) —
+    partition grain is a single line's occurrences within one doc, so
+    skew is bounded by document size, never corpus size — then one
+    groupBy(id) order-restoring reassembly. No join, no self-join.
+    """
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+    ).withColumn("line", F.trim(F.col("raw")))
+    w = Window.partitionBy(id_col, "line").orderBy(F.col("pos").asc_nulls_last())
+    kept = (
+        lines.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) | (F.col("line") == ""))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "raw"))),
+                lambda x: x["raw"],
+            ),
+            "\n",
+        ).alias(out_col)
+    )
+    return df.select(id_col).join(rebuilt, id_col, "left").select(
+        F.col(id_col), F.coalesce(F.col(out_col), F.lit("")).alias(out_col)
+    )

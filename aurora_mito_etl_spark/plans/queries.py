@@ -5597,6 +5597,44 @@ def docs_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.strip_boilerplate(d, "text", "doc_id", "source", min_docs=2)
 
 
+@_register(
+    "docs_dedup_lines",
+    """
+    WITH split AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS pos, ls[i] AS raw, trim(ls[i]) AS line
+      FROM split, UNNEST(generate_series(1, len(ls))) AS u(i)
+    ),
+    kept AS (
+      SELECT doc_id, pos, raw FROM (
+        SELECT doc_id, pos, raw, line,
+               row_number() OVER (PARTITION BY doc_id, line
+                                  ORDER BY pos ASC NULLS LAST) AS rn
+        FROM lines
+      ) WHERE rn = 1 OR line = ''
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(raw, chr(10) ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """,
+)
+def docs_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document duplicate-line removal (Gopher repetition
+    family): only the first occurrence of each repeated non-empty
+    trimmed line survives, keeping its raw form and position; blank
+    lines are structure and never collapse. Window grain is (doc,
+    line) — skew bounded by document size — then one order-restoring
+    reassembly; no join (see operators/text.py
+    dedup_lines_within_doc)."""
+    d = load_table(spark, sf_dir, "documents")
+    return tx.dedup_lines_within_doc(d, "text", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample curation.
 #

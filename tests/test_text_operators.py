@@ -189,3 +189,23 @@ def test_strip_boilerplate_rebuild(spark):
         3: "",
         4: "BP\nsolo source",
     }
+
+
+def test_dedup_lines_within_doc(spark):
+    rows = [
+        # repeated 'nav' keeps FIRST raw form ('nav ', untrimmed);
+        # blank lines never collapse; later ' nav' variant also drops
+        (1, "nav \nbody one\n\n\nnav\nbody two\n nav", "s1"),
+        (2, "only\nlines\nhere", "s1"),
+        (3, "", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in tx.dedup_lines_within_doc(df, "text", "doc_id").collect()
+    }
+    assert out == {
+        1: "nav \nbody one\n\n\nbody two",
+        2: "only\nlines\nhere",
+        3: "",
+    }

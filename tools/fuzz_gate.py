@@ -129,6 +129,7 @@ DOCS_QUERIES = {
     # guarantee positive rows)
     "docs_boilerplate_lines",
     "docs_strip_boilerplate",
+    "docs_dedup_lines",
 }
 
 # Relational-spine queries driven by orders/customer/part/supplier —
@@ -241,6 +242,16 @@ def make_text(rng: random.Random) -> str:
         return rng.choice(WS) * rng.randint(1, 4)
     if kind < 0.09:
         return rng.choice(WORDS) * rng.randint(30, 120)  # one huge token
+    if kind < 0.13:
+        # multi-line page whose own nav/footer line repeats (possibly
+        # with differing surrounding whitespace) — the positive path
+        # for intra-doc line dedup
+        nav = rng.choice(WORDS) + " " + rng.choice(WORDS)
+        body = [rng.choice(WORDS) + rng.choice(WS) for _ in range(rng.randint(1, 6))]
+        lines = [nav] + body + [rng.choice(["", " ", "\t"]) + nav + rng.choice(["", " "])]
+        if rng.random() < 0.3:
+            lines.insert(1, "")  # blank structural line
+        return "\n".join(lines)
     n = rng.randint(1, 60)
     parts = []
     for _ in range(n):
