@@ -5716,7 +5716,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "emb_ivfpq_topk",
     "emb_ivfpq_recall",
     "emb_knn_classify",
-    "emb_dim_stats",
     "events_value_anomaly",
     "events_key_skew_report",
     "events_top_paths",
@@ -5727,8 +5726,15 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "docs_source_divergence",
     "docs_ac_dict_filter",
     "docs_chunked",
-    "docs_contiguous_ids",
-    "docs_length_histogram",
+    # docs_contiguous_ids / docs_length_histogram / emb_dim_stats were
+    # "next-best" fillers (not in VERDICT r7's named ten) and are the
+    # simplest shapes in the rotation; they yield their slots to the
+    # three queries NEW this round, which have never been driver-gated
+    # and carry the highest regenerated-data risk. Rotate the evicted
+    # trio back in r9.
+    "docs_boilerplate_lines",
+    "docs_strip_boilerplate",
+    "docs_dedup_lines",
     "lineitem_price_percentiles",
     "customer_order_full_outer",
     "orders_except_intersect_all",

@@ -74,7 +74,6 @@ def test_driver_sample_covers_llm_tier():
         "emb_ivfpq_topk",
         "emb_ivfpq_recall",
         "emb_knn_classify",
-        "emb_dim_stats",
         "events_value_anomaly",
         "events_key_skew_report",
         "events_top_paths",
@@ -85,8 +84,12 @@ def test_driver_sample_covers_llm_tier():
         "docs_source_divergence",
         "docs_ac_dict_filter",
         "docs_chunked",
-        "docs_contiguous_ids",
-        "docs_length_histogram",
+        # NEW in round 8 (boilerplate family + intra-doc line dedup):
+        # swapped in for the three simplest "next-best" rotation
+        # fillers so new code gets its first hard-gate row now
+        "docs_boilerplate_lines",
+        "docs_strip_boilerplate",
+        "docs_dedup_lines",
         "lineitem_price_percentiles",
         "customer_order_full_outer",
         "orders_except_intersect_all",
