@@ -436,6 +436,66 @@ def strip_boilerplate(
     )
 
 
+def dedup_lines_across_docs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """(id, clean_text): corpus-wide keep-first line dedup (the C4 §2.2
+    / CCNet family applied at line grain across documents): every
+    distinct non-blank trimmed line survives exactly once, at its
+    first corpus-wide occurrence ordered by (id, pos), keeping that
+    occurrence's raw untrimmed form; every other occurrence — in the
+    same doc or any other — is dropped. Blank-after-trim lines are
+    structure and always survive. Complements strip_boilerplate
+    (per-source removal of ALL occurrences above a threshold) and
+    dedup_lines_within_doc (per-doc keep-first).
+
+    Scale shape: survivor selection is min(struct(id, pos, raw)) per
+    trimmed line — a map-side-combinable aggregate, so a line repeated
+    across a million documents costs one combiner cell per map task,
+    never a row_number window over a corpus-sized hot partition — and
+    because (id, pos) is unique the survivor's raw form rides along in
+    the same struct, so there is NO join back. Blank lines bypass the
+    line shuffle entirely. Total: one line-keyed shuffle, one
+    groupBy(id) reassembly, one id-keyed left join to keep docs whose
+    every line lost.
+
+    Beyond-reference surface (the reference dedups whole records
+    only); Raffel et al., "C4" (JMLR 2020) §2.2 dedup step.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+    ).withColumn("line", F.trim(F.col("raw")))
+    first = (
+        lines.filter(F.col("line") != "")
+        .groupBy("line")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"), F.col("raw"))).alias("f"))
+        .select(
+            F.col(f"f.{id_col}").alias(id_col),
+            F.col("f.pos").alias("pos"),
+            F.col("f.raw").alias("raw"),
+        )
+    )
+    kept = first.unionByName(
+        lines.filter(F.col("line") == "").select(id_col, "pos", "raw")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "raw"))),
+                lambda x: x["raw"],
+            ),
+            "\n",
+        ).alias(out_col)
+    )
+    return df.select(id_col).join(rebuilt, id_col, "left").select(
+        F.col(id_col), F.coalesce(F.col(out_col), F.lit("")).alias(out_col)
+    )
+
+
 def dedup_lines_within_doc(
     df: DataFrame,
     text_col: str,

@@ -5635,6 +5635,44 @@ def docs_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.dedup_lines_within_doc(d, "text", "doc_id")
 
 
+@_register(
+    "docs_dedup_lines_global",
+    """
+    WITH split AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS pos, ls[i] AS raw, trim(ls[i]) AS line
+      FROM split, UNNEST(generate_series(1, len(ls))) AS u(i)
+    ),
+    kept AS (
+      SELECT doc_id, pos, raw FROM (
+        SELECT doc_id, pos, raw,
+               row_number() OVER (PARTITION BY line
+                                  ORDER BY doc_id ASC, pos ASC) AS rn
+        FROM lines WHERE line <> ''
+      ) WHERE rn = 1
+      UNION ALL
+      SELECT doc_id, pos, raw FROM lines WHERE line = ''
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(raw, chr(10) ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """,
+)
+def docs_dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide keep-first line dedup (C4 §2.2 family): each
+    distinct non-blank trimmed line survives once, at its first
+    (doc_id, pos) occurrence, in its raw form; blank lines always
+    survive. Join-free survivor selection via min(struct) — see
+    operators/text.py dedup_lines_across_docs for the scale shape."""
+    d = load_table(spark, sf_dir, "documents")
+    return tx.dedup_lines_across_docs(d, "text", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample curation.
 #

@@ -209,3 +209,27 @@ def test_dedup_lines_within_doc(spark):
         2: "only\nlines\nhere",
         3: "",
     }
+
+
+def test_dedup_lines_across_docs(spark):
+    rows = [
+        # doc 1 keeps its own first 'nav ' (raw form); doc 2's 'nav'
+        # copy loses to doc 1's earlier (id, pos); doc 2 keeps what is
+        # unique to it; blank lines survive everywhere; doc 3 is all
+        # losses + one blank -> just the blank survives
+        (1, "nav \nbody one\n\nnav", "s1"),
+        (2, "nav\nbody two", "s1"),
+        (3, "body one\n\nbody two", "s2"),
+        (4, "", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in tx.dedup_lines_across_docs(df, "text", "doc_id").collect()
+    }
+    assert out == {
+        1: "nav \nbody one\n",
+        2: "body two",
+        3: "",
+        4: "",
+    }

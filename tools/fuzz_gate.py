@@ -130,6 +130,7 @@ DOCS_QUERIES = {
     "docs_boilerplate_lines",
     "docs_strip_boilerplate",
     "docs_dedup_lines",
+    "docs_dedup_lines_global",
 }
 
 # Relational-spine queries driven by orders/customer/part/supplier —
