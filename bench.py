@@ -71,6 +71,8 @@ HEADLINE = [
     # dedup
     "docs_exact_dedup",
     "docs_strip_boilerplate",
+    "docs_dedup_lines",
+    "docs_dedup_lines_global",
     "docs_ngram_jaccard_pairs",
     "docs_containment_pairs",
     "docs_minhash_lsh_pairs",
