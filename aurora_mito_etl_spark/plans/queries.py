@@ -34,6 +34,7 @@ from aurora_mito_etl_spark.functions.numeric import (
 )
 from aurora_mito_etl_spark.operators import aggregates as agg
 from aurora_mito_etl_spark.operators import bloom as bl
+from aurora_mito_etl_spark.operators import bpe as bpe
 from aurora_mito_etl_spark.operators import clustering as cu
 from aurora_mito_etl_spark.operators import unicode_udfs as uu
 from aurora_mito_etl_spark.operators import decontaminate as dc
@@ -3847,6 +3848,65 @@ def docs_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
         "pair", "n_count", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer TRAINING (operators/bpe.py): the iterative merge loop,
+# oracled by an unrolled per-round CTE chain (the events_pagerank
+# pattern). All-integer statistics + total-order tie-break => the
+# learned merge table is bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_train_oracle(num_merges: int = 6) -> str:
+    sql = r"""
+    WITH wf AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ')) AS word
+        FROM documents
+      ) WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word
+    ),
+    w0 AS (SELECT regexp_replace(word, '(.)', ' \1 ', 'g') AS w, freq FROM wf)"""
+    for k in range(1, num_merges + 1):
+        p = k - 1
+        sql += f""",
+    s{k} AS (SELECT string_split(trim(w), '  ') AS t, freq FROM w{p}),
+    c{k} AS (
+      SELECT t[i] AS a, t[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS pair_count
+      FROM s{k}, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+      GROUP BY a, b
+    ),
+    b{k} AS (
+      SELECT a, b, pair_count FROM c{k}
+      ORDER BY pair_count DESC, a ASC, b ASC LIMIT 1
+    ),
+    w{k} AS (
+      SELECT replace(x.w, ' ' || b.a || '  ' || b.b || ' ',
+                     ' ' || b.a || b.b || ' ') AS w, x.freq
+      FROM w{p} x CROSS JOIN b{k} b
+    )"""
+    arms = "\n    UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS merge_rank, a AS left_sym,"
+        f" b AS right_sym, pair_count FROM b{k}"
+        for k in range(1, num_merges + 1)
+    )
+    sql += f"\n    {arms}\n    "
+    return sql
+
+
+@_register("docs_bpe_train", _bpe_train_oracle())
+def docs_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training: the first 6 learned merges over the
+    corpus's lowercased [a-z]+ word-frequency table. Per round: one
+    map-side-combined pair-count shuffle on the (word, freq)
+    aggregate (never the corpus), a distributed limit(1) argmax with
+    a total-order tie-break, and a broadcast 1-row literal-replace
+    rebuild — no driver scalar per iteration, localCheckpoint per
+    round (see operators/bpe.py for the two-space representation
+    invariant that makes single-pass replace() a correct BPE merge
+    on both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    return bpe.bpe_train(d, "text", num_merges=6)
 
 
 # ---------------------------------------------------------------------------

@@ -60,6 +60,7 @@ HEADLINE = [
     "docs_bigram_pmi",
     "docs_source_report",
     "docs_bpe_pair_counts",
+    "docs_bpe_train",
     "docs_vocab_sketch",
     "docs_source_divergence",
     "emb_quantize_int8",

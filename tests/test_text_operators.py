@@ -233,3 +233,52 @@ def test_dedup_lines_across_docs(spark):
         3: "",
         4: "",
     }
+
+
+def test_bpe_train_classic_corpus(spark):
+    """Sennrich-style hand-check: words low:3, lower:2, newest:1.
+    Round-by-round (count desc, then left/right symbol asc):
+      1: (l,o)=5 ties (o,w)=5 -> 'l' < 'o' wins
+      2: (lo,w)=5
+      3: (e,r)=2 ties (low,e)=2 -> 'e' < 'low' wins
+      4: (low,er)=2
+    Punctuated/uppercase tokens are filtered before training."""
+    from aurora_mito_etl_spark.operators import bpe
+
+    rows = [
+        (1, "low low LOW! low lower", "s1"),
+        (2, "lower newest", "s1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe.bpe_train(df, "text", num_merges=4)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert out == [
+        (1, "l", "o", 5),
+        (2, "lo", "w", 5),
+        (3, "e", "r", 2),
+        (4, "low", "er", 2),
+    ]
+
+
+def test_bpe_train_overlap_and_adjacent_sites(spark):
+    """The representation-invariant edge cases: 'aaa' merges
+    left-to-right non-overlapping under (a,a) -> [aa, a], and
+    'abab' rewrites BOTH adjacent (a,b) sites in one pass."""
+    from aurora_mito_etl_spark.operators import bpe
+
+    rows = [(1, "abab abab aaa", "s1")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe.bpe_train(df, "text", num_merges=2)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    # round 1: (a,b)=4 (2 per 'abab' x2), (b,a)=2, (a,a)=2 -> (a,b)
+    # round 2: words 'ab ab' x2 and 'aaa': (ab,ab)=2, (a,a)=2
+    #          -> tie 2 vs 2, 'a' < 'ab' -> (a,a); 'aaa' -> [aa, a]
+    assert out == [(1, "a", "b", 4), (2, "a", "a", 2)]

@@ -131,6 +131,7 @@ DOCS_QUERIES = {
     "docs_strip_boilerplate",
     "docs_dedup_lines",
     "docs_dedup_lines_global",
+    "docs_bpe_train",
 }
 
 # Relational-spine queries driven by orders/customer/part/supplier —
