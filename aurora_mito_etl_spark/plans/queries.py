@@ -3858,7 +3858,8 @@ def docs_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _bpe_train_oracle(num_merges: int = 6) -> str:
+def _bpe_chain(num_merges: int) -> str:
+    """The shared unrolled merge chain: wf -> w0 -> (s,c,b,w){1..N}."""
     sql = r"""
     WITH wf AS (
       SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -3885,13 +3886,34 @@ def _bpe_train_oracle(num_merges: int = 6) -> str:
                      ' ' || b.a || b.b || ' ') AS w, x.freq
       FROM w{p} x CROSS JOIN b{k} b
     )"""
+    return sql
+
+
+def _bpe_train_oracle(num_merges: int = 6) -> str:
     arms = "\n    UNION ALL ".join(
         f"SELECT CAST({k} AS INT) AS merge_rank, a AS left_sym,"
         f" b AS right_sym, pair_count FROM b{k}"
         for k in range(1, num_merges + 1)
     )
-    sql += f"\n    {arms}\n    "
-    return sql
+    return _bpe_chain(num_merges) + f"\n    {arms}\n    "
+
+
+def _bpe_subwords_oracle(num_merges: int = 6, top_k: int = 20) -> str:
+    return _bpe_chain(num_merges) + f""",
+    sub AS (
+      SELECT t[i] AS token, freq
+      FROM (SELECT string_split(trim(w), '  ') AS t, freq FROM w{num_merges}),
+           UNNEST(generate_series(1, len(t))) AS u(i)
+    ),
+    counted AS (
+      SELECT token, CAST(sum(freq) AS BIGINT) AS n_count,
+             row_number() OVER (ORDER BY CAST(sum(freq) AS BIGINT) DESC,
+                                token ASC) AS rank
+      FROM sub GROUP BY token
+    )
+    SELECT token, n_count, CAST(rank AS INT) AS rank
+    FROM counted WHERE rank <= {top_k}
+    """
 
 
 @_register("docs_bpe_train", _bpe_train_oracle())
@@ -3907,6 +3929,17 @@ def docs_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines)."""
     d = load_table(spark, sf_dir, "documents")
     return bpe.bpe_train(d, "text", num_merges=6)
+
+
+@_register("docs_bpe_subwords", _bpe_subwords_oracle())
+def docs_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply side of the trained tokenizer: top-20 corpus subword
+    frequencies after the 6 learned merges. Segmentation is a pure
+    function of the word, so counts are freq-weighted symbol counts
+    over the vocab-sized trained words table — no second corpus pass;
+    two-phase top-k (see operators/bpe.py bpe_subword_freqs)."""
+    d = load_table(spark, sf_dir, "documents")
+    return bpe.bpe_subword_freqs(d, "text", num_merges=6, top_k=20)
 
 
 # ---------------------------------------------------------------------------

@@ -282,3 +282,30 @@ def test_bpe_train_overlap_and_adjacent_sites(spark):
     # round 2: words 'ab ab' x2 and 'aaa': (ab,ab)=2, (a,a)=2
     #          -> tie 2 vs 2, 'a' < 'ab' -> (a,a); 'aaa' -> [aa, a]
     assert out == [(1, "a", "b", 4), (2, "a", "a", 2)]
+
+
+def test_bpe_subword_freqs_apply_side(spark):
+    """After the 4 merges of the classic corpus (the 4th merges
+    low+er) the segmentations are low->[low], lower->[lower],
+    newest->[n,e,w,e,s,t]; weighted by word freq (3/2/1): low:3,
+    lower:2, e:2, n/s/t/w:1 — ties break on token asc."""
+    from aurora_mito_etl_spark.operators import bpe
+
+    rows = [
+        (1, "low low LOW! low lower", "s1"),
+        (2, "lower newest", "s1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = [
+        (r["token"], r["n_count"], r["rank"])
+        for r in bpe.bpe_subword_freqs(df, "text", num_merges=4, top_k=5)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert out == [
+        ("low", 3, 1),
+        ("e", 2, 2),
+        ("lower", 2, 3),
+        ("n", 1, 4),
+        ("s", 1, 5),
+    ]

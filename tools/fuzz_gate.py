@@ -132,6 +132,7 @@ DOCS_QUERIES = {
     "docs_dedup_lines",
     "docs_dedup_lines_global",
     "docs_bpe_train",
+    "docs_bpe_subwords",
 }
 
 # Relational-spine queries driven by orders/customer/part/supplier —
