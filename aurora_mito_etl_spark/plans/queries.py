@@ -35,6 +35,7 @@ from aurora_mito_etl_spark.functions.numeric import (
 from aurora_mito_etl_spark.operators import aggregates as agg
 from aurora_mito_etl_spark.operators import bloom as bl
 from aurora_mito_etl_spark.operators import bpe as bpe
+from aurora_mito_etl_spark.operators import profile as pf
 from aurora_mito_etl_spark.operators import clustering as cu
 from aurora_mito_etl_spark.operators import unicode_udfs as uu
 from aurora_mito_etl_spark.operators import decontaminate as dc
@@ -3275,6 +3276,97 @@ def lineitem_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cov_n / var_x).alias("beta_qty_price"),
         (cov_n / (n * n)).alias("cov_qty_price"),
     )
+
+
+# One-pass column profiler (operators/profile.py): every statistic of
+# every column from ONE aggregate, exploded to long format. The
+# oracle is generated from the same column spec the query passes.
+_PROFILE_NUMERIC = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_shipdate_us",
+]
+_PROFILE_STRING = ["l_returnflag", "l_linestatus"]
+
+
+def _profile_oracle(
+    base: str, numeric_cols: list[str], string_cols: list[str]
+) -> str:
+    aggs = ["count(*) AS n"]
+    for c in numeric_cols:
+        x = f"CAST({c} AS DOUBLE) + 0.0"
+        aggs += [
+            f"count({x}) AS nn_{c}",
+            f"count(DISTINCT {x}) AS nd_{c}",
+            f"min({x}) AS mn_{c}",
+            f"max({x}) AS mx_{c}",
+        ]
+    for c in string_cols:
+        aggs += [
+            f"count({c}) AS nn_{c}",
+            f"count(DISTINCT {c}) AS nd_{c}",
+            f"min({c}) AS mn_{c}",
+            f"max({c}) AS mx_{c}",
+        ]
+    arms = []
+    for c in numeric_cols:
+        arms.append(
+            f"SELECT '{c}' AS col_name, CAST(n AS BIGINT) AS n_rows,"
+            f" CAST(n - nn_{c} AS BIGINT) AS n_nulls,"
+            f" CAST(nd_{c} AS BIGINT) AS n_distinct,"
+            f" mn_{c} AS min_num, mx_{c} AS max_num,"
+            f" CAST(NULL AS VARCHAR) AS min_str,"
+            f" CAST(NULL AS VARCHAR) AS max_str FROM a"
+        )
+    for c in string_cols:
+        arms.append(
+            f"SELECT '{c}' AS col_name, CAST(n AS BIGINT) AS n_rows,"
+            f" CAST(n - nn_{c} AS BIGINT) AS n_nulls,"
+            f" CAST(nd_{c} AS BIGINT) AS n_distinct,"
+            f" CAST(NULL AS DOUBLE) AS min_num,"
+            f" CAST(NULL AS DOUBLE) AS max_num,"
+            f" mn_{c} AS min_str, mx_{c} AS max_str FROM a"
+        )
+    body = "\n    UNION ALL ".join(arms)
+    return (
+        f"\n    WITH a AS (SELECT {', '.join(aggs)} FROM ({base}))\n    "
+        + body
+        + "\n    "
+    )
+
+
+@_register(
+    "lineitem_profile",
+    _profile_oracle(
+        "SELECT *, epoch_us(l_shipdate) AS l_shipdate_us FROM lineitem",
+        _PROFILE_NUMERIC,
+        _PROFILE_STRING,
+    ),
+)
+def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-health profile of lineitem (nulls/distinct/extrema per
+    column, timestamps as epoch micros) from ONE aggregate pass —
+    exact-distinct here so every cell is oracle-checkable; the 100 TB
+    path is profile_table(exact=False) (HLL++, Expand-free), pinned
+    against this one in tests (see operators/profile.py)."""
+    # l_shipdate is TIMESTAMP_NTZ: unix_micros() rejects it and an
+    # NTZ->TZ cast would inject the session timezone, so epoch micros
+    # come from wall-clock interval arithmetic — tz-independent and
+    # equal to DuckDB's epoch_us() (verified under a non-UTC session)
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "l_shipdate_us",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', l_shipdate)"
+        ),
+    )
+    return pf.profile_table(li, _PROFILE_NUMERIC, _PROFILE_STRING)
 
 
 # Fuzzy edit-distance self-join (operators/fuzzy.py): oracle is the

@@ -100,6 +100,7 @@ HEADLINE = [
     "lineitem_price_percentiles",
     "lineitem_price_percentiles_approx",
     "lineitem_corr_stats",
+    "lineitem_profile",
     "lineitem_winsorized",
     "part_normalize_dedup",
     "docs_ac_dict_filter",

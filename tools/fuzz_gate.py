@@ -183,6 +183,7 @@ LINEITEM_QUERIES = {
     "lineitem_price_percentiles_approx",
     "lineitem_winsorized",
     "lineitem_corr_stats",
+    "lineitem_profile",
 }
 
 EMB_QUERIES = {
