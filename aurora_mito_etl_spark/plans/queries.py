@@ -3369,6 +3369,39 @@ def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pf.profile_table(li, _PROFILE_NUMERIC, _PROFILE_STRING)
 
 
+@_register(
+    "events_profile",
+    _profile_oracle(
+        "SELECT *, epoch_us(ts) AS ts_us FROM events",
+        ["event_id", "user_id", "value", "ts_us"],
+        ["event_type", "props"],
+    ),
+)
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile of the NULL-bearing events table (the fuzz tier's
+    NULL-key/value stress case for the profiler). ts arrives as
+    TIMESTAMP_NTZ (native us parquet) OR TIMESTAMP_LTZ (the nanos
+    repair in load_table) depending on how the driver regenerated the
+    data — the epoch-micros expression branches on the TYPE (never
+    the name, CLAUDE.md invariant): LTZ is an instant (unix_micros),
+    NTZ needs wall-clock interval arithmetic to stay tz-independent;
+    both equal DuckDB's epoch_us."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_type = {f.name: f.dataType.simpleString() for f in ev.schema.fields}["ts"]
+    ts_us = (
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+        if ts_type == "timestamp_ntz"
+        else F.unix_micros(F.col("ts"))
+    )
+    ev = ev.withColumn("ts_us", ts_us)
+    return pf.profile_table(
+        ev, ["event_id", "user_id", "value", "ts_us"], ["event_type", "props"]
+    )
+
+
 # Fuzzy edit-distance self-join (operators/fuzzy.py): oracle is the
 # naive cartesian formulation; the Spark side must produce the same
 # pairs from lossless q-gram blocking + exact verify.

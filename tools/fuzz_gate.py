@@ -221,6 +221,7 @@ EVENTS_QUERIES = {
     "events_key_skew_report",
     "events_funnel",
     "events_retention",
+    "events_profile",
 }
 
 WORDS = [
