@@ -21,6 +21,8 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F
 
 from aurora_mito_etl_spark.operators import bloom as bl
+from aurora_mito_etl_spark.operators import bpe
+from aurora_mito_etl_spark.operators import text as tx
 from aurora_mito_etl_spark.operators import clustering as cl
 from aurora_mito_etl_spark.operators import decontaminate as dc
 from aurora_mito_etl_spark.operators import quantize as qz
@@ -123,6 +125,22 @@ def main() -> int:
             "overwrite"
         ).save()
         t["tfidf_topk"] = round(time.perf_counter() - t0, 2)
+        # Round-8 tier: corpus-wide line dedup (join-free min-struct
+        # survivor selection — must scale linearly in total line
+        # count) and BPE training (vocab-bound after the single
+        # word_freqs pass: replication grows the corpus 8x but the
+        # vocabulary barely moves, so the 6 merge rounds should stay
+        # ~flat — the point of training on the aggregate).
+        t0 = time.perf_counter()
+        tx.dedup_lines_across_docs(df, "text", "doc_id").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t["line_dedup_global"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        bpe.bpe_train(df, "text", num_merges=6).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t["bpe_train"] = round(time.perf_counter() - t0, 2)
         df.unpersist()
         results[f] = {"rows": n, **t}
         print(json.dumps({"factor": f, **results[f]}))
