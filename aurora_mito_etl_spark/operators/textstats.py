@@ -328,3 +328,85 @@ def ngram_repetition_signals(
         (F.col(f"top{top_n}_char_frac") <= max_top_char_frac)
         & (F.col(f"dup{dup_n}_char_frac") <= max_dup_char_frac),
     )
+
+
+def heavy_hitter_tokens(
+    df,
+    text_col: str = "text",
+    top_n: int = 20,
+    counters: int = 65536,
+):
+    """Global top-`top_n` corpus tokens WITHOUT shuffling the
+    vocabulary: the bounded-memory scale twin of the full-shuffle
+    per-source ranking in ``docs_top_words``.
+
+    Two passes:
+
+    1. **Candidates** — one Arrow pass per input partition running a
+       batched Misra-Gries summary with at most `counters` entries
+       (merge each batch's exact counts, then subtract the order
+       statistic that restores the size bound and drop the zeros).
+       Each reduction subtracts its depth ``d`` from >= counters+1
+       entries at once, so the total decrement depth per partition is
+       <= n_p/(counters+1): every token whose LOCAL count exceeds
+       n_p/(counters+1) survives, and by pigeonhole every token whose
+       GLOBAL count exceeds n_tokens/(counters+1) survives in at
+       least one partition. Output is candidate token strings only —
+       MG stored counts are underestimates and are discarded.
+    2. **Exact recount** — broadcast the <= counters·P candidates
+       back over the token stream; the groupBy shuffles at most one
+       row per (task, candidate), then `orderBy().limit(top_n)` is a
+       TakeOrderedAndProject (partition-local top-N + driver merge of
+       N·P rows — no global sort, no unpartitioned window).
+
+    Every emitted ``cnt`` is the EXACT corpus count of its token. A
+    row with ``exact_guaranteed`` (cnt·(counters+1) > n_tokens) is
+    provably in the true global top-k at its position: any token the
+    sketch missed has count <= n_tokens/(counters+1) < cnt. Rows
+    below the threshold are best-effort (counts still exact, ranking
+    possibly incomplete) — size `counters` so the tail clears it.
+    The result is partition-invariant whenever the guarantee holds.
+
+    Tokenization is the shared :func:`tokens_expr` chain; empty
+    tokens are dropped and NULL text contributes nothing.
+    """
+    import numpy as np
+    import pandas as pd
+
+    tokens = df.select(
+        F.explode(tokens_expr(F.coalesce(F.col(text_col), F.lit("")))).alias(
+            "tok"
+        )
+    ).where(F.col("tok") != "")
+
+    def mg(batches):
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for tok, c in pdf["tok"].value_counts().items():
+                counts[tok] = counts.get(tok, 0) + int(c)
+            over = len(counts) - counters
+            if over > 0:
+                vals = np.fromiter(
+                    counts.values(), dtype=np.int64, count=len(counts)
+                )
+                d = int(np.partition(vals, over - 1)[over - 1])
+                counts = {t: v - d for t, v in counts.items() if v > d}
+        yield pd.DataFrame({"tok": list(counts)})
+
+    cand = tokens.mapInPandas(mg, "tok string").distinct()
+    n_tok = tokens.agg(F.count("*").alias("__n_tokens"))
+    top = (
+        tokens.join(F.broadcast(cand), "tok")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(top_n)
+    )
+    return top.crossJoin(F.broadcast(n_tok)).select(
+        F.col("tok").alias("token"),
+        F.col("cnt"),
+        _fixed6(F.col("cnt") / F.col("__n_tokens")).alias("share"),
+        (F.col("cnt") * (counters + 1) > F.col("__n_tokens")).alias(
+            "exact_guaranteed"
+        ),
+    )

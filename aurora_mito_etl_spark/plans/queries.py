@@ -1217,6 +1217,34 @@ def docs_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "docs_heavy_hitters",
+    r"""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ')) AS tok
+      FROM documents
+    ),
+    tz AS (SELECT tok FROM toks WHERE tok <> ''),
+    n AS (SELECT count(*) AS n_tokens FROM tz),
+    c AS (SELECT tok, count(*) AS cnt FROM tz GROUP BY tok),
+    top AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok ASC LIMIT 20)
+    SELECT tok AS token, cnt,
+           floor(cnt / CAST(n_tokens AS DOUBLE) * 1000000 + 0.5) / 1000000 AS share,
+           cnt * 65537 > n_tokens AS exact_guaranteed
+    FROM top, n
+    """,
+)
+def docs_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 corpus tokens via the bounded-memory Misra-Gries
+    candidate pass + exact recount (textstats.heavy_hitter_tokens) —
+    the 100 TB twin of docs_top_words' full-vocabulary shuffle. The
+    oracle is the plain exact ranking: they agree whenever
+    exact_guaranteed holds, which 65536 counters make certain at
+    every shipped SF (threshold = n_tokens/65537 < the top-20 floor)."""
+    d = load_table(spark, sf_dir, "documents")
+    return ts.heavy_hitter_tokens(d, "text", top_n=20, counters=65536)
+
+
+@_register(
     "emb_quantize_int8",
     """
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -5929,15 +5957,18 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # docs_source_report bisection block: kept one more round as the
     # control for the r8 fix (CAST(SUM(n_chars) AS BIGINT) — VERDICT
     # r7 localized the driver-red to DuckDB HUGEINT widening of the
-    # only uncast integer sums in the sample). Expected: all 4 green.
+    # only uncast integer sums in the sample). _qsum yields its slot
+    # to the late-r8 queries: _quality already covers the green
+    # non-integer control and the fix targets the integer sums, whose
+    # verdict comes from the parent + _counts rows.
     "docs_source_report",
     "docs_source_report_counts",
     "docs_source_report_quality",
-    "docs_source_report_qsum",
-    # Dedup / decontamination tier representatives
-    "docs_exact_dedup",
+    # Dedup / decontamination tier representatives. docs_exact_dedup
+    # (driver-green r6+r7; the exact-dedup stage also rides inside
+    # flagship_training_corpus above) and docs_near_dedup_survivors
+    # (driver-green r7) yield their slots to the late-r8 queries.
     "docs_minhash_lsh_pairs",
-    "docs_near_dedup_survivors",
     "docs_incremental_near_dup",
     "docs_decontaminate_bloom",
     # Embedding tier core (emb_ivf_topk rotated OUT after driver-green
@@ -5957,9 +5988,10 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # Relational-spine reps (§2.3/§2.4); two_tier_lookup and
     # customers_without_orders rotated OUT after driver-green r7 —
     # the join family stays sampled via customer_order_full_outer.
+    # (order_rollup_per_customer and events_asof_join, driver-green
+    # r7, yield their slots to the late-r8 queries; the A1 and as-of
+    # families stay local-gated + fuzz-covered.)
     "pricing_summary",
-    "order_rollup_per_customer",
-    "events_asof_join",
     # Windows (§2.5) and scalar functions (§2.8); priority_set_ops
     # rotated OUT (driver-green r7) for orders_except_intersect_all.
     "window_order_stats",
@@ -5997,6 +6029,19 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # rows-only sink e2e (no oracle by design): gives the K1-K4 sink
     # family its first driver-side evidence; writes only to a tempdir.
     "release_sink_smoke",
+    # ------------------------------------------------------------------
+    # Late-round-8 additions, never driver-gated (highest regenerated-
+    # data risk): the BPE train/apply pair (unrolled-CTE oracle — the
+    # drift-exposed family), corpus-wide line dedup, the Misra-Gries
+    # heavy-hitter twin, and the profiler over the NULL-bearing
+    # dual-ts-form events table (the riskier of the two profile reps;
+    # lineitem_profile stays local+fuzz+bench-gated outside the
+    # window, rotate r9).
+    "docs_bpe_train",
+    "docs_bpe_subwords",
+    "docs_dedup_lines_global",
+    "docs_heavy_hitters",
+    "events_profile",
 )
 
 

@@ -58,6 +58,7 @@ HEADLINE = [
     "docs_epoch_shuffle",
     "docs_chunk_windows",
     "docs_bigram_pmi",
+    "docs_heavy_hitters",
     "docs_source_report",
     "docs_bpe_pair_counts",
     "docs_bpe_train",

@@ -61,13 +61,14 @@ def test_driver_sample_covers_llm_tier():
         "docs_lm_score",
         "docs_ccnet_buckets",
         "docs_quality_ensemble",
-        # round-8 control block: the r7 driver-red parent plus its
-        # three column-split variants, kept adjacent one more round to
-        # confirm the BIGINT-cast fix (VERDICT r7 ask #1)
+        # round-8 control block: the r7 driver-red parent plus two
+        # column-split variants, kept adjacent one more round to
+        # confirm the BIGINT-cast fix (VERDICT r7 ask #1). _qsum
+        # (driver-green r7, non-integer control duplicated by
+        # _quality) yielded its slot to the late-r8 queries.
         "docs_source_report",
         "docs_source_report_counts",
         "docs_source_report_quality",
-        "docs_source_report_qsum",
         # round-8 rotation: every query that had never been driver-
         # sampled in r1-r7 gets its first hard-gate row (VERDICT r7
         # ask #3)
@@ -94,16 +95,24 @@ def test_driver_sample_covers_llm_tier():
         "customer_order_full_outer",
         "orders_except_intersect_all",
         "release_sink_smoke",
+        # late round-8 additions, never driver-gated: BPE train/apply
+        # (unrolled-CTE oracle family), corpus-wide line dedup, the
+        # Misra-Gries heavy-hitter twin, and the profiler over the
+        # NULL-bearing dual-ts-form events table
+        "docs_bpe_train",
+        "docs_bpe_subwords",
+        "docs_dedup_lines_global",
+        "docs_heavy_hitters",
+        "events_profile",
     }
     assert must_sample <= first50
     # The bisection block is contiguous and immediately follows the
     # parent, so one CORRECTNESS file reads as a bisection table.
     i = names.index("docs_source_report")
-    assert names[i : i + 4] == [
+    assert names[i : i + 3] == [
         "docs_source_report",
         "docs_source_report_counts",
         "docs_source_report_quality",
-        "docs_source_report_qsum",
     ]
     # The reorder is a permutation: nothing dropped, oracles intact.
     assert len(names) == len(set(names)) >= 91

@@ -255,3 +255,53 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     # inclusion probability, never preferential (their keys previously
     # sorted FIRST — NULL/negative under ascending order)
     assert got == {4, 5}
+
+
+def test_heavy_hitters_exact_vs_naive(spark):
+    rows = [("aa " * 30 + "bb " * 10 + "cc " * 3 + f"u{i}",) for i in range(40)]
+    df = spark.createDataFrame(rows, "text string")
+    got = {
+        (r["token"], r["cnt"], r["exact_guaranteed"])
+        for r in ts.heavy_hitter_tokens(df, "text", top_n=3).collect()
+    }
+    # naive exact ranking
+    naive = (
+        df.select(F.explode(ts.tokens_expr(F.col("text"))).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .count()
+        .orderBy(F.desc("count"), F.asc("t"))
+        .limit(3)
+        .collect()
+    )
+    assert got == {(r["t"], r["count"], True) for r in naive}
+
+
+def test_heavy_hitters_decrement_path_and_partition_invariance(spark):
+    # counters=4 forces Misra-Gries reductions; the skewed head is far
+    # above n/(counters+1) so the result must stay exact AND invariant
+    # to the input partitioning.
+    text = "hot " * 400 + "warm " * 200 + " ".join(f"cold{i}" for i in range(300))
+    df = spark.createDataFrame([(text,)], "text string")
+    # n = 900 tokens, guarantee threshold n/(counters+1) = 180: both
+    # emitted rows clear it, so exactness is provable, not incidental.
+    expected = [("hot", 400, True), ("warm", 200, True)]
+    for parts in (1, 7):
+        out = (
+            ts.heavy_hitter_tokens(
+                df.repartition(parts), "text", top_n=2, counters=4
+            )
+            .orderBy(F.desc("cnt"))
+            .collect()
+        )
+        assert [(r["token"], r["cnt"], r["exact_guaranteed"]) for r in out] == expected
+
+
+def test_heavy_hitters_counts_exact_even_without_guarantee(spark):
+    # Flat distribution + tiny sketch: selection may be incomplete,
+    # but every emitted count must still be the exact corpus count and
+    # the guarantee flag must be False.
+    text = " ".join(f"w{i} w{i}" for i in range(50))  # 50 tokens, count 2 each
+    df = spark.createDataFrame([(text,)], "text string")
+    out = ts.heavy_hitter_tokens(df, "text", top_n=5, counters=3).collect()
+    assert all(r["cnt"] == 2 and not r["exact_guaranteed"] for r in out)
