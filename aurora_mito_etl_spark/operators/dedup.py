@@ -1055,3 +1055,85 @@ def containment_pairs(
         ).alias("containment"),
     )
     return d1.unionByName(d2).filter(F.col("containment") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# 9. Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003)
+# ---------------------------------------------------------------------------
+
+_WINNOW_POS_LIM = 1 << 20  # grams per doc addressable in the packed key
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints: in every window of `w`
+    consecutive k-gram hashes keep the minimal one (rightmost on
+    ties), then dedupe the selections. The guarantee (SIGMOD 2003
+    §2): any shared token run of length >= w + k - 1 between two
+    documents yields at least one IDENTICAL selected fingerprint, at
+    density ~2/(w+1) — position-robust local fingerprints, the layer
+    between exact-hash dedup (whole doc) and MinHash (global
+    similarity) that localizes WHERE the overlap is.
+
+    Portability: gram hash = first 10 md5 hex chars (40-bit, engine-
+    identical); rightmost-min tie-break rides one packed 60-bit key,
+    ``hash * 2^20 + (2^20 - 1 - pos)``, so a single ``min()`` window
+    resolves hash AND position — grams beyond 2^20 per document are
+    outside the contract and filtered identically in the oracle
+    (tile longer documents upstream with text.chunk_windows).
+
+    Scale shape: one posexplode (Arrow shingling), one window
+    partitioned by (doc) — skew bounded by document length like the
+    other per-doc windows — and one distinct whose key count is
+    ~n_grams·2/(w+1). Docs with fewer than w full windows emit
+    nothing (no full window exists; the guarantee is vacuous below
+    w + k - 1 tokens anyway).
+
+    Output: (id_col, fp_hash, pos) — one row per selected
+    fingerprint, pos = 0-based gram offset of the selection.
+    """
+    if w < 1:
+        raise ValueError(f"window size w must be >= 1, got {w}")
+    lim = F.lit(_WINNOW_POS_LIM)
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(shingles_arrow(F.col(text_col), k)).alias("pos", "g"),
+    ).where(F.col("pos") < lim)
+    keyed = grams.select(
+        id_col,
+        "pos",
+        (
+            F.conv(F.substring(F.md5("g"), 1, 10), 16, 10).cast("long") * lim
+            + (lim - 1 - F.col("pos"))
+        ).alias("key"),
+    )
+    sel_win = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col("pos").asc_nulls_last())
+        .rowsBetween(0, w - 1)
+    )
+    doc_win = Window.partitionBy(id_col)
+    picked = keyed.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.min("key").over(sel_win).alias("sel"),
+        F.max("pos").over(doc_win).alias("maxp"),
+    ).where(F.col("pos") <= F.col("maxp") - (w - 1))
+    return (
+        picked.select(id_col, "sel")
+        .distinct()
+        .select(
+            F.col(id_col),
+            # decode in INTEGER arithmetic: the packed key exceeds
+            # 2^53, so a double-typed `/` silently rounds the hash
+            F.shiftright(F.col("sel"), 20).alias("fp_hash"),
+            (F.lit(_WINNOW_POS_LIM - 1) - F.col("sel") % _WINNOW_POS_LIM)
+            .cast("long")
+            .alias("pos"),
+        )
+    )

@@ -1217,6 +1217,51 @@ def docs_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "docs_winnow_fingerprints",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+4], ' ') AS g
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 4, 0))) AS u(i)
+      WHERE len(t) >= 5 AND i - 1 < 1048576
+    ),
+    keyed AS (
+      SELECT doc_id, pos,
+             CAST('0x' || substr(md5(g), 1, 10) AS BIGINT) * 1048576
+               + (1048575 - pos) AS key
+      FROM grams
+    ),
+    win AS (
+      SELECT doc_id, pos,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+             max(pos) OVER (PARTITION BY doc_id) AS maxp
+      FROM keyed
+    ),
+    fps AS (SELECT DISTINCT doc_id, sel FROM win WHERE pos <= maxp - 3)
+    SELECT doc_id,
+           CAST(sel // 1048576 AS BIGINT) AS fp_hash,
+           CAST(1048575 - (sel % 1048576) AS BIGINT) AS pos
+    FROM fps
+    """,
+)
+def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing local fingerprints (Schleimer/Wilkerson/Aiken 2003)
+    over the corpus: rightmost-minimal 40-bit gram hash per 4-window
+    of 5-gram hashes, deduped — every shared run of >= 8 tokens
+    between two documents is guaranteed a common selected
+    fingerprint. The positional-overlap layer between exact dedup and
+    MinHash; see operators/dedup.py winnow_fingerprints for the
+    packed-key tie-break that makes the selection engine-portable."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.winnow_fingerprints(d, "text", "doc_id", k=5, w=4)
+
+
+@_register(
     "docs_heavy_hitters",
     r"""
     WITH toks AS (

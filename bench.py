@@ -59,6 +59,7 @@ HEADLINE = [
     "docs_chunk_windows",
     "docs_bigram_pmi",
     "docs_heavy_hitters",
+    "docs_winnow_fingerprints",
     "docs_source_report",
     "docs_bpe_pair_counts",
     "docs_bpe_train",

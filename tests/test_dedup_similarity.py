@@ -840,3 +840,47 @@ def test_argmax_margins_hold_at_sf01(spark):
     qmask = np.array([r["vec_id"] % 100 == 0 for r in rows])
     assert qmask.any()
     assert _rank_gap(cell_scores[qmask], 4) > 1e-9
+
+
+def test_winnow_shared_run_guarantee(spark):
+    # SIGMOD 2003 guarantee: a shared token run of length >= w + k - 1
+    # (= 8 here) yields at least one identical (fp_hash, gram) pick in
+    # both docs, regardless of surrounding text.
+    shared = "zebra quilt ember onyx lagoon drift plume crater"  # 8 tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {shared} delta epsilon"),
+            (2, f"one two three four five {shared} six"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = dd.winnow_fingerprints(df, "text", "doc_id", k=5, w=4)
+    a = {r["fp_hash"] for r in fps.where("doc_id = 1").collect()}
+    b = {r["fp_hash"] for r in fps.where("doc_id = 2").collect()}
+    assert a & b
+
+
+def test_winnow_rightmost_tie_and_density(spark):
+    # All grams identical ("a a a ... a") -> every window is a total
+    # tie, the rightmost index wins, and consecutive windows select
+    # DIFFERENT positions, so the dedup keeps one fp per window.
+    df = spark.createDataFrame([(7, "a " * 12)], "doc_id long, text string")
+    out = dd.winnow_fingerprints(df, "text", "doc_id", k=5, w=4).collect()
+    # 12 tokens -> 8 grams (pos 0..7) -> 5 full windows (starts 0..4),
+    # window s selects pos s+3 (rightmost of [s, s+3])
+    assert sorted(r["pos"] for r in out) == [3, 4, 5, 6, 7]
+    assert len({r["fp_hash"] for r in out}) == 1
+    # density/count sanity: never more fps than full windows
+    assert len(out) <= 5
+
+
+def test_winnow_short_docs_emit_nothing(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "only four tokens here"),          # < k tokens: no grams
+            (2, "five tokens right here now"),     # 1 gram < w windows
+            (3, "six tokens sit right here now"),  # 2 grams < w windows
+        ],
+        "doc_id long, text string",
+    )
+    assert dd.winnow_fingerprints(df, "text", "doc_id", k=5, w=4).count() == 0

@@ -137,6 +137,9 @@ DOCS_QUERIES = {
     # per-partition vocab far below the 65536-counter bound, so the
     # candidate pass is exact and the oracle comparison is strict
     "docs_heavy_hitters",
+    # r8: winnowing fingerprints — planted duplicates guarantee shared
+    # runs; hostile tokens stress the packed-key decode
+    "docs_winnow_fingerprints",
 }
 
 # Relational-spine queries driven by orders/customer/part/supplier —
