@@ -26,6 +26,7 @@ from aurora_mito_etl_spark.operators import text as tx
 from aurora_mito_etl_spark.operators import clustering as cl
 from aurora_mito_etl_spark.operators import decontaminate as dc
 from aurora_mito_etl_spark.operators import quantize as qz
+from aurora_mito_etl_spark.operators import textstats as tst
 from aurora_mito_etl_spark.operators import tfidf as tfi
 from aurora_mito_etl_spark.operators import dedup as dd
 from aurora_mito_etl_spark.operators import quality as ql
@@ -141,6 +142,15 @@ def main() -> int:
             "overwrite"
         ).save()
         t["bpe_train"] = round(time.perf_counter() - t0, 2)
+        # Late-r8 tier: Misra-Gries heavy hitters — two linear corpus
+        # passes (candidate sketch + bounded recount); replication
+        # multiplies every count by the factor so the n/(c+1)
+        # guarantee holds at every step and runtime must stay ~linear.
+        t0 = time.perf_counter()
+        tst.heavy_hitter_tokens(df, "text").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t["heavy_hitters"] = round(time.perf_counter() - t0, 2)
         df.unpersist()
         results[f] = {"rows": n, **t}
         print(json.dumps({"factor": f, **results[f]}))
