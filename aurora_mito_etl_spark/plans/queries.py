@@ -37,6 +37,7 @@ from aurora_mito_etl_spark.operators import bloom as bl
 from aurora_mito_etl_spark.operators import bpe as bpe
 from aurora_mito_etl_spark.operators import profile as pf
 from aurora_mito_etl_spark.operators import clustering as cu
+from aurora_mito_etl_spark.operators import cms as cms
 from aurora_mito_etl_spark.operators import unicode_udfs as uu
 from aurora_mito_etl_spark.operators import decontaminate as dc
 from aurora_mito_etl_spark.operators import dedup as dd
@@ -1287,6 +1288,65 @@ def docs_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     every shipped SF (threshold = n_tokens/65537 < the top-20 floor)."""
     d = load_table(spark, sf_dir, "documents")
     return ts.heavy_hitter_tokens(d, "text", top_n=20, counters=65536)
+
+
+@_register(
+    "docs_cms_estimates",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ')) AS tok
+      FROM documents
+    ),
+    tz AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    rws AS (SELECT unnest(range(3)) AS r),
+    sketch AS (
+      SELECT r,
+             CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 15) AS BIGINT) % 16 AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM tz CROSS JOIN rws
+      GROUP BY 1, 2
+    ),
+    probes AS (SELECT DISTINCT tok FROM tz WHERE doc_id < 10),
+    pb AS (
+      SELECT p.tok, rws.r,
+             CAST('0x' || substr(md5(CAST(rws.r AS VARCHAR) || ':' || p.tok), 1, 15) AS BIGINT) % 16 AS bucket
+      FROM probes p CROSS JOIN rws
+    ),
+    est AS (
+      SELECT pb.tok, MIN(coalesce(s.c, 0)) AS est
+      FROM pb LEFT JOIN sketch s ON s.r = pb.r AND s.bucket = pb.bucket
+      GROUP BY pb.tok
+    ),
+    exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM tz GROUP BY tok)
+    SELECT e.tok AS token, e.est, x.exact_cnt,
+           e.est > x.exact_cnt AS overestimate
+    FROM est e JOIN exact x ON e.tok = x.tok
+    """,
+)
+def docs_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point-frequency estimates (Cormode &
+    Muthukrishnan 2005) for the probe set drawn from the first ten
+    documents' distinct tokens, against their exact counts. The
+    sketch build is one corpus pass bounded by depth·width counter
+    cells per task — the vocabulary never shuffles; `overestimate`
+    marks collision rows and est < exact is impossible (the CMS
+    guarantee, pinned in tests). Completes the sketch family
+    alongside Bloom / HLL / Misra-Gries. The generator vocabulary is
+    31 tokens, so width 16 · depth 3 makes BOTH behaviors real at
+    every shipped SF: ~19 probes overestimate (bucket shared in all
+    rows) and ~12 recover exactly (min finds an uncollided row) —
+    the sketch is exercised, not replayed as an identity map."""
+    d = load_table(spark, sf_dir, "documents")
+    probes = (
+        cms._token_stream(d, "text")
+        .where(F.col("doc_id") < 10)
+        .select(F.col("tok").alias("token"))
+        .distinct()
+    )
+    return cms.cms_token_estimates(
+        d, probes, "text", width=16, depth=3
+    )
 
 
 @_register(
@@ -6013,7 +6073,9 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # (driver-green r6+r7; the exact-dedup stage also rides inside
     # flagship_training_corpus above) and docs_near_dedup_survivors
     # (driver-green r7) yield their slots to the late-r8 queries.
-    "docs_minhash_lsh_pairs",
+    # docs_minhash_lsh_pairs (driver-green r1-r7, pytest-smoke-gated)
+    # yields its slot to the never-gated CMS query — the LSH family
+    # stays sampled via docs_incremental_near_dup below.
     "docs_incremental_near_dup",
     "docs_decontaminate_bloom",
     # Embedding tier core (emb_ivf_topk rotated OUT after driver-green
@@ -6037,10 +6099,12 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # r7, yield their slots to the late-r8 queries; the A1 and as-of
     # families stay local-gated + fuzz-covered.)
     "pricing_summary",
-    # Windows (§2.5) and scalar functions (§2.8); priority_set_ops
-    # rotated OUT (driver-green r7) for orders_except_intersect_all.
+    # Windows (§2.5); priority_set_ops rotated OUT (driver-green r7)
+    # for orders_except_intersect_all. scalar_function_parity
+    # (driver-green r4-r7, the least data-drift-sensitive shape in
+    # the suite — pure scalar expressions) yields its slot to the
+    # never-gated winnowing query; it stays local+fuzz-gated.
     "window_order_stats",
-    "scalar_function_parity",
     # ------------------------------------------------------------------
     # Round-8 rotation (VERDICT r7 ask #3): the TWENTY queries that had
     # never appeared in any CORRECTNESS_r*.json window r1-r7. All are
@@ -6087,6 +6151,12 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "docs_dedup_lines_global",
     "docs_heavy_hitters",
     "events_profile",
+    # Newest never-gated pair: winnowing local fingerprints (packed-
+    # key window selection) and the count-min sketch estimates (the
+    # md5-portable sketch grid) — both land their first hard-gate row
+    # in r8's CORRECTNESS window.
+    "docs_winnow_fingerprints",
+    "docs_cms_estimates",
 )
 
 

@@ -104,6 +104,11 @@ def test_driver_sample_covers_llm_tier():
         "docs_dedup_lines_global",
         "docs_heavy_hitters",
         "events_profile",
+        # newest never-gated pair (winnowing + count-min sketch);
+        # docs_minhash_lsh_pairs and scalar_function_parity (both
+        # driver-green r7 and multi-round) yielded the two slots
+        "docs_winnow_fingerprints",
+        "docs_cms_estimates",
     }
     assert must_sample <= first50
     # The bisection block is contiguous and immediately follows the

@@ -140,6 +140,12 @@ DOCS_QUERIES = {
     # r8: winnowing fingerprints — planted duplicates guarantee shared
     # runs; hostile tokens stress the packed-key decode
     "docs_winnow_fingerprints",
+    # r8: count-min sketch — the adversarial vocabulary is far wider
+    # than the generator's 31-token pool, so the width-16 grid is
+    # saturated and the min-over-rows recovery is stressed on hostile
+    # tokens (metacharacters in md5 inputs are just bytes, but the
+    # probe set's doc_id<10 slice now holds exotic tokens)
+    "docs_cms_estimates",
 }
 
 # Relational-spine queries driven by orders/customer/part/supplier —
