@@ -519,3 +519,65 @@ def pq_adc_topk(
 
     joined = codes.withColumn("_k", F.lit(1)).join(F.broadcast(qt), "_k")
     return _adc_rank_tail(joined, m, query_id_col, id_col, k)
+
+
+def ivfpq_rerank_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 4,
+    n_centroids: int = 16,
+    k: int = 5,
+    r_cand: int = 20,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 11,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-PQ shortlist + exact-cosine re-rank — the full production
+    retrieval stack (Jégou et al. 2011 §V-C "re-ranking with source
+    coding"; every disk-ANN deployment ships this shape): the
+    quantized index nominates `r_cand` candidates per query from
+    codes alone, then ONLY those candidates' raw vectors are read and
+    scored exactly, and the top `k` by true cosine ship. ADC
+    distortion can scramble order WITHIN the shortlist but the exact
+    pass repairs it — recall@k is bounded below by the shortlist's
+    recall@r_cand instead of the codes' recall@k.
+
+    Scale posture: stage 1 is `ivfpq_adc_topk` unchanged (codes only,
+    broadcast distance tables, two-phase tail). Stage 2 joins the
+    candidate id list (n_queries x r_cand rows — bounded by the query
+    batch, NOT the corpus) broadcast against the corpus on `id_col`,
+    so the corpus never shuffles and only candidate rows surface raw
+    vectors; queries broadcast for the cosine. Scoring is the exact
+    brute-force contract (fixed6, zero-norm guard, dot_arrow) and the
+    ranking tail is the repo-standard partial_topk + explicit window.
+
+    Output: (query_id, vec_id, score, rank), rank 1..k by exact
+    cosine descending, ties by vec_id.
+    """
+    from aurora_mito_etl_spark.operators import similarity as _sim
+
+    cands = ivfpq_adc_topk(
+        vectors, queries, dim, m, n_centroids, k=r_cand, n_cells=n_cells,
+        n_probe=n_probe, vec_col=vec_col, id_col=id_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col, seed=seed,
+        centroids=centroids,
+    ).select(query_id_col, id_col)
+
+    v = _sim.with_norm(vectors, vec_col, "__v", "__vn")
+    q = _sim.with_norm(queries, query_vec_col, "__q", "__qn")
+    pairs = v.join(F.broadcast(cands), id_col)
+    scored = pairs.join(F.broadcast(q), query_id_col).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        _sim._fixed6(
+            _sim.dot_arrow(F.col("__v"), F.col("__q"))
+            / (_sim._safe_norm(F.col("__vn")) * _sim._safe_norm(F.col("__qn")))
+        ).alias("score"),
+    )
+    return _sim._rank_topk(scored, query_id_col, id_col, k)

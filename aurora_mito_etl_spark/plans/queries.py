@@ -5402,6 +5402,59 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_rerank_oracle(k: int = 5, r_cand: int = 20) -> str:
+    """Compose the IVF-PQ chain at k=r_cand (the shortlist) with the
+    exact-cosine contract of emb_cosine_topk restricted to shortlist
+    pairs — the SQL replay of quantize.ivfpq_rerank_topk."""
+    cand = _ivfpq_oracle(k=r_cand)
+    return f"""
+    WITH cand AS ({cand}),
+    rv AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    rg AS (  -- zero-norm guard: Spark scores dot/1.0 for zero vectors
+      SELECT vec_id, e, CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END AS nrm FROM rv
+    ),
+    rq AS (SELECT vec_id AS query_id, e, nrm FROM rg WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT c.query_id, c.vec_id,
+             floor((list_dot_product(a.e, b.e) / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000 AS score
+      FROM cand c
+      JOIN rg a ON a.vec_id = c.vec_id
+      JOIN rq b ON b.query_id = c.query_id
+    ),
+    rranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT query_id, vec_id, score, CAST(rnk AS INTEGER) AS rank
+    FROM rranked WHERE rnk <= {k}
+    """
+
+
+@_register("emb_ivfpq_rerank", _ivfpq_rerank_oracle())
+def emb_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ shortlist (r_cand=20 by ADC over codes) + exact-cosine
+    re-rank of ONLY the shortlist rows — the full production
+    retrieval stack (Jégou 2011 §V-C): quantization distortion is
+    repaired by one exact pass over 20 raw vectors per query, so
+    recall@5 rises to the shortlist's recall@20 while the corpus
+    still never shuffles (candidate ids broadcast back against it).
+    Scores carry the brute-force fixed6 cosine contract, making the
+    result directly comparable to emb_cosine_topk rows."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return qz.ivfpq_rerank_topk(
+        e, q, dim=64, m=4, n_centroids=16, k=5, r_cand=20, n_cells=16,
+        n_probe=4, centroids=sim.ivf_centroids(64, 16),
+    )
+
+
 def _ivfpq_recall_oracle(k: int = 5) -> str:
     """Compose the IVF-PQ and brute-force oracle chains and measure
     per-query overlap — the emb_lsh_recall pattern for the quantized

@@ -757,6 +757,65 @@ def test_ivfpq_candidates_are_cell_pruned_and_ranked(spark):
             assert cell_of[row["vec_id"]] in probed, (r["query_id"], row)
 
 
+def test_ivfpq_rerank_is_exact_topk_of_shortlist(spark):
+    """The re-rank contract (quantize.ivfpq_rerank_topk): output is
+    EXACTLY the fixed6-cosine top-k of the ADC shortlist — same
+    candidate ids the codes nominated, re-ordered by true scores with
+    the brute-force tie-break (score desc, vec_id asc). Replayed
+    python-side with the ordered left-to-right fold (the numeric-twin
+    invariant: dot_arrow must match it bit-for-bit)."""
+    from aurora_mito_etl_spark.functions.numeric import fixed6_py
+    from aurora_mito_etl_spark.operators import quantize as qz
+    from aurora_mito_etl_spark.sources.catalog import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = sim.ivf_centroids(64, 16)
+    kw = dict(dim=64, m=4, n_centroids=16, n_cells=16, n_probe=4,
+              centroids=cents)
+    shortlist: dict = {}
+    for r in qz.ivfpq_adc_topk(e, q, k=20, **kw).collect():
+        shortlist.setdefault(r["query_id"], []).append(r["vec_id"])
+    got = qz.ivfpq_rerank_topk(e, q, k=5, r_cand=20, **kw).collect()
+    assert got, "no results"
+
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in e.collect()}
+
+    def norm(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return n if n != 0 else 1.0
+
+    for qid, cand in shortlist.items():
+        qv = vecs[qid]
+        scored = []
+        for vid in cand:
+            v = vecs[vid]
+            dot = 0.0
+            for a, b in zip(v, qv):  # ordered fold, corpus x query
+                dot += a * b
+            scored.append((fixed6_py(dot / (norm(v) * norm(qv))), vid))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        expected = [
+            (qid, vid, s, rank + 1)
+            for rank, (s, vid) in enumerate(scored[:5])
+        ]
+        actual = sorted(
+            (
+                (r["query_id"], r["vec_id"], r["score"], r["rank"])
+                for r in got
+                if r["query_id"] == qid
+            ),
+            key=lambda t: t[3],
+        )
+        assert actual == expected, qid
+        # and every emitted id came from the shortlist
+        assert {t[1] for t in actual} <= set(cand)
+
+
 def _rank_gap(scores, r):
     """Min gap between the r-th and (r+1)-th best score per row — the
     margin an oracle-replayed argmax (r=1) or `rank <= r` cutoff rides

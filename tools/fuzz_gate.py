@@ -214,6 +214,9 @@ EMB_QUERIES = {
     "emb_pq_adc_topk",
     "emb_ivfpq_topk",
     "emb_ivfpq_recall",
+    # r8: shortlist + exact re-rank — near-tie adversarial vectors
+    # stress the fixed6 cosine tie-break and the shortlist boundary
+    "emb_ivfpq_rerank",
     "emb_pq_encode",
     "emb_lsh_recall",
 }
