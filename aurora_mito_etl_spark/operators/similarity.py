@@ -1025,3 +1025,65 @@ def semantic_dedup(
             _fixed6(F.col("__best")) < F.lit(threshold), F.lit(True)
         ).alias("kept"),
     )
+
+
+def hard_negative_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    query_label_col: str = "query_label",
+) -> DataFrame:
+    """Hard-negative mining: for each labeled query, the `k` corpus
+    rows MOST similar to it whose label DIFFERS — the contrastive-
+    training data-prep operator (the negatives that sit closest to
+    the decision boundary are the ones worth training on; random
+    negatives are trivially separable).
+
+    Same plan shape as :func:`brute_force_topk`: queries broadcast
+    with their labels riding along, corpus streams map-side and the
+    label-mismatch predicate prunes candidates BEFORE any ranking
+    state, then the two-phase top-k tail. Self-pairs are excluded;
+    the label comparison is null-safe (`IS DISTINCT FROM` — a NULL
+    corpus label counts as a negative for a labeled query, and
+    vice versa, on both engines). Scores carry the exact fixed6
+    cosine contract, so rows are directly comparable to
+    `brute_force_topk` / `knn_classify` output.
+
+    Output: (query_id, query_label, vec_id, neg_label, score, rank),
+    rank 1..k by score descending, ties by id ascending.
+    """
+    v = with_norm(vectors, vec_col, "__v", "__vn")
+    q = with_norm(queries, query_vec_col, "__q", "__qn")
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .where(
+            (F.col(id_col) != F.col(query_id_col))
+            & ~F.col(label_col).eqNullSafe(F.col(query_label_col))
+        )
+        .select(
+            F.col(query_id_col),
+            F.col(query_label_col),
+            F.col(id_col),
+            F.col(label_col).alias("neg_label"),
+            _fixed6(
+                dot_arrow(F.col("__v"), F.col("__q"))
+                / (_safe_norm(F.col("__vn")) * _safe_norm(F.col("__qn")))
+            ).alias("score"),
+        )
+    )
+    pruned = partial_topk(scored, query_id_col, id_col, k, "score")
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc_nulls_last("score"), F.asc(id_col)
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col, query_label_col, id_col, "neg_label", "score", "rank"
+        )
+    )

@@ -5402,6 +5402,57 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "emb_hard_negatives",
+    """
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    g AS (  -- zero-norm guard: Spark scores dot/1.0 for zero vectors
+      SELECT vec_id, label, e, CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END AS nrm FROM v
+    ),
+    q AS (
+      SELECT vec_id AS query_id, label AS query_label, e, nrm
+      FROM g WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+      SELECT b.query_id, b.query_label, a.vec_id, a.label AS neg_label,
+             floor((list_dot_product(a.e, b.e) / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000 AS score
+      FROM g a, q b
+      WHERE a.vec_id <> b.query_id
+        AND a.label IS DISTINCT FROM b.query_label
+    ),
+    ranked AS (
+      SELECT query_id, query_label, vec_id, neg_label, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT query_id, query_label, vec_id, neg_label, score,
+           CAST(rnk AS INTEGER) AS rank
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per labeled
+    query, the 3 most-cosine-similar corpus rows with a DIFFERENT
+    label (null-safe comparison) — the negatives nearest the decision
+    boundary, which is what embedding-model training actually wants
+    sampled. Broadcast-query streaming-corpus plan with the mismatch
+    predicate pruning before any ranking state; exact fixed6 cosine
+    contract; two-phase top-k tail."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return sim.hard_negative_topk(
+        e.select("vec_id", "label", "embedding"), q, k=3
+    )
+
+
 def _ivfpq_rerank_oracle(k: int = 5, r_cand: int = 20) -> str:
     """Compose the IVF-PQ chain at k=r_cand (the shortlist) with the
     exact-cosine contract of emb_cosine_topk restricted to shortlist

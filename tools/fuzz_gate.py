@@ -217,6 +217,9 @@ EMB_QUERIES = {
     # r8: shortlist + exact re-rank — near-tie adversarial vectors
     # stress the fixed6 cosine tie-break and the shortlist boundary
     "emb_ivfpq_rerank",
+    # r8: hard negatives — the fuzz tier's NULL labels exercise the
+    # null-safe IS DISTINCT FROM on both engines
+    "emb_hard_negatives",
     "emb_pq_encode",
     "emb_lsh_recall",
 }
