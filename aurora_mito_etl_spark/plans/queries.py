@@ -6191,8 +6191,11 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_pagerank",
     # Reference text-filter surface (§2.2); docs_dict_anti_filter
     # rotated OUT (driver-green r7) for its never-sampled AC variant.
-    "docs_clean_text",
-    "part_normalize_dedup",
+    # docs_clean_text (driver-green r1-r7, pytest-smoke + fuzz-gated)
+    # and part_normalize_dedup (driver-green multi-round, fuzz
+    # relational tier) yield their slots to the two never-gated
+    # late-r8 embedding queries; the text family stays sampled via
+    # docs_ac_dict_filter/docs_chunked/boilerplate below.
     # LLM source + multimodal (§2.1 S8 / D5, multimodal columns)
     "docs_classify_stub",
     "docs_media_features",
@@ -6261,6 +6264,11 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # in r8's CORRECTNESS window.
     "docs_winnow_fingerprints",
     "docs_cms_estimates",
+    # and the two newest embedding ops: the IVF-PQ exact re-rank
+    # stage and hard-negative mining — first hard-gate rows now, while
+    # their near-tie exposure is freshest.
+    "emb_ivfpq_rerank",
+    "emb_hard_negatives",
 )
 
 

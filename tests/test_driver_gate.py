@@ -109,6 +109,11 @@ def test_driver_sample_covers_llm_tier():
         # driver-green r7 and multi-round) yielded the two slots
         "docs_winnow_fingerprints",
         "docs_cms_estimates",
+        # newest embedding ops (rerank + hard negatives);
+        # docs_clean_text and part_normalize_dedup (multi-round
+        # driver-green, fuzz-covered) yielded the two slots
+        "emb_ivfpq_rerank",
+        "emb_hard_negatives",
     }
     assert must_sample <= first50
     # The bisection block is contiguous and immediately follows the
