@@ -410,3 +410,81 @@ def heavy_hitter_tokens(
             "exact_guaranteed"
         ),
     )
+
+
+def ngram_diversity(
+    df,
+    text_col: str = "text",
+    group_col: str = "source",
+    ns: tuple[int, ...] = (1, 2, 3),
+):
+    """Distinct-n corpus diversity (Li et al., NAACL 2016's
+    "distinct" metric, reported per corpus slice): for each group and
+    each n in `ns`, the total n-gram occurrence count, the distinct
+    n-gram count, and their ratio — LOW ratios flag templated or
+    repetitive sources (the slice-level complement of the per-doc
+    Gopher repetition filters; the standard diversity row in a
+    training-data datasheet).
+
+    Plan: ONE corpus pass explodes every order as (n, gram) structs
+    from the shared shingle chain; totals are plain map-side-
+    combinable counts, and distincts collapse (group, n, gram) FIRST,
+    then count — the unpivot + distinct-value-collapse shape
+    (`profile.py` lesson: never multi-`count(DISTINCT)` in one agg —
+    Expand replicates the corpus and string buffers force
+    SortAggregate). The distinct shuffle carries the gram vocabulary
+    once (partial-deduped map-side); at 100 TB swap the exact
+    distinct for an HLL sketch per (group, n) if ±2% suffices.
+
+    Output per group: ``total_{n}``, ``distinct_{n}``,
+    ``ratio_{n}`` (fixed6, 0.0 when the group has no order-n grams).
+    Empty/NULL docs contribute nothing (ascii_ws_tokens → []).
+    """
+    from aurora_mito_etl_spark.functions.numeric import fixed6
+
+    # NB: the lambda must take exactly ONE argument — F.transform
+    # treats a two-arg lambda as (element, index) and would feed the
+    # array INDEX into a `n=n` default-capture (a silent wrong-n bug
+    # this function shipped with for one commit).
+    def _order(n: int) -> Column:
+        return F.transform(
+            shingles_arrow(F.col(text_col), n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
+        )
+
+    branches = [_order(n) for n in ns]
+    grams = df.select(
+        F.col(group_col), F.explode(F.concat(*branches)).alias("x")
+    ).select(group_col, F.col("x.n").alias("n"), F.col("x.g").alias("g"))
+    totals = grams.groupBy(group_col, "n").agg(
+        F.count("*").cast("long").alias("total")
+    )
+    dis = (
+        grams.distinct()
+        .groupBy(group_col, "n")
+        .agg(F.count("*").cast("long").alias("n_distinct"))
+    )
+    per = totals.join(dis, [group_col, "n"])
+    zero = F.lit(0).cast("long")
+    cols = []
+    for n in ns:
+        t = F.max(F.when(F.col("n") == n, F.col("total"))).alias("__t")
+        d = F.max(F.when(F.col("n") == n, F.col("n_distinct"))).alias("__d")
+        cols.append((n, t, d))
+    agg_exprs = []
+    for n, t, d in cols:
+        agg_exprs.append(F.coalesce(t, zero).alias(f"total_{n}"))
+        agg_exprs.append(F.coalesce(d, zero).alias(f"distinct_{n}"))
+    out = per.groupBy(group_col).agg(*agg_exprs)
+    for n in ns:
+        out = out.withColumn(
+            f"ratio_{n}",
+            F.when(
+                F.col(f"total_{n}") > 0,
+                fixed6(
+                    F.col(f"distinct_{n}").cast("double")
+                    / F.col(f"total_{n}").cast("double")
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    return out

@@ -1291,6 +1291,72 @@ def docs_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "docs_ngram_diversity",
+    r"""
+    WITH base AS (
+      SELECT source,
+             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    g1 AS (
+      SELECT source, t[i] AS g
+      FROM base, UNNEST(generate_series(1, len(t))) AS u(i)
+      WHERE t[i] <> ''
+    ),
+    g2 AS (
+      SELECT source, array_to_string(t[i:i+1], ' ') AS g
+      FROM base, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+    ),
+    g3 AS (
+      SELECT source, array_to_string(t[i:i+2], ' ') AS g
+      FROM base, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ),
+    per AS (
+      SELECT source, 1 AS n, CAST(count(*) AS BIGINT) AS total,
+             CAST(count(DISTINCT g) AS BIGINT) AS n_distinct
+      FROM g1 GROUP BY source
+      UNION ALL
+      SELECT source, 2, CAST(count(*) AS BIGINT), CAST(count(DISTINCT g) AS BIGINT)
+      FROM g2 GROUP BY source
+      UNION ALL
+      SELECT source, 3, CAST(count(*) AS BIGINT), CAST(count(DISTINCT g) AS BIGINT)
+      FROM g3 GROUP BY source
+    )
+    SELECT source,
+           MAX(CASE WHEN n = 1 THEN total ELSE 0 END) AS total_1,
+           MAX(CASE WHEN n = 1 THEN n_distinct ELSE 0 END) AS distinct_1,
+           CASE WHEN MAX(CASE WHEN n = 1 THEN total ELSE 0 END) > 0
+                THEN floor(CAST(MAX(CASE WHEN n = 1 THEN n_distinct ELSE 0 END) AS DOUBLE)
+                           / MAX(CASE WHEN n = 1 THEN total ELSE 0 END) * 1000000 + 0.5) / 1000000
+                ELSE 0.0 END AS ratio_1,
+           MAX(CASE WHEN n = 2 THEN total ELSE 0 END) AS total_2,
+           MAX(CASE WHEN n = 2 THEN n_distinct ELSE 0 END) AS distinct_2,
+           CASE WHEN MAX(CASE WHEN n = 2 THEN total ELSE 0 END) > 0
+                THEN floor(CAST(MAX(CASE WHEN n = 2 THEN n_distinct ELSE 0 END) AS DOUBLE)
+                           / MAX(CASE WHEN n = 2 THEN total ELSE 0 END) * 1000000 + 0.5) / 1000000
+                ELSE 0.0 END AS ratio_2,
+           MAX(CASE WHEN n = 3 THEN total ELSE 0 END) AS total_3,
+           MAX(CASE WHEN n = 3 THEN n_distinct ELSE 0 END) AS distinct_3,
+           CASE WHEN MAX(CASE WHEN n = 3 THEN total ELSE 0 END) > 0
+                THEN floor(CAST(MAX(CASE WHEN n = 3 THEN n_distinct ELSE 0 END) AS DOUBLE)
+                           / MAX(CASE WHEN n = 3 THEN total ELSE 0 END) * 1000000 + 0.5) / 1000000
+                ELSE 0.0 END AS ratio_3
+    FROM per GROUP BY source
+    """,
+)
+def docs_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity per source (Li et al. 2016): total vs
+    distinct 1/2/3-gram counts and their ratio — the datasheet row
+    that flags templated/repetitive corpus slices. One corpus pass
+    explodes all three orders as (n, gram) structs; distinct counts
+    use the collapse-first shape (no multi-count(DISTINCT) Expand).
+    The SQL n=1 branch filters the '' gram string_split fabricates
+    for empty docs (ascii_ws_tokens yields [] there)."""
+    d = load_table(spark, sf_dir, "documents")
+    return ts.ngram_diversity(d, "text", "source", ns=(1, 2, 3))
+
+
+@_register(
     "docs_cms_estimates",
     r"""
     WITH toks AS (

@@ -43,6 +43,7 @@ HEADLINE = [
     "docs_token_stats",
     "docs_repetition",
     "docs_ngram_repetition",
+    "docs_ngram_diversity",
     # quality filtering / privacy / decontamination
     "docs_gopher_quality",
     "docs_c4_filter",
@@ -59,6 +60,7 @@ HEADLINE = [
     "docs_chunk_windows",
     "docs_bigram_pmi",
     "docs_heavy_hitters",
+    "docs_cms_estimates",
     "docs_winnow_fingerprints",
     "docs_source_report",
     "docs_bpe_pair_counts",
@@ -69,6 +71,7 @@ HEADLINE = [
     "emb_pq_encode",
     "emb_pq_adc_topk",
     "emb_ivfpq_topk",
+    "emb_ivfpq_rerank",
     "emb_dim_stats",
     "emb_kmeans_assign",
     # dedup
@@ -92,6 +95,7 @@ HEADLINE = [
     "emb_near_dup_exact",
     "emb_lsh_near_dup",
     "emb_semantic_dedup",
+    "emb_hard_negatives",
     # joins / function surface
     "events_asof_join",
     "supplier_fuzzy_pairs",

@@ -305,3 +305,32 @@ def test_heavy_hitters_counts_exact_even_without_guarantee(spark):
     df = spark.createDataFrame([(text,)], "text string")
     out = ts.heavy_hitter_tokens(df, "text", top_n=5, counters=3).collect()
     assert all(r["cnt"] == 2 and not r["exact_guaranteed"] for r in out)
+
+
+def test_ngram_diversity_counts(spark):
+    """Known tiny corpus: totals/distincts/ratios per order, and the
+    F.transform index-lambda regression (orders must NOT bleed: a
+    two-arg lambda would receive the array index as `n`)."""
+    from aurora_mito_etl_spark.operators import textstats as ts
+
+    rows = [
+        (0, "a b a", "s0"),
+        (1, "a b a", "s0"),     # duplicate doc halves distinct ratios
+        (2, None, "s1"),
+        (3, "   ", "s1"),       # all-empty source: absent from output
+        (4, "x", "s2"),         # single token: no 2/3-grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in ts.ngram_diversity(df, "text", "source").collect()}
+    assert set(got) == {"s0", "s2"}
+    s0 = got["s0"]
+    assert (s0["total_1"], s0["distinct_1"]) == (6, 2)
+    assert (s0["total_2"], s0["distinct_2"]) == (4, 2)
+    assert (s0["total_3"], s0["distinct_3"]) == (2, 1)
+    assert s0["ratio_1"] == 0.333333
+    assert s0["ratio_2"] == 0.5
+    assert s0["ratio_3"] == 0.5
+    s2 = got["s2"]
+    assert (s2["total_1"], s2["distinct_1"], s2["ratio_1"]) == (1, 1, 1.0)
+    assert (s2["total_2"], s2["ratio_2"]) == (0, 0.0)
+    assert (s2["total_3"], s2["ratio_3"]) == (0, 0.0)

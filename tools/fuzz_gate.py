@@ -146,6 +146,9 @@ DOCS_QUERIES = {
     # tokens (metacharacters in md5 inputs are just bytes, but the
     # probe set's doc_id<10 slice now holds exotic tokens)
     "docs_cms_estimates",
+    # r8: distinct-n diversity — hostile tokens + empty/ws-only docs
+    # exercise the ''-gram parity branch between engines
+    "docs_ngram_diversity",
 }
 
 # Relational-spine queries driven by orders/customer/part/supplier —
