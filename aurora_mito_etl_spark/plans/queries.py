@@ -4266,6 +4266,49 @@ def docs_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_subword_freqs(d, "text", num_merges=6, top_k=20)
 
 
+def _tokenizer_fertility_oracle(num_merges: int = 6) -> str:
+    """Compose the unrolled BPE chain with the per-source word table:
+    the trained words table (w{N}) is the segmentation dictionary."""
+    return _bpe_chain(num_merges) + f""",
+    dct AS (
+      SELECT replace(w, ' ', '') AS word,
+             len(string_split(trim(w), '  ')) AS n_sub
+      FROM w{num_merges}
+    ),
+    sw AS (
+      SELECT source, word, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT source, unnest(string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ')) AS word
+        FROM documents
+      ) WHERE regexp_matches(word, '^[a-z]+$') GROUP BY source, word
+    ),
+    per AS (
+      SELECT s.source,
+             CAST(SUM(s.freq) AS BIGINT) AS n_words,
+             CAST(SUM(s.freq * d.n_sub) AS BIGINT) AS n_subwords,
+             CAST(SUM(s.freq * length(s.word)) AS BIGINT) AS n_chars
+      FROM sw s JOIN dct d USING (word)
+      GROUP BY s.source
+    )
+    SELECT source, n_words, n_subwords, n_chars,
+           floor(CAST(n_subwords AS DOUBLE) / n_words * 1000000 + 0.5) / 1000000 AS fertility,
+           floor(CAST(n_chars AS DOUBLE) / n_subwords * 1000000 + 0.5) / 1000000 AS chars_per_subword
+    FROM per
+    """
+
+
+@_register("docs_tokenizer_fertility", _tokenizer_fertility_oracle())
+def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility / compression per source under the BPE
+    tokenizer trained on the whole corpus (Ács 2019): subwords-per-
+    word and chars-per-subword — the eval that flags slices the
+    learned merges under-serve. The trained words table doubles as a
+    broadcast segmentation dictionary; after the two word-frequency
+    passes the corpus is never re-scanned. Exact integer folds +
+    fixed6 ratios; oracle composes the unrolled merge-chain CTEs."""
+    d = load_table(spark, sf_dir, "documents")
+    return bpe.tokenizer_fertility(d, "text", "source", num_merges=6)
+
+
 # ---------------------------------------------------------------------------
 # Gopher n-gram repetition filters (textstats.ngram_repetition_signals)
 # ---------------------------------------------------------------------------

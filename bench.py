@@ -65,6 +65,7 @@ HEADLINE = [
     "docs_source_report",
     "docs_bpe_pair_counts",
     "docs_bpe_train",
+    "docs_tokenizer_fertility",
     "docs_vocab_sketch",
     "docs_source_divergence",
     "emb_quantize_int8",

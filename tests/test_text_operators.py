@@ -309,3 +309,28 @@ def test_bpe_subword_freqs_apply_side(spark):
         ("n", 1, 4),
         ("s", 1, 5),
     ]
+
+
+def test_tokenizer_fertility_hand_check(spark):
+    """Same Sennrich corpus as the train test, after 4 merges:
+    low -> [low] (1 sub), lower -> [lower] (1), newest -> 6 singles.
+    s1: n_words=6, n_subwords=3+2+6=11, n_chars=9+10+6=25;
+    fertility=11/6, chars_per_subword=25/11 (fixed6). A source with
+    no [a-z]+ words is absent entirely."""
+    from aurora_mito_etl_spark.operators import bpe
+
+    rows = [
+        (1, "low low LOW! low lower", "s1"),
+        (2, "lower newest", "s1"),
+        (3, "123 !!!", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["source"]: r
+        for r in bpe.tokenizer_fertility(df, "text", "source", num_merges=4).collect()
+    }
+    assert set(got) == {"s1"}
+    r = got["s1"]
+    assert (r["n_words"], r["n_subwords"], r["n_chars"]) == (6, 11, 25)
+    assert r["fertility"] == 1.833333
+    assert r["chars_per_subword"] == 2.272727

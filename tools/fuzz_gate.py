@@ -133,6 +133,8 @@ DOCS_QUERIES = {
     "docs_dedup_lines_global",
     "docs_bpe_train",
     "docs_bpe_subwords",
+    # r8: fertility report composes the trained dictionary per-source
+    "docs_tokenizer_fertility",
     # r8: Misra-Gries heavy-hitter twin — the fuzz corpora keep
     # per-partition vocab far below the 65536-counter bound, so the
     # candidate pass is exact and the oracle comparison is strict
