@@ -488,3 +488,68 @@ def ngram_diversity(
             ).otherwise(F.lit(0.0)),
         )
     return out
+
+
+def line_language_report(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document language-consistency report from per-LINE lang-id
+    — the cleaning signal document-level language ID hides: a doc
+    that is 80% English with German boilerplate lines classifies
+    'en' whole-doc, but its mixed lines poison monolingual training
+    slices (CCNet does its lang-id per paragraph for exactly this
+    reason).
+
+    Each non-blank line (split on newline; a line is blank when it
+    holds nothing but ASCII whitespace — the explicit house class,
+    not bare trim, which only strips spaces and would count a
+    tab-only line as content) gets the
+    shared :func:`lang_id` arg-max, then per doc: line count,
+    distinct predicted languages ('und' counts as one), the dominant
+    language (most lines; ties → count desc, code asc) and its
+    fraction (fixed6), and an ``is_mixed`` flag.
+
+    Plan: one explode + one (doc, lang) count whose windows run at
+    DOC grain over at most n_languages rows per doc — skew bounded by
+    the language panel, never by corpus size. Docs with no non-blank
+    lines are absent.
+    """
+    from pyspark.sql import Window
+
+    from aurora_mito_etl_spark.functions.numeric import fixed6
+
+    lines = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("line"),
+    ).where(
+        F.trim(F.regexp_replace(F.col("line"), r"[ \t\x0b\f\r]+", " ")) != ""
+    )
+    cnt = (
+        lines.groupBy(id_col, lang_id(F.col("line")).alias("lg"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = Window.partitionBy(id_col)
+    wr = Window.partitionBy(id_col).orderBy(
+        F.col("c").desc(), F.col("lg").asc()
+    )
+    return (
+        cnt.select(
+            F.col(id_col),
+            "lg",
+            "c",
+            F.sum("c").over(w).cast("long").alias("tot"),
+            F.count("*").over(w).cast("long").alias("nl"),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("tot").alias("n_lines"),
+            F.col("nl").alias("n_langs"),
+            F.col("lg").alias("dominant_lang"),
+            fixed6(
+                F.col("c").cast("double") / F.col("tot").cast("double")
+            ).alias("dominant_frac"),
+            (F.col("nl") > 1).alias("is_mixed"),
+        )
+    )

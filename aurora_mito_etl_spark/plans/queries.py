@@ -1084,6 +1084,77 @@ def _lang_id_oracle() -> str:
 ORACLES["docs_lang_id"] = _lang_id_oracle()
 
 
+def _line_language_oracle() -> str:
+    """Per-line replay of the lang-id arg-max (same stopword panels,
+    same greatest-struct tie convention), rolled up per doc. The
+    window SUM is cast BIGINT (DuckDB widens windowed integer sums to
+    HUGEINT — the CLAUDE.md rule, window edition)."""
+    from aurora_mito_etl_spark.operators.textstats import LANG_STOPWORDS, _word_re
+
+    score_cols = []
+    for code in sorted(LANG_STOPWORDS):
+        pat = "|".join(_word_re(w) for w in LANG_STOPWORDS[code])
+        pat_sql = pat.replace("'", "''")
+        score_cols.append(
+            f"len(regexp_extract_all(lower(l), '({pat_sql})')) AS h_{code}"
+        )
+    scores = ",\n             ".join(score_cols)
+    structs = ", ".join(
+        f"{{'h': h_{c}, 'code': '{c}'}}" for c in sorted(LANG_STOPWORDS)
+    )
+    return f"""
+    WITH lines AS (
+      SELECT doc_id, l FROM (
+        SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS l
+        FROM documents)
+      WHERE trim(regexp_replace(l, '[ \t\x0b\f\r]+', ' ', 'g')) <> ''
+    ),
+    s AS (
+      SELECT doc_id,
+             {scores}
+      FROM lines
+    ),
+    best AS (
+      SELECT doc_id, list_aggregate([{structs}], 'max') AS bp FROM s
+    ),
+    lg AS (
+      SELECT doc_id,
+             CASE WHEN bp.h > 0 THEN bp.code ELSE 'und' END AS lg
+      FROM best
+    ),
+    cnt AS (
+      SELECT doc_id, lg, CAST(count(*) AS BIGINT) AS c
+      FROM lg GROUP BY doc_id, lg
+    ),
+    dom AS (
+      SELECT doc_id, lg, c,
+             CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS tot,
+             CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS nl,
+             row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lg ASC) AS rn
+      FROM cnt
+    )
+    SELECT doc_id, tot AS n_lines, nl AS n_langs, lg AS dominant_lang,
+           floor(CAST(c AS DOUBLE) / tot * 1000000 + 0.5) / 1000000 AS dominant_frac,
+           nl > 1 AS is_mixed
+    FROM dom WHERE rn = 1
+    """
+
+
+@_register("docs_line_language", None)
+def docs_line_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document language-consistency report from per-LINE lang-id
+    (the CCNet practice: classify per paragraph, not per doc) —
+    flags mixed-language documents that poison monolingual slices.
+    Dominant = most lines, ties count desc then code asc; windows run
+    at doc grain over at most n_languages rows. See
+    textstats.line_language_report."""
+    d = load_table(spark, sf_dir, "documents")
+    return ts.line_language_report(d, "text", "doc_id")
+
+
+ORACLES["docs_line_language"] = _line_language_oracle()
+
+
 @_register(
     "docs_fingerprint",
     """

@@ -44,6 +44,7 @@ HEADLINE = [
     "docs_repetition",
     "docs_ngram_repetition",
     "docs_ngram_diversity",
+    "docs_line_language",
     # quality filtering / privacy / decontamination
     "docs_gopher_quality",
     "docs_c4_filter",

@@ -334,3 +334,30 @@ def test_ngram_diversity_counts(spark):
     assert (s2["total_1"], s2["distinct_1"], s2["ratio_1"]) == (1, 1, 1.0)
     assert (s2["total_2"], s2["ratio_2"]) == (0, 0.0)
     assert (s2["total_3"], s2["ratio_3"]) == (0, 0.0)
+
+
+def test_line_language_report(spark):
+    """Multi-line mixed doc: dominant by line count with (count desc,
+    code asc) tie-break; blank-only docs absent; 'und' counts as a
+    language of its own."""
+    from aurora_mito_etl_spark.operators import textstats as ts
+
+    en = "the cat and the dog is that with"
+    de = "der hund und die katze ist nicht ein"
+    rows = [
+        (0, en + "\n" + en + "\n" + de, "s"),     # 2 en + 1 de
+        (1, "\n   \n\t\n", "s"),                  # blank lines only
+        (2, "zzz qqq", "s"),                      # single und line
+        (3, en + "\n" + de, "s"),                 # 1-1 tie -> de < en wins asc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r for r in ts.line_language_report(df).collect()}
+    assert set(got) == {0, 2, 3}
+    assert got[0]["dominant_lang"] == "en"
+    assert got[0]["n_lines"] == 3 and got[0]["n_langs"] == 2
+    assert got[0]["dominant_frac"] == 0.666667
+    assert got[0]["is_mixed"] is True
+    assert got[2]["dominant_lang"] == "und"
+    assert got[2]["is_mixed"] is False and got[2]["dominant_frac"] == 1.0
+    assert got[3]["dominant_lang"] == "de"     # tie at 1 line each
+    assert got[3]["n_langs"] == 2

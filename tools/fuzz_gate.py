@@ -151,6 +151,11 @@ DOCS_QUERIES = {
     # r8: distinct-n diversity — hostile tokens + empty/ws-only docs
     # exercise the ''-gram parity branch between engines
     "docs_ngram_diversity",
+    # r8: per-line lang-id rollup — the fuzz docs are multi-line
+    # (newline-joined), unlike the shipped single-line generator, so
+    # THIS tier is where the line split + doc-grain windows actually
+    # see >1 line per doc
+    "docs_line_language",
 }
 
 # Relational-spine queries driven by orders/customer/part/supplier —
