@@ -159,3 +159,46 @@ def weighted_sample(
         .orderBy("skey", id_col)
         .limit(k)
     )
+
+
+def split_leakage_report(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score_col: str = "jaccard",
+    holdout_rate: float = 0.2,
+    salt: str = "split",
+) -> DataFrame:
+    """Near-duplicate leakage audit for the deterministic train/
+    holdout split: given a near-dup pair table, report every HOLDOUT
+    document that has a near-duplicate on the TRAIN side — the eval
+    rows whose scores are contaminated by memorization (the reason
+    a random split is not enough and decontamination pipelines exist;
+    cf. Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better" §5).
+
+    Because :func:`split_train_holdout` assigns sides by a pure hash
+    of the id, side membership is RECOMPUTED from the pair table's id
+    columns — no join against either split side, no corpus access:
+    the audit costs one pass over the (already small) pair table.
+
+    Output: (doc_id, n_train_neighbors, max_score) — one row per
+    leaky holdout doc; drop these from eval (or their partners from
+    train) before measuring."""
+    cut = int(holdout_rate * _BUCKETS)
+
+    def is_hold(c: Column) -> Column:
+        return _hash_bucket(c, salt) < cut
+
+    crossing = pairs.where(
+        is_hold(F.col(id_a)) != is_hold(F.col(id_b))
+    ).select(
+        F.when(is_hold(F.col(id_a)), F.col(id_a))
+        .otherwise(F.col(id_b))
+        .alias("doc_id"),
+        F.col(score_col),
+    )
+    return crossing.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_train_neighbors"),
+        F.max(score_col).alias("max_score"),
+    )

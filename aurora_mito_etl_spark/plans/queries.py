@@ -1675,6 +1675,50 @@ def docs_near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.near_dedup_survivors(d, pairs, "doc_id").select("doc_id")
 
 
+def _split_leakage_oracle(holdout_rate: float = 0.2, salt: str = "split") -> str:
+    """Compose the MinHash-LSH pair chain with the hash-split side
+    predicate recomputed from the ids (no side table, matching the
+    join-free Spark plan)."""
+    cut = int(holdout_rate * 1_000_000)
+
+    def hold(col: str) -> str:
+        return (
+            f"CAST('0x' || substr(md5('{salt}#' || CAST({col} AS VARCHAR)), 1, 15)"
+            f" AS BIGINT) % 1000000 < {cut}"
+        )
+
+    return f"""
+    WITH pairs AS ({_minhash_oracle()}),
+    crossing AS (
+      SELECT CASE WHEN {hold('id_a')} THEN id_a ELSE id_b END AS doc_id,
+             jaccard
+      FROM pairs
+      WHERE ({hold('id_a')}) <> ({hold('id_b')})
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_train_neighbors,
+           max(jaccard) AS max_score
+    FROM crossing GROUP BY doc_id
+    """
+
+
+@_register("docs_split_leakage", _split_leakage_oracle())
+def docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/holdout near-dup leakage audit (Lee et al. 2022 §5): the
+    holdout docs whose MinHash-LSH near-duplicate sits in train —
+    contaminated eval rows a bare random split always ships. Side
+    membership is recomputed from the id hash, so the audit is one
+    pass over the pair table with NO join and no corpus access; the
+    oracle composes the full MinHash chain with the same predicate."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(
+        d, "text", "doc_id", k_shingle=3, num_hashes=16, bands=4,
+        threshold=0.3, portable_hash=True,
+    )
+    return sp.split_leakage_report(
+        pairs, "id_a", "id_b", "jaccard", holdout_rate=0.2, salt="split"
+    )
+
+
 @_register("docs_minhash_lsh_pairs", _minhash_oracle())
 def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, Jaccard-verified — the 100 TB dedup

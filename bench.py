@@ -87,6 +87,7 @@ HEADLINE = [
     "docs_simhash_pairs",
     "docs_near_dedup_survivors",
     "docs_incremental_near_dup",
+    "docs_split_leakage",
     "docs_duplicate_spans",
     # similarity search
     "docs_tfidf_topk",

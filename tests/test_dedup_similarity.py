@@ -943,3 +943,42 @@ def test_winnow_short_docs_emit_nothing(spark):
         "doc_id long, text string",
     )
     assert dd.winnow_fingerprints(df, "text", "doc_id", k=5, w=4).count() == 0
+
+
+def test_split_leakage_report_join_free(spark):
+    """The leakage audit: only cross-side pairs count, the emitted id
+    is the HOLDOUT side, multiplicity and max score aggregate per
+    holdout doc — and the plan contains no join (side membership is
+    an expression over the id)."""
+    from aurora_mito_etl_spark.operators import sampling as sp
+    from aurora_mito_etl_spark.operators.sampling import _BUCKETS, _hash_bucket
+
+    ids = list(range(40))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    cut = int(0.2 * _BUCKETS)
+    side = {
+        r["doc_id"]: r["b"] < cut
+        for r in df.select(
+            "doc_id", _hash_bucket(F.col("doc_id"), "split").alias("b")
+        ).collect()
+    }
+    hold = [i for i in ids if side[i]]
+    train = [i for i in ids if not side[i]]
+    assert hold and train
+    h0, h1, t0, t1 = hold[0], hold[1 % len(hold)], train[0], train[1]
+    pairs = spark.createDataFrame(
+        [
+            (min(t0, h0), max(t0, h0), 0.9),   # crossing -> h0
+            (min(t1, h0), max(t1, h0), 0.5),   # crossing -> h0 again
+            (min(t0, t1), max(t0, t1), 0.8),   # train-train: ignored
+            (min(h0, h1), max(h0, h1), 0.7) if h0 != h1 else (min(t0, h0), max(t0, h0), 0.7),
+        ],
+        "id_a long, id_b long, jaccard double",
+    )
+    out = sp.split_leakage_report(pairs)
+    got = {r["doc_id"]: r for r in out.collect()}
+    if h0 != h1:
+        assert set(got) == {h0}
+    assert got[h0]["n_train_neighbors"] == 2
+    assert got[h0]["max_score"] == 0.9
+    assert "Join" not in out._jdf.queryExecution().executedPlan().toString()

@@ -156,6 +156,9 @@ DOCS_QUERIES = {
     # THIS tier is where the line split + doc-grain windows actually
     # see >1 line per doc
     "docs_line_language",
+    # r8: split-leakage audit — planted duplicates guarantee crossing
+    # pairs at some seeds; the side predicate is pure id hash
+    "docs_split_leakage",
 }
 
 # Relational-spine queries driven by orders/customer/part/supplier —
