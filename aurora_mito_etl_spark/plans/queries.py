@@ -6380,8 +6380,10 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # docs_mixture_sample and docs_bigram_pmi rotated OUT after
     # driver-green r7 — their families stay sampled via the incoming
     # docs_temperature_mixture and docs_bpe_pair_counts.
+    # docs_pii_redact rotated OUT after driver-green r6+r7: pure
+    # expression-only projection, the least regenerated-data-drift-
+    # sensitive LLM-tier shape; stays local+fuzz-gated (docs tier).
     "docs_gopher_quality",
-    "docs_pii_redact",
     "docs_dsir_weights",
     "docs_pack_sequences",
     "docs_lm_score",
@@ -6407,9 +6409,11 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "docs_incremental_near_dup",
     "docs_decontaminate_bloom",
     # Embedding tier core (emb_ivf_topk rotated OUT after driver-green
-    # r7; the IVF family stays sampled via incoming emb_ivfpq_topk)
+    # r7; the IVF family stays sampled via incoming emb_ivfpq_topk.
+    # emb_kmeans_assign rotated OUT after driver-green r6+r7 — the
+    # trained-quantizer chain stays sampled via emb_ivfpq_topk/_rerank,
+    # which consume the same ivf_centroids/kmeans kernel.)
     "emb_semantic_dedup",
-    "emb_kmeans_assign",
     # Iterative-graph rep: the unrolled-CTE oracle family is the most
     # exposed to regenerated-data drift, so it stays pinned.
     "events_pagerank",
@@ -6428,14 +6432,12 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # the join family stays sampled via customer_order_full_outer.
     # (order_rollup_per_customer and events_asof_join, driver-green
     # r7, yield their slots to the late-r8 queries; the A1 and as-of
-    # families stay local-gated + fuzz-covered.)
-    "pricing_summary",
-    # Windows (§2.5); priority_set_ops rotated OUT (driver-green r7)
-    # for orders_except_intersect_all. scalar_function_parity
-    # (driver-green r4-r7, the least data-drift-sensitive shape in
-    # the suite — pure scalar expressions) yields its slot to the
-    # never-gated winnowing query; it stays local+fuzz-gated.
-    "window_order_stats",
+    # families stay local-gated + fuzz-covered. pricing_summary and
+    # window_order_stats, driver-green r1-r7 and fuzz lineitem/
+    # relational-tier staples, yield their slots to the four newest
+    # never-gated queries — the lineitem family stays sampled via
+    # lineitem_price_percentiles, the window family via
+    # events_value_anomaly's rolling stats.)
     # ------------------------------------------------------------------
     # Round-8 rotation (VERDICT r7 ask #3): the TWENTY queries that had
     # never appeared in any CORRECTNESS_r*.json window r1-r7. All are
@@ -6493,6 +6495,16 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # their near-tie exposure is freshest.
     "emb_ivfpq_rerank",
     "emb_hard_negatives",
+    # Final late-r8 batch, never driver-gated: distinct-n diversity
+    # (collapse-first distinct shape), tokenizer fertility (corpus-
+    # trained BPE apply — drift-exposed dictionary chain), per-line
+    # lang-id rollup (explicit whitespace-class line semantics), and
+    # the train/holdout MinHash leakage audit (join-free side
+    # predicate over the pair table).
+    "docs_ngram_diversity",
+    "docs_tokenizer_fertility",
+    "docs_line_language",
+    "docs_split_leakage",
 )
 
 

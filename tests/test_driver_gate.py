@@ -53,7 +53,8 @@ def test_driver_sample_covers_llm_tier():
         "flagship_training_corpus",
         "docs_gopher_quality",
         "docs_decontaminate_bloom",
-        "docs_pii_redact",
+        # docs_pii_redact rotated OUT after driver-green r6+r7
+        # (expression-only, least drift-sensitive LLM-tier shape)
         "emb_semantic_dedup",
         "docs_pack_sequences",
         "docs_dsir_weights",
@@ -114,6 +115,15 @@ def test_driver_sample_covers_llm_tier():
         # driver-green, fuzz-covered) yielded the two slots
         "emb_ivfpq_rerank",
         "emb_hard_negatives",
+        # final late-r8 batch, never driver-gated: diversity,
+        # fertility, per-line lang-id, split leakage. pricing_summary,
+        # window_order_stats, emb_kmeans_assign and docs_pii_redact
+        # (all driver-green r6+r7 / r1-r7, fuzz-covered) yielded the
+        # four slots.
+        "docs_ngram_diversity",
+        "docs_tokenizer_fertility",
+        "docs_line_language",
+        "docs_split_leakage",
     }
     assert must_sample <= first50
     # The bisection block is contiguous and immediately follows the
