@@ -553,3 +553,78 @@ def line_language_report(df, text_col: str = "text", id_col: str = "doc_id"):
             (F.col("nl") > 1).alias("is_mixed"),
         )
     )
+
+
+def source_ngram_overlap(
+    df,
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 3,
+):
+    """Pairwise n-gram overlap between corpus slices: for every
+    unordered pair of groups (source_a < source_b) the distinct
+    n-gram set sizes, the shared-gram count, Jaccard similarity and
+    both directional containments — the cross-source contamination
+    matrix of a training-data datasheet ("how much of slice A's
+    content also appears in slice B"); the slice-level complement of
+    the per-document dedup tiers (reference scope: the corpus-level
+    report family around finalize_realease.py's release summaries).
+
+    Plan: one corpus pass explodes n-grams (Arrow-batched shingles);
+    (group, gram) collapses FIRST (map-side-combined distinct), so
+    the per-gram fan-in downstream is bounded by the number of
+    groups, never by occurrence counts. Pair generation is
+    expression-only: the sorted distinct group set per gram
+    (collect_set, <= n_groups elements) double-posexplodes into
+    ordered (i < j) pairs — ONE shuffle keyed on the gram, no
+    self-join re-shuffle of the gram table, and stop-gram skew is
+    capped at n_groups^2 pair rows per gram. Group sizes ride back in
+    via two broadcast joins of the n_groups-row cardinality table.
+    At 100 TB the distinct shuffle carries the gram vocabulary once;
+    if exact distincts outgrow memory, pre-hash grams to 64 bits (the
+    winnowing trick) — set semantics survive hashing.
+
+    Output: ``source_a, source_b, grams_a, grams_b, shared, jaccard,
+    containment_a, containment_b`` (fixed6 ratios); pairs with no
+    shared gram are omitted (both engines agree by construction).
+    Divisions are exact-integer-to-double (IEEE-identical across
+    engines) and fixed6-gridded before any hash compare.
+    """
+    grams = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(shingles_arrow(F.col(text_col), n)).alias("g"),
+        )
+        .distinct()
+    )
+    per = grams.groupBy("grp").agg(F.count("*").cast("long").alias("n_grams"))
+    sets = grams.groupBy("g").agg(F.sort_array(F.collect_set("grp")).alias("ss"))
+    pairs = (
+        sets.select(F.posexplode("ss").alias("i", "a"), F.col("ss"))
+        .select("i", "a", F.posexplode("ss").alias("j", "b"))
+        .where(F.col("i") < F.col("j"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    pa = per.select(F.col("grp").alias("a"), F.col("n_grams").alias("grams_a"))
+    pb = per.select(F.col("grp").alias("b"), F.col("n_grams").alias("grams_b"))
+    sh = F.col("shared").cast("double")
+    return (
+        pairs.join(F.broadcast(pa), "a")
+        .join(F.broadcast(pb), "b")
+        .select(
+            F.col("a").alias("source_a"),
+            F.col("b").alias("source_b"),
+            "grams_a",
+            "grams_b",
+            "shared",
+            _fixed6(
+                sh
+                / (F.col("grams_a") + F.col("grams_b") - F.col("shared")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+            _fixed6(sh / F.col("grams_a").cast("double")).alias("containment_a"),
+            _fixed6(sh / F.col("grams_b").cast("double")).alias("containment_b"),
+        )
+    )

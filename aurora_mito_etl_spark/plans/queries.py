@@ -1428,6 +1428,50 @@ def docs_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "docs_source_overlap",
+    r"""
+    WITH base AS (
+      SELECT source,
+             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    g3 AS (
+      SELECT DISTINCT source, array_to_string(t[i:i+2], ' ') AS g
+      FROM base, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ),
+    per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM g3 GROUP BY source
+    ),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM g3 a JOIN g3 b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b,
+           pa.n_grams AS grams_a, pb.n_grams AS grams_b, i.shared,
+           floor(CAST(i.shared AS DOUBLE) / (pa.n_grams + pb.n_grams - i.shared) * 1000000 + 0.5) / 1000000 AS jaccard,
+           floor(CAST(i.shared AS DOUBLE) / pa.n_grams * 1000000 + 0.5) / 1000000 AS containment_a,
+           floor(CAST(i.shared AS DOUBLE) / pb.n_grams * 1000000 + 0.5) / 1000000 AS containment_b
+    FROM inter i
+    JOIN per pa ON pa.source = i.source_a
+    JOIN per pb ON pb.source = i.source_b
+    """,
+)
+def docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: distinct-3-gram Jaccard and
+    directional containments for every source pair — the datasheet
+    row that flags one corpus slice re-hosting another's content.
+    One gram-keyed shuffle with collapse-first distincts and
+    expression-only pair generation (per-gram fan-in bounded by the
+    source count, never occurrences); see textstats.
+    source_ngram_overlap for the 100 TB posture. The SQL twin's
+    self-join is oracle-side only."""
+    d = load_table(spark, sf_dir, "documents")
+    return ts.source_ngram_overlap(d, "text", "source", n=3)
+
+
+@_register(
     "docs_cms_estimates",
     r"""
     WITH toks AS (
@@ -6383,10 +6427,12 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # docs_pii_redact rotated OUT after driver-green r6+r7: pure
     # expression-only projection, the least regenerated-data-drift-
     # sensitive LLM-tier shape; stays local+fuzz-gated (docs tier).
+    # docs_lm_score rotated OUT after driver-green r6+r7 — the bigram
+    # LM family stays sampled via docs_ccnet_buckets (which composes
+    # the same perplexity kernel).
     "docs_gopher_quality",
     "docs_dsir_weights",
     "docs_pack_sequences",
-    "docs_lm_score",
     "docs_ccnet_buckets",
     "docs_quality_ensemble",
     # docs_source_report bisection block: kept one more round as the
@@ -6505,6 +6551,9 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "docs_tokenizer_fertility",
     "docs_line_language",
     "docs_split_leakage",
+    # and the cross-source 3-gram contamination matrix (newest of
+    # all, never driver-gated).
+    "docs_source_overlap",
 )
 
 

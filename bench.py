@@ -45,6 +45,7 @@ HEADLINE = [
     "docs_ngram_repetition",
     "docs_ngram_diversity",
     "docs_line_language",
+    "docs_source_overlap",
     # quality filtering / privacy / decontamination
     "docs_gopher_quality",
     "docs_c4_filter",

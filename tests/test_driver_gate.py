@@ -59,7 +59,8 @@ def test_driver_sample_covers_llm_tier():
         "docs_pack_sequences",
         "docs_dsir_weights",
         "docs_incremental_near_dup",
-        "docs_lm_score",
+        # docs_lm_score rotated OUT after driver-green r6+r7 (bigram
+        # LM family stays sampled via docs_ccnet_buckets)
         "docs_ccnet_buckets",
         "docs_quality_ensemble",
         # round-8 control block: the r7 driver-red parent plus two
@@ -124,6 +125,9 @@ def test_driver_sample_covers_llm_tier():
         "docs_tokenizer_fertility",
         "docs_line_language",
         "docs_split_leakage",
+        # cross-source 3-gram contamination matrix (docs_lm_score,
+        # driver-green r6+r7, yielded the slot)
+        "docs_source_overlap",
     }
     assert must_sample <= first50
     # The bisection block is contiguous and immediately follows the

@@ -361,3 +361,30 @@ def test_line_language_report(spark):
     assert got[2]["is_mixed"] is False and got[2]["dominant_frac"] == 1.0
     assert got[3]["dominant_lang"] == "de"     # tie at 1 line each
     assert got[3]["n_langs"] == 2
+
+
+def test_source_ngram_overlap_hand_computed(spark):
+    """3-gram sets: A = {'a b c','b c d'} (from 'a b c d'),
+    B = {'b c d','c d e'} (from 'b c d e'), C = {'x y z'}.
+    A∩B = {'b c d'} -> jaccard 1/3; C shares nothing -> pairs with C
+    are omitted. Duplicate docs must not inflate distinct sets, and
+    sub-3-token / empty docs contribute nothing."""
+    rows = [
+        (0, "a b c d", "A"),
+        (1, "a  b\tc d", "A"),      # same grams after ws squeeze
+        (2, "b c d e", "B"),
+        (3, "x y z", "C"),
+        (4, "tiny", "C"),            # < 3 tokens -> no grams
+        (5, "", "C"),
+        (6, None, "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in ts.source_ngram_overlap(df, "text", "source", n=3).collect()
+    }
+    assert set(got) == {("A", "B")}
+    r = got[("A", "B")]
+    assert r["grams_a"] == 2 and r["grams_b"] == 2 and r["shared"] == 1
+    assert r["jaccard"] == 0.333333        # 1/3 on the fixed6 grid
+    assert r["containment_a"] == 0.5 and r["containment_b"] == 0.5

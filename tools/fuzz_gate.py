@@ -159,6 +159,10 @@ DOCS_QUERIES = {
     # r8: split-leakage audit — planted duplicates guarantee crossing
     # pairs at some seeds; the side predicate is pure id hash
     "docs_split_leakage",
+    # r8: pairwise source 3-gram overlap matrix — hostile tokens +
+    # planted cross-source duplicates exercise both the shared-gram
+    # join and the no-overlap pair omission on the same data
+    "docs_source_overlap",
 }
 
 # Relational-spine queries driven by orders/customer/part/supplier —
