@@ -6192,6 +6192,22 @@ def docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_gate_verdicts(d: DataFrame) -> DataFrame:
+    """Per-doc verdict frame shared by the ensemble gate and the
+    per-source funnel: four single-projection branches over one scan
+    lineage joined on doc_id (gopher_keep, c4_keep, lm_keep,
+    lang_pred)."""
+    from aurora_mito_etl_spark.operators import lm_score as lms
+
+    g = ql.gopher_signals(d, **_GOPHER_QUERY_OVERRIDES).select(
+        "doc_id", "gopher_keep"
+    )
+    c = ql.c4_signals(d).select("doc_id", "c4_keep")
+    lm = lms.bigram_lm_score(d, "text", "doc_id").select("doc_id", "lm_keep")
+    la = d.select("doc_id", ts.lang_id(F.col("text")).alias("lang_pred"))
+    return g.join(c, "doc_id").join(lm, "doc_id").join(la, "doc_id")
+
+
 @_register(
     "docs_quality_ensemble",
     None,  # oracle added below (composes four generated oracles)
@@ -6204,16 +6220,8 @@ def docs_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     branches over one scan lineage joined on doc_id — each component
     is itself oracle-checked standalone; this query pins their
     COMPOSITION (join alignment, boolean semantics) end-to-end."""
-    from aurora_mito_etl_spark.operators import lm_score as lms
-
     d = load_table(spark, sf_dir, "documents")
-    g = ql.gopher_signals(d, **_GOPHER_QUERY_OVERRIDES).select(
-        "doc_id", "gopher_keep"
-    )
-    c = ql.c4_signals(d).select("doc_id", "c4_keep")
-    lm = lms.bigram_lm_score(d, "text", "doc_id").select("doc_id", "lm_keep")
-    la = d.select("doc_id", ts.lang_id(F.col("text")).alias("lang_pred"))
-    j = g.join(c, "doc_id").join(lm, "doc_id").join(la, "doc_id")
+    j = _quality_gate_verdicts(d)
     lang_ok = F.col("lang_pred") == "en"
     n_pass = (
         F.col("gopher_keep").cast("int")
@@ -6254,6 +6262,73 @@ ORACLES["docs_quality_ensemble"] = f"""
     JOIN c USING (doc_id)
     JOIN lm USING (doc_id)
     JOIN la USING (doc_id)
+"""
+
+
+@_register(
+    "docs_quality_funnel",
+    None,  # oracle added below (composes the same four generated oracles)
+)
+def docs_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source pipeline-yield funnel: docs entering, then surviving
+    each stage of the conventional cheap-to-expensive filter chain
+    (Gopher rules, AND C4 rules, AND bigram-LM keep, AND target
+    language) — the datasheet table showing WHERE each corpus slice
+    loses mass, aggregated from the same per-doc verdict frame the
+    ensemble gate pins. One tiny per-source aggregation (n_sources
+    rows) over the verdict lineage; conditional counts are map-side-
+    combinable SUMs, and yield_frac is a fixed6 exact-integer
+    division."""
+    d = load_table(spark, sf_dir, "documents")
+    j = _quality_gate_verdicts(d).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    s1 = F.col("gopher_keep")
+    s2 = s1 & F.col("c4_keep")
+    s3 = s2 & F.col("lm_keep")
+    s4 = s3 & (F.col("lang_pred") == "en")
+    agg = j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(s1.cast("int")).cast("long").alias("pass_gopher"),
+        F.sum(s2.cast("int")).cast("long").alias("pass_c4"),
+        F.sum(s3.cast("int")).cast("long").alias("pass_lm"),
+        F.sum(s4.cast("int")).cast("long").alias("pass_all"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "pass_gopher",
+        "pass_c4",
+        "pass_lm",
+        "pass_all",
+        fixed6(
+            F.col("pass_all").cast("double") / F.col("n_docs").cast("double")
+        ).alias("yield_frac"),
+    )
+
+
+ORACLES["docs_quality_funnel"] = f"""
+    WITH g AS ({_gopher_oracle(**_GOPHER_QUERY_OVERRIDES)}),
+    c AS ({_C4_ORACLE}),
+    lm AS ({_LM_SCORE_ORACLE}),
+    la AS ({_lang_id_oracle()}),
+    v AS (
+      SELECT d.source, g.gopher_keep, c.c4_keep, lm.lm_keep,
+             (la.lang_pred = 'en') AS lang_ok
+      FROM g
+      JOIN c USING (doc_id)
+      JOIN lm USING (doc_id)
+      JOIN la USING (doc_id)
+      JOIN documents d USING (doc_id)
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN gopher_keep THEN 1 ELSE 0 END) AS BIGINT) AS pass_gopher,
+           CAST(SUM(CASE WHEN gopher_keep AND c4_keep THEN 1 ELSE 0 END) AS BIGINT) AS pass_c4,
+           CAST(SUM(CASE WHEN gopher_keep AND c4_keep AND lm_keep THEN 1 ELSE 0 END) AS BIGINT) AS pass_lm,
+           CAST(SUM(CASE WHEN gopher_keep AND c4_keep AND lm_keep AND lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS pass_all,
+           floor(CAST(SUM(CASE WHEN gopher_keep AND c4_keep AND lm_keep AND lang_ok THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) * 1000000 + 0.5) / 1000000 AS yield_frac
+    FROM v GROUP BY source
 """
 
 
@@ -6434,7 +6509,11 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "docs_dsir_weights",
     "docs_pack_sequences",
     "docs_ccnet_buckets",
-    "docs_quality_ensemble",
+    # docs_quality_ensemble rotated OUT after driver-green r7: the
+    # incoming per-source funnel AGGREGATES the identical verdict
+    # frame (same four gates, same joins), so its driver row covers
+    # the composition at least as deeply; ensemble stays local+fuzz.
+    "docs_quality_funnel",
     # docs_source_report bisection block: kept one more round as the
     # control for the r8 fix (CAST(SUM(n_chars) AS BIGINT) — VERDICT
     # r7 localized the driver-red to DuckDB HUGEINT widening of the

@@ -46,6 +46,7 @@ HEADLINE = [
     "docs_ngram_diversity",
     "docs_line_language",
     "docs_source_overlap",
+    "docs_quality_funnel",
     # quality filtering / privacy / decontamination
     "docs_gopher_quality",
     "docs_c4_filter",

@@ -62,7 +62,10 @@ def test_driver_sample_covers_llm_tier():
         # docs_lm_score rotated OUT after driver-green r6+r7 (bigram
         # LM family stays sampled via docs_ccnet_buckets)
         "docs_ccnet_buckets",
-        "docs_quality_ensemble",
+        # docs_quality_ensemble rotated OUT after driver-green r7 for
+        # the per-source funnel, which aggregates the same verdict
+        # frame (strictly deeper composition coverage)
+        "docs_quality_funnel",
         # round-8 control block: the r7 driver-red parent plus two
         # column-split variants, kept adjacent one more round to
         # confirm the BIGINT-cast fix (VERDICT r7 ask #1). _qsum

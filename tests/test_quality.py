@@ -142,3 +142,30 @@ def test_gopher_crlf_ellipsis_lines(spark):
     r = ql.gopher_signals(df).collect()[0]
     assert r["bullet_line_frac"] == 0.5
     assert r["ellipsis_line_frac"] == 0.5
+
+
+def test_quality_funnel_monotone_and_consistent(spark):
+    """The funnel is sequential: each stage's survivor count is <= the
+    previous stage's, pass_all/n_docs is the fixed6 yield, and the
+    per-source n_docs totals reconcile with the raw table."""
+    from aurora_mito_etl_spark.plans.queries import (
+        docs_quality_ensemble,
+        docs_quality_funnel,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = docs_quality_funnel(spark, sf).collect()
+    assert rows, "funnel must emit one row per source"
+    for r in rows:
+        assert (
+            r["n_docs"]
+            >= r["pass_gopher"]
+            >= r["pass_c4"]
+            >= r["pass_lm"]
+            >= r["pass_all"]
+            >= 0
+        ), r
+    # reconciles with the per-doc ensemble verdicts it aggregates
+    ens = docs_quality_ensemble(spark, sf)
+    n_keep = ens.where("keep").count()
+    assert sum(r["pass_all"] for r in rows) == n_keep

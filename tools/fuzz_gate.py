@@ -163,6 +163,10 @@ DOCS_QUERIES = {
     # planted cross-source duplicates exercise both the shared-gram
     # join and the no-overlap pair omission on the same data
     "docs_source_overlap",
+    # r8: per-source quality funnel — hostile docs flip every gate
+    # combination, so the sequential conditional counts are exercised
+    # beyond the shipped corpus's mostly-passing profile
+    "docs_quality_funnel",
 }
 
 # Relational-spine queries driven by orders/customer/part/supplier —
