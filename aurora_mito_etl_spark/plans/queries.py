@@ -5172,6 +5172,130 @@ def events_value_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_rfm",
+    f"""
+    WITH base AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, value
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    mx AS (SELECT max(ts_us) AS corpus_max FROM base),
+    per AS (
+      SELECT user_id,
+             CAST((mx.corpus_max - max(ts_us)) // 86400000000 AS BIGINT) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS monetary_micros
+      FROM base, mx GROUP BY user_id, mx.corpus_max
+    ),
+    b AS (
+      SELECT {fixed6_sql('quantile_cont(recency_days, 0.25)')} AS r25,
+             {fixed6_sql('quantile_cont(recency_days, 0.50)')} AS r50,
+             {fixed6_sql('quantile_cont(recency_days, 0.75)')} AS r75,
+             {fixed6_sql('quantile_cont(frequency, 0.25)')} AS f25,
+             {fixed6_sql('quantile_cont(frequency, 0.50)')} AS f50,
+             {fixed6_sql('quantile_cont(frequency, 0.75)')} AS f75,
+             {fixed6_sql('quantile_cont(monetary_micros, 0.25)')} AS m25,
+             {fixed6_sql('quantile_cont(monetary_micros, 0.50)')} AS m50,
+             {fixed6_sql('quantile_cont(monetary_micros, 0.75)')} AS m75
+      FROM per
+    )
+    SELECT user_id, recency_days, frequency, monetary_micros,
+           1 + CAST(recency_days > r25 AS INTEGER)
+             + CAST(recency_days > r50 AS INTEGER)
+             + CAST(recency_days > r75 AS INTEGER) AS r_q,
+           1 + CAST(frequency > f25 AS INTEGER)
+             + CAST(frequency > f50 AS INTEGER)
+             + CAST(frequency > f75 AS INTEGER) AS f_q,
+           1 + CAST(monetary_micros > m25 AS INTEGER)
+             + CAST(monetary_micros > m50 AS INTEGER)
+             + CAST(monetary_micros > m75 AS INTEGER) AS m_q
+    FROM per, b
+    """,
+)
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user RFM segmentation (recency in whole days from the
+    corpus max timestamp, event frequency, exact monetary sum on the
+    1e-6 integer grid) with quartile labels by exact-percentile
+    BOUNDARY COMPARE — deliberately not ntile(), whose global window
+    is a single-task sort over every user at scale: here the three
+    boundary triples are one tiny aggregate broadcast back onto the
+    per-user frame, so the only data-scale shuffle is the user
+    groupBy. Labels ascend with the metric value (r_q=1 is the most
+    recent quartile, f_q=4 the most frequent); a user whose metric is
+    NULL (all-NULL ts or value) gets a NULL label in both engines.
+    ts epoch micros use the type-conditional branch (events.ts ships
+    as NTZ or the nanos-repair LTZ — CLAUDE.md invariant).
+
+    monetary is emitted as micros BIGINT, not a double: the first cut
+    summed DECIMAL(18,6) and cast to DOUBLE, and fuzz seed 17 caught
+    the two engines' decimal->double conversions disagreeing by one
+    ulp once the sum passed the 2^53/1e6 exactness bound (~9e9) —
+    the CLAUDE.md order-free-integer-grid rule exists precisely for
+    this; the long fold is type-stable and exact to +/-9.2e12 in
+    magnitude. Percentile interpolation over the big integers is the
+    same IEEE op sequence on identical inputs in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_type = {f.name: f.dataType.simpleString() for f in ev.schema.fields}["ts"]
+    ts_us = (
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+        if ts_type == "timestamp_ntz"
+        else F.unix_micros(F.col("ts"))
+    )
+    base = ev.where(F.col("user_id").isNotNull()).select(
+        "user_id", ts_us.alias("ts_us"), "value"
+    )
+    mx = base.agg(F.max("ts_us").alias("corpus_max"))
+    per = (
+        base.groupBy("user_id")
+        .agg(
+            F.max("ts_us").alias("__last"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(
+                F.floor(F.col("value") * 1000000.0 + 0.5).cast("long")
+            )
+            .cast("long")
+            .alias("monetary_micros"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.expr("(corpus_max - __last) div 86400000000")
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_micros",
+        )
+    )
+    b = per.agg(
+        *[
+            fixed6(F.expr(f"percentile({c}, {q}D)")).alias(f"{c[0]}{int(q*100)}")
+            for c in ("recency_days", "frequency", "monetary_micros")
+            for q in (0.25, 0.50, 0.75)
+        ]
+    )
+
+    def _label(col: str, pfx: str) -> Column:
+        return (
+            F.lit(1)
+            + (F.col(col) > F.col(f"{pfx}25")).cast("int")
+            + (F.col(col) > F.col(f"{pfx}50")).cast("int")
+            + (F.col(col) > F.col(f"{pfx}75")).cast("int")
+        )
+
+    return per.crossJoin(F.broadcast(b)).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_micros",
+        _label("recency_days", "r").alias("r_q"),
+        _label("frequency", "f").alias("f_q"),
+        _label("monetary_micros", "m").alias("m_q"),
+    )
+
+
+@_register(
     "events_key_skew_report",
     f"""
     WITH c AS (
@@ -6505,9 +6629,11 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # docs_lm_score rotated OUT after driver-green r6+r7 — the bigram
     # LM family stays sampled via docs_ccnet_buckets (which composes
     # the same perplexity kernel).
+    # docs_pack_sequences rotated OUT after driver-green r6+r7 —
+    # deterministic shard-local packing, the least drift-sensitive
+    # shape left in the tier; stays local+fuzz-gated.
     "docs_gopher_quality",
     "docs_dsir_weights",
-    "docs_pack_sequences",
     "docs_ccnet_buckets",
     # docs_quality_ensemble rotated OUT after driver-green r7: the
     # incoming per-source funnel AGGREGATES the identical verdict
@@ -6633,6 +6759,10 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # and the cross-source 3-gram contamination matrix (newest of
     # all, never driver-gated).
     "docs_source_overlap",
+    # RFM segmentation over the NULL-bearing events table — NULL
+    # user filter + NULL-metric quartile labels are exactly the
+    # regenerated-data-drift surface the window exists for.
+    "events_rfm",
 )
 
 

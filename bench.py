@@ -33,6 +33,7 @@ HEADLINE = [
     "events_sessionize",
     "events_moving_avg",
     "events_funnel",
+    "events_rfm",
     "events_retention",
     "events_pagerank",
     "events_top_paths",

@@ -56,7 +56,8 @@ def test_driver_sample_covers_llm_tier():
         # docs_pii_redact rotated OUT after driver-green r6+r7
         # (expression-only, least drift-sensitive LLM-tier shape)
         "emb_semantic_dedup",
-        "docs_pack_sequences",
+        # docs_pack_sequences rotated OUT after driver-green r6+r7
+        # (deterministic shard-local packing, least drift-sensitive)
         "docs_dsir_weights",
         "docs_incremental_near_dup",
         # docs_lm_score rotated OUT after driver-green r6+r7 (bigram
@@ -131,6 +132,9 @@ def test_driver_sample_covers_llm_tier():
         # cross-source 3-gram contamination matrix (docs_lm_score,
         # driver-green r6+r7, yielded the slot)
         "docs_source_overlap",
+        # RFM over the NULL-bearing events table (docs_pack_sequences
+        # yielded the slot)
+        "events_rfm",
     }
     assert must_sample <= first50
     # The bisection block is contiguous and immediately follows the

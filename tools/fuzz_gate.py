@@ -259,6 +259,10 @@ EVENTS_QUERIES = {
     "events_cube",
     "events_value_anomaly",
     "events_key_skew_report",
+    # r8: RFM segmentation — NULL user_ids/values/ts in this tier
+    # exercise the row filter, NULL-metric labels and the NULL-
+    # ignoring max/sum/percentile chain on both engines
+    "events_rfm",
     "events_funnel",
     "events_retention",
     "events_profile",
