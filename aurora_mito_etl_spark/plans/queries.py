@@ -6141,6 +6141,91 @@ def emb_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dim_trunc_recall_oracle(d_trunc: int = 32, k: int = 5) -> str:
+    """Full-dim exact top-k vs truncated-dim top-k, per-query overlap
+    — the emb_lsh_recall shape with a dimension slice instead of an
+    index as the approximate side. Both sides carry the zero-norm
+    guard (a nonzero 64-dim vector CAN be all-zero in its first
+    d_trunc dims, so the truncated side's guard is load-bearing)."""
+    brute = ORACLES["emb_cosine_topk"]
+    return f"""
+    WITH brute AS ({brute}),
+    tv AS (
+      SELECT vec_id, (embedding::DOUBLE[])[1:{d_trunc}] AS e
+      FROM embeddings
+    ),
+    tn AS (
+      SELECT vec_id, e,
+             sqrt(list_dot_product(e, e)) AS nrm
+      FROM tv
+    ),
+    tg AS (
+      SELECT vec_id, e, CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END AS nrm FROM tn
+    ),
+    tscored AS (
+      SELECT b.vec_id AS query_id, a.vec_id,
+             floor((list_dot_product(a.e, b.e) / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000 AS score
+      FROM tg a, tg b
+      WHERE b.vec_id % 100 = 0
+    ),
+    trunc AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+        FROM tscored
+      ) WHERE rank <= {k}
+    ),
+    hits AS (
+      SELECT t.query_id, COUNT(*) AS n_hits
+      FROM trunc t JOIN brute b
+        ON t.query_id = b.query_id AND t.vec_id = b.vec_id
+      GROUP BY t.query_id
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           floor((CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {k}.0) * 1000000 + 0.5) / 1000000 AS recall_at_k
+    FROM (SELECT DISTINCT query_id FROM brute) q
+    LEFT JOIN hits h USING (query_id)
+    """
+
+
+@_register("emb_dim_truncation_recall", _dim_trunc_recall_oracle())
+def emb_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation diagnostic: per-query
+    recall@5 of cosine top-k computed over only the FIRST 32 of 64
+    dims against the exact full-dim ranking — the measurement behind
+    serving truncated embeddings (Kusupati et al. 2022) at a fraction
+    of the memory/FLOPs. Both sides are total orders (fixed6 scores,
+    vec_id tiebreak) so the overlap is exact and oracle-checkable;
+    the truncated side reuses brute_force_topk on a sliced column —
+    the corpus streams map-side against the broadcast query batch
+    twice, no shuffle of the big table beyond the two rank phases. At
+    100 TB run on a sampled query set like every recall diagnostic
+    here."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    k = 5
+    full = sim.brute_force_topk(e, q, k=k)
+    e32 = e.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
+    q32 = q.select("query_id", F.slice("query_vec", 1, 32).alias("query_vec"))
+    trunc = sim.brute_force_topk(e32, q32, k=k)
+    hits = (
+        trunc.join(full, ["query_id", "vec_id"], "semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    qs = full.select("query_id").distinct()
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        fixed6(
+            F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(float(k))
+        ).alias("recall_at_k"),
+    )
+
+
 _LM_SCORE_XTRAIN_ORACLE = r"""
     WITH train_base AS (
       SELECT string_split(lower(trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
@@ -6629,11 +6714,11 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # docs_lm_score rotated OUT after driver-green r6+r7 — the bigram
     # LM family stays sampled via docs_ccnet_buckets (which composes
     # the same perplexity kernel).
-    # docs_pack_sequences rotated OUT after driver-green r6+r7 —
-    # deterministic shard-local packing, the least drift-sensitive
-    # shape left in the tier; stays local+fuzz-gated.
+    # docs_pack_sequences and docs_dsir_weights rotated OUT after
+    # driver-green r6+r7 — deterministic shard-local packing and a
+    # bounded hashed-ngram broadcast respectively, the least drift-
+    # sensitive shapes left in the tier; both stay local+fuzz-gated.
     "docs_gopher_quality",
-    "docs_dsir_weights",
     "docs_ccnet_buckets",
     # docs_quality_ensemble rotated OUT after driver-green r7: the
     # incoming per-source funnel AGGREGATES the identical verdict
@@ -6763,6 +6848,9 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # user filter + NULL-metric quartile labels are exactly the
     # regenerated-data-drift surface the window exists for.
     "events_rfm",
+    # Matryoshka dim-truncation recall — double brute-force ranking,
+    # the most rank-tie-exposed of the new recall diagnostics.
+    "emb_dim_truncation_recall",
 )
 
 

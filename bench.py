@@ -97,6 +97,7 @@ HEADLINE = [
     "docs_bm25_search",
     "docs_lm_score",
     "emb_lsh_recall",
+    "emb_dim_truncation_recall",
     "emb_cosine_topk",
     "emb_near_dup_exact",
     "emb_lsh_near_dup",

@@ -56,9 +56,9 @@ def test_driver_sample_covers_llm_tier():
         # docs_pii_redact rotated OUT after driver-green r6+r7
         # (expression-only, least drift-sensitive LLM-tier shape)
         "emb_semantic_dedup",
-        # docs_pack_sequences rotated OUT after driver-green r6+r7
-        # (deterministic shard-local packing, least drift-sensitive)
-        "docs_dsir_weights",
+        # docs_pack_sequences and docs_dsir_weights rotated OUT after
+        # driver-green r6+r7 (deterministic shard-local packing and a
+        # bounded hashed-ngram broadcast — least drift-sensitive)
         "docs_incremental_near_dup",
         # docs_lm_score rotated OUT after driver-green r6+r7 (bigram
         # LM family stays sampled via docs_ccnet_buckets)
@@ -135,6 +135,8 @@ def test_driver_sample_covers_llm_tier():
         # RFM over the NULL-bearing events table (docs_pack_sequences
         # yielded the slot)
         "events_rfm",
+        # dim-truncation recall (docs_dsir_weights yielded the slot)
+        "emb_dim_truncation_recall",
     }
     assert must_sample <= first50
     # The bisection block is contiguous and immediately follows the

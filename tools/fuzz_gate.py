@@ -243,6 +243,9 @@ EMB_QUERIES = {
     "emb_hard_negatives",
     "emb_pq_encode",
     "emb_lsh_recall",
+    # r8: dim-truncation recall — fuzz vectors include zero and
+    # zero-prefix rows, exercising the truncated side's norm guard
+    "emb_dim_truncation_recall",
 }
 
 EVENTS_QUERIES = {
