@@ -216,3 +216,119 @@ def bm25_search(
     )
     rank_w = Window.orderBy(F.col("score").desc(), id_col)
     return ranked.withColumn("rank", F.row_number().over(rank_w))
+
+
+def ql_search(
+    docs: DataFrame,
+    query: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    mu: float = 2000.0,
+) -> DataFrame:
+    """Top-k documents by Dirichlet-smoothed query likelihood (Zhai &
+    Lafferty 2001): score(d) = sum over query terms of
+    ``ln((tf + mu*P(t|C)) / (dl + mu))`` — the language-modeling
+    retrieval scorer that completes the lexical family beside TF-IDF
+    and BM25 (and the second voice BM25 needs for rank fusion).
+
+    Candidates are docs containing at least one query term (standard
+    postings pruning); the smoothing term still scores the query
+    terms a candidate LACKS, via a candidate x present-terms grid
+    left-joined back onto the postings (grid fan-out is bounded by
+    |query terms| per candidate). Query terms with no postings at all
+    are dropped — they would contribute ln(0) to every candidate
+    equally (both engines agree: the term simply never enters the
+    grid). Corpus stats ride as broadcast one-row/|terms|-row
+    aggregates, never a driver collect.
+
+    Determinism discipline as BM25: each per-term log is
+    fixed6-rounded, the per-document sum runs in exact decimal, ties
+    rank by id.
+    """
+    from aurora_mito_etl_spark.operators.textstats import ascii_ws_tokens
+
+    terms = sorted(set(ascii_ws_tokens(query)))
+    if not terms:
+        raise ValueError("query has no tokens")
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " "))),
+        " ",
+    )
+    tf_all = (
+        docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    doclen = tf_all.groupBy("id").agg(F.sum("tf").alias("dl"))
+    cs = doclen.agg(F.sum("dl").cast("double").alias("ctot"))
+    tf_q = tf_all.where(F.col("tok").isin(terms))
+    ctf = (
+        tf_q.groupBy("tok")
+        .agg(F.sum("tf").cast("double").alias("ctf"))
+        .crossJoin(F.broadcast(cs))
+    )
+    cand = tf_q.select("id").distinct()
+    grid = cand.crossJoin(F.broadcast(ctf))
+    s = grid.join(tf_q, ["id", "tok"], "left").join(doclen, "id").select(
+        "id",
+        fixed6(
+            F.log(
+                (
+                    F.coalesce(F.col("tf"), F.lit(0))
+                    + F.lit(mu) * (F.col("ctf") / F.col("ctot"))
+                )
+                / (F.col("dl") + F.lit(mu))
+            )
+        ).alias("s"),
+    )
+    scored = s.groupBy("id").agg(dec_to_double(F.sum(dec("s"))).alias("score"))
+    ranked = (
+        scored.orderBy(F.col("score").desc(), "id")
+        .limit(k)
+        .select(F.col("id").alias(id_col), "score")
+    )
+    rank_w = Window.orderBy(F.col("score").desc(), id_col)
+    return ranked.withColumn("rank", F.row_number().over(rank_w))
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+    rank_a_out: str = "bm25_rank",
+    rank_b_out: str = "ql_rank",
+    k_const: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
+    two ranked lists sharing `id_col` and a `rank` column:
+    ``rrf = 1/(k+rank_a) + 1/(k+rank_b)`` with a missing entry
+    contributing 0 — the standard hybrid-retrieval combiner (lexical
+    + semantic, or two lexical scorers) that needs no score
+    calibration because it only reads ranks. Returns every fused id
+    with both source ranks (NULL where absent) and the fused rank.
+
+    Both inputs are top-k lists (tiny); the fusion is a full outer
+    join on the id. For per-query fusion at scale, add the query id
+    to the join key — the arithmetic is rank-only either way. The
+    reciprocals are exact-integer divisions (identical IEEE in any
+    engine) summed in one fixed expression order, then fixed6.
+    """
+    ra = a.select(F.col(id_col), F.col("rank").alias(rank_a_out))
+    rb = b.select(F.col(id_col), F.col("rank").alias(rank_b_out))
+    f = ra.join(rb, id_col, "full_outer").select(
+        id_col,
+        fixed6(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(k_const) + F.col(rank_a_out)), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(k_const) + F.col(rank_b_out)), F.lit(0.0)
+            )
+        ).alias("rrf_score"),
+        rank_a_out,
+        rank_b_out,
+    )
+    rank_w = Window.orderBy(F.col("rrf_score").desc(), id_col)
+    return f.withColumn("rank", F.row_number().over(rank_w))

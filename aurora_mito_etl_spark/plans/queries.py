@@ -3540,6 +3540,93 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Dirichlet query-likelihood retrieval (tfidf.ql_search): same corpus
+# CTE spine as BM25; the candidate x present-terms grid left-joins the
+# postings so absent terms still smooth. mu = 2000 (Zhai & Lafferty's
+# recommended prior for short queries).
+_QL_ORACLE = r"""
+    WITH tf_all AS (
+      SELECT id, tok, count(*) AS tf FROM (
+        SELECT doc_id AS id,
+               unnest(string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> '' GROUP BY id, tok
+    ),
+    doclen AS (SELECT id, sum(tf) AS dl FROM tf_all GROUP BY id),
+    cs AS (SELECT CAST(sum(dl) AS DOUBLE) AS ctot FROM doclen),
+    tf_q AS (
+      SELECT id, tok, tf FROM tf_all WHERE tok IN ('hash', 'join', 'merge', 'sort')
+    ),
+    ctf AS (SELECT tok, CAST(sum(tf) AS DOUBLE) AS ctf FROM tf_q GROUP BY tok),
+    cand AS (SELECT DISTINCT id FROM tf_q),
+    grid AS (SELECT cand.id, ctf.tok, ctf.ctf FROM cand CROSS JOIN ctf),
+    s AS (
+      SELECT g.id,
+             floor(ln((coalesce(t.tf, 0) + 2000.0 * (g.ctf / cs.ctot)) / (d.dl + 2000.0)) * 1000000 + 0.5) / 1000000 AS s
+      FROM grid g
+      LEFT JOIN tf_q t ON t.id = g.id AND t.tok = g.tok
+      JOIN doclen d ON d.id = g.id, cs
+    ),
+    scored AS (
+      SELECT id,
+             CAST(CAST(SUM(CAST(s AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS score
+      FROM s GROUP BY id
+    ),
+    ranked AS (
+      SELECT id AS doc_id, score FROM scored ORDER BY score DESC, id LIMIT 10
+    )
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+    FROM ranked
+"""
+
+
+@_register("docs_ql_search", _QL_ORACLE)
+def docs_ql_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet query-likelihood top-10 for the same query as BM25 —
+    the language-modeling scorer (Zhai & Lafferty 2001) completing
+    the lexical retrieval family, and the second voice for rank
+    fusion below."""
+    return tf_.ql_search(
+        load_table(spark, sf_dir, "documents"), "hash join merge sort", k=10
+    )
+
+
+@_register(
+    "docs_rrf_fusion",
+    f"""
+    WITH bm AS ({_BM25_ORACLE}),
+    ql AS ({_QL_ORACLE}),
+    u AS (SELECT doc_id FROM bm UNION SELECT doc_id FROM ql),
+    f AS (
+      SELECT u.doc_id,
+             floor((coalesce(1.0 / (60 + b.rank), 0.0)
+                    + coalesce(1.0 / (60 + q.rank), 0.0)) * 1000000 + 0.5) / 1000000 AS rrf_score,
+             b.rank AS bm25_rank, q.rank AS ql_rank
+      FROM u
+      LEFT JOIN bm b USING (doc_id)
+      LEFT JOIN ql q USING (doc_id)
+    )
+    SELECT doc_id, rrf_score, bm25_rank, ql_rank,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rank
+    FROM f
+    """,
+)
+def docs_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of the BM25 and
+    query-likelihood top-10 lists for the same query — the standard
+    hybrid-retrieval combiner, calibration-free because it reads only
+    ranks. Missing entries contribute 0; ranks are exact-integer
+    reciprocals summed in one fixed order, fixed6-gridded. Both
+    source lists are the already-oracle-checked queries above; this
+    pins their COMPOSITION (outer-join alignment, NULL rank
+    semantics)."""
+    d = load_table(spark, sf_dir, "documents")
+    bm = tf_.bm25_search(d, "hash join merge sort", k=10)
+    ql_ = tf_.ql_search(d, "hash join merge sort", k=10)
+    return tf_.rrf_fuse(bm, ql_)
+
+
 # Weighted sampling without replacement (operators/sampling.py
 # weighted_sample): Efraimidis–Spirakis exponential keys from the
 # portable md5 uniform; fixed6-rounded keys + id tie-break keep the
@@ -6718,8 +6805,9 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # driver-green r6+r7 — deterministic shard-local packing and a
     # bounded hashed-ngram broadcast respectively, the least drift-
     # sensitive shapes left in the tier; both stay local+fuzz-gated.
+    # docs_ccnet_buckets rotated OUT after driver-green r7 (the
+    # perplexity-bucket chain rode a full round; stays local+fuzz).
     "docs_gopher_quality",
-    "docs_ccnet_buckets",
     # docs_quality_ensemble rotated OUT after driver-green r7: the
     # incoming per-source funnel AGGREGATES the identical verdict
     # frame (same four gates, same joins), so its driver row covers
@@ -6743,7 +6831,10 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # yields its slot to the never-gated CMS query — the LSH family
     # stays sampled via docs_incremental_near_dup below.
     "docs_incremental_near_dup",
-    "docs_decontaminate_bloom",
+    # docs_decontaminate_bloom rotated OUT after driver-green r6+r7
+    # (deterministic md5 Bloom); its slot goes to the retrieval
+    # family, which had NEVER held a driver-gate row (bm25/tfidf/ql/
+    # rrf were all local+fuzz-only through r7).
     # Embedding tier core (emb_ivf_topk rotated OUT after driver-green
     # r7; the IVF family stays sampled via incoming emb_ivfpq_topk.
     # emb_kmeans_assign rotated OUT after driver-green r6+r7 — the
@@ -6851,6 +6942,11 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # Matryoshka dim-truncation recall — double brute-force ranking,
     # the most rank-tie-exposed of the new recall diagnostics.
     "emb_dim_truncation_recall",
+    # First-ever driver rows for the lexical retrieval family: the
+    # Dirichlet QL scorer and the BM25+QL reciprocal-rank fusion
+    # (outer-join NULL-rank composition is the novel plumbing).
+    "docs_ql_search",
+    "docs_rrf_fusion",
 )
 
 

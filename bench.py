@@ -95,6 +95,8 @@ HEADLINE = [
     # similarity search
     "docs_tfidf_topk",
     "docs_bm25_search",
+    "docs_ql_search",
+    "docs_rrf_fusion",
     "docs_lm_score",
     "emb_lsh_recall",
     "emb_dim_truncation_recall",

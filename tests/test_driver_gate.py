@@ -52,7 +52,6 @@ def test_driver_sample_covers_llm_tier():
     must_sample = {
         "flagship_training_corpus",
         "docs_gopher_quality",
-        "docs_decontaminate_bloom",
         # docs_pii_redact rotated OUT after driver-green r6+r7
         # (expression-only, least drift-sensitive LLM-tier shape)
         "emb_semantic_dedup",
@@ -62,7 +61,9 @@ def test_driver_sample_covers_llm_tier():
         "docs_incremental_near_dup",
         # docs_lm_score rotated OUT after driver-green r6+r7 (bigram
         # LM family stays sampled via docs_ccnet_buckets)
-        "docs_ccnet_buckets",
+        # docs_ccnet_buckets and docs_decontaminate_bloom rotated OUT
+        # after driver-green rounds; their slots went to the
+        # never-driver-gated retrieval family
         # docs_quality_ensemble rotated OUT after driver-green r7 for
         # the per-source funnel, which aggregates the same verdict
         # frame (strictly deeper composition coverage)
@@ -137,6 +138,9 @@ def test_driver_sample_covers_llm_tier():
         "events_rfm",
         # dim-truncation recall (docs_dsir_weights yielded the slot)
         "emb_dim_truncation_recall",
+        # first driver rows for the lexical retrieval family
+        "docs_ql_search",
+        "docs_rrf_fusion",
     }
     assert must_sample <= first50
     # The bisection block is contiguous and immediately follows the

@@ -167,6 +167,11 @@ DOCS_QUERIES = {
     # combination, so the sequential conditional counts are exercised
     # beyond the shipped corpus's mostly-passing profile
     "docs_quality_funnel",
+    # r8: Dirichlet QL + RRF fusion — fuzz corpora may lack some or
+    # all query terms, exercising the dropped-term and empty-candidate
+    # branches plus the fusion's NULL-rank outer-join arms
+    "docs_ql_search",
+    "docs_rrf_fusion",
 }
 
 # Relational-spine queries driven by orders/customer/part/supplier —
