@@ -3627,6 +3627,102 @@ def docs_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf_.rrf_fuse(bm, ql_)
 
 
+# Zipf rank-frequency fit per source: OLS slope of ln(freq) on
+# ln(rank) over the top-100 tokens — the corr-stats decimal-exact-sum
+# convention (x/y fixed6 logs, products multiplied IN decimal with the
+# engine-asymmetric 18,6 / 19,6 widths) so the slope combines from
+# bit-identical sums in one IEEE expression.
+_ZIPF_ORACLE = r"""
+    WITH words AS (
+      SELECT source, w FROM (
+        SELECT source,
+               unnest(string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ')) AS w
+        FROM documents)
+      WHERE w <> ''
+    ),
+    cnt AS (SELECT source, w, count(*) AS cnt FROM words GROUP BY source, w),
+    ranked AS (
+      SELECT source, w, cnt,
+             row_number() OVER (PARTITION BY source ORDER BY cnt DESC, w ASC) AS rnk
+      FROM cnt
+    ),
+    top AS (
+      SELECT source,
+             floor(ln(CAST(rnk AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS x,
+             floor(ln(CAST(cnt AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS y
+      FROM ranked WHERE rnk <= 100
+    ),
+    s AS (
+      SELECT source,
+             count(*) AS n_terms,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(y AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxy
+      FROM top GROUP BY source
+    )
+    SELECT source,
+           CAST(n_terms AS BIGINT) AS n_terms,
+           floor(((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(n_terms AS DOUBLE) * sxx - sx * sx)) * 1000000 + 0.5) / 1000000 AS zipf_slope,
+           floor(((sy - ((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                         / (CAST(n_terms AS DOUBLE) * sxx - sx * sx)) * sx)
+                  / CAST(n_terms AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS zipf_intercept
+    FROM s
+"""
+
+
+@_register("docs_zipf_slope", _ZIPF_ORACLE)
+def docs_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit per source: OLS slope (and intercept)
+    of ln(count) on ln(rank) over the top-100 tokens — the corpus-
+    health datasheet row (natural text sits near slope −1, Zipf 1949 /
+    Piantadosi 2014; templated or synthetic slices drift off). The
+    per-source rank tail is TWO-PHASE (similarity.partial_topk below
+    the exact window — the CLAUDE.md top-k rule), so no single-task
+    sort of a source's full vocabulary survives at scale; the fit
+    combines decimal-exact sums of fixed6 logs in one IEEE expression
+    per source (the lineitem_corr_stats convention)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "source", F.explode(ts.tokens_expr(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    cnt = words.groupBy("source", "w").agg(F.count("*").alias("cnt"))
+    pruned = sim.partial_topk(
+        cnt, "source", "w", k=100, score_col="cnt", ascending=False
+    )
+    w_rank = Window.partitionBy("source").orderBy(
+        F.col("cnt").desc_nulls_last(), F.col("w").asc_nulls_last()
+    )
+    top = (
+        pruned.withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= 100)
+        .select(
+            "source",
+            fixed6(F.log(F.col("rnk").cast("double"))).alias("x"),
+            fixed6(F.log(F.col("cnt").cast("double"))).alias("y"),
+        )
+    )
+    x, y = dec("x"), dec("y")
+    s = top.groupBy("source").agg(
+        F.count("*").alias("n_terms"),
+        dec_to_double(F.sum(x)).alias("sx"),
+        dec_to_double(F.sum(y)).alias("sy"),
+        dec_to_double(F.sum(x * x)).alias("sxx"),
+        dec_to_double(F.sum(x * y)).alias("sxy"),
+    )
+    n = F.col("n_terms").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "source",
+        F.col("n_terms").cast("long").alias("n_terms"),
+        fixed6(slope).alias("zipf_slope"),
+        fixed6((F.col("sy") - slope * F.col("sx")) / n).alias("zipf_intercept"),
+    )
+
+
 # Weighted sampling without replacement (operators/sampling.py
 # weighted_sample): Efraimidis–Spirakis exponential keys from the
 # portable md5 uniform; fixed6-rounded keys + id tie-break keep the

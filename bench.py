@@ -48,6 +48,7 @@ HEADLINE = [
     "docs_line_language",
     "docs_source_overlap",
     "docs_quality_funnel",
+    "docs_zipf_slope",
     # quality filtering / privacy / decontamination
     "docs_gopher_quality",
     "docs_c4_filter",

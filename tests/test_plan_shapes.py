@@ -204,6 +204,8 @@ def test_topk_tails_are_two_phase(spark):
         "emb_lsh_topk",
         "emb_ivf_topk",
         "emb_ivfpq_topk",
+        # per-source vocabulary rank tail (CLAUDE.md top-k rule)
+        "docs_zipf_slope",
     ):
         plan = plan_of(QUERIES[qname](spark, SF))
         assert "MapInPandas" in plan, qname

@@ -172,6 +172,10 @@ DOCS_QUERIES = {
     # branches plus the fusion's NULL-rank outer-join arms
     "docs_ql_search",
     "docs_rrf_fusion",
+    # r8: Zipf rank-frequency fit — hostile token distributions and
+    # tiny vocabularies exercise the top-100 boundary and the
+    # sub-100-term fit on both engines
+    "docs_zipf_slope",
 }
 
 # Relational-spine queries driven by orders/customer/part/supplier —
