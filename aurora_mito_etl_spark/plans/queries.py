@@ -5479,6 +5479,154 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_psi_drift",
+    f"""
+    WITH base AS (
+      SELECT event_type, epoch_us(ts) AS ts_us, value
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    med AS (
+      SELECT event_type, {fixed6_sql('quantile_cont(ts_us, 0.5)')} AS med_ts
+      FROM base GROUP BY event_type
+    ),
+    halved AS (
+      SELECT b.event_type, b.value, (b.ts_us <= m.med_ts) AS is_before
+      FROM base b JOIN med m USING (event_type)
+    ),
+    bounds AS (
+      SELECT event_type,
+             {fixed6_sql('quantile_cont(value, 0.1)')} AS b1,
+             {fixed6_sql('quantile_cont(value, 0.2)')} AS b2,
+             {fixed6_sql('quantile_cont(value, 0.3)')} AS b3,
+             {fixed6_sql('quantile_cont(value, 0.4)')} AS b4,
+             {fixed6_sql('quantile_cont(value, 0.5)')} AS b5,
+             {fixed6_sql('quantile_cont(value, 0.6)')} AS b6,
+             {fixed6_sql('quantile_cont(value, 0.7)')} AS b7,
+             {fixed6_sql('quantile_cont(value, 0.8)')} AS b8,
+             {fixed6_sql('quantile_cont(value, 0.9)')} AS b9
+      FROM halved WHERE is_before GROUP BY event_type
+    ),
+    binned AS (
+      SELECT h.event_type, h.is_before,
+             1 + CAST(h.value > b.b1 AS INTEGER) + CAST(h.value > b.b2 AS INTEGER)
+               + CAST(h.value > b.b3 AS INTEGER) + CAST(h.value > b.b4 AS INTEGER)
+               + CAST(h.value > b.b5 AS INTEGER) + CAST(h.value > b.b6 AS INTEGER)
+               + CAST(h.value > b.b7 AS INTEGER) + CAST(h.value > b.b8 AS INTEGER)
+               + CAST(h.value > b.b9 AS INTEGER) AS bin
+      FROM halved h JOIN bounds b USING (event_type)
+    ),
+    cnt AS (
+      SELECT event_type, bin,
+             CAST(SUM(CASE WHEN is_before THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+             CAST(SUM(CASE WHEN is_before THEN 0 ELSE 1 END) AS BIGINT) AS ca
+      FROM binned GROUP BY event_type, bin
+    ),
+    tot AS (
+      SELECT event_type, CAST(SUM(cb) AS BIGINT) AS nb, CAST(SUM(ca) AS BIGINT) AS na
+      FROM cnt GROUP BY event_type
+    ),
+    grid AS (
+      SELECT t.event_type, g.bin, t.nb, t.na
+      FROM tot t CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS bin) g
+    ),
+    contrib AS (
+      SELECT g.event_type, g.nb, g.na,
+             (CAST(coalesce(c.cb, 0) + 1 AS DOUBLE) / (g.nb + 10)) AS p,
+             (CAST(coalesce(c.ca, 0) + 1 AS DOUBLE) / (g.na + 10)) AS q
+      FROM grid g LEFT JOIN cnt c ON c.event_type = g.event_type AND c.bin = g.bin
+    )
+    SELECT event_type,
+           CAST(nb AS BIGINT) AS n_before,
+           CAST(na AS BIGINT) AS n_after,
+           CAST(CAST(SUM(CAST({fixed6_sql('(p - q) * ln(p / q)')} AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS psi
+    FROM contrib GROUP BY event_type, nb, na
+    """,
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index per event type: split each type's
+    stream at its median timestamp, bin `value` by the BEFORE half's
+    exact deciles (fixed6 boundaries, the RFM boundary-compare trick
+    — no ntile sort), and measure distribution shift as
+    PSI = sum over the fixed 10-bin grid of (p−q)·ln(p/q) with +1/+10
+    Laplace smoothing so empty bins are defined (and the grid is
+    materialized explicitly — a missing bin still contributes). The
+    standard training/serving drift gate (PSI > 0.2 ≈ act): here it
+    monitors a pipeline's own input stability between ingest halves.
+    All ratios are exact-integer divisions, each contribution fixed6,
+    the per-type sum decimal-exact; three grouped aggregates over the
+    stream plus a bins×types grid — no windows, no collects."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_type = {f.name: f.dataType.simpleString() for f in ev.schema.fields}["ts"]
+    ts_us = (
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+        if ts_type == "timestamp_ntz"
+        else F.unix_micros(F.col("ts"))
+    )
+    base = ev.where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).select("event_type", ts_us.alias("ts_us"), "value")
+    med = base.groupBy("event_type").agg(
+        fixed6(F.expr("percentile(ts_us, 0.5D)")).alias("med_ts")
+    )
+    halved = base.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", (F.col("ts_us") <= F.col("med_ts")).alias("is_before")
+    )
+    bounds = (
+        halved.where("is_before")
+        .groupBy("event_type")
+        .agg(
+            *[
+                fixed6(F.expr(f"percentile(value, 0.{i}D)")).alias(f"b{i}")
+                for i in range(1, 10)
+            ]
+        )
+    )
+    bin_col = F.lit(1)
+    for i in range(1, 10):
+        bin_col = bin_col + (F.col("value") > F.col(f"b{i}")).cast("int")
+    binned = halved.join(F.broadcast(bounds), "event_type").select(
+        "event_type", "is_before", bin_col.alias("bin")
+    )
+    cnt = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("is_before"), 1).otherwise(0)).cast("long").alias("cb"),
+        F.sum(F.when(F.col("is_before"), 0).otherwise(1)).cast("long").alias("ca"),
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("cb").cast("long").alias("nb"), F.sum("ca").cast("long").alias("na")
+    )
+    bins = spark.range(1, 11).select(F.col("id").cast("int").alias("bin"))
+    grid = tot.crossJoin(F.broadcast(bins))
+    contrib = grid.join(cnt, ["event_type", "bin"], "left").select(
+        "event_type",
+        "nb",
+        "na",
+        (
+            (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1)).cast("double")
+            / (F.col("nb") + F.lit(10))
+        ).alias("p"),
+        (
+            (F.coalesce(F.col("ca"), F.lit(0)) + F.lit(1)).cast("double")
+            / (F.col("na") + F.lit(10))
+        ).alias("q"),
+    )
+    pq = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    return (
+        contrib.select("event_type", "nb", "na", fixed6(pq).alias("f6"))
+        .groupBy("event_type", "nb", "na")
+        .agg(dec_to_double(F.sum(dec("f6"))).alias("psi"))
+        .select(
+            "event_type",
+            F.col("nb").alias("n_before"),
+            F.col("na").alias("n_after"),
+            "psi",
+        )
+    )
+
+
+@_register(
     "events_key_skew_report",
     f"""
     WITH c AS (

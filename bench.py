@@ -34,6 +34,7 @@ HEADLINE = [
     "events_moving_avg",
     "events_funnel",
     "events_rfm",
+    "events_psi_drift",
     "events_retention",
     "events_pagerank",
     "events_top_paths",

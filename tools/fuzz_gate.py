@@ -275,6 +275,9 @@ EVENTS_QUERIES = {
     # exercise the row filter, NULL-metric labels and the NULL-
     # ignoring max/sum/percentile chain on both engines
     "events_rfm",
+    # r8: PSI drift — skewed/NULL-bearing fuzz values exercise the
+    # empty-bin Laplace arm and tie-heavy decile boundaries
+    "events_psi_drift",
     "events_funnel",
     "events_retention",
     "events_profile",
