@@ -5479,6 +5479,90 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_type_hour_chi2",
+    f"""
+    WITH base AS (
+      SELECT event_type,
+             CAST((epoch_us(ts) // 3600000000) % 24 AS INTEGER) AS hr
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    o AS (SELECT event_type, hr, CAST(count(*) AS BIGINT) AS obs FROM base GROUP BY event_type, hr),
+    rm AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS row_tot FROM o GROUP BY event_type),
+    cm AS (SELECT hr, CAST(SUM(obs) AS BIGINT) AS col_tot FROM o GROUP BY hr),
+    n AS (SELECT CAST(SUM(obs) AS BIGINT) AS grand FROM o),
+    grid AS (
+      SELECT rm.event_type, cm.hr, rm.row_tot, cm.col_tot, n.grand
+      FROM rm CROSS JOIN cm CROSS JOIN n
+    ),
+    cell AS (
+      SELECT g.event_type, g.row_tot,
+             {fixed6_sql("((coalesce(o.obs, 0) - (CAST(g.row_tot AS DOUBLE) * g.col_tot) / g.grand) * (coalesce(o.obs, 0) - (CAST(g.row_tot AS DOUBLE) * g.col_tot) / g.grand)) / ((CAST(g.row_tot AS DOUBLE) * g.col_tot) / g.grand)")} AS f6
+      FROM grid g LEFT JOIN o ON o.event_type = g.event_type AND o.hr = g.hr
+    )
+    SELECT event_type,
+           CAST(row_tot AS BIGINT) AS n_rows,
+           CAST(CAST(SUM(CAST(f6 AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS chi2_part,
+           CAST(23 AS INTEGER) AS dof_part
+    FROM cell GROUP BY event_type, row_tot
+    """,
+)
+def events_type_hour_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of event_type x hour-of-day: the
+    per-type contribution (sum over its 24 cells of (obs-exp)^2/exp,
+    expected from the margins) — the classic seasonality-uniformity
+    check a monitoring pipeline runs; the repo's statistical-test
+    family entry beside PSI drift. The hour is pure integer epoch
+    arithmetic ((us // 3600e6) % 24) — no engine/session timezone in
+    the path. The contingency grid is materialized explicitly
+    (types x 24, tiny) so zero cells still contribute their expected
+    mass; each cell is one identical IEEE expression fixed6-gridded,
+    summed decimal-exact per type. Two grouped aggregates over the
+    stream plus broadcast margins — no windows, no collects."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_type = {f.name: f.dataType.simpleString() for f in ev.schema.fields}["ts"]
+    ts_us = (
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+        if ts_type == "timestamp_ntz"
+        else F.unix_micros(F.col("ts"))
+    )
+    base = (
+        ev.where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", ts_us.alias("ts_us"))
+        # true integer division (matches DuckDB //) — a double-divide
+        # round trip would lose exactness past 2^53 micros
+        .select(
+            "event_type",
+            (F.expr("ts_us div 3600000000") % 24).cast("int").alias("hr"),
+        )
+    )
+    o = base.groupBy("event_type", "hr").agg(
+        F.count("*").cast("long").alias("obs")
+    )
+    rm = o.groupBy("event_type").agg(F.sum("obs").cast("long").alias("row_tot"))
+    cm = o.groupBy("hr").agg(F.sum("obs").cast("long").alias("col_tot"))
+    n = o.agg(F.sum("obs").cast("long").alias("grand"))
+    grid = rm.crossJoin(F.broadcast(cm)).crossJoin(F.broadcast(n))
+    cell = grid.join(o, ["event_type", "hr"], "left")
+    exp = (F.col("row_tot").cast("double") * F.col("col_tot")) / F.col("grand")
+    obs0 = F.coalesce(F.col("obs"), F.lit(0))
+    f6 = fixed6(((obs0 - exp) * (obs0 - exp)) / exp)
+    return (
+        cell.select("event_type", "row_tot", f6.alias("f6"))
+        .groupBy("event_type", "row_tot")
+        .agg(dec_to_double(F.sum(dec("f6"))).alias("chi2_part"))
+        .select(
+            "event_type",
+            F.col("row_tot").alias("n_rows"),
+            "chi2_part",
+            F.lit(23).cast("int").alias("dof_part"),
+        )
+    )
+
+
+@_register(
     "events_psi_drift",
     f"""
     WITH base AS (

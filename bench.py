@@ -35,6 +35,7 @@ HEADLINE = [
     "events_funnel",
     "events_rfm",
     "events_psi_drift",
+    "events_type_hour_chi2",
     "events_retention",
     "events_pagerank",
     "events_top_paths",

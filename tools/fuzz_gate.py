@@ -278,6 +278,9 @@ EVENTS_QUERIES = {
     # r8: PSI drift — skewed/NULL-bearing fuzz values exercise the
     # empty-bin Laplace arm and tie-heavy decile boundaries
     "events_psi_drift",
+    # r8: chi-square type x hour — sparse fuzz grids exercise the
+    # zero-cell expected-mass arm
+    "events_type_hour_chi2",
     "events_funnel",
     "events_retention",
     "events_profile",
