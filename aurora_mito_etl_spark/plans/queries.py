@@ -3627,6 +3627,103 @@ def docs_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf_.rrf_fuse(bm, ql_)
 
 
+# Exact two-sample Kolmogorov-Smirnov statistic per source: each
+# source's n_chars ECDF against the REST of the corpus, evaluated at
+# every distinct corpus value (where the sup of an ECDF difference is
+# attained). ECDFs are exact-integer cumulative-count ratios.
+_KS_ORACLE = r"""
+    WITH vals AS (SELECT DISTINCT n_chars AS v FROM documents),
+    cnt AS (
+      SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, n_chars
+    ),
+    ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM cnt GROUP BY source),
+    ng AS (SELECT CAST(count(*) AS BIGINT) AS n_g FROM documents),
+    gcum AS (
+      SELECT v.v,
+             CAST(SUM(coalesce(g.c, 0)) OVER (ORDER BY v.v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_g
+      FROM vals v
+      LEFT JOIN (SELECT v, CAST(SUM(c) AS BIGINT) AS c FROM cnt GROUP BY v) g
+        ON g.v = v.v
+    ),
+    grid AS (SELECT ns.source, ns.n_s, vals.v FROM ns CROSS JOIN vals),
+    scum AS (
+      SELECT g.source, g.n_s, g.v,
+             CAST(SUM(coalesce(c.c, 0)) OVER (PARTITION BY g.source ORDER BY g.v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_s
+      FROM grid g LEFT JOIN cnt c ON c.source = g.source AND c.v = g.v
+    ),
+    diffs AS (
+      SELECT s.source, s.n_s,
+             floor(abs(CAST(s.cum_s AS DOUBLE) / s.n_s
+                       - CAST(gc.cum_g - s.cum_s AS DOUBLE) / (ng.n_g - s.n_s)) * 1000000 + 0.5) / 1000000 AS d
+      FROM scum s JOIN gcum gc ON gc.v = s.v, ng
+    )
+    SELECT source, CAST(n_s AS BIGINT) AS n_source, MAX(d) AS ks_stat
+    FROM diffs GROUP BY source, n_s
+"""
+
+
+@_register("docs_length_ks", _KS_ORACLE)
+def docs_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic of each source's
+    doc-length (n_chars) distribution against the REST of the corpus
+    — the third member of the statistical-test family (PSI drift,
+    chi-square independence, KS distribution shift); the datasheet
+    row that flags a source whose length profile diverges from the
+    mixture. The sup |F_s - F_rest| is attained at a jump point, so
+    evaluating at every distinct corpus value is exact, not an
+    approximation. ECDFs are exact-integer cumulative ratios (fixed6
+    before max); the cumulative windows run over the DISTINCT-VALUE
+    frame (bounded by the length domain, not the corpus — the global
+    one is a single ordered pass over that tiny frame, the per-source
+    one partitions by source over the sources x values grid)."""
+    d = load_table(spark, sf_dir, "documents")
+    vals = d.select(F.col("n_chars").alias("v")).distinct()
+    cnt = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    ns = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    ng = d.agg(F.count("*").cast("long").alias("n_g"))
+    gc = cnt.groupBy("v").agg(F.sum("c").cast("long").alias("c"))
+    w_g = (
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gcum = (
+        vals.join(gc, "v", "left")
+        .select("v", F.coalesce("c", F.lit(0)).alias("c"))
+        .select("v", F.sum("c").over(w_g).cast("long").alias("cum_g"))
+    )
+    grid = ns.crossJoin(vals)
+    w_s = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scum = (
+        grid.join(cnt, ["source", "v"], "left")
+        .select("source", "n_s", "v", F.coalesce("c", F.lit(0)).alias("c"))
+        .select(
+            "source", "n_s", "v", F.sum("c").over(w_s).cast("long").alias("cum_s")
+        )
+    )
+    diffs = scum.join(gcum, "v").crossJoin(F.broadcast(ng)).select(
+        "source",
+        "n_s",
+        fixed6(
+            F.abs(
+                F.col("cum_s").cast("double") / F.col("n_s")
+                - (F.col("cum_g") - F.col("cum_s")).cast("double")
+                / (F.col("n_g") - F.col("n_s"))
+            )
+        ).alias("d"),
+    )
+    return diffs.groupBy("source", "n_s").agg(F.max("d").alias("ks_stat")).select(
+        "source", F.col("n_s").alias("n_source"), "ks_stat"
+    )
+
+
 # Zipf rank-frequency fit per source: OLS slope of ln(freq) on
 # ln(rank) over the top-100 tokens — the corr-stats decimal-exact-sum
 # convention (x/y fixed6 logs, products multiplied IN decimal with the

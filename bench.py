@@ -51,6 +51,7 @@ HEADLINE = [
     "docs_source_overlap",
     "docs_quality_funnel",
     "docs_zipf_slope",
+    "docs_length_ks",
     # quality filtering / privacy / decontamination
     "docs_gopher_quality",
     "docs_c4_filter",

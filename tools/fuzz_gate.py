@@ -176,6 +176,10 @@ DOCS_QUERIES = {
     # tiny vocabularies exercise the top-100 boundary and the
     # sub-100-term fit on both engines
     "docs_zipf_slope",
+    # r8: per-source length KS — fuzz length distributions are
+    # extreme (empty docs to huge tokens), exercising the jump-point
+    # sup and the rest-of-corpus complement arithmetic
+    "docs_length_ks",
 }
 
 # Relational-spine queries driven by orders/customer/part/supplier —
