@@ -5576,6 +5576,98 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_k_anonymity",
+    f"""
+    WITH base AS (
+      SELECT event_type,
+             CAST((epoch_us(ts) // 3600000000) % 24 AS INTEGER) AS hr,
+             value
+      FROM events
+    ),
+    b AS (
+      SELECT {fixed6_sql('quantile_cont(value, 0.25)')} AS q1,
+             {fixed6_sql('quantile_cont(value, 0.50)')} AS q2,
+             {fixed6_sql('quantile_cont(value, 0.75)')} AS q3
+      FROM base
+    ),
+    quasi AS (
+      SELECT event_type, hr,
+             1 + CAST(value > b.q1 AS INTEGER)
+               + CAST(value > b.q2 AS INTEGER)
+               + CAST(value > b.q3 AS INTEGER) AS vq
+      FROM base, b
+    ),
+    g AS (
+      SELECT event_type, hr, vq, CAST(count(*) AS BIGINT) AS sz
+      FROM quasi GROUP BY event_type, hr, vq
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+           CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk,
+           CAST(MIN(sz) AS BIGINT) AS k_anonymity
+    FROM g GROUP BY event_type
+    """,
+)
+def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier combination
+    (event_type, hour-of-day, value quartile): per type, the number
+    of quasi-groups, how many fall below k=5 members, the rows at
+    re-identification risk inside them, and the achieved k-anonymity
+    level (the min group size) — the privacy-audit row next to PII
+    redaction: a group of size 1 is a fingerprint even after column
+    redaction. NULL hour/value rows form their OWN quasi-groups (both
+    engines group NULLs together — a NULL pattern can fingerprint
+    too, so dropping them would understate risk); quartile labels use
+    the boundary-compare trick on global fixed6 quantiles; hour is
+    timezone-free integer epoch arithmetic. Two grouped aggregates,
+    the second over the tiny quasi-group frame."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_type = {f.name: f.dataType.simpleString() for f in ev.schema.fields}["ts"]
+    ts_us = (
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+        if ts_type == "timestamp_ntz"
+        else F.unix_micros(F.col("ts"))
+    )
+    base = ev.select("event_type", ts_us.alias("ts_us"), "value").select(
+        "event_type",
+        (F.expr("ts_us div 3600000000") % 24).cast("int").alias("hr"),
+        "value",
+    )
+    b = base.agg(
+        *[
+            fixed6(F.expr(f"percentile(value, 0.{q}D)")).alias(f"q{i}")
+            for i, q in ((1, 25), (2, 50), (3, 75))
+        ]
+    )
+    vq = (
+        F.lit(1)
+        + (F.col("value") > F.col("q1")).cast("int")
+        + (F.col("value") > F.col("q2")).cast("int")
+        + (F.col("value") > F.col("q3")).cast("int")
+    )
+    quasi = base.crossJoin(F.broadcast(b)).select(
+        "event_type", "hr", vq.alias("vq")
+    )
+    g = quasi.groupBy("event_type", "hr", "vq").agg(
+        F.count("*").cast("long").alias("sz")
+    )
+    return g.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("sz") < 5, 1).otherwise(0)).cast("long").alias(
+            "n_small_groups"
+        ),
+        F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.min("sz").cast("long").alias("k_anonymity"),
+    )
+
+
+@_register(
     "events_type_hour_chi2",
     f"""
     WITH base AS (

@@ -36,6 +36,7 @@ HEADLINE = [
     "events_rfm",
     "events_psi_drift",
     "events_type_hour_chi2",
+    "events_k_anonymity",
     "events_retention",
     "events_pagerank",
     "events_top_paths",

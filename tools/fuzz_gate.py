@@ -285,6 +285,9 @@ EVENTS_QUERIES = {
     # r8: chi-square type x hour — sparse fuzz grids exercise the
     # zero-cell expected-mass arm
     "events_type_hour_chi2",
+    # r8: k-anonymity audit — NULL ts/value rows form their own
+    # quasi-groups; fuzz exercises the all-NULL-boundary arm too
+    "events_k_anonymity",
     "events_funnel",
     "events_retention",
     "events_profile",
