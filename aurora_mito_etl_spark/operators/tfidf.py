@@ -332,3 +332,70 @@ def rrf_fuse(
     )
     rank_w = Window.orderBy(F.col("rrf_score").desc(), id_col)
     return f.withColumn("rank", F.row_number().over(rank_w))
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    sims: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-rank (Carbonell & Goldstein
+    1998) of a bounded candidate list: greedily pick
+    ``argmax lam*score - (1-lam)*max_sim_to_selected`` k times — the
+    retrieval-diversity stage that stops a result page being five
+    paraphrases of one document.
+
+    `candidates` is a SHORTLIST by construction (a top-k list, tens
+    of rows), `sims` a SYMMETRIC (x, y, sim) pair table over it
+    (missing pair == 0 similarity). The greedy recurrence is
+    loop-UNROLLED into k tiny DataFrame rounds (anti-join the
+    selected set, max-sim join against it, argmax via orderBy+limit
+    over the bounded list) — the same unrolled shape as the pagerank
+    oracle, so a DuckDB twin can replay it as a CTE chain; every mmr
+    value is fixed6-gridded and ties break by id, so the selection
+    sequence is engine-identical. Round 1 reduces to argmax score
+    (the max-sim term is empty)."""
+    lam_c, one_minus = F.lit(float(lam)), F.lit(float(1.0 - lam))
+    # materialize the bounded inputs once: every greedy round joins
+    # against them, and without this each round's plan re-derives the
+    # FULL upstream lineage (BM25 chain, pairwise sims) k times over —
+    # the k^rounds analyzer blowup the iterative-loop rule exists for
+    candidates = candidates.localCheckpoint()
+    sims = sims.localCheckpoint()
+    sel = (
+        candidates.orderBy(F.col(score_col).desc(), id_col)
+        .limit(1)
+        .select(id_col, score_col)
+        .withColumn("mmr_rank", F.lit(1).cast("int"))
+    )
+    out = sel.localCheckpoint()
+    for rnd in range(2, k + 1):
+        selected = out.select(id_col)
+        remaining = candidates.join(selected, id_col, "anti")
+        ms = (
+            sims.join(
+                selected.withColumnRenamed(id_col, "y"), "y", "semi"
+            )
+            .groupBy("x")
+            .agg(F.max("sim").alias("ms"))
+            .withColumnRenamed("x", id_col)
+        )
+        scored = remaining.join(ms, id_col, "left").select(
+            id_col,
+            score_col,
+            fixed6(
+                lam_c * F.col(score_col)
+                - one_minus * F.coalesce(F.col("ms"), F.lit(0.0))
+            ).alias("mmr"),
+        )
+        pick = (
+            scored.orderBy(F.col("mmr").desc(), id_col)
+            .limit(1)
+            .select(id_col, score_col)
+            .withColumn("mmr_rank", F.lit(rnd).cast("int"))
+        )
+        out = out.unionByName(pick).localCheckpoint()
+    return out

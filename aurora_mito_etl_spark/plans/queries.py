@@ -3493,6 +3493,12 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # query over the corpus. Literals in the oracle are the exact Python
 # doubles the Spark side embeds (k1+1=2.2, 1-b=0.25); fixed6 + exact
 # decimal sums as everywhere.
+def _bm25_oracle(k: int = 10) -> str:
+    """The BM25 oracle with a parameterized list depth (k=10 is the
+    registered query; k=20 feeds the MMR re-rank's candidate pool)."""
+    return _BM25_ORACLE.replace("LIMIT 10", f"LIMIT {k}")
+
+
 _BM25_ORACLE = r"""
     WITH tf_all AS (
       SELECT id, tok, count(*) AS tf FROM (
@@ -3818,6 +3824,154 @@ def docs_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         fixed6(slope).alias("zipf_slope"),
         fixed6((F.col("sy") - slope * F.col("sx")) / n).alias("zipf_intercept"),
     )
+
+
+def _mmr_oracle(k: int = 5, lam: float = 0.7) -> str:
+    """Unrolled greedy MMR CTE chain (the pagerank-oracle pattern):
+    BM25 top-20 candidates, pairwise candidate 3-gram Jaccard, then k
+    rounds of argmax(lam*score - (1-lam)*max_sim_to_selected) with
+    fixed6 mmr values and id tiebreaks. The lam literals are Python
+    float reprs so both engines parse the IDENTICAL doubles the Spark
+    side multiplies by."""
+    lam_r, one_minus_r = repr(float(lam)), repr(1.0 - float(lam))
+    parts = [
+        f"""
+    WITH bm20 AS MATERIALIZED ({_bm25_oracle(20)}),
+    cand AS MATERIALIZED (SELECT doc_id, score FROM bm20),
+    g3 AS MATERIALIZED (
+      SELECT DISTINCT b.doc_id, array_to_string(b.t[i:i+2], ' ') AS g
+      FROM (
+        SELECT doc_id,
+               string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
+        FROM documents WHERE doc_id IN (SELECT doc_id FROM cand)
+      ) b, UNNEST(generate_series(1, greatest(len(b.t) - 2, 0))) AS u(i)
+    ),
+    sz AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g3 GROUP BY doc_id),
+    inter AS MATERIALIZED (
+      SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS i
+      FROM g3 a JOIN g3 b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    grid AS MATERIALIZED (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM cand a JOIN cand b ON a.doc_id < b.doc_id
+    ),
+    simgrid AS MATERIALIZED (
+      SELECT g.da, g.db,
+             CASE WHEN (coalesce(sa.n, 0) + coalesce(sb.n, 0) - coalesce(i.i, 0)) = 0
+                  THEN 0.0
+                  ELSE floor(CAST(coalesce(i.i, 0) AS DOUBLE)
+                             / (coalesce(sa.n, 0) + coalesce(sb.n, 0) - coalesce(i.i, 0))
+                             * 1000000 + 0.5) / 1000000 END AS sim
+      FROM grid g
+      LEFT JOIN inter i ON i.da = g.da AND i.db = g.db
+      LEFT JOIN sz sa ON sa.doc_id = g.da
+      LEFT JOIN sz sb ON sb.doc_id = g.db
+    ),
+    simsym AS MATERIALIZED (
+      SELECT da AS x, db AS y, sim FROM simgrid
+      UNION ALL
+      SELECT db AS x, da AS y, sim FROM simgrid
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT doc_id, score, 1 AS mmr_rank FROM cand
+      ORDER BY score DESC, doc_id LIMIT 1
+    ),
+    seen1 AS MATERIALIZED (SELECT doc_id FROM sel1)"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f""",
+    ms{r} AS MATERIALIZED (
+      SELECT x AS doc_id, MAX(sim) AS ms FROM simsym
+      WHERE y IN (SELECT doc_id FROM seen{r - 1}) GROUP BY x
+    ),
+    r{r} AS MATERIALIZED (
+      SELECT c.doc_id, c.score,
+             floor((CAST({lam_r} AS DOUBLE) * c.score
+                    - CAST({one_minus_r} AS DOUBLE) * coalesce(m.ms, 0.0))
+                   * 1000000 + 0.5) / 1000000 AS mmr
+      FROM cand c LEFT JOIN ms{r} m USING (doc_id)
+      WHERE c.doc_id NOT IN (SELECT doc_id FROM seen{r - 1})
+    ),
+    sel{r} AS MATERIALIZED (
+      SELECT doc_id, score, {r} AS mmr_rank FROM r{r}
+      ORDER BY mmr DESC, doc_id LIMIT 1
+    ),
+    seen{r} AS MATERIALIZED (
+      SELECT doc_id FROM seen{r - 1} UNION ALL SELECT doc_id FROM sel{r}
+    )"""
+        )
+    union = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, score, mmr_rank FROM sel{r}" for r in range(1, k + 1)
+    )
+    parts.append(
+        f"""
+    SELECT doc_id, score, CAST(mmr_rank AS INTEGER) AS mmr_rank
+    FROM ({union})"""
+    )
+    return "".join(parts)
+
+
+@_register("docs_mmr_rerank", _mmr_oracle())
+def docs_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval (Carbonell & Goldstein 1998): the
+    BM25 top-20 shortlist greedily re-ranked to top-5 by
+    lam*relevance - (1-lam)*max-similarity-to-already-selected
+    (lam=0.7), similarity = exact distinct-3-gram Jaccard between
+    candidate texts — the stage that stops a result page being five
+    paraphrases of one document. Candidate-pair similarity work is
+    bounded by the shortlist (20 docs scanned once via a broadcast
+    semi join; 190 pairs); the greedy recurrence is loop-unrolled
+    into 5 bounded DataFrame rounds (tfidf.mmr_rerank), replayed by
+    the oracle as an unrolled CTE chain (the pagerank pattern).
+    Fixed6 mmr values + id tiebreaks make the selection sequence
+    engine-identical; a shortlist thinner than 5 (fuzz corpora) just
+    yields fewer rows in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    cand = tf_.bm25_search(d, "hash join merge sort", k=20).select(
+        "doc_id", "score"
+    )
+    texts = d.join(F.broadcast(cand.select("doc_id")), "doc_id", "semi")
+    g3 = texts.select(
+        "doc_id", F.explode(ts.shingles_arrow(F.col("text"), 3)).alias("g")
+    ).distinct()
+    sz = g3.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    a, b = g3.alias("a"), g3.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").cast("long").alias("i"))
+    )
+    ca, cb = cand.alias("ca"), cand.alias("cb")
+    grid = ca.join(cb, F.col("ca.doc_id") < F.col("cb.doc_id")).select(
+        F.col("ca.doc_id").alias("da"), F.col("cb.doc_id").alias("db")
+    )
+    sza = sz.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    szb = sz.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    j = (
+        grid.join(inter, ["da", "db"], "left")
+        .join(sza, "da", "left")
+        .join(szb, "db", "left")
+    )
+    uni = (
+        F.coalesce("na", F.lit(0))
+        + F.coalesce("nb", F.lit(0))
+        - F.coalesce("i", F.lit(0))
+    )
+    simgrid = j.select(
+        "da",
+        "db",
+        F.when(uni == 0, F.lit(0.0))
+        .otherwise(fixed6(F.coalesce("i", F.lit(0)).cast("double") / uni))
+        .alias("sim"),
+    )
+    simsym = simgrid.select(
+        F.col("da").alias("x"), F.col("db").alias("y"), "sim"
+    ).unionByName(
+        simgrid.select(F.col("db").alias("x"), F.col("da").alias("y"), "sim")
+    )
+    return tf_.mmr_rerank(cand, simsym, k=5, lam=0.7)
 
 
 # Weighted sampling without replacement (operators/sampling.py

@@ -102,6 +102,7 @@ HEADLINE = [
     "docs_bm25_search",
     "docs_ql_search",
     "docs_rrf_fusion",
+    "docs_mmr_rerank",
     "docs_lm_score",
     "emb_lsh_recall",
     "emb_dim_truncation_recall",

@@ -180,6 +180,10 @@ DOCS_QUERIES = {
     # extreme (empty docs to huge tokens), exercising the jump-point
     # sup and the rest-of-corpus complement arithmetic
     "docs_length_ks",
+    # r8: MMR re-rank — fuzz corpora can shrink the BM25 shortlist
+    # below k (or to zero), exercising the early-exhaustion arm of
+    # the unrolled greedy on both engines
+    "docs_mmr_rerank",
 }
 
 # Relational-spine queries driven by orders/customer/part/supplier —
