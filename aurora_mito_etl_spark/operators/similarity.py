@@ -1087,3 +1087,61 @@ def hard_negative_topk(
             query_id_col, query_label_col, id_col, "neg_label", "score", "rank"
         )
     )
+
+
+def hard_positive_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    query_label_col: str = "query_label",
+) -> DataFrame:
+    """Hard-POSITIVE mining, the mirror of :func:`hard_negative_topk`:
+    for each labeled query, the `k` corpus rows LEAST similar to it
+    whose label is the SAME — the positives farthest from the anchor
+    are the ones a contrastive loss learns the most from (trivially
+    close positives contribute no gradient). Label equality is STRICT
+    (`=`, NULL never matches NULL): pairing two unlabeled rows as a
+    "positive" would be meaningless, unlike the negative miner where
+    a NULL label legitimately counts as different.
+
+    Same broadcast-query streaming-corpus plan, the same-label
+    predicate prunes before any ranking state, and the two-phase
+    top-k tail runs ASCENDING (partial_topk keeps the k smallest;
+    NULL scores still sort last in both phases). Output matches the
+    negative miner's shape with `pos_label` in place of `neg_label`.
+    """
+    v = with_norm(vectors, vec_col, "__v", "__vn")
+    q = with_norm(queries, query_vec_col, "__q", "__qn")
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .where(
+            (F.col(id_col) != F.col(query_id_col))
+            & (F.col(label_col) == F.col(query_label_col))
+        )
+        .select(
+            F.col(query_id_col),
+            F.col(query_label_col),
+            F.col(id_col),
+            F.col(label_col).alias("pos_label"),
+            _fixed6(
+                dot_arrow(F.col("__v"), F.col("__q"))
+                / (_safe_norm(F.col("__vn")) * _safe_norm(F.col("__qn")))
+            ).alias("score"),
+        )
+    )
+    pruned = partial_topk(scored, query_id_col, id_col, k, "score", ascending=True)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc_nulls_last("score"), F.asc(id_col)
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id_col, query_label_col, id_col, "pos_label", "score", "rank"
+        )
+    )

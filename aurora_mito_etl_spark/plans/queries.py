@@ -6603,6 +6603,57 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "emb_hard_positives",
+    """
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    g AS (  -- zero-norm guard: Spark scores dot/1.0 for zero vectors
+      SELECT vec_id, label, e, CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END AS nrm FROM v
+    ),
+    q AS (
+      SELECT vec_id AS query_id, label AS query_label, e, nrm
+      FROM g WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+      SELECT b.query_id, b.query_label, a.vec_id, a.label AS pos_label,
+             floor((list_dot_product(a.e, b.e) / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000 AS score
+      FROM g a, q b
+      WHERE a.vec_id <> b.query_id
+        AND a.label = b.query_label
+    ),
+    ranked AS (
+      SELECT query_id, query_label, vec_id, pos_label, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score ASC, vec_id ASC) AS rnk
+      FROM scored
+    )
+    SELECT query_id, query_label, vec_id, pos_label, score,
+           CAST(rnk AS INTEGER) AS rank
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def emb_hard_positives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-positive mining, the mirror of emb_hard_negatives: per
+    labeled query, the 3 LEAST-similar same-label corpus rows — the
+    positives a contrastive loss learns the most from (trivially
+    close positives contribute no gradient). Strict label equality
+    (NULL never matches NULL — pairing unlabeled rows as 'positives'
+    would be meaningless); ascending two-phase top-k tail; exact
+    fixed6 cosine contract."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return sim.hard_positive_topk(
+        e.select("vec_id", "label", "embedding"), q, k=3
+    )
+
+
 def _ivfpq_rerank_oracle(k: int = 5, r_cand: int = 20) -> str:
     """Compose the IVF-PQ chain at k=r_cand (the shortlist) with the
     exact-cosine contract of emb_cosine_topk restricted to shortlist

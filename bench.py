@@ -106,6 +106,7 @@ HEADLINE = [
     "docs_lm_score",
     "emb_lsh_recall",
     "emb_dim_truncation_recall",
+    "emb_hard_positives",
     "emb_cosine_topk",
     "emb_near_dup_exact",
     "emb_lsh_near_dup",

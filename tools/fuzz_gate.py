@@ -258,6 +258,9 @@ EMB_QUERIES = {
     # r8: hard negatives — the fuzz tier's NULL labels exercise the
     # null-safe IS DISTINCT FROM on both engines
     "emb_hard_negatives",
+    # r8: hard positives — STRICT label equality (NULL never pairs),
+    # the deliberate contrast with the negative miner's null-safety
+    "emb_hard_positives",
     "emb_pq_encode",
     "emb_lsh_recall",
     # r8: dim-truncation recall — fuzz vectors include zero and
