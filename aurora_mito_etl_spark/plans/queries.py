@@ -7513,6 +7513,38 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # Flagships (pinned every round)
     "flagship_training_corpus",
     "flagship_compound_mentions",
+    # ------------------------------------------------------------------
+    # Round-9 rotation (VERDICT r8 ask #1): the ELEVEN queries that had
+    # never appeared in any CORRECTNESS_r*.json window through r8 — the
+    # three long-deferred veterans first, then the late-r8 batch. All
+    # local-green at sf0.01/sf0.1; regenerated-data reds historically
+    # surface only at the driver. Evicted to make room (all driver-green
+    # r8, several multi-round): docs_gopher_quality (green r5-r8; the
+    # quality tier stays sampled via docs_quality_funnel, which
+    # aggregates the identical verdict frame), docs_incremental_near_dup
+    # (green r5-r8; LSH family stays via docs_split_leakage's MinHash
+    # pairs), emb_semantic_dedup (green r5-r8; embedding tier keeps five
+    # reps below), docs_source_report_quality (green r7-r8; the
+    # non-integer control — parent + _counts remain as the BIGINT-fix
+    # controls), emb_ivfpq_recall (ivfpq family stays via topk/rerank),
+    # emb_knn_classify (kNN kernel stays via emb_hard_negatives +
+    # incoming emb_hard_positives), docs_bpe_pair_counts (BPE family
+    # stays via train/subwords/fertility), orders_except_intersect_all
+    # (set-op family stays via customer_order_full_outer),
+    # docs_dedup_lines (line-dedup stays via docs_dedup_lines_global),
+    # docs_ngram_repetition (ngram family stays via novelty/diversity),
+    # docs_strip_boilerplate (family stays via docs_boilerplate_lines).
+    "docs_contiguous_ids",
+    "docs_length_histogram",
+    "emb_dim_stats",
+    "docs_length_ks",
+    "docs_mmr_rerank",
+    "docs_zipf_slope",
+    "emb_hard_positives",
+    "events_k_anonymity",
+    "events_psi_drift",
+    "events_type_hour_chi2",
+    "lineitem_profile",
     # LLM quality / filtering / mixing tier (CLAUDE.md window rule).
     # docs_mixture_sample and docs_bigram_pmi rotated OUT after
     # driver-green r7 — their families stay sampled via the incoming
@@ -7529,11 +7561,10 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # sensitive shapes left in the tier; both stay local+fuzz-gated.
     # docs_ccnet_buckets rotated OUT after driver-green r7 (the
     # perplexity-bucket chain rode a full round; stays local+fuzz).
-    "docs_gopher_quality",
     # docs_quality_ensemble rotated OUT after driver-green r7: the
-    # incoming per-source funnel AGGREGATES the identical verdict
-    # frame (same four gates, same joins), so its driver row covers
-    # the composition at least as deeply; ensemble stays local+fuzz.
+    # per-source funnel AGGREGATES the identical verdict frame (same
+    # four gates, same joins), so its driver row covers the
+    # composition at least as deeply; ensemble stays local+fuzz.
     "docs_quality_funnel",
     # docs_source_report bisection block: kept one more round as the
     # control for the r8 fix (CAST(SUM(n_chars) AS BIGINT) — VERDICT
@@ -7544,25 +7575,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # verdict comes from the parent + _counts rows.
     "docs_source_report",
     "docs_source_report_counts",
-    "docs_source_report_quality",
-    # Dedup / decontamination tier representatives. docs_exact_dedup
-    # (driver-green r6+r7; the exact-dedup stage also rides inside
-    # flagship_training_corpus above) and docs_near_dedup_survivors
-    # (driver-green r7) yield their slots to the late-r8 queries.
-    # docs_minhash_lsh_pairs (driver-green r1-r7, pytest-smoke-gated)
-    # yields its slot to the never-gated CMS query — the LSH family
-    # stays sampled via docs_incremental_near_dup below.
-    "docs_incremental_near_dup",
-    # docs_decontaminate_bloom rotated OUT after driver-green r6+r7
-    # (deterministic md5 Bloom); its slot goes to the retrieval
-    # family, which had NEVER held a driver-gate row (bm25/tfidf/ql/
-    # rrf were all local+fuzz-only through r7).
-    # Embedding tier core (emb_ivf_topk rotated OUT after driver-green
-    # r7; the IVF family stays sampled via incoming emb_ivfpq_topk.
-    # emb_kmeans_assign rotated OUT after driver-green r6+r7 — the
-    # trained-quantizer chain stays sampled via emb_ivfpq_topk/_rerank,
-    # which consume the same ivf_centroids/kmeans kernel.)
-    "emb_semantic_dedup",
     # Iterative-graph rep: the unrolled-CTE oracle family is the most
     # exposed to regenerated-data drift, so it stays pinned.
     "events_pagerank",
@@ -7593,15 +7605,11 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # local-green at sf0.01; regenerated-data reds historically surface
     # only at the driver, so each needs one driver-green row.
     "emb_ivfpq_topk",
-    "emb_ivfpq_recall",
-    "emb_knn_classify",
     "events_value_anomaly",
     "events_key_skew_report",
     "events_top_paths",
     "docs_temperature_mixture",
     "docs_ngram_novelty",
-    "docs_ngram_repetition",
-    "docs_bpe_pair_counts",
     "docs_source_divergence",
     "docs_ac_dict_filter",
     "docs_chunked",
@@ -7612,11 +7620,8 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # and carry the highest regenerated-data risk. Rotate the evicted
     # trio back in r9.
     "docs_boilerplate_lines",
-    "docs_strip_boilerplate",
-    "docs_dedup_lines",
     "lineitem_price_percentiles",
     "customer_order_full_outer",
-    "orders_except_intersect_all",
     # rows-only sink e2e (no oracle by design): gives the K1-K4 sink
     # family its first driver-side evidence; writes only to a tempdir.
     "release_sink_smoke",

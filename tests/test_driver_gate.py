@@ -50,106 +50,78 @@ def test_driver_sample_covers_llm_tier():
     # Exactly the curated head, in the curated order.
     assert names[: len(DRIVER_SAMPLE_PRIORITY)] == list(DRIVER_SAMPLE_PRIORITY)
     must_sample = {
+        # Pinned every round (window rule, CLAUDE.md)
         "flagship_training_corpus",
-        "docs_gopher_quality",
-        # docs_pii_redact rotated OUT after driver-green r6+r7
-        # (expression-only, least drift-sensitive LLM-tier shape)
-        "emb_semantic_dedup",
-        # docs_pack_sequences and docs_dsir_weights rotated OUT after
-        # driver-green r6+r7 (deterministic shard-local packing and a
-        # bounded hashed-ngram broadcast — least drift-sensitive)
-        "docs_incremental_near_dup",
-        # docs_lm_score rotated OUT after driver-green r6+r7 (bigram
-        # LM family stays sampled via docs_ccnet_buckets)
-        # docs_ccnet_buckets and docs_decontaminate_bloom rotated OUT
-        # after driver-green rounds; their slots went to the
-        # never-driver-gated retrieval family
-        # docs_quality_ensemble rotated OUT after driver-green r7 for
-        # the per-source funnel, which aggregates the same verdict
-        # frame (strictly deeper composition coverage)
+        "flagship_compound_mentions",
+        "docs_classify_stub",
+        "docs_media_features",
+        "events_pagerank",
+        # round-9 rotation (VERDICT r8 ask #1): the eleven queries with
+        # no driver-gate row through r8 — three long-deferred veterans
+        # plus the late-r8 batch. Evicted: docs_gopher_quality,
+        # docs_incremental_near_dup, emb_semantic_dedup (all green
+        # r5-r8), docs_source_report_quality (green r7-r8, non-integer
+        # control), and seven single-round r8 greens whose families
+        # stay represented (emb_ivfpq_recall, emb_knn_classify,
+        # docs_bpe_pair_counts, orders_except_intersect_all,
+        # docs_dedup_lines, docs_ngram_repetition,
+        # docs_strip_boilerplate).
+        "docs_contiguous_ids",
+        "docs_length_histogram",
+        "emb_dim_stats",
+        "docs_length_ks",
+        "docs_mmr_rerank",
+        "docs_zipf_slope",
+        "emb_hard_positives",
+        "events_k_anonymity",
+        "events_psi_drift",
+        "events_type_hour_chi2",
+        "lineitem_profile",
+        # quality tier rep (aggregates the gopher/c4/lm verdict frame)
         "docs_quality_funnel",
-        # round-8 control block: the r7 driver-red parent plus two
-        # column-split variants, kept adjacent one more round to
-        # confirm the BIGINT-cast fix (VERDICT r7 ask #1). _qsum
-        # (driver-green r7, non-integer control duplicated by
-        # _quality) yielded its slot to the late-r8 queries.
+        # BIGINT-cast fix controls, third consecutive round
         "docs_source_report",
         "docs_source_report_counts",
-        "docs_source_report_quality",
-        # round-8 rotation: every query that had never been driver-
-        # sampled in r1-r7 gets its first hard-gate row (VERDICT r7
-        # ask #3)
+        # round-8 rotation members riding a second round
         "emb_ivfpq_topk",
-        "emb_ivfpq_recall",
-        "emb_knn_classify",
         "events_value_anomaly",
         "events_key_skew_report",
         "events_top_paths",
         "docs_temperature_mixture",
         "docs_ngram_novelty",
-        "docs_ngram_repetition",
-        "docs_bpe_pair_counts",
         "docs_source_divergence",
         "docs_ac_dict_filter",
         "docs_chunked",
-        # NEW in round 8 (boilerplate family + intra-doc line dedup):
-        # swapped in for the three simplest "next-best" rotation
-        # fillers so new code gets its first hard-gate row now
         "docs_boilerplate_lines",
-        "docs_strip_boilerplate",
-        "docs_dedup_lines",
         "lineitem_price_percentiles",
         "customer_order_full_outer",
-        "orders_except_intersect_all",
         "release_sink_smoke",
-        # late round-8 additions, never driver-gated: BPE train/apply
-        # (unrolled-CTE oracle family), corpus-wide line dedup, the
-        # Misra-Gries heavy-hitter twin, and the profiler over the
-        # NULL-bearing dual-ts-form events table
         "docs_bpe_train",
         "docs_bpe_subwords",
         "docs_dedup_lines_global",
         "docs_heavy_hitters",
         "events_profile",
-        # newest never-gated pair (winnowing + count-min sketch);
-        # docs_minhash_lsh_pairs and scalar_function_parity (both
-        # driver-green r7 and multi-round) yielded the two slots
         "docs_winnow_fingerprints",
         "docs_cms_estimates",
-        # newest embedding ops (rerank + hard negatives);
-        # docs_clean_text and part_normalize_dedup (multi-round
-        # driver-green, fuzz-covered) yielded the two slots
         "emb_ivfpq_rerank",
         "emb_hard_negatives",
-        # final late-r8 batch, never driver-gated: diversity,
-        # fertility, per-line lang-id, split leakage. pricing_summary,
-        # window_order_stats, emb_kmeans_assign and docs_pii_redact
-        # (all driver-green r6+r7 / r1-r7, fuzz-covered) yielded the
-        # four slots.
         "docs_ngram_diversity",
         "docs_tokenizer_fertility",
         "docs_line_language",
         "docs_split_leakage",
-        # cross-source 3-gram contamination matrix (docs_lm_score,
-        # driver-green r6+r7, yielded the slot)
         "docs_source_overlap",
-        # RFM over the NULL-bearing events table (docs_pack_sequences
-        # yielded the slot)
         "events_rfm",
-        # dim-truncation recall (docs_dsir_weights yielded the slot)
         "emb_dim_truncation_recall",
-        # first driver rows for the lexical retrieval family
         "docs_ql_search",
         "docs_rrf_fusion",
     }
     assert must_sample <= first50
-    # The bisection block is contiguous and immediately follows the
-    # parent, so one CORRECTNESS file reads as a bisection table.
+    # The r7 bisection block's integer-sum members stay adjacent (the
+    # non-integer _quality control rotated out after green r7+r8).
     i = names.index("docs_source_report")
-    assert names[i : i + 3] == [
+    assert names[i : i + 2] == [
         "docs_source_report",
         "docs_source_report_counts",
-        "docs_source_report_quality",
     ]
     # The reorder is a permutation: nothing dropped, oracles intact.
     assert len(names) == len(set(names)) >= 91
