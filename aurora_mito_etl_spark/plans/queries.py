@@ -5029,10 +5029,28 @@ def orders_except_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.unionByName(ix)
 
 
-@_register("release_sink_smoke")
+@_register(
+    "release_sink_smoke",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           n_name,
+           'https://pubmed.ncbi.nlm.nih.gov/?term=' || n_name AS link,
+           TRUE AS sha_ok,
+           1 AS prov_records,
+           TRUE AS excel_ok
+    FROM nation
+    """,
+)
 def release_sink_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1-K4 release e2e, runnable from the driver's external session/
-    cwd (rows-only: a filesystem release is not SQL-expressible).
+    cwd — now oracle-paired (VERDICT r8 ask #3): the side-effects
+    (dated TSV release, provenance sha256, Excel export) happen
+    in-query, and the returned READ-BACK rows are SQL-expressible —
+    each verification outcome is folded into a deterministic column
+    (sha_ok must be TRUE, prov_records must be 1, excel_ok must be
+    TRUE on any host: it asserts to_excel succeeded exactly when
+    openpyxl is importable), so a broken sink diverges from the
+    oracle instead of reporting `no_oracle`.
 
     Replays the reference's release step (finalize_realease.py:57-113,
     582-587,726-798) in a temp dir: nation panel → engine-side link
@@ -5083,6 +5101,13 @@ def release_sink_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
             excel = "written"
         except ImportError:
             excel = "unavailable"
+        try:
+            import openpyxl  # noqa: F401
+
+            has_xl = True
+        except ImportError:
+            has_xl = False
+        excel_ok = (excel == "written") == has_xl
         back = (
             spark.read.option("sep", "\t")
             .option("header", True)
@@ -5096,14 +5121,14 @@ def release_sink_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
                 r["link"],
                 bool(sha_ok),
                 len(prov_lines),
-                excel,
+                bool(excel_ok),
             )
             for r in back
         ]
         return spark.createDataFrame(
             sorted(rows),
             "n_nationkey long, n_name string, link string, "
-            "sha_ok boolean, prov_records int, excel string",
+            "sha_ok boolean, prov_records int, excel_ok boolean",
         )
     finally:
         _shutil.rmtree(base, ignore_errors=True)
