@@ -140,7 +140,10 @@ def asof_join(
     never matched — even though the window trick would otherwise
     co-partition all NULL keys into one matching group (Spark windows
     group NULLs). Found by tools/fuzz_gate.py events tier: DuckDB's
-    ASOF JOIN `ON l.k = r.k` never matches NULL = NULL.
+    ASOF JOIN `ON l.k = r.k` never matches NULL = NULL. NULL
+    TIMESTAMPS follow comparison semantics the same way: a NULL-ts
+    right row is never matched (`r.ts <= l.ts` is never true) and a
+    NULL-ts left row matches nothing.
 
     Right-timestamp TIES resolve deterministically to the
     lexicographically-largest right struct (right_cols order), i.e.
@@ -154,8 +157,13 @@ def asof_join(
     # a column mix of different right rows (a NULL field in the latest
     # row must NOT resurrect an older row's value for that field).
     lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
+    # NULL-key rights match nobody (SQL equality), and NULL-ts rights
+    # match nobody either: `r.ts <= l.ts` is never true for NULL r.ts,
+    # but the window's NULLS FIRST ordering would otherwise sort a
+    # NULL-ts right row before everything and carry it into every
+    # left row of the key (ADVICE r8).
     rt = (
-        right.filter(F.col(on).isNotNull())  # NULL-key rights match nobody
+        right.filter(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
         .select(
             on,
             F.col(right_ts).alias("__ts"),
@@ -172,9 +180,18 @@ def asof_join(
     # right row with ts == left ts IS visible (<= semantics); the
     # struct (field-lexicographic) breaks same-timestamp ties
     # deterministically.
+    # Explicit null ordering (CLAUDE.md): only LEFT rows can still
+    # carry a NULL __ts, and NULLS FIRST is load-bearing for them —
+    # sorting before every (non-NULL-ts) right row means they see no
+    # carried state and match nothing, exactly the oracle's
+    # `r.ts <= l.ts` semantics for NULL l.ts.
     w = (
         Window.partitionBy(on)
-        .orderBy("__ts", "__side", "__r")
+        .orderBy(
+            F.col("__ts").asc_nulls_first(),
+            F.col("__side").asc_nulls_first(),
+            F.col("__r").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(

@@ -608,7 +608,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
     FROM gaps GROUP BY user_id
@@ -616,8 +616,10 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via gap detection — the batch equivalent of a
-    session_window stream (SURVEY §2.9)."""
-    e = load_table(spark, sf_dir, "events")
+    session_window stream (SURVEY §2.9). Timeline semantics: NULL-ts
+    events have no position in time and are excluded (r9; matches
+    session_window(), which drops them)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     # Native-precision gap compare (ts carries sub-second precision;
@@ -830,7 +832,7 @@ def events_hourly_gap_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
@@ -851,8 +853,9 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     builtin produces [min_ts, last_ts + gap) windows; the oracle
     reproduces that with a gap-flag cumulative sum. Second-truncated
     strings because session boundaries are timestamp arithmetic, not
-    floats."""
-    e = load_table(spark, sf_dir, "events")
+    floats. NULL-ts rows are excluded explicitly (session_window()
+    silently drops them; the oracle must agree — r9 fuzz)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         e.groupBy(
             F.session_window(F.col("ts"), "30 minutes").alias("w"), F.col("user_id")
@@ -892,13 +895,15 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id,
            CAST(CAST(SUM(CAST(floor((value) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE)
              / CAST(COUNT(value) OVER w AS DOUBLE) AS mov_avg3
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
 )
 def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.5 — frame-bounded moving average (engine-exact via decimal)."""
-    e = load_table(spark, sf_dir, "events")
+    """§2.5 — frame-bounded moving average (engine-exact via decimal).
+    NULL-ts rows are excluded: a moving frame is a timeline position,
+    and Spark/DuckDB disagree on default NULL sort placement (r9)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -2957,7 +2962,7 @@ def _pagerank_oracle(damping: float = 0.85, iters: int = 6) -> str:
     WITH e AS (
       SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
              event_type AS dst
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     w AS (
       SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
@@ -3003,8 +3008,10 @@ def _pagerank_oracle(damping: float = 0.85, iters: int = 6) -> str:
 @_register("events_pagerank", _pagerank_oracle())
 def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank of event types over the per-user transition graph
-    (6 damped power-iteration rounds, dangling mass redistributed)."""
-    ev = load_table(spark, sf_dir, "events")
+    (6 damped power-iteration rounds, dangling mass redistributed).
+    Transition edges are timeline-ordered, so NULL-ts events are
+    excluded (r9 fuzz: engines disagree on NULL sort placement)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     edges = ev.select(
         F.lag("event_type").over(w).alias("src"),
@@ -3321,7 +3328,7 @@ _TOP_PATHS_ORACLE = r"""
     WITH seq AS (
       SELECT user_id,
              array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>') AS path
-      FROM events GROUP BY user_id
+      FROM events WHERE ts IS NOT NULL GROUP BY user_id
     )
     SELECT path, count(*) AS n_users
     FROM seq GROUP BY path
@@ -3333,8 +3340,10 @@ _TOP_PATHS_ORACLE = r"""
 @_register("events_top_paths", _TOP_PATHS_ORACLE)
 def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top 20 five-step user journeys (ordered event-type paths),
-    by number of users on the path."""
-    ev = load_table(spark, sf_dir, "events")
+    by number of users on the path. NULL-ts events are excluded — a
+    journey step needs a timeline position, and struct-sort NULL
+    placement is engine-specific (r9 fuzz)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     evs = ev.groupBy("user_id").agg(
         F.sort_array(
             F.collect_list(F.struct("ts", "event_id", "event_type"))

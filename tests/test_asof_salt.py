@@ -44,6 +44,30 @@ def test_asof_join_null_payload_not_torn(spark):
     assert out["v"] is None
 
 
+def test_asof_join_null_ts_semantics(spark):
+    # ADVICE r8: a NULL-ts right row must match NOTHING (`r.ts <= l.ts`
+    # is never true), not sort NULLS-FIRST into the carry window and
+    # shadow-match every left row; a NULL-ts left row matches nothing.
+    left = spark.createDataFrame(
+        [("u1", _ts(10), "L1"), ("u1", None, "Lnull")],
+        "user_id string, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u1", None, 99.0), ("u1", _ts(5), 1.0)],
+        "user_id string, ts timestamp, v double",
+    )
+    out = j.asof_join(left, right, "user_id", "ts", "ts", ["v"])
+    got = {r["tag"]: r["v"] for r in out.collect()}
+    # L1 matches the ts=5 row (NOT the NULL-ts 99.0); Lnull matches nothing
+    assert got == {"L1": 1.0, "Lnull": None}
+    # with ONLY a NULL-ts right row, nobody matches
+    right_only_null = spark.createDataFrame(
+        [("u1", None, 99.0)], "user_id string, ts timestamp, v double"
+    )
+    out2 = j.asof_join(left, right_only_null, "user_id", "ts", "ts", ["v"])
+    assert {r["v"] for r in out2.collect()} == {None}
+
+
 def test_asof_join_tolerance_subsecond_precision(spark):
     # gap = tolerance + 1ms must be excluded (whole-second truncation
     # would admit it); gap = exactly tolerance must be included

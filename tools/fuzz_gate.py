@@ -35,8 +35,9 @@ Deliberate scope bounds (documented, not bugs):
   them.
 - Only the whitespace forms the shipped oracles already normalize
   (space, tab, newline, \x0b, \f, \r) are generated.
-- No NaN/Inf doubles and no NULL ts (a real ingest filters those
-  before analytics; the fixed6/decimal twins are not NaN-portable).
+- No NaN/Inf doubles (the fixed6/decimal twins are not NaN-portable).
+  Sparse NULL ts rows ARE generated in the events tier (r9) — every
+  ts-consuming oracle must pin NULL ordering/filtering explicitly.
 
 Usage: python tools/fuzz_gate.py [seed] [n_rows] [tier]
 tier in {docs, events, lineitem, embeddings, all} (default docs);
@@ -385,7 +386,7 @@ def make_events(rng: random.Random, n: int):
     """Adversarial events: exact timestamp ties per user, gaps landing
     EXACTLY on the 30-min sessionize and 5-min interval-join
     boundaries, midnight/hour-edge timestamps, a hot user, sparse NULL
-    user_id/value rows, negative/zero/huge values."""
+    user_id/value/ts rows, negative/zero/huge values."""
     import pyarrow as pa
 
     base = datetime(2024, 1, 1, 0, 0, 0)
@@ -423,6 +424,8 @@ def make_events(rng: random.Random, n: int):
                              microseconds=rng.randint(0, 999999))
         ts = prev + step
         cur[u if u is not None else -1] = ts
+        if rng.random() < 0.015:
+            ts = None  # sparse NULL ts rows (r9: asof/window NULL arms)
         v = rng.random()
         if v < 0.05:
             value = None
