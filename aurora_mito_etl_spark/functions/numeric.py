@@ -106,6 +106,64 @@ def fixed6_sql(expr: str) -> str:
     return f"floor(({expr}) * 1000000 + 0.5) / 1000000"
 
 
+def micros6(x: Column) -> Column:
+    """Value → exact 1e-6-grid BIGINT micros: floor(x·1e6 + 0.5) as
+    LONG, guarded so out-of-range input fails LOUDLY and identically
+    on both engines.
+
+    Why the guard (ADVICE r8): an unguarded
+    ``F.floor(x*1e6+0.5).cast('long')`` silently PINS at ±2^63 in
+    Spark (floor(double)→long saturates in non-ANSI mode) while
+    DuckDB's ``CAST(floor(...) AS BIGINT)`` raises out-of-range — the
+    exact saturate-vs-raise divergence class the fixed6 2^53 branch
+    closed for doubles. For |y| < 2^63 both engines produce the same
+    exact long (doubles ≥ 2^53 are integral, so the floor/cast chain
+    is exact everywhere in range); at |y| ≥ 2^63 this raises instead
+    of pinning. SQL twin: :func:`micros6_sql` (DuckDB's BIGINT cast
+    raises natively)."""
+    y = x.cast("double") * 1_000_000 + F.lit(0.5)
+    return F.when(y.isNull() | (F.abs(y) < F.lit(float(2**63))), F.floor(y)).otherwise(
+        F.raise_error(
+            F.format_string("micros6 overflow (|value| >= ~9.2e12): %s", y)
+        ).cast("long")
+    )
+
+
+def micros6_sql(expr: str) -> str:
+    """DuckDB SQL twin of :func:`micros6` — the BIGINT cast raises on
+    out-of-range input, matching the Spark-side loud failure."""
+    return f"CAST(floor(({expr}) * 1000000 + 0.5) AS BIGINT)"
+
+
+def micros_sum(c: Column, alias: str) -> Column:
+    """Overflow-guarded SUM over 1e-6-grid BIGINT micros.
+
+    A bare long SUM wraps silently in non-ANSI Spark while DuckDB
+    widens to HUGEINT and raises on the final BIGINT cast (ADVICE r8,
+    same divergence class as :func:`micros6`). Accumulate in
+    DECIMAL(38,0) — exact to 10^38, far past any reachable corpus —
+    and raise if the total leaves int64 range, so overflow fails
+    identically on both engines. SQL twin: :func:`micros_sum_sql`."""
+    s = F.sum(c.cast("decimal(38,0)"))
+    in_range = (s >= F.lit(-(2**63))) & (s <= F.lit(2**63 - 1))
+    return (
+        F.when(s.isNull() | in_range, s.cast("long"))
+        .otherwise(
+            F.raise_error(
+                F.format_string("micros_sum overflow: %s", s.cast("string"))
+            ).cast("long")
+        )
+        .alias(alias)
+    )
+
+
+def micros_sum_sql(expr: str, alias: str) -> str:
+    """DuckDB SQL twin of :func:`micros_sum` — SUM(BIGINT) widens to
+    HUGEINT; the BIGINT cast is the loud overflow guard (and keeps
+    the Arrow output int64, per the no-HUGEINT-output invariant)."""
+    return f"CAST(SUM({micros6_sql(expr)}) AS BIGINT) AS {alias}"
+
+
 def fixed6_py(x: float) -> float:
     """Python twin of :func:`fixed6` for Arrow/driver-side paths that
     must stay bit-identical to the Catalyst expression (math.floor on

@@ -29,6 +29,8 @@ from aurora_mito_etl_spark.functions.numeric import (
     dec_to_double,
     fixed6,
     fixed6_sql,
+    micros6,
+    micros_sum,
     oracle_dec_avg,
     oracle_dec_sum,
 )
@@ -5698,8 +5700,11 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two engines' decimal->double conversions disagreeing by one
     ulp once the sum passed the 2^53/1e6 exactness bound (~9e9) —
     the CLAUDE.md order-free-integer-grid rule exists precisely for
-    this; the long fold is type-stable and exact to +/-9.2e12 in
-    magnitude. Percentile interpolation over the big integers is the
+    this. The grid conversion and sum are the GUARDED micros6 /
+    micros_sum helpers (ADVICE r9): out-of-range input or an
+    overflowing total raises on BOTH engines instead of Spark
+    silently pinning at ±2^63 / wrapping the long sum while DuckDB
+    raises. Percentile interpolation over the big integers is the
     same IEEE op sequence on identical inputs in both engines."""
     ev = load_table(spark, sf_dir, "events")
     ts_type = {f.name: f.dataType.simpleString() for f in ev.schema.fields}["ts"]
@@ -5720,11 +5725,7 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("ts_us").alias("__last"),
             F.count("*").cast("long").alias("frequency"),
-            F.sum(
-                F.floor(F.col("value") * 1000000.0 + 0.5).cast("long")
-            )
-            .cast("long")
-            .alias("monetary_micros"),
+            micros_sum(micros6(F.col("value")), "monetary_micros"),
         )
         .crossJoin(F.broadcast(mx))
         .select(

@@ -114,3 +114,54 @@ def test_fixed6_no_long_saturation_across_engines(spark):
     got_py = [fixed6_py(v) for v in vals]
     got_np = list(fixed6_np(np.array(vals)))
     assert got_spark == got_duck == got_py == got_np
+
+
+def test_micros6_guard_matches_duckdb(spark):
+    """micros6 (1e-6-grid BIGINT) agrees with its DuckDB twin in
+    range, and out-of-range input RAISES on both engines (ADVICE r8:
+    the unguarded floor().cast('long') silently pinned at ±2^63 in
+    Spark while DuckDB's BIGINT cast raised)."""
+    import duckdb
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aurora_mito_etl_spark.functions.numeric import micros6, micros6_sql
+
+    in_range = [0.0, -7.25, 0.1234565, 9.2e12, -9.2e12, None]
+    df = spark.createDataFrame([(v,) for v in in_range], "x double")
+    got_spark = [
+        r["y"] for r in df.select(micros6(F.col("x")).alias("y")).collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(f"SELECT {micros6_sql('CAST(? AS DOUBLE)')}", [v]).fetchone()[0]
+        for v in in_range
+    ]
+    assert got_spark == got_duck
+
+    bad = spark.createDataFrame([(9.3e12,)], "x double")
+    with pytest.raises(Exception, match="micros6 overflow"):
+        bad.select(micros6(F.col("x")).alias("y")).collect()
+    with pytest.raises(duckdb.Error):
+        con.execute(f"SELECT {micros6_sql('CAST(9.3e12 AS DOUBLE)')}").fetchone()
+
+
+def test_micros_sum_guard(spark):
+    """micros_sum: exact decimal accumulation, long output, loud raise
+    when the total leaves int64 range (a bare long SUM wraps silently
+    in non-ANSI Spark while DuckDB's HUGEINT→BIGINT cast raises)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aurora_mito_etl_spark.functions.numeric import micros_sum
+
+    big = 4 * 10**18  # micros; two of these overflow int64
+    ok = spark.createDataFrame([(1.5,), (2.25,), (None,)], "m double").select(
+        F.floor(F.col("m") * 1000000 + 0.5).alias("m")
+    )
+    row = ok.agg(micros_sum(F.col("m"), "s")).collect()[0]
+    assert row["s"] == 3750000
+
+    over = spark.createDataFrame([(big,), (big,), (big,)], "m long")
+    with pytest.raises(Exception, match="micros_sum overflow"):
+        over.agg(micros_sum(F.col("m"), "s")).collect()
