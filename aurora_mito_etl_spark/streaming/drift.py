@@ -193,6 +193,10 @@ def reference_from_frame(
         r["event_type"]: [float(r[f"b{i}"]) for i in range(1, 10)]
         for r in bounds_rows
     }
+    # Empty snapshot → empty reference (ADVICE r8: createDataFrame on
+    # an empty list cannot infer a schema and raises instead).
+    if not bmap:
+        return out
     bin_expr = F.lit(1)
     # counting pass reuses the Catalyst boundary-compare (identical
     # semantics to the batch oracle), joined against the tiny bounds

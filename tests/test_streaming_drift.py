@@ -118,3 +118,17 @@ def test_stream_psi_bit_matches_batch_oracle_query(spark):
     assert set(got) == set(batch)
     for etype, (nb, na, psi) in batch.items():
         assert got[etype] == (nb, na, psi), (etype, got[etype], (nb, na, psi))
+
+
+def test_reference_from_empty_snapshot(spark):
+    # ADVICE r8: an empty snapshot frame must yield an empty reference
+    # dict, not a createDataFrame([]) schema-inference error.
+    from aurora_mito_etl_spark.streaming import drift
+
+    empty = spark.createDataFrame([], "event_type string, value double")
+    assert drift.reference_from_frame(empty) == {}
+    # and an all-NULL snapshot reduces to the same empty reference
+    nulls = spark.createDataFrame(
+        [(None, None), ("click", None)], "event_type string, value double"
+    )
+    assert drift.reference_from_frame(nulls) == {}
