@@ -3939,14 +3939,31 @@ def docs_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fixed6 mmr values + id tiebreaks make the selection sequence
     engine-identical; a shortlist thinner than 5 (fuzz corpora) just
     yields fewer rows in both engines."""
-    d = load_table(spark, sf_dir, "documents")
+    return mmr_rerank_docs(load_table(spark, sf_dir, "documents"))
+
+
+def mmr_rerank_docs(d: DataFrame) -> DataFrame:
+    """The docs_mmr_rerank pipeline over an arbitrary documents frame
+    (doc_id, text) — split out so tools/scale_smoke.py can time the
+    exact query shape on replicated corpora: BM25 top-20 shortlist →
+    distinct-3-gram Jaccard pair grid (bounded at 190 pairs) → 5
+    greedy MMR rounds.
+
+    The shortlist is localCheckpoint()ed immediately: texts (semi
+    join) and BOTH sides of the pair grid reference it, so without
+    materialization a cold run re-derives the full BM25 chain 4x
+    (~20s vs ~6s at sf0.1 — hidden from the interleaved bench by
+    same-session shuffle reuse; measured by tools/scale_smoke.py)."""
     cand = tf_.bm25_search(d, "hash join merge sort", k=20).select(
         "doc_id", "score"
-    )
+    ).localCheckpoint()
     texts = d.join(F.broadcast(cand.select("doc_id")), "doc_id", "semi")
+    # same reasoning as cand: g3 feeds both self-join sides AND the
+    # per-doc sizes — materialize the (bounded: 20 docs' distinct
+    # 3-grams) frame once instead of 3 corpus scans
     g3 = texts.select(
         "doc_id", F.explode(ts.shingles_arrow(F.col("text"), 3)).alias("g")
-    ).distinct()
+    ).distinct().localCheckpoint()
     sz = g3.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
     a, b = g3.alias("a"), g3.alias("b")
     inter = (

@@ -217,6 +217,105 @@ def main() -> int:
         skew.unpersist()
         print(json.dumps({"skew_factor": f, "hot_rows": m, "capped_lsh": capped}))
 
+    # Round-9 tier (VERDICT r8 ask #4): the late-r8 retrieval/stats
+    # shapes get the same measured-curve treatment as pagerank —
+    # fixed-size repeats (median = attributable cost, spread = box
+    # noise) plus factor scaling.
+    #
+    # - mmr: corpus scaling must be carried by the BM25/postings scan
+    #   alone — the 20-candidate shortlist, 190-pair Jaccard grid and
+    #   5 greedy rounds are corpus-size-independent by construction.
+    # - ivfpq_rerank: ADC scan is linear in corpus rows; the exact
+    #   re-rank touches only r_cand rows per query via broadcast ids
+    #   (no corpus shuffle), so the curve must stay ~linear.
+    # - profile: the unpivot + distinct-value-collapse shape must stay
+    #   ~linear in row count — the naive multi-count-DISTINCT agg it
+    #   replaced went SortAggregate-over-row-scale (21s vs 3.6s at
+    #   sf0.1, r8; now a CLAUDE.md invariant).
+    from aurora_mito_etl_spark.functions.numeric import fixed6_py
+    from aurora_mito_etl_spark.operators import profile as pf
+    from aurora_mito_etl_spark.operators import similarity as sim
+    from aurora_mito_etl_spark.plans.queries import (
+        _PROFILE_NUMERIC,
+        _PROFILE_STRING,
+        mmr_rerank_docs,
+    )
+
+    li_base = load_table(spark, "/root/testdata/sf0.1", "lineitem")
+
+    def profile_shape(li):
+        return pf.profile_table(
+            li.withColumn(
+                "l_shipdate_us",
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', l_shipdate)"
+                ),
+            ),
+            _PROFILE_NUMERIC,
+            _PROFILE_STRING,
+        )
+
+    def ivfpq_shape(emb, queries):
+        return qz.ivfpq_rerank_topk(
+            emb, queries, dim=64, m=4, n_centroids=16, k=5, r_cand=20,
+            n_cells=16, n_probe=4,
+            centroids=[[fixed6_py(x) for x in c]
+                       for c in sim.ivf_centroids(64, 16)],
+        )
+
+    emb_q = emb_base.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    # fixed-size repeats at sf0.1
+    for name, thunk in (
+        ("mmr_rerank", lambda: mmr_rerank_docs(base)),
+        ("ivfpq_rerank", lambda: ivfpq_shape(emb_base, emb_q)),
+        ("lineitem_profile", lambda: profile_shape(li_base)),
+    ):
+        reps = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            thunk().write.format("noop").mode("overwrite").save()
+            reps.append(round(time.perf_counter() - t0, 2))
+        med = sorted(reps)[len(reps) // 2]
+        print(json.dumps({f"{name}_repeats": reps, f"{name}_median": med}))
+
+    # factor scaling
+    for f in factors:
+        docs = replicate(base, f).repartition(32).cache()
+        docs.count()
+        t0 = time.perf_counter()
+        mmr_rerank_docs(docs).write.format("noop").mode("overwrite").save()
+        mmr_t = round(time.perf_counter() - t0, 2)
+        docs.unpersist()
+
+        emb = replicate_embeddings(emb_base, f).repartition(32).cache()
+        emb.count()
+        t0 = time.perf_counter()
+        ivfpq_shape(emb, emb_q).write.format("noop").mode("overwrite").save()
+        ivfpq_t = round(time.perf_counter() - t0, 2)
+        emb.unpersist()
+
+        n_ord = li_base.agg(F.max("l_orderkey")).collect()[0][0] + 1
+        li = None
+        for i in range(f):
+            c = li_base.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(i * n_ord)
+            )
+            li = c if li is None else li.unionByName(c)
+        li = li.repartition(32).cache()
+        nli = li.count()
+        t0 = time.perf_counter()
+        profile_shape(li).write.format("noop").mode("overwrite").save()
+        prof_t = round(time.perf_counter() - t0, 2)
+        li.unpersist()
+        print(json.dumps({
+            "r9_factor": f, "li_rows": nli, "mmr_rerank": mmr_t,
+            "ivfpq_rerank": ivfpq_t, "lineitem_profile": prof_t,
+        }))
+
     # Round-7 tier: PageRank steady-state (VERDICT r6 ask #8). The
     # interleaved bench drifted 3.1->4.6s on UNCHANGED graph.py across
     # rounds — this fixed-size repeat timing separates plan cost from
