@@ -73,6 +73,11 @@ def pagerank(
         .distinct()
     )
     n = vertices.count()
+    if n == 0:
+        # Empty graph (all-NULL or empty edge input): no vertices, no
+        # ranks — the oracle's CTE chain is empty too, while 1/n here
+        # would divide by zero (r9 schema-chaos tier).
+        return vertices.withColumn("rank", F.lit(0.0))
     base = (1.0 - damping) / float(n)
 
     has_out = out_w.select(F.col("src").alias("vertex"))

@@ -62,21 +62,7 @@ def bigram_lm_score(
         F.explode(_tokens(F.col(text_col))).alias("w")
     ).filter(F.col("w") != "")
     uni = words.groupBy("w").agg(F.count("*").alias("c1"))
-    # Degenerate-train guard, plan-side (no driver pull): V=0 would
-    # make every Laplace denominator (c1+V) zero and each contribution
-    # ln(x/0) = +inf — fail loudly at the one-row aggregate instead.
-    vocab = uni.agg(F.count("*").alias("V")).select(
-        F.when(F.col("V") > 0, F.col("V"))
-        .otherwise(
-            F.raise_error(
-                F.lit(
-                    "bigram_lm_score: training corpus has an empty "
-                    "vocabulary (no non-whitespace tokens)"
-                )
-            ).cast("long")
-        )
-        .alias("V")
-    )
+    vocab = uni.agg(F.count("*").alias("V"))
 
     doc_bg = docs.select(
         F.col(id_col), F.explode(shingles_arrow(F.col(text_col), 2)).alias("bg")
@@ -101,12 +87,34 @@ def bigram_lm_score(
         .crossJoin(F.broadcast(vocab))
         .select(
             F.col(id_col),
-            fixed6(
-                F.log(
-                    (F.coalesce("c2", F.lit(0)) + 1).cast("double")
-                    / (F.coalesce("c1", F.lit(0)) + F.col("V")).cast("double")
-                )
-            ).alias("f6"),
+            # Degenerate-train guard, PER CONTRIBUTION: V=0 makes the
+            # Laplace denominator (c1+V) zero, so a bigram scored
+            # against an empty vocabulary fails loudly (external-train
+            # misuse). Guarding here instead of inside the vocab
+            # aggregate keeps the defined all-NULL/empty-corpus case —
+            # zero contribution rows, every doc scores 0.0 exactly as
+            # the oracle computes — from tripping over an eager
+            # broadcast (r9 schema-chaos tier, docs_allnull variant).
+            F.when(
+                F.col("V") > 0,
+                fixed6(
+                    F.log(
+                        (F.coalesce("c2", F.lit(0)) + 1).cast("double")
+                        / (F.coalesce("c1", F.lit(0)) + F.col("V")).cast(
+                            "double"
+                        )
+                    )
+                ),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "bigram_lm_score: training corpus has an empty "
+                        "vocabulary (no non-whitespace tokens)"
+                    )
+                ).cast("double")
+            )
+            .alias("f6"),
         )
     )
     agg = contrib.groupBy(id_col).agg(

@@ -273,7 +273,12 @@ def contains_any_ac(col: Column, terms: list[str]) -> Column:
 
     def ac_batch(s):
         ac = _cached_automaton(lowered)
-        return s.map(lambda v: ac.matches(v.lower()) if v is not None else False)
+        # NULL in -> NULL out (not False): a NULL document must behave
+        # like SQL contains/rlike so that `filter(~contains_any_ac(...))`
+        # DROPS it, matching the small-dictionary rlike path and the
+        # oracle's WHERE NOT regexp_matches(...) three-valued logic
+        # (r9 schema-chaos tier, docs_allnull variant).
+        return s.map(lambda v: ac.matches(v.lower()) if v is not None else None)
 
     return pandas_udf(ac_batch, T.BooleanType())(col)
 

@@ -2148,16 +2148,20 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CASE WHEN contains(s, '(') AND NOT contains(s, ')')
                 THEN trim(string_split(s, '(')[1]) ELSE s END AS fixed
-    FROM (SELECT doc_id, concat(source, ' (', CAST(doc_id AS VARCHAR)) AS s
+    FROM (SELECT doc_id, source || ' (' || CAST(doc_id AS VARCHAR) AS s
           FROM documents WHERE doc_id % 2 = 0
           UNION ALL
-          SELECT doc_id, concat(source, ' (', CAST(doc_id AS VARCHAR), ')') AS s
+          SELECT doc_id, source || ' (' || CAST(doc_id AS VARCHAR) || ')' AS s
           FROM documents WHERE doc_id % 2 = 1)
     """,
 )
 def docs_paren_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P16 — truncate-at-unmatched-paren over a synthesized mix of
-    matched/unmatched paren strings (finalize_realease.py:542-549)."""
+    matched/unmatched paren strings (finalize_realease.py:542-549).
+    Oracle uses `||` (NULL-propagating, like Spark's concat) rather
+    than DuckDB's concat(), which SKIPS NULL arguments — an all-NULL
+    source column produced ' (101)' there vs NULL here (r9
+    schema-chaos tier)."""
     d = load_table(spark, sf_dir, "documents")
     even = d.filter(F.col("doc_id") % 2 == 0).select(
         "doc_id", F.concat("source", F.lit(" ("), F.col("doc_id").cast("string")).alias("s")
@@ -2569,7 +2573,11 @@ def _media_features_oracle() -> str:
     '#' || b)), portable to any engine with md5; the phash threshold
     is exact-integer (cell_sum·N >= total_sum·n), so every bit is
     engine-independent. 8×8×3 image ⇒ pixel p channel c is byte
-    k=3p+c of the chain: hex pair (k%16) of md5 block (k//16)."""
+    k=3p+c of the chain: hex pair (k%16) of md5 block (k//16).
+    A NULL payload yields NULL features on both sides: without the
+    s_total guard, SUM over the all-NULL bit column silently
+    collapsed to 0 and produced a phantom all-zeros phash (r9
+    schema-chaos tier, docs_allnull variant)."""
 
     def byte(ch: int) -> str:
         k = f"(t.p*3+{ch})"
@@ -2604,8 +2612,9 @@ def _media_features_oracle() -> str:
       FROM bits GROUP BY media_id
     )
     SELECT h.media_id, a.mean_r,
-           lower(lpad(to_hex(h.hi::BIGINT), 8, '0')
-                 || lpad(to_hex(h.lo::BIGINT), 8, '0')) AS phash
+           CASE WHEN a.s_total IS NULL THEN NULL
+                ELSE lower(lpad(to_hex(h.hi::BIGINT), 8, '0')
+                           || lpad(to_hex(h.lo::BIGINT), 8, '0')) END AS phash
     FROM halves h JOIN agg a USING (media_id)
     """
 
@@ -5007,15 +5016,36 @@ def docs_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets over (event_type, user cohort) with the
     grouping-id marker distinguishing rolled-up NULLs from data NULLs
-    — completes the grouping-sets surface next to pricing_rollup."""
+    — completes the grouping-sets surface next to pricing_rollup.
+
+    Expressed as the three non-global GROUPING SETS plus an explicit
+    global aggregate rather than .cube(): SQL-standard CUBE emits the
+    grand-total row even over EMPTY input (a global aggregate always
+    yields one row) and DuckDB follows the standard, but Spark's cube
+    lowers every set through Expand+groupBy, which yields zero rows on
+    empty input (r9 schema-chaos tier, events_empty variant). The
+    union shape is identical on non-empty input and standard-correct
+    on empty."""
     e = load_table(spark, sf_dir, "events").withColumn(
         "cohort", (F.col("user_id") % 10).cast("long")
     )
-    return e.cube("event_type", "cohort").agg(
+    aggs = [
         F.count("*").alias("n_events"),
         dec_sum(fixed6(F.col("value")), "total_value"),
-        F.grouping_id().cast("long").alias("gid"),
+    ]
+    partial = e.groupingSets(
+        [["event_type", "cohort"], ["event_type"], ["cohort"]],
+        "event_type",
+        "cohort",
+    ).agg(*aggs, F.grouping_id().cast("long").alias("gid"))
+    total = e.agg(*aggs).select(
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("long").alias("cohort"),
+        "n_events",
+        "total_value",
+        F.lit(3).cast("long").alias("gid"),
     )
+    return partial.unionByName(total)
 
 
 @_register(
@@ -6133,7 +6163,10 @@ def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     handling at 100 TB. One groupBy(user_id) with map-side combine,
     then a single-row final aggregate (the per-key count table never
     leaves the cluster); hot-key tie-break is (rows desc, key asc) in
-    both engines."""
+    both engines. On EMPTY input the oracle's `FROM hot` yields zero
+    rows while a bare global agg yields one all-NULL/zero row — the
+    n_keys > 0 filter pins the zero-row form (r9 schema-chaos
+    tier)."""
     ev = load_table(spark, sf_dir, "events")
     c = ev.groupBy("user_id").agg(F.count("*").alias("n"))
     return c.agg(
@@ -6155,7 +6188,7 @@ def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hot_share"),
         fixed6(F.col("__p50")).alias("p50_rows"),
         fixed6(F.col("__p99")).alias("p99_rows"),
-    )
+    ).where(F.col("n_keys") > 0)
 
 
 @_register(

@@ -159,8 +159,11 @@ def test_bigram_lm_score_external_train_corpus(spark):
 
 def test_bigram_lm_score_rejects_empty_vocabulary(spark):
     """A training corpus with no non-whitespace tokens gives V=0 and
-    every Laplace denominator zero — the plan-side guard raises
-    instead of emitting ln(x/0)=+inf scores (ADVICE r6)."""
+    every Laplace denominator zero — the per-contribution guard raises
+    instead of emitting ln(x/0)=+inf scores (ADVICE r6). Since r9 the
+    guard is lazy: it fires only when a bigram is actually scored
+    against the empty vocabulary, so the all-NULL/empty self-train
+    corpus (zero contributions) stays defined and oracle-matching."""
     import pytest
 
     from aurora_mito_etl_spark.operators.lm_score import bigram_lm_score
@@ -173,3 +176,12 @@ def test_bigram_lm_score_rejects_empty_vocabulary(spark):
     )
     with pytest.raises(Exception, match="empty vocabulary"):
         bigram_lm_score(docs, train=train).collect()
+
+    # degenerate SELF-train: no tokens anywhere -> no contributions,
+    # every doc scores 0.0 and is kept (the r9 schema-chaos contract)
+    degenerate = spark.createDataFrame(
+        [("d1", None), ("d2", "   ")], "doc_id string, text string"
+    )
+    got = {r["doc_id"]: r for r in bigram_lm_score(degenerate).collect()}
+    assert got["d1"]["n_bigrams"] == 0 and got["d1"]["avg_logprob"] == 0.0
+    assert got["d2"]["lm_keep"] is True

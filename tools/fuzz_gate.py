@@ -40,8 +40,12 @@ Deliberate scope bounds (documented, not bugs):
   ts-consuming oracle must pin NULL ordering/filtering explicitly.
 
 Usage: python tools/fuzz_gate.py [seed] [n_rows] [tier]
-tier in {docs, events, lineitem, embeddings, all} (default docs);
-n_rows 0 (or omitted) uses each tier's default size.
+tier in {docs, events, lineitem, embeddings, relational, schema, all}
+(default docs); n_rows 0 (or omitted) uses each tier's default size.
+`all` = the five DATA tiers; `schema` is the separate chaos tier
+(r9): historically-shipped alternate schema forms (events.ts as
+INT64 nanos), all-NULL nullable columns, and empty-but-typed tables,
+each replayed through the full oracle gate for the affected table.
 Exit 1 on any mismatched query, 2 on bad arguments.
 """
 
@@ -808,15 +812,96 @@ TIERS = {
 }
 
 
-def run_tier(spark, rng: random.Random, tier: str, n: int) -> tuple[int, int]:
+# ---------------------------------------------------------------- schema
+# Chaos tier (VERDICT r8 ask #6): the driver regenerates testdata
+# between rounds, and schema drift has shipped before (events.ts as
+# INT64 TIMESTAMP(NANOS) in early rounds, native timestamp[us] now —
+# pinned by tests/test_catalog_schema.py). This tier REHEARSES that
+# drift instead of discovering it at the driver: each variant mutates
+# one table into a historically-shipped alternate form, an all-NULL
+# degenerate, or an empty-but-typed file, then replays the full
+# oracle gate for every query driven by that table.
+
+
+def _empty_like(tbl):
+    """Zero-row table with the same schema."""
+    return tbl.schema.empty_table()
+
+
+def _events_ns(rng: random.Random, n: int):
+    """The historical INT64 TIMESTAMP(NANOS) form of events.ts: the
+    same adversarial rows, ts stored as timestamp[ns] (parquet
+    TIMESTAMP(NANOS) — Spark reads it as long under nanosAsLong=true
+    and load_table's type-conditional repair rebuilds the timestamp;
+    DuckDB reads TIMESTAMP_NS natively)."""
+    import pyarrow as pa
+
+    tbl = make_events(rng, n)
+    i = tbl.schema.get_field_index("ts")
+    return tbl.set_column(i, "ts", tbl.column("ts").cast(pa.timestamp("ns")))
+
+
+def _events_allnull(rng: random.Random, n: int):
+    """Every nullable events column all-NULL at once (ts, user_id,
+    value, props): timeline queries must degenerate to the same empty
+    or NULL-keyed result on both engines."""
+    import pyarrow as pa
+
+    tbl = make_events(rng, n)
+    nulls = {
+        "ts": pa.timestamp("us"),
+        "user_id": pa.int64(),
+        "value": pa.float64(),
+        "props": pa.string(),
+    }
+    for name, typ in nulls.items():
+        i = tbl.schema.get_field_index(name)
+        tbl = tbl.set_column(i, name, pa.nulls(tbl.num_rows, typ))
+    return tbl
+
+
+def _docs_allnull(rng: random.Random, n: int):
+    """documents with all-NULL text/lang/source/n_chars — the
+    regeneration-drift worst case for every text operator (doc_id
+    stays, so id-driven queries still have rows)."""
+    import pyarrow as pa
+
+    tbl = make_documents(rng, n)
+    nulls = {
+        "text": pa.string(),
+        "lang": pa.string(),
+        "source": pa.string(),
+        "n_chars": pa.int64(),
+    }
+    for name, typ in nulls.items():
+        i = tbl.schema.get_field_index(name)
+        tbl = tbl.set_column(i, name, pa.nulls(tbl.num_rows, typ))
+    return tbl
+
+
+# variant name -> (table(s) replaced, builder, query set, default n)
+SCHEMA_VARIANTS = {
+    "events_ns": ("events", _events_ns, EVENTS_QUERIES, 400),
+    "events_allnull": ("events", _events_allnull, EVENTS_QUERIES, 400),
+    "events_empty": ("events", lambda rng, n: _empty_like(make_events(rng, 8)),
+                     EVENTS_QUERIES, 0),
+    "docs_allnull": ("documents", _docs_allnull, DOCS_QUERIES, 300),
+    "docs_empty": ("documents",
+                   lambda rng, n: _empty_like(make_documents(rng, 8)),
+                   DOCS_QUERIES, 0),
+    "embeddings_empty": ("embeddings",
+                         lambda rng, n: _empty_like(make_embeddings(rng, 32)),
+                         EMB_QUERIES, 0),
+}
+
+
+def _run_built(spark, built, table, queries) -> tuple[int, int]:
     import pyarrow.parquet as pq
 
     from verify_local import TABLES, run_gate
 
-    table, builder, queries, _n0 = TIERS[tier]
-    tmp = Path(tempfile.mkdtemp(prefix=f"fuzz_gate_{tier}_"))
+    tmp = Path(tempfile.mkdtemp(prefix="fuzz_gate_"))
     try:
-        built = builder(rng, n)
         if not isinstance(built, dict):
             built = {table: built}
         for t in TABLES:
@@ -829,13 +914,30 @@ def run_tier(spark, rng: random.Random, tier: str, n: int) -> tuple[int, int]:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def run_tier(spark, rng: random.Random, tier: str, n: int) -> tuple[int, int]:
+    table, builder, queries, _n0 = TIERS[tier]
+    return _run_built(spark, builder(rng, n), table, queries)
+
+
+def run_schema_tier(spark, seed: int) -> tuple[int, int]:
+    """Run every schema-drift variant; n_rows is per-variant (the
+    empty variants ignore it by construction)."""
+    tp = tf = 0
+    for name, (table, builder, queries, vn) in SCHEMA_VARIANTS.items():
+        p, f = _run_built(spark, builder(random.Random(seed), vn), table, queries)
+        print(f"  schema variant {name}: {p} passed, {f} failed")
+        tp, tf = tp + p, tf + f
+    return tp, tf
+
+
 def main() -> int:
     seed = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 0  # 0 = per-tier default
     tier = sys.argv[3] if len(sys.argv) > 3 else "docs"
     tiers = list(TIERS) if tier == "all" else [tier]
-    if any(t not in TIERS for t in tiers):
-        print(f"unknown tier {tier!r}; choose from {sorted(TIERS)} or 'all'")
+    if any(t not in TIERS and t != "schema" for t in tiers):
+        print(f"unknown tier {tier!r}; choose from "
+              f"{sorted(TIERS) + ['schema']} or 'all'")
         return 2
 
     from pyspark.sql import SparkSession
@@ -849,10 +951,15 @@ def main() -> int:
     )
     rc = 0
     for t in tiers:
-        nt = n or TIERS[t][3]
-        n_pass, n_fail = run_tier(spark, random.Random(seed), t, nt)
-        print(f"fuzz_gate tier={t} seed={seed} n={nt}: "
-              f"{n_pass} passed, {n_fail} failed")
+        if t == "schema":
+            n_pass, n_fail = run_schema_tier(spark, seed)
+            print(f"fuzz_gate tier=schema seed={seed}: "
+                  f"{n_pass} passed, {n_fail} failed")
+        else:
+            nt = n or TIERS[t][3]
+            n_pass, n_fail = run_tier(spark, random.Random(seed), t, nt)
+            print(f"fuzz_gate tier={t} seed={seed} n={nt}: "
+                  f"{n_pass} passed, {n_fail} failed")
         rc = rc or (1 if n_fail else 0)
     spark.stop()
     return rc
