@@ -1,0 +1,89 @@
+"""Golden-fixture gate for the D2-D4 chemistry operators (VERDICT r8
+ask #2).
+
+RDKit is not installable in the build container, so reference parity
+for the chemistry stack (reference finalize_realease.py:146-227,
+275-451) cannot be executed here. This test makes the gap as small as
+it can be without that host:
+
+- `tests/fixtures/chem_goldens.json` pins the minichem kernel's full
+  output surface (8 candidates x 13 columns spanning canonical SMILES,
+  panel similarities, confidence labels, and the biguanide block)
+  against silent drift. Regenerate deliberately with
+  ``python tools/chem_parity.py --emit-goldens`` after an intentional
+  kernel change.
+- Run the same command on ANY host with RDKit and the file upgrades in
+  place to ``backend: rdkit`` goldens computed by the reference's own
+  algorithm; this test then becomes the quantified minichem-vs-RDKit
+  divergence report: each divergent cell must be listed in
+  MINICHEM_RDKIT_ALLOWED below (documented divergence), anything else
+  fails.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+GOLDENS = Path(__file__).resolve().parent / "fixtures" / "chem_goldens.json"
+
+# (candidate SMILES, column) pairs where minichem is ALLOWED to differ
+# from real-RDKit goldens, each with a documented reason. Empty until
+# an RDKit host has produced goldens and the divergences are triaged.
+MINICHEM_RDKIT_ALLOWED: dict[tuple[str, str], str] = {}
+
+
+@pytest.fixture(scope="module")
+def goldens() -> dict:
+    return json.loads(GOLDENS.read_text())
+
+
+def _minichem_rows(goldens: dict) -> list[dict]:
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import chem_parity as cp
+
+    assert goldens["candidates"] == cp.CANDIDATES
+    assert goldens["panel"] == cp.PANEL
+    from aurora_mito_etl_spark.operators import chem
+
+    return cp.fake_rows(cp.PANEL, cp.CANDIDATES, chem.minichem_backend)
+
+
+def test_minichem_matches_goldens(goldens):
+    rows = {r["SMILES"]: r for r in _minichem_rows(goldens)}
+    divergent = []
+    for exp in goldens["rows"]:
+        act = rows[exp["SMILES"]]
+        for col in goldens["columns"]:
+            e, a = exp[col], act[col]
+            ok = (
+                abs(e - a) < 5e-4
+                if isinstance(e, float) and isinstance(a, float)
+                else e == a
+            )
+            if not ok:
+                divergent.append((exp["SMILES"], col, e, a))
+    if goldens["backend"] == "minichem":
+        assert not divergent, (
+            "minichem kernel drifted from its committed goldens "
+            "(regenerate deliberately via tools/chem_parity.py "
+            f"--emit-goldens):\n{divergent}"
+        )
+    else:  # rdkit goldens: every divergence must be triaged
+        undocumented = [
+            d for d in divergent if (d[0], d[1]) not in MINICHEM_RDKIT_ALLOWED
+        ]
+        assert not undocumented, (
+            "minichem diverges from RDKit goldens in untriaged cells — "
+            f"add to MINICHEM_RDKIT_ALLOWED with a reason:\n{undocumented}"
+        )
+
+
+def test_goldens_file_shape(goldens):
+    assert goldens["backend"] in ("minichem", "rdkit")
+    assert len(goldens["rows"]) == len(goldens["candidates"])
+    assert set(goldens["columns"]) <= set(goldens["rows"][0])

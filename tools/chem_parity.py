@@ -351,7 +351,99 @@ def minichem_uncharge_checks() -> int:
     return bad
 
 
+GOLDENS_PATH = (
+    Path(__file__).resolve().parents[1] / "tests" / "fixtures" / "chem_goldens.json"
+)
+
+
+def emit_goldens(path: Path) -> int:
+    """Write the golden fixture file (VERDICT r8 ask #2).
+
+    On an RDKit host the goldens are the REFERENCE algorithm's own
+    rows (reference_rows — the independent direct computation of
+    finalize_realease.py:146-227,275-451), i.e. committed evidence of
+    the reference's actual chemistry stack. Without RDKit the file is
+    produced by the minichem kernel and honestly labeled
+    ``backend: minichem`` — a regression pin, not reference parity;
+    re-run this command on any RDKit host to upgrade it in place:
+
+        python tools/chem_parity.py --emit-goldens
+    """
+    import json
+
+    try:
+        import rdkit  # noqa: F401
+
+        backend, version = "rdkit", rdkit.__version__
+        rows = reference_rows(PANEL, CANDIDATES)
+    except ImportError:
+        from aurora_mito_etl_spark.operators import minichem
+
+        backend, version = "minichem", getattr(minichem, "__version__", "r9")
+        rows = fake_rows(PANEL, CANDIDATES, chem.minichem_backend)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(
+        json.dumps(
+            {
+                "backend": backend,
+                "backend_version": version,
+                "panel": PANEL,
+                "candidates": CANDIDATES,
+                "topk": TOPK,
+                "alpha": ALPHA,
+                "beta": BETA,
+                "columns": COLUMNS,
+                "rows": rows,
+            },
+            indent=1,
+            sort_keys=True,
+        )
+        + "\n"
+    )
+    print(f"goldens written: {path} (backend={backend} {version})")
+    return 0
+
+
+def check_goldens(path: Path) -> int:
+    """Replay the minichem kernel (plain-python AND Spark paths)
+    against a committed goldens file. Against minichem goldens this is
+    a strict regression gate; against rdkit goldens every divergent
+    cell is printed as the quantified minichem-vs-RDKit divergence
+    list the VERDICT asks for (exit code still counts them)."""
+    import json
+
+    from aurora_mito_etl_spark.session import get_spark
+
+    g = json.loads(path.read_text())
+    assert g["candidates"] == CANDIDATES and g["panel"] == PANEL, (
+        "goldens fixture was generated from a different candidate/panel set — "
+        "re-emit with --emit-goldens"
+    )
+    label = f"minichem vs {g['backend']}-goldens"
+    bad = compare(g["rows"], fake_rows(PANEL, CANDIDATES, chem.minichem_backend), label)
+    spark = get_spark(
+        app_name="chem-goldens", master="local[4]", shuffle_partitions=4
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        bad += compare(
+            g["rows"], spark_rows(spark, chem.minichem_backend), label + " (spark)"
+        )
+    finally:
+        spark.stop()
+    return 1 if bad else 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--emit-goldens":
+        return emit_goldens(
+            Path(sys.argv[2]) if len(sys.argv) > 2 else GOLDENS_PATH
+        )
+    if len(sys.argv) > 1 and sys.argv[1] == "--check-goldens":
+        return check_goldens(
+            Path(sys.argv[2]) if len(sys.argv) > 2 else GOLDENS_PATH
+        )
+
     from aurora_mito_etl_spark.session import get_spark
 
     spark = get_spark(
