@@ -951,6 +951,93 @@ def duplicate_spans(
     )
 
 
+def exact_substring_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    max_window_docs: int | None = None,
+) -> DataFrame:
+    """Per-document maximal corpus-duplicated token spans — the
+    span-REMOVAL half of Lee et al. 2022's ExactSubstr dedup
+    ("Deduplicating Training Data Makes Language Models Better" §3.2:
+    delete every substring of >= L tokens that appears more than once
+    in the corpus).
+
+    The paper's suffix array is replaced by a shuffle-native exact
+    formulation: any duplicated substring of >= k tokens is covered by
+    duplicated k-token windows, and the union of those windows'
+    [pos, pos+k) intervals IS the exact set of duplicated spans — so
+    one positional-window explode, one count aggregate, one occurrence
+    join-back and a per-document interval merge reproduce the suffix
+    array's answer at window grain k. Unlike :func:`duplicate_spans`
+    (which enumerates pair evidence and bends quadratic in Σ df²),
+    this never builds pairs: cost is LINEAR in total windows at every
+    duplication density, which is what makes it the 100 TB path.
+
+    Windows are keyed by the portable 60-bit md5 prefix
+    (functions/hashing.md5_prefix60): a collision can only OVER-mark a
+    span (conservative for removal) and the DuckDB oracle uses the
+    identical key, so results stay engine-exact. Returns
+    (id, span_start, span_end, n_windows): token-index half-open
+    [start, end) maximal merged spans plus the number of duplicated
+    windows merged into each.
+
+    `max_window_docs` drops windows occurring in more than that many
+    DOCUMENTS from marking (the duplicate_spans hot cap — boilerplate
+    suppression belongs to the boilerplate operator); spans can only
+    shrink, the conservative direction.
+    """
+    w = (
+        _spread(df)
+        .select(
+            F.col(id_col),
+            F.posexplode(shingles_arrow(F.col(text_col), k)).alias("pos", "s"),
+        )
+        .select(F.col(id_col), F.col("pos"), md5_prefix60(F.col("s")).alias("h"))
+    )
+    counts = w.groupBy("h").agg(
+        F.count("*").alias("n"), F.countDistinct(id_col).alias("ndocs")
+    )
+    dup = counts.filter(F.col("n") >= 2)
+    if max_window_docs is not None:
+        dup = dup.filter(F.col("ndocs") <= max_window_docs)
+    marked = w.join(dup.select("h"), "h").select(
+        F.col(id_col), F.col("pos"), (F.col("pos") + k).alias("end")
+    )
+    # classic interval union per document: a window starting past the
+    # running max end of every PRECEDING window opens a new span
+    # (all intervals have equal length k and are scanned in pos order,
+    # so "preceding max end" is just the previous row's end, but the
+    # running-max form stays correct for any future variable-k use)
+    by_pos = Window.partitionBy(id_col).orderBy(F.col("pos").asc_nulls_last())
+    run_max = F.max("end").over(
+        by_pos.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_span = (
+        F.when(F.col("pos") > F.coalesce(run_max, F.lit(-1)), 1)
+        .otherwise(0)
+        .alias("ns")
+    )
+    sid = marked.select(id_col, "pos", "end", new_span).select(
+        id_col,
+        "pos",
+        "end",
+        F.sum("ns").over(by_pos.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "sid"
+        ),
+    )
+    return (
+        sid.groupBy(id_col, "sid")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            F.max("end").cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_end", "n_windows")
+    )
+
+
 def dedup_clusters_best(
     df: DataFrame, pairs: DataFrame, id_col: str, priority_col: str
 ) -> DataFrame:

@@ -4738,6 +4738,58 @@ def docs_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact substring-duplication spans (dedup.exact_substring_spans)
+# ---------------------------------------------------------------------------
+
+_EXACT_SUBSTR_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, i - 1 AS pos,
+             CAST('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15) AS BIGINT) AS h
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)
+    ),
+    c AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+    m AS (SELECT w.doc_id, w.pos, w.pos + 8 AS e FROM w JOIN c USING (h)),
+    r AS (
+      SELECT doc_id, pos, e,
+             CASE WHEN pos > coalesce(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS ns
+      FROM m
+    ),
+    g AS (
+      SELECT doc_id, pos, e,
+             SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM r
+    )
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(e) AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM g GROUP BY doc_id, sid
+"""
+
+
+@_register("docs_exact_substring_spans", _EXACT_SUBSTR_ORACLE)
+def docs_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup, span-removal form (Lee et al. 2022
+    ExactSubstr): maximal per-document token spans covered by 8-token
+    windows that occur >= 2 times anywhere in the corpus. Unlike
+    docs_duplicate_spans (pairwise evidence, Σ df² join volume) this
+    is pair-free — one count aggregate plus an occurrence join-back,
+    linear in total windows at any duplication density, which is the
+    100 TB-safe shape for corpus-wide dedup."""
+    return dd.exact_substring_spans(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", k=8
+    )
+
+
+# ---------------------------------------------------------------------------
 # Tokenizer-induction surface: adjacent-pair counts (one BPE merge step)
 # ---------------------------------------------------------------------------
 
@@ -7630,6 +7682,12 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_psi_drift",
     "events_type_hour_chi2",
     "lineitem_profile",
+    # NEW in r9: exact substring-duplication spans (Lee et al.
+    # ExactSubstr, pair-free corpus-linear shape) — never driver-gated,
+    # highest regenerated-data risk of the registry. Slot freed by
+    # docs_ngram_novelty (driver-green r8; the n-gram family stays
+    # sampled via docs_ngram_diversity + docs_source_overlap below).
+    "docs_exact_substring_spans",
     # LLM quality / filtering / mixing tier (CLAUDE.md window rule).
     # docs_mixture_sample and docs_bigram_pmi rotated OUT after
     # driver-green r7 — their families stay sampled via the incoming
@@ -7694,7 +7752,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_key_skew_report",
     "events_top_paths",
     "docs_temperature_mixture",
-    "docs_ngram_novelty",
     "docs_source_divergence",
     "docs_ac_dict_filter",
     "docs_chunked",

@@ -97,6 +97,7 @@ HEADLINE = [
     "docs_incremental_near_dup",
     "docs_split_leakage",
     "docs_duplicate_spans",
+    "docs_exact_substring_spans",
     # similarity search
     "docs_tfidf_topk",
     "docs_bm25_search",

@@ -77,6 +77,10 @@ def test_driver_sample_covers_llm_tier():
         "events_psi_drift",
         "events_type_hour_chi2",
         "lineitem_profile",
+        # NEW r9 operator: exact substring-duplication spans (slot
+        # freed by docs_ngram_novelty, driver-green r8; n-gram family
+        # stays via docs_ngram_diversity + docs_source_overlap)
+        "docs_exact_substring_spans",
         # quality tier rep (aggregates the gopher/c4/lm verdict frame)
         "docs_quality_funnel",
         # BIGINT-cast fix controls, third consecutive round
@@ -88,7 +92,6 @@ def test_driver_sample_covers_llm_tier():
         "events_key_skew_report",
         "events_top_paths",
         "docs_temperature_mixture",
-        "docs_ngram_novelty",
         "docs_source_divergence",
         "docs_ac_dict_filter",
         "docs_chunked",

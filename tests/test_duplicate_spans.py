@@ -82,3 +82,64 @@ def test_portable_and_fast_hash_agree(spark):
     fast = {tuple(r) for r in _spans(spark, docs)}
     portable = {tuple(r) for r in _spans(spark, docs, portable_hash=True)}
     assert fast == portable and fast
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-duplication spans (dedup.exact_substring_spans)
+# ---------------------------------------------------------------------------
+
+
+def _xspans(spark, docs, **kw):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    kw.setdefault("k", 3)
+    rows = dd.exact_substring_spans(df, "text", "doc_id", **kw).collect()
+    return sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in rows
+    )
+
+
+def test_exact_substring_spans_basic(spark):
+    # 'one two three four five' duplicated across docs at different
+    # offsets: with k=3 every covering window is duplicated, so each
+    # doc gets ONE maximal merged span over exactly those 5 tokens
+    out = _xspans(
+        spark,
+        [
+            (1, "x one two three four five y"),
+            (2, "one two three four five z w"),
+        ],
+    )
+    assert out == [(1, 1, 6, 3), (2, 0, 5, 3)]
+
+
+def test_exact_substring_spans_within_one_doc(spark):
+    # ExactSubstr counts OCCURRENCES, not documents: a run repeated
+    # inside a single doc is duplicated too (both copies marked)
+    out = _xspans(spark, [(1, "p q r s MID p q r s")])
+    assert out == [(1, 0, 4, 2), (1, 5, 9, 2)]
+
+
+def test_exact_substring_spans_gap_splits(spark):
+    # divergent middles break the merge into two spans per doc
+    out = _xspans(
+        spark,
+        [
+            (1, "a b c d DIFF e f g h"),
+            (2, "a b c d OTHER e f g h"),
+        ],
+    )
+    assert out == [
+        (1, 0, 4, 2), (1, 5, 9, 2),
+        (2, 0, 4, 2), (2, 5, 9, 2),
+    ]
+
+
+def test_exact_substring_spans_hot_cap(spark):
+    # a window shared by more docs than max_window_docs stops marking
+    # (boilerplate suppression); spans only shrink
+    docs = [(i, f"start{i} common run here tail{i}") for i in range(1, 6)]
+    uncapped = _xspans(spark, docs)
+    assert len(uncapped) == 5  # 'common run here' marked everywhere
+    capped = _xspans(spark, docs, max_window_docs=3)
+    assert capped == []

@@ -103,6 +103,7 @@ DOCS_QUERIES = {
     "docs_simhash_pairs",
     "docs_near_dedup_survivors",
     "docs_duplicate_spans",
+    "docs_exact_substring_spans",
     "docs_containment_pairs",
     "docs_bigram_pmi",
     "docs_ngram_novelty",
