@@ -1842,13 +1842,29 @@ _COS_SQL = """
 """
 
 
+def _emb_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings scan for VECTOR-KERNEL queries: a row with a NULL
+    embedding (failed encoder output — realistic regeneration drift)
+    carries no vector and is dropped at the scan, pinned identically
+    in every paired oracle via WHERE embedding IS NOT NULL. Without
+    the pin the engines diverge LOUDLY on NULL vectors: DuckDB's
+    list_dot_product raises 'can not contain NULL values' while
+    Spark's fold returns NULL (r9 schema-chaos tier,
+    embeddings_allnull variant). Profile-style queries
+    (emb_dim_stats, emb_array_ops) deliberately keep the raw scan —
+    they must SEE the NULLs they report."""
+    return load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+
+
 @_register(
     "emb_cosine_topk",
     f"""
     WITH v AS (
       SELECT vec_id, embedding::DOUBLE[] AS e,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     g AS (  -- zero-norm guard: Spark scores dot/1.0 for zero vectors
       SELECT vec_id, e, CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END AS nrm FROM v
@@ -1870,7 +1886,7 @@ _COS_SQL = """
 def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (exact ANN baseline): corpus streams
     map-side against a broadcast query batch."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _emb_nn(spark, sf_dir)
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -1883,7 +1899,7 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS e,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     g AS (  -- zero-norm guard: Spark scores dot/1.0 for zero vectors
       SELECT vec_id, label, e, CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END AS nrm
@@ -1911,7 +1927,7 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p.query_id, t.label AS true_label, p.pred_label, p.n_votes
     FROM pick p
-    JOIN (SELECT vec_id AS query_id, label FROM embeddings WHERE vec_id % 50 = 0) t
+    JOIN (SELECT vec_id AS query_id, label FROM embeddings WHERE vec_id % 50 = 0 AND embedding IS NOT NULL) t
       USING (query_id)
     WHERE p.pr = 1
     """,
@@ -1924,7 +1940,7 @@ def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape for labeling new items by neighborhood). Exact-cosine
     baseline; swap the scorer for the LSH/IVF/IVF-PQ candidates at
     100 TB — the vote tail is identical."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _emb_nn(spark, sf_dir)
     q = e.filter(F.col("vec_id") % 50 == 0)
     out = sim.knn_classify(
         e,
@@ -1947,6 +1963,7 @@ def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(({_COS_SQL}) * 1000000 + 0.5) / 1000000 AS cos_sim
     FROM embeddings a, embeddings b
     WHERE a.vec_id < b.vec_id
+      AND a.embedding IS NOT NULL AND b.embedding IS NOT NULL
       -- zero-norm guard: the numpy mask's NaN >= t is False, while
       -- DuckDB orders NaN LARGEST — pin the Spark semantics
       AND sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) > 0
@@ -1960,7 +1977,7 @@ def emb_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     BLAS matmul against a broadcast normalized matrix. Threshold 0.5
     sits in the tail of the testdata's cosine distribution
     (max ≈ 0.60)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _emb_nn(spark, sf_dir)
     return sim.exact_near_dup_pairs_blocked(e, threshold=0.5)
 
 
@@ -1986,7 +2003,7 @@ def _lsh_near_dup_oracle(
     WITH v AS (
       SELECT vec_id, embedding::DOUBLE[] AS e,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     b AS (SELECT vec_id, e, nrm, {bucket_terms} AS bucket FROM v),
     probed AS (
@@ -2008,7 +2025,7 @@ def emb_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via random-hyperplane LSH bucketing — the
     100 TB path. Fully oracle-checked: sign buckets are bit-portable
     because both engines fold dot products in the same order."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _emb_nn(spark, sf_dir)
     # probe=2 (flip up to 2 of 4 sign bits) recovers 13/14 of the
     # exact pairs at sf0.1 — the loose 0.5 threshold (60° apart) is
     # the hard case for sign-LSH; at production thresholds (≥0.9)
@@ -2031,7 +2048,7 @@ def _lsh_topk_oracle(n_planes: int = 8, dim: int = 64, k: int = 5) -> str:
     WITH v AS (
       SELECT vec_id, embedding::DOUBLE[] AS e,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     b AS (SELECT vec_id, e,
                  CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END AS nrm,
@@ -2058,7 +2075,7 @@ def _lsh_topk_oracle(n_planes: int = 8, dim: int = 64, k: int = 5) -> str:
 def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed approximate top-k over embeddings — oracle-checked
     (sign buckets are bit-portable, see emb_lsh_near_dup)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _emb_nn(spark, sf_dir)
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -2087,7 +2104,7 @@ def _ivf_topk_oracle(
     v AS (
       SELECT vec_id, embedding::DOUBLE[] AS e,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     assigned AS (
       SELECT vec_id, e, nrm, cell,
@@ -2126,7 +2143,7 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted-index posture you'd run at 100 TB); each query probes
     its 4 nearest of 16 cells. Fully oracle-checked — the KMeans
     training path is exercised by the pytest recall test instead."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _emb_nn(spark, sf_dir)
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -2262,10 +2279,18 @@ def lineitem_qty_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping-sets aggregation (absent in the reference;
-    free engine surface per SURVEY §2.4)."""
+    free engine surface per SURVEY §2.4). The grand-total set is an
+    explicit global-aggregate union, exactly like events_cube: SQL-
+    standard ROLLUP emits the total row even over EMPTY input, which
+    Spark's Expand+groupBy lowering does not (r9 schema-chaos tier,
+    lineitem_empty variant)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
+    partial = (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"]],
+            "l_returnflag",
+            "l_linestatus",
+        )
         .agg(F.count("*").alias("n"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
@@ -2273,6 +2298,10 @@ def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+    total = li.agg(F.count("*").alias("n")).select(
+        F.lit("ALL").alias("rflag"), F.lit("ALL").alias("lstatus"), "n"
+    )
+    return partial.unionByName(total)
 
 
 @_register(
@@ -4433,7 +4462,7 @@ def _semantic_dedup_oracle(
     v AS (
       SELECT vec_id, embedding::DOUBLE[] AS e,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     assigned AS (
       SELECT vec_id, e, nrm, cell,
@@ -4464,7 +4493,7 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell assignment and keep/drop verdict (53 of 500 pruned at this
     corpus/threshold). Assignment is one Arrow pass; pairs stay
     inside cell groups — the LSH-near-dup scale posture."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _emb_nn(spark, sf_dir)
     return sim.semantic_dedup(
         e, threshold=0.4, dim=64, n_cells=16,
         centroids=sim.ivf_centroids(64, 16),
@@ -6447,7 +6476,7 @@ def _pq_oracle(dim: int = 64, m: int = 4, n_centroids: int = 16) -> str:
       VALUES
       {values}
     ),
-    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE embedding IS NOT NULL),
     assigned AS (
       SELECT vec_id, sub, cell,
              row_number() OVER (
@@ -6501,7 +6530,7 @@ def _pq_adc_oracle(
       VALUES
       {values}
     ),
-    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE embedding IS NOT NULL),
     assigned AS (
       SELECT vec_id, sub, cell,
              row_number() OVER (
@@ -6547,7 +6576,7 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC approximate top-5 over PQ codes: the corpus side is only
     its 4 nibble codes; each of 3 queries precomputes a 4×16 distance
     table and scores every row with 4 lookups."""
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = _emb_nn(spark, sf_dir).select("vec_id", "embedding")
     q = e.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -6605,7 +6634,7 @@ def _ivfpq_oracle(
       VALUES
       {pq_values}
     ),
-    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE embedding IS NOT NULL),
     vassigned AS (
       SELECT vec_id, e, ivfcell,
              row_number() OVER (
@@ -6679,7 +6708,7 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks, so the whole index build + search replays exactly in
     SQL. One Arrow corpus pass builds (cell, codes); candidates come
     from a broadcast equi-join on cell; two-phase top-k tail."""
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = _emb_nn(spark, sf_dir).select("vec_id", "embedding")
     q = e.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -6695,7 +6724,7 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS e,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     g AS (  -- zero-norm guard: Spark scores dot/1.0 for zero vectors
       SELECT vec_id, label, e, CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END AS nrm FROM v
@@ -6729,7 +6758,7 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled. Broadcast-query streaming-corpus plan with the mismatch
     predicate pruning before any ranking state; exact fixed6 cosine
     contract; two-phase top-k tail."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _emb_nn(spark, sf_dir)
     q = e.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("query_label"),
@@ -6746,7 +6775,7 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS e,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     g AS (  -- zero-norm guard: Spark scores dot/1.0 for zero vectors
       SELECT vec_id, label, e, CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END AS nrm FROM v
@@ -6780,7 +6809,7 @@ def emb_hard_positives(spark: SparkSession, sf_dir: str) -> DataFrame:
     (NULL never matches NULL — pairing unlabeled rows as 'positives'
     would be meaningless); ascending two-phase top-k tail; exact
     fixed6 cosine contract."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _emb_nn(spark, sf_dir)
     q = e.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("query_label"),
@@ -6801,7 +6830,7 @@ def _ivfpq_rerank_oracle(k: int = 5, r_cand: int = 20) -> str:
     rv AS (
       SELECT vec_id, embedding::DOUBLE[] AS e,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     rg AS (  -- zero-norm guard: Spark scores dot/1.0 for zero vectors
       SELECT vec_id, e, CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END AS nrm FROM rv
@@ -6834,7 +6863,7 @@ def emb_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     still never shuffles (candidate ids broadcast back against it).
     Scores carry the brute-force fixed6 cosine contract, making the
     result directly comparable to emb_cosine_topk rows."""
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = _emb_nn(spark, sf_dir).select("vec_id", "embedding")
     q = e.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -6876,7 +6905,7 @@ def emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     posture as emb_lsh_recall: the brute side is the expensive half
     and runs on the sample only; the IVF-PQ side is the production
     plan unchanged."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _emb_nn(spark, sf_dir)
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -6908,7 +6937,7 @@ def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     representation). One codegen'd projection, no shuffle; codes are
     bit-identical to the closed-form DuckDB oracle because both
     engines fold the same centroid literals left-to-right."""
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = _emb_nn(spark, sf_dir).select("vec_id", "embedding")
     return qz.pq_encode(e, dim=64, m=4, n_centroids=16).select(
         "vec_id", "pq_0", "pq_1", "pq_2", "pq_3", "pq_csv"
     )
@@ -7065,7 +7094,7 @@ def emb_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosines), so the overlap is exact and oracle-checkable. At 100 TB
     you run this on a SAMPLED query set (the brute side is the
     expensive half); the LSH side is the production plan unchanged."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _emb_nn(spark, sf_dir)
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -7098,7 +7127,7 @@ def _dim_trunc_recall_oracle(d_trunc: int = 32, k: int = 5) -> str:
     WITH brute AS ({brute}),
     tv AS (
       SELECT vec_id, (embedding::DOUBLE[])[1:{d_trunc}] AS e
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     tn AS (
       SELECT vec_id, e,
@@ -7148,7 +7177,7 @@ def emb_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     twice, no shuffle of the big table beyond the two rank phases. At
     100 TB run on a sampled query set like every recall diagnostic
     here."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _emb_nn(spark, sf_dir)
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )

@@ -893,7 +893,35 @@ SCHEMA_VARIANTS = {
     "embeddings_empty": ("embeddings",
                          lambda rng, n: _empty_like(make_embeddings(rng, 32)),
                          EMB_QUERIES, 0),
+    "embeddings_allnull": ("embeddings", lambda rng, n: _emb_allnull(rng, n),
+                           EMB_QUERIES, 200),
+    "lineitem_empty": ("lineitem",
+                       lambda rng, n: _empty_like(make_lineitem(rng, 64)),
+                       LINEITEM_QUERIES, 0),
+    "relational_empty": ("orders+customer+part+supplier",
+                         lambda rng, n: {
+                             t: _empty_like(tb)
+                             for t, tb in make_relational(rng, 64).items()
+                             # region stays populated: it is the tiny
+                             # always-present dimension in real data
+                             if t != "region"
+                         } | {"region": make_relational(rng, 64)["region"]},
+                         RELATIONAL_QUERIES, 0),
 }
+
+
+def _emb_allnull(rng: random.Random, n: int):
+    """Embeddings with every nullable column NULL (embedding, label):
+    vector ops must degrade to empty/NULL-safe results identically."""
+    import pyarrow as pa
+
+    tbl = make_embeddings(rng, n)
+    for name in ("embedding", "label"):
+        i = tbl.schema.get_field_index(name)
+        tbl = tbl.set_column(
+            i, name, pa.nulls(tbl.num_rows, tbl.schema.field(name).type)
+        )
+    return tbl
 
 
 def _run_built(spark, built, table, queries) -> tuple[int, int]:
