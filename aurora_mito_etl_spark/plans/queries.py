@@ -48,6 +48,7 @@ from aurora_mito_etl_spark.operators import fuzzy as fz
 from aurora_mito_etl_spark.operators import graph as gr
 from aurora_mito_etl_spark.operators import joins as j
 from aurora_mito_etl_spark.operators import packing as pk
+from aurora_mito_etl_spark.operators import pca as pca_op
 from aurora_mito_etl_spark.operators import quality as ql
 from aurora_mito_etl_spark.operators import quantize as qz
 from aurora_mito_etl_spark.operators import redact as rd
@@ -3536,6 +3537,196 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sx") / n).alias("mean_v"),
         ((n * F.col("sxx") - F.col("sx") * F.col("sx")) / (n * n)).alias("var_v"),
     )
+
+
+# Bit-portable PCA (operators/pca.py): one-pass covariance, driver-
+# side power-iteration PC1 fit (bounded d×d state, the kmeans_fit
+# pattern), grid-int projection. Both oracles replay the full chain —
+# exact decimal sums, covariance ints, 3 unrolled iterations, wide
+# projection — as CTEs (the kmeans/pagerank unrolled-oracle pattern).
+# NULL embeddings are dropped at the scan (vector-kernel rule,
+# _emb_nn); NULL ELEMENTS/short vectors flow through as NULL scores
+# via the explicit all-or-NULL term chain both engines run.
+_PCA_DIM = 16
+_PCA_ITERS = 3
+
+
+def _pca_base_sql(dim: int) -> str:
+    """Shared CTE prefix: NULL-filtered scan, fixed6 components, the
+    one wide stats row (count, decimal sums, decimal product sums) —
+    the SQL twin of pca.covariance_stats."""
+    xs = ",\n             ".join(
+        f"floor((e[{k + 1}]::DOUBLE) * 1000000 + 0.5) / 1000000 AS x{k}"
+        for k in range(dim)
+    )
+    sums = ",\n             ".join(
+        f"CAST(CAST(SUM(CAST(x{i} AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS s{i}"
+        for i in range(dim)
+    )
+    prods = ",\n             ".join(
+        f"CAST(CAST(SUM(CAST(x{i} AS DECIMAL(19,6)) * CAST(x{j} AS DECIMAL(19,6)))"
+        f" AS VARCHAR) AS DOUBLE) AS p{i}_{j}"
+        for i in range(dim)
+        for j in range(i, dim)
+    )
+    return f"""
+    v AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS e
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    comp AS MATERIALIZED (
+      SELECT vec_id,
+             {xs}
+      FROM v
+    ),
+    s AS MATERIALIZED (
+      SELECT count(*) AS n_rows,
+             {sums},
+             {prods}
+      FROM comp
+    )"""
+
+
+def _pca_cov_sql(i: int, j: int) -> str:
+    """Population covariance of dims (i, j) from the stats row — the
+    identical IEEE double expression pca._cov_raw runs."""
+    lo, hi = min(i, j), max(i, j)
+    return (
+        f"(CAST(n_rows AS DOUBLE) * p{lo}_{hi} - s{i} * s{j})"
+        f" / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE))"
+    )
+
+
+def _pca_cov_oracle(dim: int = _PCA_DIM) -> str:
+    branches = "\n      UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, n_rows, "
+        f"{fixed6_sql(_pca_cov_sql(i, j))} AS cov FROM s"
+        for i in range(dim)
+        for j in range(i, dim)
+    )
+    return f"""
+    WITH {_pca_base_sql(dim)}
+    SELECT i, j, n_rows, cov FROM (
+      {branches}
+    )
+    """
+
+
+@_register("emb_pca_cov", _pca_cov_oracle())
+def emb_pca_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance matrix (upper triangle, first 16 dims)
+    from ONE wide map-side-combinable aggregate — the whitening /
+    PCA-calibration pass. No explode of vector rows, no shuffle
+    beyond the 1-row agg: the same plan shape at 100 TB."""
+    e = _emb_nn(spark, sf_dir)
+    return pca_op.covariance_entries(
+        pca_op.covariance_stats(e, _PCA_DIM), _PCA_DIM
+    )
+
+
+def _pca_pc1_oracle(
+    dim: int = _PCA_DIM, iters: int = _PCA_ITERS, seed: int = 11
+) -> str:
+    """Unrolled power-iteration chain. Every CTE a later round
+    references is AS MATERIALIZED (DuckDB CTE-inlining rule); all
+    arithmetic is checked-BIGINT grid math mirroring pca.py's guards:
+    matvec sums, one (int→double, /1e6, +0.5, floor) regrid, one
+    (sqrt, divide, ·1e6+0.5, floor) normalize per round, zero-norm
+    rounds keep the previous vector."""
+    init_rows = ", ".join(
+        f"({i}, {vi})" for i, vi in enumerate(pca_op.pinned_init(dim, seed))
+    )
+    means = "\n      UNION ALL ".join(
+        f"SELECT {i} AS i, CAST(floor(s{i} / CAST(n_rows AS DOUBLE)"
+        f" * 1000000 + 0.5) AS BIGINT) AS mi FROM s"
+        for i in range(dim)
+    )
+    covs = "\n      UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, CAST(floor(({_pca_cov_sql(i, j)})"
+        f" * 1000000 + 0.5) AS BIGINT) AS c FROM s"
+        for i in range(dim)
+        for j in range(i, dim)
+    )
+    sql = f"""
+    WITH {_pca_base_sql(dim)},
+    half AS MATERIALIZED (
+      {covs}
+    ),
+    cmat AS MATERIALIZED (
+      SELECT i, j, c FROM half
+      UNION ALL
+      SELECT j AS i, i AS j, c FROM half WHERE i <> j
+    ),
+    m AS MATERIALIZED (
+      {means}
+    ),
+    vec0 AS MATERIALIZED (
+      SELECT i, CAST(vi AS BIGINT) AS vi FROM (VALUES {init_rows}) AS t(i, vi)
+    )"""
+    for t in range(iters):
+        sql += f""",
+    u{t} AS MATERIALIZED (
+      SELECT cm.i AS i, CAST(SUM(cm.c * vv.vi) AS BIGINT) AS u_raw
+      FROM cmat cm JOIN vec{t} vv ON cm.j = vv.i
+      GROUP BY cm.i
+    ),
+    q{t} AS MATERIALIZED (
+      SELECT i, CAST(floor(CAST(u_raw AS DOUBLE) / 1000000.0 + 0.5) AS BIGINT) AS q
+      FROM u{t}
+    ),
+    n{t} AS MATERIALIZED (SELECT CAST(SUM(q * q) AS BIGINT) AS nsq FROM q{t}),
+    vec{t + 1} AS MATERIALIZED (
+      SELECT qq.i,
+             CASE WHEN nn.nsq = 0 THEN vv.vi
+                  ELSE CAST(floor(CAST(qq.q AS DOUBLE)
+                                  / sqrt(CAST(nn.nsq AS DOUBLE))
+                                  * 1000000 + 0.5) AS BIGINT)
+             END AS vi
+      FROM q{t} qq CROSS JOIN n{t} nn JOIN vec{t} vv ON vv.i = qq.i
+    )"""
+    vw = ", ".join(
+        f"MAX(CASE WHEN i = {k} THEN vi END) AS v{k}" for k in range(dim)
+    )
+    mw = ", ".join(
+        f"MAX(CASE WHEN i = {k} THEN mi END) AS m{k}" for k in range(dim)
+    )
+    xqs = ",\n             ".join(
+        f"CAST(floor((e[{k + 1}]::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xq{k}"
+        for k in range(dim)
+    )
+    chain = " + ".join(f"vw.v{k} * (c.xq{k} - mw.m{k})" for k in range(dim))
+    sql += f""",
+    vw AS MATERIALIZED (SELECT {vw} FROM vec{iters}),
+    mw AS MATERIALIZED (SELECT {mw} FROM m),
+    cq AS MATERIALIZED (
+      SELECT vec_id,
+             {xqs}
+      FROM v
+    )
+    SELECT c.vec_id,
+           floor(CAST(({chain}) AS DOUBLE) / 1000000.0 + 0.5) / 1000000.0 AS pc1
+    FROM cq c CROSS JOIN vw CROSS JOIN mw
+    """
+    return sql
+
+
+@_register("emb_pca_pc1", _pca_pc1_oracle())
+def emb_pca_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PC1 projection scores: dominant-eigenvector fit (3 bit-portable
+    power-iteration rounds on the 16-dim covariance, pinned init) then
+    a pure-codegen mean-centered grid-int projection of every row.
+    Driver state is one d×d matrix — the kmeans_fit collect posture;
+    the corpus is touched twice (stats pass, projection pass), never
+    shuffled."""
+    e = _emb_nn(spark, sf_dir)
+    stats = pca_op.covariance_stats(e, _PCA_DIM).collect()[0]
+    fit = pca_op.fit_pc1(stats, _PCA_DIM, iterations=_PCA_ITERS)
+    if fit is None:  # empty corpus: the oracle's projection CTE is empty too
+        return spark.range(0).select(
+            F.col("id").alias("vec_id"), F.lit(0.0).alias("pc1")
+        )
+    comp, means = fit
+    return pca_op.project_component(e, _PCA_DIM, comp, means)
 
 
 # BM25 retrieval (operators/tfidf.py bm25_search): ad-hoc free-text
@@ -7717,6 +7908,17 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # docs_ngram_novelty (driver-green r8; the n-gram family stays
     # sampled via docs_ngram_diversity + docs_source_overlap below).
     "docs_exact_substring_spans",
+    # NEW in r9: bit-portable PCA pair (one-pass covariance + power-
+    # iteration PC1 projection) — never driver-gated; the unrolled-CTE
+    # oracle family is the most regenerated-data-drift-exposed shape.
+    # Slots freed by emb_ivfpq_topk (driver-green r8; the IVF-PQ chain
+    # stays sampled via emb_ivfpq_rerank, which composes the identical
+    # encode/probe/ADC stages before its exact re-rank) and
+    # events_top_paths (driver-green r8; the events family keeps seven
+    # reps in-window: value_anomaly, key_skew_report, profile, rfm,
+    # k_anonymity, psi_drift, type_hour_chi2 — plus pagerank pinned).
+    "emb_pca_cov",
+    "emb_pca_pc1",
     # LLM quality / filtering / mixing tier (CLAUDE.md window rule).
     # docs_mixture_sample and docs_bigram_pmi rotated OUT after
     # driver-green r7 — their families stay sampled via the incoming
@@ -7776,10 +7978,11 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # never appeared in any CORRECTNESS_r*.json window r1-r7. All are
     # local-green at sf0.01; regenerated-data reds historically surface
     # only at the driver, so each needs one driver-green row.
-    "emb_ivfpq_topk",
+    # (emb_ivfpq_topk and events_top_paths rotated OUT after driver-
+    # green r8 — slots to the r9 PCA pair above; families stay
+    # sampled via emb_ivfpq_rerank and the seven events reps.)
     "events_value_anomaly",
     "events_key_skew_report",
-    "events_top_paths",
     "docs_temperature_mixture",
     "docs_source_divergence",
     "docs_ac_dict_filter",

@@ -84,6 +84,8 @@ HEADLINE = [
     "emb_ivfpq_rerank",
     "emb_dim_stats",
     "emb_kmeans_assign",
+    "emb_pca_cov",
+    "emb_pca_pc1",
     # dedup
     "docs_exact_dedup",
     "docs_strip_boilerplate",

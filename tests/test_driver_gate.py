@@ -86,11 +86,14 @@ def test_driver_sample_covers_llm_tier():
         # BIGINT-cast fix controls, third consecutive round
         "docs_source_report",
         "docs_source_report_counts",
+        # NEW r9 operator pair: bit-portable PCA (slots freed by
+        # emb_ivfpq_topk and events_top_paths, both driver-green r8;
+        # IVF-PQ stays via emb_ivfpq_rerank, events keeps seven reps)
+        "emb_pca_cov",
+        "emb_pca_pc1",
         # round-8 rotation members riding a second round
-        "emb_ivfpq_topk",
         "events_value_anomaly",
         "events_key_skew_report",
-        "events_top_paths",
         "docs_temperature_mixture",
         "docs_source_divergence",
         "docs_ac_dict_filter",

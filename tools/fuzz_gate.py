@@ -272,6 +272,12 @@ EMB_QUERIES = {
     # r8: dim-truncation recall — fuzz vectors include zero and
     # zero-prefix rows, exercising the truncated side's norm guard
     "emb_dim_truncation_recall",
+    # r9: bit-portable PCA — the duplicate/negated/zero/magnitude-300
+    # rows stress the decimal covariance sums; the power-iteration
+    # replay exercises the zero-norm CASE and the NULL-label rows the
+    # all-or-NULL projection chain
+    "emb_pca_cov",
+    "emb_pca_pc1",
 }
 
 EVENTS_QUERIES = {
