@@ -209,8 +209,15 @@ def power_iteration(
     semantics), re-gridded by one (int→double, /1e6, +0.5, floor)
     sequence, then normalized by one (sqrt, divide, ·1e6+0.5, floor)
     sequence — each an identical IEEE op chain in Python, Spark and
-    DuckDB. A zero-norm round keeps the previous vector (degenerate
-    all-zero covariance, e.g. a single-row corpus)."""
+    DuckDB. The squared norm is an explicit LEFT-TO-RIGHT double
+    chain (q0² + q1² + …), not an integer SUM: squaring the regridded
+    vector overflows int64 at covariance magnitudes the matvec
+    handles fine (fuzz seed 71's magnitude-300 row → Σq² ≈ 2e22),
+    and the fixed 16-term order makes the float fold deterministic
+    on every engine. A NULL component (all-NULL input dim) poisons
+    the whole chain → an all-NULL vector, mirrored by the oracle's
+    pivoted-chain CTE. A zero-norm round keeps the previous vector
+    (degenerate all-zero covariance, e.g. a single-row corpus)."""
     dim = len(init_ints)
     v: list[int | None] = list(init_ints)
     for _ in range(iterations):
@@ -222,13 +229,18 @@ def power_iteration(
             None if r is None else _guard(math.floor(r / 1e6 + 0.5), "regrid")
             for r in u_raw
         ]
-        nsq = _guard(_sql_sum(_prod(q, q) for q in uq), "norm")
-        if nsq == 0:
+        nsq: float | None = 0.0
+        for q in uq:  # ordered float chain — the oracle's exact op order
+            if q is None:
+                nsq = None
+                break
+            nsq = nsq + float(q) * float(q)
+        if nsq == 0.0:
             continue  # keep v: degenerate round
         if nsq is None:
             v = [None] * dim
             continue
-        s = math.sqrt(float(nsq))
+        s = math.sqrt(nsq)
         v = [
             None if q is None else _guard(math.floor(q / s * _SCALE + 0.5), "vnext")
             for q in uq

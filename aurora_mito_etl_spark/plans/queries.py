@@ -3551,10 +3551,13 @@ _PCA_DIM = 16
 _PCA_ITERS = 3
 
 
-def _pca_base_sql(dim: int) -> str:
+def _pca_base_sql(dim: int, tag: str = "", where: str = "") -> str:
     """Shared CTE prefix: NULL-filtered scan, fixed6 components, the
     one wide stats row (count, decimal sums, decimal product sums) —
-    the SQL twin of pca.covariance_stats."""
+    the SQL twin of pca.covariance_stats. `tag` suffixes the CTE
+    names so two stats chains (e.g. the drift query's reference and
+    current halves) can coexist in one WITH block; `where` is an
+    extra scan predicate ANDed after the NULL filter."""
     xs = ",\n             ".join(
         f"floor((e[{k + 1}]::DOUBLE) * 1000000 + 0.5) / 1000000 AS x{k}"
         for k in range(dim)
@@ -3570,30 +3573,32 @@ def _pca_base_sql(dim: int) -> str:
         for j in range(i, dim)
     )
     return f"""
-    v AS MATERIALIZED (
+    v{tag} AS MATERIALIZED (
       SELECT vec_id, embedding::DOUBLE[] AS e
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings WHERE embedding IS NOT NULL{where}
     ),
-    comp AS MATERIALIZED (
+    comp{tag} AS MATERIALIZED (
       SELECT vec_id,
              {xs}
-      FROM v
+      FROM v{tag}
     ),
-    s AS MATERIALIZED (
+    s{tag} AS MATERIALIZED (
       SELECT count(*) AS n_rows,
              {sums},
              {prods}
-      FROM comp
+      FROM comp{tag}
     )"""
 
 
-def _pca_cov_sql(i: int, j: int) -> str:
+def _pca_cov_sql(i: int, j: int, q: str = "") -> str:
     """Population covariance of dims (i, j) from the stats row — the
-    identical IEEE double expression pca._cov_raw runs."""
+    identical IEEE double expression pca._cov_raw_sql runs. `q`
+    qualifies the stats columns when two stats rows are joined."""
+    p = f"{q}." if q else ""
     lo, hi = min(i, j), max(i, j)
     return (
-        f"(CAST(n_rows AS DOUBLE) * p{lo}_{hi} - s{i} * s{j})"
-        f" / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE))"
+        f"(CAST({p}n_rows AS DOUBLE) * {p}p{lo}_{hi} - {p}s{i} * {p}s{j})"
+        f" / (CAST({p}n_rows AS DOUBLE) * CAST({p}n_rows AS DOUBLE))"
     )
 
 
@@ -3663,6 +3668,16 @@ def _pca_pc1_oracle(
     vec0 AS MATERIALIZED (
       SELECT i, CAST(vi AS BIGINT) AS vi FROM (VALUES {init_rows}) AS t(i, vi)
     )"""
+    # squared norm = explicit LEFT-TO-RIGHT double chain over the
+    # pivoted q's, not SUM(q*q): the int sum overflows at covariance
+    # magnitudes the matvec handles (fuzz seed 71), and the fixed term
+    # order pins the float fold — the driver twin runs the same chain.
+    uw_cols = ", ".join(
+        f"MAX(CASE WHEN i = {k} THEN q END) AS q{k}" for k in range(dim)
+    )
+    nsq_chain = " + ".join(
+        f"CAST(q{k} AS DOUBLE) * CAST(q{k} AS DOUBLE)" for k in range(dim)
+    )
     for t in range(iters):
         sql += f""",
     u{t} AS MATERIALIZED (
@@ -3674,12 +3689,15 @@ def _pca_pc1_oracle(
       SELECT i, CAST(floor(CAST(u_raw AS DOUBLE) / 1000000.0 + 0.5) AS BIGINT) AS q
       FROM u{t}
     ),
-    n{t} AS MATERIALIZED (SELECT CAST(SUM(q * q) AS BIGINT) AS nsq FROM q{t}),
+    n{t} AS MATERIALIZED (
+      SELECT ({nsq_chain}) AS nsq
+      FROM (SELECT {uw_cols} FROM q{t})
+    ),
     vec{t + 1} AS MATERIALIZED (
       SELECT qq.i,
              CASE WHEN nn.nsq = 0 THEN vv.vi
                   ELSE CAST(floor(CAST(qq.q AS DOUBLE)
-                                  / sqrt(CAST(nn.nsq AS DOUBLE))
+                                  / sqrt(nn.nsq)
                                   * 1000000 + 0.5) AS BIGINT)
              END AS vi
       FROM q{t} qq CROSS JOIN n{t} nn JOIN vec{t} vv ON vv.i = qq.i
@@ -3727,6 +3745,70 @@ def emb_pca_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     comp, means = fit
     return pca_op.project_component(e, _PCA_DIM, comp, means)
+
+
+def _pca_cov_drift_oracle(dim: int = _PCA_DIM) -> str:
+    """Two tagged stats chains (reference = even vec_ids, current =
+    odd), cross-joined 1×1, then per-pair drift = fixed6(|cov_cur −
+    cov_ref|) over the fixed6-ROUNDED covariances — the exact Spark
+    column arithmetic."""
+    parts = []
+    for i in range(dim):
+        for j in range(i, dim):
+            cr = fixed6_sql(_pca_cov_sql(i, j, "r"))
+            cc = fixed6_sql(_pca_cov_sql(i, j, "c"))
+            drift = fixed6_sql(f"abs(({cc}) - ({cr}))")
+            parts.append(
+                f"SELECT {i} AS i, {j} AS j,"
+                f" r.n_rows AS n_ref, c.n_rows AS n_cur,"
+                f" {cr} AS cov_ref, {cc} AS cov_cur, {drift} AS drift"
+                f" FROM sref r CROSS JOIN scur c"
+            )
+    branches = "\n      UNION ALL ".join(parts)
+    return f"""
+    WITH {_pca_base_sql(dim, "ref", " AND vec_id % 2 = 0")},
+    {_pca_base_sql(dim, "cur", " AND vec_id % 2 = 1")}
+    SELECT i, j, n_ref, n_cur, cov_ref, cov_cur, drift FROM (
+      {branches}
+    )
+    """
+
+
+@_register("emb_cov_drift", _pca_cov_drift_oracle())
+def emb_cov_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: the covariance matrix of
+    a reference corpus half (even vec_ids) vs the current half (odd),
+    with per-pair absolute drift — the second-moment analogue of
+    events_psi_drift for the embedding tier (a retrained encoder or a
+    shifted source mix moves covariances long before top-k recall
+    visibly degrades). Two map-side-combinable stats passes and a
+    broadcast-size 136×136-row join: the same shape at 100 TB, where
+    the halves would be yesterday's snapshot vs today's."""
+    e = _emb_nn(spark, sf_dir)
+    ref = pca_op.covariance_entries(
+        pca_op.covariance_stats(
+            e.filter(F.col("vec_id") % 2 == 0), _PCA_DIM
+        ),
+        _PCA_DIM,
+    ).select(
+        "i", "j",
+        F.col("n_rows").alias("n_ref"),
+        F.col("cov").alias("cov_ref"),
+    )
+    cur = pca_op.covariance_entries(
+        pca_op.covariance_stats(
+            e.filter(F.col("vec_id") % 2 == 1), _PCA_DIM
+        ),
+        _PCA_DIM,
+    ).select(
+        "i", "j",
+        F.col("n_rows").alias("n_cur"),
+        F.col("cov").alias("cov_cur"),
+    )
+    return ref.join(cur, ["i", "j"]).select(
+        "i", "j", "n_ref", "n_cur", "cov_ref", "cov_cur",
+        fixed6(F.abs(F.col("cov_cur") - F.col("cov_ref"))).alias("drift"),
+    )
 
 
 # BM25 retrieval (operators/tfidf.py bm25_search): ad-hoc free-text
@@ -7860,10 +7942,11 @@ def docs_dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 # else keeps its original relative order and stays covered by
 # tools/verify_local.py. Pinned by tests/test_driver_gate.py.
 #
-# r9 rotation note: docs_boilerplate_lines / docs_strip_boilerplate
-# landed after this round's 50-slot window was already full with the
-# twenty never-gated queries (VERDICT r7 ask #3) — rotate them in
-# next round in place of two long-green representatives.
+# r10 rotation note: emb_cov_drift (r9) landed after this round's
+# window was already spent on the eleven never-gated queries plus the
+# substring-spans and PCA pair — rotate it in next round (it shares
+# the covariance_stats kernel with the in-window emb_pca_cov, so its
+# driver exposure this round is indirect but real).
 # ---------------------------------------------------------------------------
 
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (

@@ -86,6 +86,7 @@ HEADLINE = [
     "emb_kmeans_assign",
     "emb_pca_cov",
     "emb_pca_pc1",
+    "emb_cov_drift",
     # dedup
     "docs_exact_dedup",
     "docs_strip_boilerplate",

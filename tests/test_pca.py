@@ -120,6 +120,19 @@ def test_short_vector_scores_null(spark):
     assert by_id[3] is None
 
 
+def test_large_covariance_no_norm_overflow():
+    # fuzz seed 71 regression: covariance magnitudes ~2400 (one
+    # 300-magnitude row in the corpus) overflowed the old integer
+    # Σq² norm (~2e22 >= 2^63) while the matvec was fine; the
+    # left-to-right double-chain norm handles any such corpus and
+    # still normalizes to the unit grid
+    c = [[5000.0 if i == j else 100.0 for j in range(4)] for i in range(4)]
+    c_ints = [[math.floor(x * 1e6 + 0.5) for x in row] for row in c]
+    v = pca.power_iteration(c_ints, pca.pinned_init(4), iterations=3)
+    assert all(x is not None for x in v)
+    assert max(abs(x) for x in v) <= 1_000_000
+
+
 def test_overflow_guard_raises():
     big = [[float(2**62)] * 2] * 2
     with pytest.raises(ValueError, match="overflow"):

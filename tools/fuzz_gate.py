@@ -278,6 +278,9 @@ EMB_QUERIES = {
     # all-or-NULL projection chain
     "emb_pca_cov",
     "emb_pca_pc1",
+    # r9: covariance drift between corpus halves — the all-NULL and
+    # empty variants exercise the NULL-covariance cross join
+    "emb_cov_drift",
 }
 
 EVENTS_QUERIES = {

@@ -316,6 +316,38 @@ def main() -> int:
             "ivfpq_rerank": ivfpq_t, "lineitem_profile": prof_t,
         }))
 
+    # Round-9 PCA tier: the covariance pass is ONE map-side-combinable
+    # wide aggregate — its curve must stay ~linear in rows (scan-bound;
+    # the d(d+1)/2-wide state is constant), and the PC1 projection is a
+    # pure codegen scan, also ~linear. The fit itself is corpus-size-
+    # independent (d×d driver state) by construction, so it runs once
+    # on the base corpus and its component is reused across factors.
+    from aurora_mito_etl_spark.operators import pca as pca_op
+
+    emb_nn_base = emb_base.filter(F.col("embedding").isNotNull())
+    comp16, means16 = pca_op.fit_pc1(
+        pca_op.covariance_stats(emb_nn_base, 16).collect()[0], 16, iterations=3
+    )
+    for f in factors:
+        emb = replicate_embeddings(emb_base, f).repartition(32).cache()
+        ne = emb.count()
+        nn = emb.filter(F.col("embedding").isNotNull())
+        t0 = time.perf_counter()
+        pca_op.covariance_entries(
+            pca_op.covariance_stats(nn, 16), 16
+        ).write.format("noop").mode("overwrite").save()
+        cov_t = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        pca_op.project_component(nn, 16, comp16, means16).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        proj_t = round(time.perf_counter() - t0, 2)
+        emb.unpersist()
+        print(json.dumps({
+            "pca_factor": f, "emb_rows": ne,
+            "pca_cov": cov_t, "pca_project": proj_t,
+        }))
+
     # Round-7 tier: PageRank steady-state (VERDICT r6 ask #8). The
     # interleaved bench drifted 3.1->4.6s on UNCHANGED graph.py across
     # rounds — this fixed-size repeat timing separates plan cost from
