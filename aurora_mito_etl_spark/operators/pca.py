@@ -248,17 +248,10 @@ def power_iteration(
     return v
 
 
-def fit_pc1(
-    stats_row, dim: int, iterations: int = 3, seed: int = 11
-) -> tuple[list[int | None], list[int | None]] | None:
-    """Collect-side PC1 fit from one `covariance_stats` row: returns
-    (component grid ints, mean grid ints), or None for an empty
-    corpus. Covariance ints take ONE rounding from the raw double
-    (micros6 form), exactly like the oracle's BIGINT cast."""
-    n = stats_row["n_rows"]
-    if n == 0:
-        return None
-    nd = float(n)
+def _cov_ints(stats_row, dim: int) -> list[list[int | None]]:
+    """Covariance grid ints from one stats row: ONE rounding from the
+    raw double (micros6 form), exactly like the oracle's BIGINT cast."""
+    nd = float(stats_row["n_rows"])
 
     def cov_int(i: int, j: int) -> int | None:
         p = stats_row[f"p{min(i, j)}_{max(i, j)}"]
@@ -267,15 +260,157 @@ def fit_pc1(
             return None
         return _micros_py((nd * p - si * sj) / (nd * nd), "cov")
 
-    c_ints = [[cov_int(i, j) for j in range(dim)] for i in range(dim)]
-    means = [
+    return [[cov_int(i, j) for j in range(dim)] for i in range(dim)]
+
+
+def _mean_ints(stats_row, dim: int) -> list[int | None]:
+    nd = float(stats_row["n_rows"])
+    return [
         None
         if stats_row[f"s{i}"] is None
         else _micros_py(stats_row[f"s{i}"] / nd, "mean")
         for i in range(dim)
     ]
-    comp = power_iteration(c_ints, pinned_init(dim, seed), iterations)
-    return comp, means
+
+
+def fit_pc1(
+    stats_row, dim: int, iterations: int = 3, seed: int = 11
+) -> tuple[list[int | None], list[int | None]] | None:
+    """Collect-side PC1 fit from one `covariance_stats` row: returns
+    (component grid ints, mean grid ints), or None for an empty
+    corpus."""
+    if stats_row["n_rows"] == 0:
+        return None
+    comp = power_iteration(
+        _cov_ints(stats_row, dim), pinned_init(dim, seed), iterations
+    )
+    return comp, _mean_ints(stats_row, dim)
+
+
+def deflate(
+    c_ints: list[list[int | None]], v_ints: list[int | None]
+) -> list[list[int | None]]:
+    """Hotelling deflation on the grid: C' = C − (vᵀCv/(vᵀv)²)·v vᵀ,
+    so the second power iteration converges to PC2.
+
+    The Rayleigh pieces (num = vᵀCv, den = vᵀv) are ordered
+    left-to-right double chains (the squared-norm rule — their int
+    forms overflow at magnitudes the matvec handles); each deflation
+    entry takes ONE grid rounding: c'_ij = c_ij −
+    floor(num/den/den·V_i·V_j + 0.5) — the identical op sequence in
+    the oracle's cmat2 CTE. Any NULL component poisons num → an
+    all-NULL deflated matrix, matching SQL NULL propagation."""
+    dim = len(v_ints)
+    w_raw = [
+        _guard(
+            _sql_sum(_prod(c_ints[i][j], v_ints[j]) for j in range(dim)), "matvec"
+        )
+        for i in range(dim)
+    ]
+    num: float | None = 0.0
+    den: float | None = 0.0
+    for k in range(dim):
+        if v_ints[k] is None or w_raw[k] is None:
+            num = None
+            den = None
+            break
+        num = num + float(v_ints[k]) * float(w_raw[k])
+        den = den + float(v_ints[k]) * float(v_ints[k])
+    out: list[list[int | None]] = []
+    for i in range(dim):
+        row: list[int | None] = []
+        for j in range(dim):
+            c = c_ints[i][j]
+            if c is None or num is None or v_ints[i] is None or v_ints[j] is None:
+                row.append(None)
+                continue
+            d = num / den / den * float(v_ints[i]) * float(v_ints[j])
+            row.append(_guard(c - _guard(math.floor(d + 0.5), "defl"), "c2"))
+        out.append(row)
+    return out
+
+
+def fit_pc2(
+    stats_row, dim: int, iterations: int = 3, seed1: int = 11, seed2: int = 13
+) -> tuple[list[int | None], list[int | None], list[int | None]] | None:
+    """PC1 + PC2 fit: power-iterate, deflate, power-iterate again
+    from an independent pinned init. Returns (v1, v2, means) grid
+    ints, or None for an empty corpus. Orthogonality is
+    deflation-exact to the 1e-6 grid (documented operator contract,
+    verified to ~1e-3 cosine in the unit test)."""
+    if stats_row["n_rows"] == 0:
+        return None
+    c_ints = _cov_ints(stats_row, dim)
+    v1 = power_iteration(c_ints, pinned_init(dim, seed1), iterations)
+    v2 = power_iteration(deflate(c_ints, v1), pinned_init(dim, seed2), iterations)
+    return v1, v2, _mean_ints(stats_row, dim)
+
+
+def whitening_params(
+    stats_row, dim: int
+) -> list[tuple[int | None, float | None]] | None:
+    """Per-dim (mean grid int, stddev double) from one
+    `covariance_stats` row — the diagonal-whitening calibration.
+    Returns None for an empty corpus. A dim whose variance is ≤ 0
+    (all-equal values, or an all-NULL column) gets sd None and its
+    whitened component scores NULL downstream — mirrored by the
+    oracle's CASE WHEN var > 0. The variance is the shared raw IEEE
+    expression (no fixed6 round before the sqrt): both engines
+    compute the identical double, and a cancellation-negative tiny
+    variance lands in the same ≤ 0 branch everywhere instead of
+    raising on one engine's sqrt(negative)."""
+    n = stats_row["n_rows"]
+    if n == 0:
+        return None
+    nd = float(n)
+    out: list[tuple[int | None, float | None]] = []
+    for i in range(dim):
+        s, p = stats_row[f"s{i}"], stats_row[f"p{i}_{i}"]
+        if s is None or p is None:
+            out.append((None, None))
+            continue
+        m_int = _micros_py(s / nd, "mean")
+        var = (nd * p - s * s) / (nd * nd)
+        sd = math.sqrt(var) if var > 0 else None
+        out.append((m_int, sd))
+    return out
+
+
+def whitened_norm(
+    vectors: DataFrame,
+    dim: int,
+    params: list[tuple[int | None, float | None]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "wnorm",
+) -> DataFrame:
+    """Per-row diagonally-whitened L2 norm — the Mahalanobis-style
+    outlier score every embedding-quality funnel wants (a vector far
+    from the corpus distribution scores high even when its raw norm
+    is ordinary). z_i = (x_i − m_i)/sd_i on the shared op sequence;
+    the squared norm is the ordered left-to-right double chain (the
+    PC1-norm rule); any NULL component/degenerate dim poisons the
+    row to NULL on both engines. Pure codegen projection — the
+    calibration constants are literals."""
+    terms: list[Column] = []
+    for k in range(dim):
+        m_int, sd = params[k]
+        if m_int is None or sd is None:
+            terms.append(F.lit(None).cast("double"))
+            continue
+        z = (
+            (micros6(F.get(F.col(vec_col), k).cast("double")) - F.lit(int(m_int)))
+            .cast("double")
+            / F.lit(1000000.0)
+            / F.lit(float(sd))
+        )
+        terms.append(z * z)
+    chain = terms[0]
+    for t in terms[1:]:
+        chain = chain + t
+    return vectors.select(
+        F.col(id_col), fixed6(F.sqrt(chain)).alias(out_col)
+    )
 
 
 # ---------------------------------------------------------------- #
@@ -314,3 +449,41 @@ def project_component(
         / F.lit(float(_SCALE))
     )
     return vectors.select(F.col(id_col), score.alias(out_col))
+
+
+def project_components(
+    vectors: DataFrame,
+    dim: int,
+    named_comps: dict[str, list[int | None]],
+    mean_ints: list[int | None],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Several component projections in ONE pass (Catalyst shares the
+    per-dim quantization subexpressions across the score chains) —
+    the 2-D+ reduction shape. Same semantics per score as
+    :func:`project_component`."""
+    xqs = [
+        micros6(F.get(F.col(vec_col), k).cast("double")) for k in range(dim)
+    ]
+    cols: list[Column] = [F.col(id_col)]
+    for name, comp in named_comps.items():
+        terms: list[Column] = []
+        for k in range(dim):
+            vi, mi = comp[k], mean_ints[k]
+            if vi is None or mi is None:
+                terms.append(F.lit(None).cast("long"))
+                continue
+            terms.append(F.lit(int(vi)) * (xqs[k] - F.lit(int(mi))))
+        raw = terms[0]
+        for t in terms[1:]:
+            raw = raw + t
+        cols.append(
+            (
+                F.floor(
+                    raw.cast("double") / F.lit(float(_SCALE)) + F.lit(0.5)
+                ).cast("double")
+                / F.lit(float(_SCALE))
+            ).alias(name)
+        )
+    return vectors.select(*cols)

@@ -3811,6 +3811,222 @@ def emb_cov_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pca_pc2_oracle(
+    dim: int = _PCA_DIM, iters: int = _PCA_ITERS, seed1: int = 11, seed2: int = 13
+) -> str:
+    """PC1 chain + Hotelling deflation + PC2 chain + 2-D projection,
+    fully unrolled. Deflation mirrors pca.deflate exactly: Rayleigh
+    num/den as ordered double chains over the pivoted (v, C·v), one
+    grid rounding per deflated entry."""
+    means = "\n      UNION ALL ".join(
+        f"SELECT {i} AS i, CAST(floor(s{i} / CAST(n_rows AS DOUBLE)"
+        f" * 1000000 + 0.5) AS BIGINT) AS mi FROM s"
+        for i in range(dim)
+    )
+    covs = "\n      UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, CAST(floor(({_pca_cov_sql(i, j)})"
+        f" * 1000000 + 0.5) AS BIGINT) AS c FROM s"
+        for i in range(dim)
+        for j in range(i, dim)
+    )
+
+    def init_cte(name: str, seed: int) -> str:
+        rows = ", ".join(
+            f"({i}, {vi})" for i, vi in enumerate(pca_op.pinned_init(dim, seed))
+        )
+        return f"""
+    {name}0 AS MATERIALIZED (
+      SELECT i, CAST(vi AS BIGINT) AS vi FROM (VALUES {rows}) AS t(i, vi)
+    )"""
+
+    uw_cols = ", ".join(
+        f"MAX(CASE WHEN i = {k} THEN q END) AS q{k}" for k in range(dim)
+    )
+    nsq_chain = " + ".join(
+        f"CAST(q{k} AS DOUBLE) * CAST(q{k} AS DOUBLE)" for k in range(dim)
+    )
+
+    def iter_ctes(mat: str, vp: str) -> str:
+        out = ""
+        for t in range(iters):
+            out += f""",
+    {vp}u{t} AS MATERIALIZED (
+      SELECT cm.i AS i, CAST(SUM(cm.c * vv.vi) AS BIGINT) AS u_raw
+      FROM {mat} cm JOIN {vp}{t} vv ON cm.j = vv.i
+      GROUP BY cm.i
+    ),
+    {vp}q{t} AS MATERIALIZED (
+      SELECT i, CAST(floor(CAST(u_raw AS DOUBLE) / 1000000.0 + 0.5) AS BIGINT) AS q
+      FROM {vp}u{t}
+    ),
+    {vp}n{t} AS MATERIALIZED (
+      SELECT ({nsq_chain}) AS nsq
+      FROM (SELECT {uw_cols} FROM {vp}q{t})
+    ),
+    {vp}{t + 1} AS MATERIALIZED (
+      SELECT qq.i,
+             CASE WHEN nn.nsq = 0 THEN vv.vi
+                  ELSE CAST(floor(CAST(qq.q AS DOUBLE)
+                                  / sqrt(nn.nsq)
+                                  * 1000000 + 0.5) AS BIGINT)
+             END AS vi
+      FROM {vp}q{t} qq CROSS JOIN {vp}n{t} nn JOIN {vp}{t} vv ON vv.i = qq.i
+    )"""
+        return out
+
+    v_piv = ", ".join(
+        f"MAX(CASE WHEN i = {k} THEN vi END) AS v{k}" for k in range(dim)
+    )
+    w_piv = ", ".join(
+        f"MAX(CASE WHEN i = {k} THEN w_raw END) AS w{k}" for k in range(dim)
+    )
+    num_chain = " + ".join(
+        f"CAST(v{k} AS DOUBLE) * CAST(w{k} AS DOUBLE)" for k in range(dim)
+    )
+    den_chain = " + ".join(
+        f"CAST(v{k} AS DOUBLE) * CAST(v{k} AS DOUBLE)" for k in range(dim)
+    )
+    xqs = ",\n             ".join(
+        f"CAST(floor((e[{k + 1}]::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xq{k}"
+        for k in range(dim)
+    )
+    mw = ", ".join(
+        f"MAX(CASE WHEN i = {k} THEN mi END) AS m{k}" for k in range(dim)
+    )
+    chain1 = " + ".join(f"a.v{k} * (c.xq{k} - mw.m{k})" for k in range(dim))
+    chain2 = " + ".join(f"b.v{k} * (c.xq{k} - mw.m{k})" for k in range(dim))
+
+    return f"""
+    WITH {_pca_base_sql(dim)},
+    half AS MATERIALIZED (
+      {covs}
+    ),
+    cmat AS MATERIALIZED (
+      SELECT i, j, c FROM half
+      UNION ALL
+      SELECT j AS i, i AS j, c FROM half WHERE i <> j
+    ),
+    m AS MATERIALIZED (
+      {means}
+    ),{init_cte("veca", seed1)}{iter_ctes("cmat", "veca")},
+    w1 AS MATERIALIZED (
+      SELECT cm.i AS i, CAST(SUM(cm.c * vv.vi) AS BIGINT) AS w_raw
+      FROM cmat cm JOIN veca{iters} vv ON cm.j = vv.i
+      GROUP BY cm.i
+    ),
+    vw1 AS MATERIALIZED (SELECT {v_piv} FROM veca{iters}),
+    ww1 AS MATERIALIZED (SELECT {w_piv} FROM w1),
+    nd AS MATERIALIZED (
+      SELECT ({num_chain}) AS num, ({den_chain}) AS den
+      FROM vw1 CROSS JOIN ww1
+    ),
+    cmat2 AS MATERIALIZED (
+      SELECT cm.i, cm.j,
+             cm.c - CAST(floor(nd.num / nd.den / nd.den
+                               * CAST(vi.vi AS DOUBLE)
+                               * CAST(vj.vi AS DOUBLE) + 0.5) AS BIGINT) AS c
+      FROM cmat cm
+      JOIN veca{iters} vi ON vi.i = cm.i
+      JOIN veca{iters} vj ON vj.i = cm.j
+      CROSS JOIN nd
+    ),{init_cte("vecb", seed2)}{iter_ctes("cmat2", "vecb")},
+    vbw AS MATERIALIZED (SELECT {v_piv} FROM vecb{iters}),
+    mw AS MATERIALIZED (SELECT {mw} FROM m),
+    cq AS MATERIALIZED (
+      SELECT vec_id,
+             {xqs}
+      FROM v
+    )
+    SELECT c.vec_id,
+           floor(CAST(({chain1}) AS DOUBLE) / 1000000.0 + 0.5) / 1000000.0 AS pc1,
+           floor(CAST(({chain2}) AS DOUBLE) / 1000000.0 + 0.5) / 1000000.0 AS pc2
+    FROM cq c CROSS JOIN vw1 a CROSS JOIN vbw b CROSS JOIN mw
+    """
+
+
+@_register("emb_pca_project2", _pca_pc2_oracle())
+def emb_pca_project2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D PCA reduction: PC1 fit, Hotelling deflation on the grid,
+    PC2 fit from an independent pinned init, then BOTH projections in
+    one codegen pass (shared per-dim quantization subexpressions).
+    The visualization/indexing-grade reduction — and the deflation is
+    the general template for top-k components. Driver state stays one
+    d×d matrix; the corpus is scanned twice total (stats, project)."""
+    e = _emb_nn(spark, sf_dir)
+    stats = pca_op.covariance_stats(e, _PCA_DIM).collect()[0]
+    fit = pca_op.fit_pc2(stats, _PCA_DIM, iterations=_PCA_ITERS)
+    if fit is None:  # empty corpus: the oracle's projection CTE is empty too
+        return spark.range(0).select(
+            F.col("id").alias("vec_id"),
+            F.lit(0.0).alias("pc1"),
+            F.lit(0.0).alias("pc2"),
+        )
+    v1, v2, means = fit
+    return pca_op.project_components(
+        e, _PCA_DIM, {"pc1": v1, "pc2": v2}, means
+    )
+
+
+def _whitened_norm_oracle(dim: int = _PCA_DIM) -> str:
+    """Calibration CTE (mean ints + CASE-guarded stddevs from the
+    stats row) cross-joined against the quantized components; the
+    squared norm is the same ordered double chain the Spark column
+    runs, fixed6 after the sqrt."""
+    mw_cols = []
+    for i in range(dim):
+        var = (
+            f"(CAST(n_rows AS DOUBLE) * p{i}_{i} - s{i} * s{i})"
+            f" / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE))"
+        )
+        mw_cols.append(
+            f"CAST(floor(s{i} / CAST(n_rows AS DOUBLE) * 1000000 + 0.5)"
+            f" AS BIGINT) AS m{i}"
+        )
+        mw_cols.append(f"CASE WHEN ({var}) > 0 THEN sqrt({var}) END AS sd{i}")
+    xqs = ",\n             ".join(
+        f"CAST(floor((e[{k + 1}]::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xq{k}"
+        for k in range(dim)
+    )
+    zs = [
+        f"(CAST(c.xq{k} - mw.m{k} AS DOUBLE) / 1000000.0 / mw.sd{k})"
+        for k in range(dim)
+    ]
+    chain = " + ".join(f"{z} * {z}" for z in zs)
+    return f"""
+    WITH {_pca_base_sql(dim)},
+    mw AS MATERIALIZED (
+      SELECT {', '.join(mw_cols)} FROM s
+    ),
+    cq AS MATERIALIZED (
+      SELECT vec_id,
+             {xqs}
+      FROM v
+    )
+    SELECT c.vec_id,
+           {fixed6_sql(f'sqrt({chain})')} AS wnorm
+    FROM cq c CROSS JOIN mw
+    """
+
+
+@_register("emb_whitened_norm", _whitened_norm_oracle())
+def emb_whitened_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonally-whitened L2 norm per embedding — the Mahalanobis-
+    style distribution-outlier score for embedding-quality funnels
+    (flags vectors far from the corpus distribution even when their
+    raw norm is ordinary; the calibration every quantizer/whitening
+    step shares). One stats pass collected to d scalars, then a pure
+    codegen projection with literal constants — no shuffle, no
+    broadcast, the same plan at 100 TB."""
+    e = _emb_nn(spark, sf_dir)
+    stats = pca_op.covariance_stats(e, _PCA_DIM).collect()[0]
+    params = pca_op.whitening_params(stats, _PCA_DIM)
+    if params is None:  # empty corpus — the oracle's cq CTE is empty too
+        return spark.range(0).select(
+            F.col("id").alias("vec_id"), F.lit(0.0).alias("wnorm")
+        )
+    return pca_op.whitened_norm(e, _PCA_DIM, params)
+
+
 # BM25 retrieval (operators/tfidf.py bm25_search): ad-hoc free-text
 # query over the corpus. Literals in the oracle are the exact Python
 # doubles the Spark side embeds (k1+1=2.2, 1-b=0.25); fixed6 + exact
@@ -7942,11 +8158,12 @@ def docs_dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 # else keeps its original relative order and stays covered by
 # tools/verify_local.py. Pinned by tests/test_driver_gate.py.
 #
-# r10 rotation note: emb_cov_drift (r9) landed after this round's
-# window was already spent on the eleven never-gated queries plus the
-# substring-spans and PCA pair — rotate it in next round (it shares
-# the covariance_stats kernel with the in-window emb_pca_cov, so its
-# driver exposure this round is indirect but real).
+# r10 rotation note: emb_cov_drift, emb_whitened_norm and
+# emb_pca_project2 (all late r9) landed after this round's window was
+# already spent on the eleven never-gated queries plus the
+# substring-spans and PCA pair — rotate them in next round (they share
+# the covariance_stats kernel with the in-window emb_pca_cov/pc1, so
+# their driver exposure this round is indirect but real).
 # ---------------------------------------------------------------------------
 
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (

@@ -86,7 +86,9 @@ HEADLINE = [
     "emb_kmeans_assign",
     "emb_pca_cov",
     "emb_pca_pc1",
+    "emb_pca_project2",
     "emb_cov_drift",
+    "emb_whitened_norm",
     # dedup
     "docs_exact_dedup",
     "docs_strip_boilerplate",

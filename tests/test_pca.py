@@ -120,6 +120,29 @@ def test_short_vector_scores_null(spark):
     assert by_id[3] is None
 
 
+def test_pc2_deflation_recovers_second_eigenvector():
+    rng = np.random.RandomState(19)
+    # spectrum with clear gaps so 12 rounds converge crisply
+    q, _ = np.linalg.qr(rng.randn(6, 6))
+    c = q @ np.diag([100.0, 40.0, 5.0, 2.0, 1.0, 0.5]) @ q.T
+    c_ints = [
+        [math.floor(c[i][j] * 1e6 + 0.5) for j in range(6)] for i in range(6)
+    ]
+    v1 = pca.power_iteration(c_ints, pca.pinned_init(6, 11), iterations=12)
+    v2 = pca.power_iteration(
+        pca.deflate(c_ints, v1), pca.pinned_init(6, 13), iterations=12
+    )
+    a1 = np.array([x / 1e6 for x in v1])
+    a2 = np.array([x / 1e6 for x in v2])
+    _, vecs = np.linalg.eigh(c)
+    cos1 = abs(a1 @ vecs[:, -1]) / np.linalg.norm(a1)
+    cos2 = abs(a2 @ vecs[:, -2]) / np.linalg.norm(a2)
+    assert cos1 > 0.999 and cos2 > 0.999
+    # orthogonality is deflation-exact to the grid
+    ortho = abs(a1 @ a2) / (np.linalg.norm(a1) * np.linalg.norm(a2))
+    assert ortho < 1e-3
+
+
 def test_large_covariance_no_norm_overflow():
     # fuzz seed 71 regression: covariance magnitudes ~2400 (one
     # 300-magnitude row in the corpus) overflowed the old integer

@@ -281,6 +281,11 @@ EMB_QUERIES = {
     # r9: covariance drift between corpus halves — the all-NULL and
     # empty variants exercise the NULL-covariance cross join
     "emb_cov_drift",
+    # r9: whitened norms (degenerate-variance dims -> NULL scores) and
+    # the 2-D PCA projection (deflation chain under duplicate clusters,
+    # the zero vector, and the magnitude-300 row)
+    "emb_whitened_norm",
+    "emb_pca_project2",
 }
 
 EVENTS_QUERIES = {
