@@ -2994,6 +2994,87 @@ def docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 # into a chained CTE per round, replaying the identical fixed6 +
 # exact-decimal arithmetic — bit-identical ranks after any number of
 # rounds.
+def _hits_oracle(iters: int = 4) -> str:
+    """Unrolled HITS chain over the same transition graph as the
+    pagerank oracle. All-integer grid arithmetic (weights × scores as
+    checked BIGINTs), sup-norm normalization via the shared MAX>0
+    CASE — mirrors graph.hits exactly."""
+
+    def norm(raw: str, mx: str) -> str:
+        return (
+            f"CASE WHEN {mx} > 0 THEN CAST(floor(CAST({raw} AS DOUBLE)"
+            f" / CAST({mx} AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+            f" ELSE 0 END"
+        )
+
+    sql = """
+    WITH e AS MATERIALIZED (
+      SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+             event_type AS dst
+      FROM events WHERE ts IS NOT NULL
+    ),
+    w AS MATERIALIZED (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+      FROM e WHERE src IS NOT NULL GROUP BY src, dst
+    ),
+    v AS MATERIALIZED (
+      SELECT DISTINCT vertex
+      FROM (SELECT src AS vertex FROM w UNION ALL SELECT dst AS vertex FROM w)
+    ),
+    h0 AS MATERIALIZED (SELECT vertex, CAST(1000000 AS BIGINT) AS h FROM v)"""
+    for t in range(1, iters + 1):
+        sql += f""",
+    ar{t} AS MATERIALIZED (
+      SELECT w.dst AS vertex, CAST(SUM(w.w * hh.h) AS BIGINT) AS raw
+      FROM w JOIN h{t - 1} hh ON hh.vertex = w.src GROUP BY w.dst
+    ),
+    af{t} AS MATERIALIZED (
+      SELECT v.vertex, coalesce(ar{t}.raw, 0) AS raw
+      FROM v LEFT JOIN ar{t} ON v.vertex = ar{t}.vertex
+    ),
+    am{t} AS MATERIALIZED (SELECT MAX(raw) AS mx FROM af{t}),
+    a{t} AS MATERIALIZED (
+      SELECT vertex, {norm("raw", "mx")} AS a FROM af{t} CROSS JOIN am{t}
+    ),
+    hr{t} AS MATERIALIZED (
+      SELECT w.src AS vertex, CAST(SUM(w.w * aa.a) AS BIGINT) AS raw
+      FROM w JOIN a{t} aa ON aa.vertex = w.dst GROUP BY w.src
+    ),
+    hf{t} AS MATERIALIZED (
+      SELECT v.vertex, coalesce(hr{t}.raw, 0) AS raw
+      FROM v LEFT JOIN hr{t} ON v.vertex = hr{t}.vertex
+    ),
+    hm{t} AS MATERIALIZED (SELECT MAX(raw) AS mx FROM hf{t}),
+    h{t} AS MATERIALIZED (
+      SELECT vertex, {norm("raw", "mx")} AS h FROM hf{t} CROSS JOIN hm{t}
+    )"""
+    sql += f"""
+    SELECT hh.vertex AS event_type,
+           CAST(hh.h AS DOUBLE) / 1000000.0 AS hub,
+           CAST(aa.a AS DOUBLE) / 1000000.0 AS auth
+    FROM h{iters} hh JOIN a{iters} aa USING (vertex)
+    """
+    return sql
+
+
+@_register("events_hits", _hits_oracle())
+def events_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities of event types over the per-user
+    transition graph (4 sup-norm rounds, all-integer grid) — the
+    complement to events_pagerank: which types funnel users onward
+    (hubs) vs which types journeys converge on (authorities).
+    NULL-ts events are excluded like every timeline operator."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w_ = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = ev.select(
+        F.lag("event_type").over(w_).alias("src"),
+        F.col("event_type").alias("dst"),
+    ).where(F.col("src").isNotNull())
+    return gr.hits(edges, iterations=4).select(
+        F.col("vertex").alias("event_type"), "hub", "auth"
+    )
+
+
 def _pagerank_oracle(damping: float = 0.85, iters: int = 6) -> str:
     f6 = lambda e: f"floor(({e}) * 1000000 + 0.5) / 1000000"  # noqa: E731
     dsum = (
@@ -8158,12 +8239,14 @@ def docs_dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 # else keeps its original relative order and stays covered by
 # tools/verify_local.py. Pinned by tests/test_driver_gate.py.
 #
-# r10 rotation note: emb_cov_drift, emb_whitened_norm and
-# emb_pca_project2 (all late r9) landed after this round's window was
-# already spent on the eleven never-gated queries plus the
-# substring-spans and PCA pair — rotate them in next round (they share
-# the covariance_stats kernel with the in-window emb_pca_cov/pc1, so
-# their driver exposure this round is indirect but real).
+# r10 rotation note: emb_cov_drift, emb_whitened_norm,
+# emb_pca_project2 and events_hits (all late r9) landed after this
+# round's window was already spent on the eleven never-gated queries
+# plus the substring-spans and PCA pair — rotate them in next round
+# (the emb trio shares the covariance_stats kernel with the in-window
+# emb_pca_cov/pc1 and events_hits shares the transition-graph builder
+# with pinned events_pagerank, so their driver exposure this round is
+# indirect but real).
 # ---------------------------------------------------------------------------
 
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (

@@ -39,6 +39,7 @@ HEADLINE = [
     "events_k_anonymity",
     "events_retention",
     "events_pagerank",
+    "events_hits",
     "events_top_paths",
     # text analysis
     "docs_clean_text",

@@ -87,3 +87,57 @@ def test_validation(spark):
         g.pagerank(df, damping=1.5)
     with pytest.raises(ValueError):
         g.pagerank(df, iterations=0)
+
+
+# ---------------------------- HITS ------------------------------- #
+
+
+def _hits_replica(edges, iters=4):
+    """Plain-python replay of hits()'s exact grid arithmetic."""
+    from collections import Counter
+
+    w = Counter(edges)
+    verts = sorted({v for e in edges for v in e})
+    h = {v: 1_000_000 for v in verts}
+    a = {}
+
+    def norm(raw):
+        full = {v: raw.get(v, 0) for v in verts}
+        mx = max(full.values()) if full else 0
+        if mx <= 0:
+            return {v: 0 for v in verts}
+        return {v: math.floor(r / mx * 1e6 + 0.5) for v, r in full.items()}
+
+    for _ in range(iters):
+        araw = Counter()
+        for (s, d), c in w.items():
+            araw[d] += c * h[s]
+        a = norm(araw)
+        hraw = Counter()
+        for (s, d), c in w.items():
+            hraw[s] += c * a[d]
+        h = norm(hraw)
+    return h, a
+
+
+def test_hits_matches_replica(spark):
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "c"), ("d", "c"),
+        ("b", "c"), ("c", "e"), ("d", "b"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["vertex"]: (r["hub"], r["auth"]) for r in g.hits(df).collect()}
+    h, a = _hits_replica(edges)
+    want = {v: (h[v] / 1e6, a[v] / 1e6) for v in h}
+    assert got == want
+    # 'a' fans out to the strongest authorities -> top hub;
+    # 'c' receives from every hub -> top authority
+    assert max(got, key=lambda v: got[v][0]) == "a"
+    assert max(got, key=lambda v: got[v][1]) == "c"
+
+
+def test_hits_empty_and_validation(spark):
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert g.hits(empty).collect() == []
+    with pytest.raises(ValueError):
+        g.hits(empty, iterations=0)

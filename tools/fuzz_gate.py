@@ -298,6 +298,9 @@ EVENTS_QUERIES = {
     "events_moving_avg",
     "events_asof_join",
     "events_pagerank",
+    # r9: HITS — NULL event_type vertices and NULL-ts exclusion ride
+    # the same transition-graph semantics as pagerank
+    "events_hits",
     "events_top_paths",
     "events_cube",
     "events_value_anomaly",
