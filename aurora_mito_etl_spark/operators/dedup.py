@@ -1073,6 +1073,51 @@ def dedup_clusters_best(
     return df.join(losers, id_col, "left_anti")
 
 
+def label_spread(
+    df: DataFrame, pairs: DataFrame, id_col: str, label_col: str
+) -> DataFrame:
+    """(id, seed_label, label): propagate seed labels through near-dup
+    connected components — the production move that extends a sparse
+    labeled set (human quality ratings, language tags, license
+    verdicts) to every member of each duplicate cluster.
+
+    Each component's label is the MAJORITY of its non-NULL seed
+    labels, ties → lexicographically smallest label (binary string
+    order — identical to the oracle on the ASCII label domains this
+    engine uses); rows in all-unlabeled components, and rows in no
+    component at all, keep their own seed (NULL stays NULL).
+
+    Plan shape: components via large-star/small-star, then two
+    aggregations + one join on the component key — clusters are tiny
+    relative to the corpus, so every post-CC exchange is on the small
+    component table; the full corpus is touched only by the final
+    left join."""
+    comp = connected_components(pairs)
+    lab = df.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("__seed")
+    ).join(comp, "id", "left")
+    votes = (
+        lab.where(F.col("component").isNotNull() & F.col("__seed").isNotNull())
+        .groupBy("component", "__seed")
+        .agg(F.count("*").alias("__n"))
+    )
+    top = votes.groupBy("component").agg(F.max("__n").alias("__mx"))
+    winners = (
+        votes.join(top, "component")
+        .filter(F.col("__n") == F.col("__mx"))
+        .groupBy("component")
+        .agg(F.min("__seed").alias("__win"))
+    )
+    return (
+        lab.join(winners, "component", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("__seed").alias("seed_label"),
+            F.coalesce("__win", "__seed").alias("label"),
+        )
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str,

@@ -5957,6 +5957,70 @@ def docs_near_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "docs_label_spread",
+    f"""
+    WITH RECURSIVE
+    sh AS (SELECT DISTINCT * FROM ({_SHINGLE_SQL})),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    prs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON inter.id_a = sa.doc_id
+      JOIN sizes sb ON inter.id_b = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.15
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM prs
+              UNION SELECT id_b, id_a FROM prs),
+    reach(id, m) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, r.m FROM reach r JOIN edges e ON e.u = r.id
+    ),
+    comp AS (SELECT id, MIN(m) AS component FROM reach GROUP BY id),
+    lab AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % 3 <> 0 THEN d.lang END AS seed_label,
+             c.component
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ),
+    votes AS (
+      SELECT component, seed_label AS s, COUNT(*) AS n
+      FROM lab WHERE component IS NOT NULL AND seed_label IS NOT NULL
+      GROUP BY component, seed_label
+    ),
+    mx AS (SELECT component, MAX(n) AS mn FROM votes GROUP BY component),
+    win AS (
+      SELECT v.component, MIN(v.s) AS w
+      FROM votes v JOIN mx ON v.component = mx.component AND v.n = mx.mn
+      GROUP BY v.component
+    )
+    SELECT l.doc_id, l.seed_label, coalesce(w.w, l.seed_label) AS label
+    FROM lab l LEFT JOIN win w ON l.component = w.component
+    """,
+)
+def docs_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation through near-dup clusters: every third doc's
+    lang tag is withheld as 'unlabeled' and recovered by the majority
+    vote of its duplicate component (ties → smallest label;
+    all-unlabeled components and singletons keep their own seed) —
+    the production move that extends sparse human labels (quality
+    ratings, licenses) across duplicate groups before filtering. The
+    oracle recomputes components with a recursive min-label CTE, so
+    the pair→cluster→vote pipeline is value-checked end to end."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.15)
+    seeded = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 != 0, F.col("lang")).alias("seed"),
+    )
+    return dd.label_spread(seeded, pairs, "doc_id", "seed")
+
+
+@_register(
     "docs_bigram_pmi",
     """
     WITH t AS (

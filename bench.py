@@ -100,6 +100,7 @@ HEADLINE = [
     "docs_minhash_lsh_pairs",
     "docs_simhash_pairs",
     "docs_near_dedup_survivors",
+    "docs_label_spread",
     "docs_incremental_near_dup",
     "docs_split_leakage",
     "docs_duplicate_spans",

@@ -982,3 +982,29 @@ def test_split_leakage_report_join_free(spark):
     assert got[h0]["n_train_neighbors"] == 2
     assert got[h0]["max_score"] == 0.9
     assert "Join" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_label_spread_majority_ties_and_orphans(spark):
+    from aurora_mito_etl_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en"), (2, "en"), (3, None), (4, "de"),   # comp {1,2,3,4}: en wins 2-1
+            (5, "fr"), (6, "de"),                          # comp {5,6}: tie -> 'de'
+            (7, None), (8, None),                          # comp {7,8}: all unlabeled
+            (9, "it"),                                     # singleton: keeps own
+            (10, None),                                    # unlabeled singleton: NULL
+        ],
+        "doc_id long, seed string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (7, 8)], "id_a long, id_b long"
+    )
+    out = {
+        r["doc_id"]: r["label"]
+        for r in dd.label_spread(docs, pairs, "doc_id", "seed").collect()
+    }
+    assert out[1] == out[2] == out[3] == out[4] == "en"
+    assert out[5] == out[6] == "de"          # tie 1-1 -> min label
+    assert out[7] is None and out[8] is None  # all-unlabeled component
+    assert out[9] == "it" and out[10] is None

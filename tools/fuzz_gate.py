@@ -125,6 +125,10 @@ DOCS_QUERIES = {
     "docs_lm_score_external",
     "docs_media_features",
     "docs_near_dedup_best",
+    # r9: label propagation through dup clusters — adversarial docs
+    # build degenerate clusters (exact dups, empty docs); the masked
+    # seeds exercise the all-unlabeled-component and NULL-seed arms
+    "docs_label_spread",
     "docs_source_report_qsum",
     "docs_source_report_quality",
     "docs_token_positions",
