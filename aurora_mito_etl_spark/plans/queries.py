@@ -4385,11 +4385,15 @@ _ZIPF_ORACLE = r"""
     )
     SELECT source,
            CAST(n_terms AS BIGINT) AS n_terms,
-           floor(((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
-                  / (CAST(n_terms AS DOUBLE) * sxx - sx * sx)) * 1000000 + 0.5) / 1000000 AS zipf_slope,
-           floor(((sy - ((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
-                         / (CAST(n_terms AS DOUBLE) * sxx - sx * sx)) * sx)
-                  / CAST(n_terms AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS zipf_intercept
+           CASE WHEN (CAST(n_terms AS DOUBLE) * sxx - sx * sx) > 0 THEN
+             floor(((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(n_terms AS DOUBLE) * sxx - sx * sx)) * 1000000 + 0.5) / 1000000
+           END AS zipf_slope,
+           CASE WHEN (CAST(n_terms AS DOUBLE) * sxx - sx * sx) > 0 THEN
+             floor(((sy - ((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                           / (CAST(n_terms AS DOUBLE) * sxx - sx * sx)) * sx)
+                    / CAST(n_terms AS DOUBLE)) * 1000000 + 0.5) / 1000000
+           END AS zipf_intercept
     FROM s
 """
 
@@ -4434,14 +4438,19 @@ def docs_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_to_double(F.sum(x * y)).alias("sxy"),
     )
     n = F.col("n_terms").cast("double")
-    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        n * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
+    var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / var_x
+    # a source whose top list has a single distinct token (or a
+    # degenerate all-equal rank set) has zero x-variance: the fit is
+    # undefined → NULL on both engines (Spark's ANSI division would
+    # RAISE where DuckDB yields inf/NaN — r9 tiny-n fuzz, seed 127)
     return s.select(
         "source",
         F.col("n_terms").cast("long").alias("n_terms"),
-        fixed6(slope).alias("zipf_slope"),
-        fixed6((F.col("sy") - slope * F.col("sx")) / n).alias("zipf_intercept"),
+        F.when(var_x > 0, fixed6(slope)).alias("zipf_slope"),
+        F.when(
+            var_x > 0, fixed6((F.col("sy") - slope * F.col("sx")) / n)
+        ).alias("zipf_intercept"),
     )
 
 
@@ -4667,11 +4676,16 @@ _CORR_ORACLE = r"""
     )
     SELECT l_returnflag,
            n_rows,
-           (CAST(n_rows AS DOUBLE) * sxy - sx * sy)
-             / sqrt((CAST(n_rows AS DOUBLE) * sxx - sx * sx)
-                    * (CAST(n_rows AS DOUBLE) * syy - sy * sy)) AS corr_qty_price,
-           (CAST(n_rows AS DOUBLE) * sxy - sx * sy)
-             / (CAST(n_rows AS DOUBLE) * sxx - sx * sx) AS beta_qty_price,
+           CASE WHEN (CAST(n_rows AS DOUBLE) * sxx - sx * sx) > 0
+                 AND (CAST(n_rows AS DOUBLE) * syy - sy * sy) > 0
+                THEN (CAST(n_rows AS DOUBLE) * sxy - sx * sy)
+                     / sqrt((CAST(n_rows AS DOUBLE) * sxx - sx * sx)
+                            * (CAST(n_rows AS DOUBLE) * syy - sy * sy))
+           END AS corr_qty_price,
+           CASE WHEN (CAST(n_rows AS DOUBLE) * sxx - sx * sx) > 0
+                THEN (CAST(n_rows AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n_rows AS DOUBLE) * sxx - sx * sx)
+           END AS beta_qty_price,
            (CAST(n_rows AS DOUBLE) * sxy - sx * sy)
              / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)) AS cov_qty_price
     FROM s
@@ -4697,11 +4711,17 @@ def lineitem_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
     var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
     var_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    # degenerate groups (single row / constant column) have zero
+    # variance: corr/beta are undefined → NULL on BOTH engines.
+    # Unguarded, Spark's ANSI division RAISES while DuckDB yields
+    # inf/NaN (r9 tiny-n fuzz, seed 127 at n=3).
     return s.select(
         "l_returnflag",
         "n_rows",
-        (cov_n / F.sqrt(var_x * var_y)).alias("corr_qty_price"),
-        (cov_n / var_x).alias("beta_qty_price"),
+        F.when((var_x > 0) & (var_y > 0), cov_n / F.sqrt(var_x * var_y)).alias(
+            "corr_qty_price"
+        ),
+        F.when(var_x > 0, cov_n / var_x).alias("beta_qty_price"),
         (cov_n / (n * n)).alias("cov_qty_price"),
     )
 

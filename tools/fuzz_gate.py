@@ -573,17 +573,23 @@ def make_embeddings(rng: random.Random, n: int):
     dim = 64
     rng_np = np.random.RandomState(rng.randint(0, 2**31 - 1))
     base = rng_np.randn(n, dim).astype(np.float32)
-    # duplicate cluster: ids 2..11 share id 2's vector
-    for i in range(3, 12):
-        base[i] = base[2]
-    base[1] = 0.0  # zero vector in the corpus
-    base[13] = -base[2]  # exact negation
+    # special rows are clamped to n so tiny-n runs (the r9 small-n
+    # tier that caught the zero-variance corr divergence) still build
+    if n > 2:
+        # duplicate cluster: ids 2..11 share id 2's vector
+        for i in range(3, min(12, n)):
+            base[i] = base[2]
+    if n > 1:
+        base[1] = 0.0  # zero vector in the corpus
+    if n > 13:
+        base[13] = -base[2]  # exact negation
     # Huge magnitude, same direction. 300 is extreme for an embedding
     # but inside the kmeans long-grid input contract (clustering.py
     # _int_dot: dim 64 -> max|x| ~ 380); magnitude 1e6 correctly makes
     # the grid fold fail LOUDLY with ANSI long overflow (and exposed
     # the fixed6 floor->long saturation, fixed in functions/numeric).
-    base[14] = base[2] * np.float32(300.0)
+    if n > 14:
+        base[14] = base[2] * np.float32(300.0)
     # make one QUERY row (vec_id 100) a member of the duplicate cluster
     if n > 100:
         base[100] = base[2]
