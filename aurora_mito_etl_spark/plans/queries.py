@@ -172,6 +172,56 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "shipping_priority_topk",
+    """
+    SELECT l.l_orderkey, o.o_orderdate,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6)) * CAST(1 - l.l_discount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND l.l_shipdate > TIMESTAMP '1996-07-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped shipping priority: the 10 highest-revenue
+    as-yet-unshipped orders in a market segment. The segment filter
+    shrinks customer to a broadcastable side, both date predicates
+    push to the parquet scans, the per-order agg partial-combines,
+    and the global top-10 is Spark's distributed TakeOrdered — no
+    single-task sort of the agg output. Revenue is the exact-decimal
+    product convention (pricing_summary), so the LIMIT boundary is
+    tie-stable: identical doubles + unique orderkey tiebreak."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-07-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            dec_to_double(
+                F.sum(dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .orderBy(
+            F.col("revenue").desc_nulls_last(), F.col("l_orderkey").asc_nulls_last()
+        )
+        .limit(10)
+    )
+
+
+@_register(
     "local_supplier_volume",
     """
     SELECT n.n_name AS nation,
@@ -8324,7 +8374,8 @@ def docs_dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tools/verify_local.py. Pinned by tests/test_driver_gate.py.
 #
 # r10 rotation note: emb_cov_drift, emb_whitened_norm,
-# emb_pca_project2 and events_hits (all late r9) landed after this
+# emb_pca_project2, events_hits, docs_label_spread and
+# shipping_priority_topk (all late r9) landed after this
 # round's window was already spent on the eleven never-gated queries
 # plus the substring-spans and PCA pair — rotate them in next round
 # (the emb trio shares the covariance_stats kernel with the in-window

@@ -23,6 +23,7 @@ HEADLINE = [
     # relational spine
     "pricing_summary",
     "revenue_by_nation",
+    "shipping_priority_topk",
     "order_priority_counts",
     "order_rollup_per_customer",
     "keep_first_order_per_customer",

@@ -236,6 +236,9 @@ LINEITEM_QUERIES = {
     "pricing_summary",
     "revenue_by_nation",
     "local_supplier_volume",
+    # r9: Q3 shipping priority — fuzz dates straddle the 1996-07-01
+    # cut and the LEGACY/lowercase segments miss the BUILDING filter
+    "shipping_priority_topk",
     "order_priority_counts",
     "topk_mean_supplier",
     "lineitem_qty_range_join",
