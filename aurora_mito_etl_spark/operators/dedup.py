@@ -996,12 +996,18 @@ def exact_substring_spans(
         )
         .select(F.col(id_col), F.col("pos"), md5_prefix60(F.col("s")).alias("h"))
     )
-    counts = w.groupBy("h").agg(
-        F.count("*").alias("n"), F.countDistinct(id_col).alias("ndocs")
-    )
-    dup = counts.filter(F.col("n") >= 2)
+    # countDistinct only when the hot cap needs it: unconditional, it
+    # forces an Expand + second aggregation pass over the TOTAL-windows
+    # frame — the largest frame on the 100 TB path (r10 ADVICE).
     if max_window_docs is not None:
-        dup = dup.filter(F.col("ndocs") <= max_window_docs)
+        counts = w.groupBy("h").agg(
+            F.count("*").alias("n"), F.countDistinct(id_col).alias("ndocs")
+        )
+        dup = counts.filter(
+            (F.col("n") >= 2) & (F.col("ndocs") <= max_window_docs)
+        )
+    else:
+        dup = w.groupBy("h").agg(F.count("*").alias("n")).filter(F.col("n") >= 2)
     marked = w.join(dup.select("h"), "h").select(
         F.col(id_col), F.col("pos"), (F.col("pos") + k).alias("end")
     )

@@ -142,9 +142,13 @@ def hits(
     scores 0 via the shared MAX>0 CASE.
 
     Scale shape per round: two map-side-combinable aggregations over
-    the collapsed edge table plus two broadcast 1-row max joins; the
-    raw event table is touched once, up front. Each round's frame is
-    localCheckpoint'ed (iterative-lineage rule)."""
+    the collapsed edge table plus two GLOBAL-WINDOW sup-norm maxes
+    (`Window.partitionBy()` over the POST-aggregation vertex table —
+    one task sees all |V| rows, fine at event-type grain; a caller
+    with large |V| should swap `_normalize` to a broadcast 1-row max
+    join). The raw event table is touched once, up front; the chain
+    runs as one linear-lineage job (see the in-body note on the
+    deliberate no-checkpoint exception)."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     grid = F.lit(1000000.0)

@@ -3061,7 +3061,7 @@ def _hits_oracle(iters: int = 4) -> str:
     WITH e AS MATERIALIZED (
       SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
              event_type AS dst
-      FROM events WHERE ts IS NOT NULL
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
     ),
     w AS MATERIALIZED (
       SELECT src, dst, CAST(count(*) AS BIGINT) AS w
@@ -3113,8 +3113,14 @@ def events_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     transition graph (4 sup-norm rounds, all-integer grid) — the
     complement to events_pagerank: which types funnel users onward
     (hubs) vs which types journeys converge on (authorities).
-    NULL-ts events are excluded like every timeline operator."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    NULL-ts events are excluded like every timeline operator; NULL
+    event_type too — an untyped event is not a graph vertex, and the
+    engines disagree on NULL-key join semantics (the final USING join
+    here and the dangling NOT IN in pagerank both drop NULL on DuckDB
+    while Spark's anti-join keeps it — r10 ADVICE)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     w_ = Window.partitionBy("user_id").orderBy("ts", "event_id")
     edges = ev.select(
         F.lag("event_type").over(w_).alias("src"),
@@ -3134,7 +3140,7 @@ def _pagerank_oracle(damping: float = 0.85, iters: int = 6) -> str:
     WITH e AS (
       SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
              event_type AS dst
-      FROM events WHERE ts IS NOT NULL
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
     ),
     w AS (
       SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
@@ -3182,8 +3188,14 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank of event types over the per-user transition graph
     (6 damped power-iteration rounds, dangling mass redistributed).
     Transition edges are timeline-ordered, so NULL-ts events are
-    excluded (r9 fuzz: engines disagree on NULL sort placement)."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    excluded (r9 fuzz: engines disagree on NULL sort placement).
+    NULL event_type is excluded too: DuckDB's dangling `vertex NOT IN
+    (SELECT src...)` silently drops a NULL vertex (NULL NOT IN is
+    NULL) while Spark's anti-join counts it as dangling — the mass
+    would diverge from round 1 (r10 ADVICE follow-through)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     edges = ev.select(
         F.lag("event_type").over(w).alias("src"),
@@ -8373,15 +8385,21 @@ def docs_dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 # else keeps its original relative order and stays covered by
 # tools/verify_local.py. Pinned by tests/test_driver_gate.py.
 #
-# r10 rotation note: emb_cov_drift, emb_whitened_norm,
-# emb_pca_project2, events_hits, docs_label_spread and
-# shipping_priority_topk (all late r9) landed after this
-# round's window was already spent on the eleven never-gated queries
-# plus the substring-spans and PCA pair — rotate them in next round
-# (the emb trio shares the covariance_stats kernel with the in-window
-# emb_pca_cov/pc1 and events_hits shares the transition-graph builder
-# with pinned events_pagerank, so their driver exposure this round is
-# indirect but real).
+# r10 rotation (VERDICT r9 ask #1): the six late-r9 queries with no
+# driver-gate row ever (emb_cov_drift, emb_whitened_norm,
+# emb_pca_project2, events_hits, docs_label_spread,
+# shipping_priority_topk) rotate IN. Evicted, all driver-green r8+r9
+# with families staying represented: docs_source_report_counts (the
+# r8 BIGINT-cast bisection control rode two full green rounds; parent
+# docs_source_report stays), docs_bpe_subwords (BPE stays via train +
+# tokenizer_fertility), docs_chunked (text family stays via
+# ac_dict_filter + boilerplate_lines), customer_order_full_outer
+# (incoming shipping_priority_topk is the richer relational-join rep:
+# 3-table join + group + top-k), docs_source_divergence (source-stats
+# family stays via source_report/source_overlap/temperature_mixture),
+# emb_hard_negatives (mining kernel stays via emb_hard_positives).
+# With these six green, every registered query has a driver-gate row
+# (163/163 ever-driver-green).
 # ---------------------------------------------------------------------------
 
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
@@ -8437,6 +8455,17 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # k_anonymity, psi_drift, type_hour_chi2 — plus pagerank pinned).
     "emb_pca_cov",
     "emb_pca_pc1",
+    # NEW in r10 window (late-r9 operators, first driver rows): the
+    # rest of the PCA family — 2-D deflated projection, whitened-norm
+    # outlier score, covariance drift — all sharing the one-pass
+    # covariance kernel with the proven cov/pc1 pair above.
+    "emb_pca_project2",
+    "emb_whitened_norm",
+    "emb_cov_drift",
+    # NEW in r10 window: semi-supervised label propagation over the
+    # near-dup graph (iterative majority vote, unrolled-CTE oracle —
+    # the drift-exposed family).
+    "docs_label_spread",
     # LLM quality / filtering / mixing tier (CLAUDE.md window rule).
     # docs_mixture_sample and docs_bigram_pmi rotated OUT after
     # driver-green r7 — their families stay sampled via the incoming
@@ -8466,10 +8495,16 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # non-integer control and the fix targets the integer sums, whose
     # verdict comes from the parent + _counts rows.
     "docs_source_report",
-    "docs_source_report_counts",
-    # Iterative-graph rep: the unrolled-CTE oracle family is the most
-    # exposed to regenerated-data drift, so it stays pinned.
+    # docs_source_report_counts rotated OUT after driver-green r8+r9:
+    # the HUGEINT→BIGINT bisection is settled; the parent row remains
+    # the integer-sum control.
+    # Iterative-graph reps: the unrolled-CTE oracle family is the most
+    # exposed to regenerated-data drift, so pagerank stays pinned;
+    # HITS (late r9, first driver row) shares the transition-graph
+    # builder but exercises the sup-norm integer-grid normalize and
+    # the NULL-vertex contract fixed this round.
     "events_pagerank",
+    "events_hits",
     # Reference text-filter surface (§2.2); docs_dict_anti_filter
     # rotated OUT (driver-green r7) for its never-sampled AC variant.
     # docs_clean_text (driver-green r1-r7, pytest-smoke + fuzz-gated)
@@ -8502,9 +8537,9 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_value_anomaly",
     "events_key_skew_report",
     "docs_temperature_mixture",
-    "docs_source_divergence",
+    # docs_source_divergence and docs_chunked rotated OUT after
+    # driver-green r8+r9 (r10 rotation note above).
     "docs_ac_dict_filter",
-    "docs_chunked",
     # docs_contiguous_ids / docs_length_histogram / emb_dim_stats were
     # "next-best" fillers (not in VERDICT r7's named ten) and are the
     # simplest shapes in the rotation; they yield their slots to the
@@ -8513,7 +8548,11 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # trio back in r9.
     "docs_boilerplate_lines",
     "lineitem_price_percentiles",
-    "customer_order_full_outer",
+    # NEW in r10 window (late r9, first driver row): the TPC-H-Q3-
+    # shaped shipping-priority top-k — replaces the evicted
+    # customer_order_full_outer as the relational-join rep (3-table
+    # join + aggregate + partial-topk tail).
+    "shipping_priority_topk",
     # rows-only sink e2e (no oracle by design): gives the K1-K4 sink
     # family its first driver-side evidence; writes only to a tempdir.
     "release_sink_smoke",
@@ -8526,7 +8565,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # lineitem_profile stays local+fuzz+bench-gated outside the
     # window, rotate r9).
     "docs_bpe_train",
-    "docs_bpe_subwords",
     "docs_dedup_lines_global",
     "docs_heavy_hitters",
     "events_profile",
@@ -8536,11 +8574,10 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # in r8's CORRECTNESS window.
     "docs_winnow_fingerprints",
     "docs_cms_estimates",
-    # and the two newest embedding ops: the IVF-PQ exact re-rank
-    # stage and hard-negative mining — first hard-gate rows now, while
-    # their near-tie exposure is freshest.
+    # IVF-PQ exact re-rank (emb_hard_negatives rotated OUT after
+    # driver-green r8+r9; the mining kernel stays sampled via
+    # emb_hard_positives above).
     "emb_ivfpq_rerank",
-    "emb_hard_negatives",
     # Final late-r8 batch, never driver-gated: distinct-n diversity
     # (collapse-first distinct shape), tokenizer fertility (corpus-
     # trained BPE apply — drift-exposed dictionary chain), per-line

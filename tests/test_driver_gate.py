@@ -83,34 +83,40 @@ def test_driver_sample_covers_llm_tier():
         "docs_exact_substring_spans",
         # quality tier rep (aggregates the gopher/c4/lm verdict frame)
         "docs_quality_funnel",
-        # BIGINT-cast fix controls, third consecutive round
+        # BIGINT-cast fix control (the _counts sibling rotated OUT
+        # after driver-green r8+r9 — bisection settled)
         "docs_source_report",
-        "docs_source_report_counts",
         # NEW r9 operator pair: bit-portable PCA (slots freed by
         # emb_ivfpq_topk and events_top_paths, both driver-green r8;
         # IVF-PQ stays via emb_ivfpq_rerank, events keeps seven reps)
         "emb_pca_cov",
         "emb_pca_pc1",
-        # round-8 rotation members riding a second round
+        # r10 rotation (VERDICT r9 ask #1): the six late-r9 queries
+        # with no driver-gate row ever. Evicted (driver-green r8+r9,
+        # families staying represented): docs_source_report_counts,
+        # docs_bpe_subwords, docs_chunked, customer_order_full_outer,
+        # docs_source_divergence, emb_hard_negatives.
+        "emb_pca_project2",
+        "emb_whitened_norm",
+        "emb_cov_drift",
+        "docs_label_spread",
+        "events_hits",
+        "shipping_priority_topk",
+        # round-8 rotation members riding further rounds
         "events_value_anomaly",
         "events_key_skew_report",
         "docs_temperature_mixture",
-        "docs_source_divergence",
         "docs_ac_dict_filter",
-        "docs_chunked",
         "docs_boilerplate_lines",
         "lineitem_price_percentiles",
-        "customer_order_full_outer",
         "release_sink_smoke",
         "docs_bpe_train",
-        "docs_bpe_subwords",
         "docs_dedup_lines_global",
         "docs_heavy_hitters",
         "events_profile",
         "docs_winnow_fingerprints",
         "docs_cms_estimates",
         "emb_ivfpq_rerank",
-        "emb_hard_negatives",
         "docs_ngram_diversity",
         "docs_tokenizer_fertility",
         "docs_line_language",
@@ -122,13 +128,6 @@ def test_driver_sample_covers_llm_tier():
         "docs_rrf_fusion",
     }
     assert must_sample <= first50
-    # The r7 bisection block's integer-sum members stay adjacent (the
-    # non-integer _quality control rotated out after green r7+r8).
-    i = names.index("docs_source_report")
-    assert names[i : i + 2] == [
-        "docs_source_report",
-        "docs_source_report_counts",
-    ]
     # The reorder is a permutation: nothing dropped, oracles intact.
     assert len(names) == len(set(names)) >= 91
     assert set(ORACLES) <= set(QUERIES)

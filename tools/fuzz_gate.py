@@ -305,8 +305,9 @@ EVENTS_QUERIES = {
     "events_moving_avg",
     "events_asof_join",
     "events_pagerank",
-    # r9: HITS — NULL event_type vertices and NULL-ts exclusion ride
-    # the same transition-graph semantics as pagerank
+    # r9: HITS — NULL event_type rows (sparse in make_events since
+    # r10) and NULL-ts exclusion ride the same transition-graph
+    # semantics as pagerank; both filter NULL vertices by contract
     "events_hits",
     "events_top_paths",
     "events_cube",
@@ -466,9 +467,10 @@ def make_events(rng: random.Random, n: int):
             value = 1e9 + rng.randint(0, 999) / 7.0
         else:
             value = rng.randint(0, 30000) / 100.0
-        rows.append(
-            (i, ts, u, rng.choice(EVENT_TYPES), value, rng.choice(PROPS))
-        )
+        # sparse NULL event_type rows (r10 ADVICE: the NULL-vertex arm
+        # of the transition-graph queries was never actually replayed)
+        etype = None if rng.random() < 0.02 else rng.choice(EVENT_TYPES)
+        rows.append((i, ts, u, etype, value, rng.choice(PROPS)))
     return pa.table(
         {
             "event_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -874,14 +876,16 @@ def _events_ns(rng: random.Random, n: int):
 
 def _events_allnull(rng: random.Random, n: int):
     """Every nullable events column all-NULL at once (ts, user_id,
-    value, props): timeline queries must degenerate to the same empty
-    or NULL-keyed result on both engines."""
+    event_type, value, props): timeline queries must degenerate to the
+    same empty or NULL-keyed result on both engines (event_type joined
+    the set in r10 — the graph queries' NULL-vertex arm)."""
     import pyarrow as pa
 
     tbl = make_events(rng, n)
     nulls = {
         "ts": pa.timestamp("us"),
         "user_id": pa.int64(),
+        "event_type": pa.string(),
         "value": pa.float64(),
         "props": pa.string(),
     }
