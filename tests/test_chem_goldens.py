@@ -87,3 +87,89 @@ def test_goldens_file_shape(goldens):
     assert goldens["backend"] in ("minichem", "rdkit")
     assert len(goldens["rows"]) == len(goldens["candidates"])
     assert set(goldens["columns"]) <= set(goldens["rows"][0])
+
+
+# ---------------------------------------------------------------------------
+# Reference-panel goldens (VERDICT r9 ask #2): the REAL 716-entry
+# smiles.txt db + the 52 inhibitor names, not synthetic candidates.
+# The fixture is self-contained (each row carries its input SMILES),
+# so the replay needs no reference checkout.
+# ---------------------------------------------------------------------------
+
+REF_GOLDENS = Path(__file__).resolve().parent / "fixtures" / "chem_ref_goldens.json"
+
+# Same triage contract as MINICHEM_RDKIT_ALLOWED, keyed by
+# (row index, column) because the reference db contains duplicate
+# SMILES under different names.
+REF_MINICHEM_RDKIT_ALLOWED: dict[tuple[int, str], str] = {}
+
+
+@pytest.fixture(scope="module")
+def ref_goldens() -> dict:
+    return json.loads(REF_GOLDENS.read_text())
+
+
+def test_ref_goldens_shape(ref_goldens):
+    assert ref_goldens["backend"] in ("minichem", "rdkit")
+    assert ref_goldens["n_entries"] == len(ref_goldens["rows"]) == 716
+    assert len(ref_goldens["inhibitor_resolution"]) == 52
+    hits = [r for r in ref_goldens["inhibitor_resolution"] if r["db_smiles"]]
+    assert len(hits) == 45  # exact-name internal-db resolution rate
+    # every resolved name canonicalizes (the reference canonic()s
+    # every internal hit before use, finalize_realease.py:695)
+    assert all(r["canonical"] for r in hits)
+    # every db entry canonicalizes under minichem — no scope exclusions
+    # needed for the real reference chemistry
+    assert all(r["SMILES_canonical"] for r in ref_goldens["rows"])
+
+
+def test_minichem_matches_ref_goldens(ref_goldens):
+    """Replay the full D2-D4 kernel over all 716 reference SMILES and
+    compare cell-by-cell with the committed pins (~20 s)."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import chem_parity as cp
+    from aurora_mito_etl_spark.operators import chem
+
+    assert ref_goldens["panel"] == cp.PANEL
+    smis = [r["SMILES"] for r in ref_goldens["rows"]]
+    rows = cp.fake_rows(cp.PANEL, smis, chem.minichem_backend)
+    divergent = []
+    for i, (exp, act) in enumerate(zip(ref_goldens["rows"], rows)):
+        for col in ref_goldens["columns"]:
+            e, a = exp[col], act[col]
+            ok = (
+                abs(e - a) < 5e-4
+                if isinstance(e, float) and isinstance(a, float)
+                else e == a
+            )
+            if not ok:
+                divergent.append((i, exp["ref_name"], col, e, a))
+    if ref_goldens["backend"] == "minichem":
+        assert not divergent, (
+            "minichem kernel drifted from the reference-panel goldens "
+            "(regenerate deliberately via tools/chem_parity.py "
+            f"--emit-ref-goldens):\n{divergent[:20]}"
+        )
+    else:
+        undocumented = [
+            d for d in divergent
+            if (d[0], d[2]) not in REF_MINICHEM_RDKIT_ALLOWED
+        ]
+        assert not undocumented, (
+            "minichem diverges from RDKit reference-panel goldens in "
+            f"untriaged cells:\n{undocumented[:20]}"
+        )
+
+
+def test_inhibitor_resolution_replays(ref_goldens):
+    """The canonical form of every internally-resolved inhibitor name
+    replays bit-for-bit through minichem (the reference's canonic()
+    twin on its exact-lookup path)."""
+    from aurora_mito_etl_spark.operators.minichem import canonical_smiles
+
+    for r in ref_goldens["inhibitor_resolution"]:
+        if r["db_smiles"] is None:
+            continue
+        assert canonical_smiles(r["db_smiles"]) == r["canonical"], r["name"]

@@ -434,10 +434,128 @@ def check_goldens(path: Path) -> int:
     return 1 if bad else 0
 
 
+REF_GOLDENS_PATH = (
+    Path(__file__).resolve().parents[1]
+    / "tests"
+    / "fixtures"
+    / "chem_ref_goldens.json"
+)
+REF_SMILES = Path("/root/reference/data/reference/smiles.txt")
+REF_INHIBITORS = Path(
+    "/root/reference/data/reference/mitochondrial_complex_i_inhibitors.txt"
+)
+
+
+def load_reference_panels() -> tuple[list[tuple[str, str]], list[str]]:
+    """The reference's REAL data panels (public fixture data, not
+    code): the 716-entry internal name→SMILES db
+    (finalize_realease.py:508-511 parses it with the identical
+    rstrip/tab-split) and the 52 complex-I inhibitor names the
+    pipeline resolves against it (:686 exact lookup; the :512
+    lower-cased fallback is dead code in the reference — it unpacks
+    dict KEYS and would raise — so exact match is the only real
+    internal path, misses go to the REST fallback)."""
+    if not REF_SMILES.exists():
+        raise FileNotFoundError(
+            f"{REF_SMILES} not present on this host — reference-panel "
+            "goldens can only be (re-)emitted where the reference repo "
+            "is checked out; the committed fixture remains the pin"
+        )
+    entries = [
+        tuple(e.rstrip("\r\n").split("\t"))
+        for e in REF_SMILES.read_text(encoding="utf-8").splitlines()
+        if e.strip()
+    ]
+    names = [
+        n.strip()
+        for n in REF_INHIBITORS.read_text(encoding="utf-8").splitlines()
+        if n.strip()
+    ]
+    return entries, names
+
+
+def emit_ref_goldens(path: Path) -> int:
+    """Write the REFERENCE-panel golden fixture (VERDICT r9 ask #2):
+    the actual 716 smiles.txt entries scored through the full D2-D4
+    surface (canonicalization + 6-ref Tanimoto panel + biguanide
+    Tversky/Dice/substructure block) plus the 52 inhibitor names'
+    internal-db resolution — so the chem pins exercise real reference
+    chemistry rather than the 8 synthetic candidates of
+    chem_goldens.json. Same upgrade contract: re-run on an RDKit host
+    and the file re-emits with backend=rdkit via the reference's own
+    algorithm (reference_rows)."""
+    import json
+
+    entries, inhibitor_names = load_reference_panels()
+    smiles_db = dict(entries)
+    cand = [smi for _, smi in entries]
+    try:
+        import rdkit  # noqa: F401
+
+        backend, version = "rdkit", rdkit.__version__
+        rows = reference_rows(PANEL, cand)
+        canon = None  # reference_rows computed canonical itself
+    except ImportError:
+        from aurora_mito_etl_spark.operators import chem as _chem
+        from aurora_mito_etl_spark.operators import minichem
+
+        backend, version = "minichem", getattr(minichem, "__version__", "r9")
+        rows = fake_rows(PANEL, cand, _chem.minichem_backend)
+        canon = minichem.canonical_smiles
+    for (name, _), row in zip(entries, rows):
+        row["ref_name"] = name
+    resolve = []
+    for n in inhibitor_names:
+        smi = smiles_db.get(n)  # exact path only — see load_reference_panels
+        resolve.append(
+            {
+                "name": n,
+                "db_smiles": smi,
+                "canonical": (
+                    None
+                    if smi is None
+                    else (canon(smi) if canon else reference_rows(
+                        PANEL, [smi])[0]["SMILES_canonical"])
+                ),
+            }
+        )
+    n_hit = sum(1 for r in resolve if r["db_smiles"] is not None)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(
+        json.dumps(
+            {
+                "backend": backend,
+                "backend_version": version,
+                "panel": PANEL,
+                "topk": TOPK,
+                "alpha": ALPHA,
+                "beta": BETA,
+                "columns": COLUMNS,
+                "n_entries": len(entries),
+                "rows": rows,
+                "inhibitor_resolution": resolve,
+            },
+            indent=1,
+            sort_keys=True,
+        )
+        + "\n"
+    )
+    print(
+        f"ref goldens written: {path} (backend={backend} {version}, "
+        f"{len(rows)} panel rows, {n_hit}/{len(resolve)} inhibitor names "
+        f"resolved by the internal db)"
+    )
+    return 0
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--emit-goldens":
         return emit_goldens(
             Path(sys.argv[2]) if len(sys.argv) > 2 else GOLDENS_PATH
+        )
+    if len(sys.argv) > 1 and sys.argv[1] == "--emit-ref-goldens":
+        return emit_ref_goldens(
+            Path(sys.argv[2]) if len(sys.argv) > 2 else REF_GOLDENS_PATH
         )
     if len(sys.argv) > 1 and sys.argv[1] == "--check-goldens":
         return check_goldens(
