@@ -375,6 +375,62 @@ def main() -> int:
     edges.unpersist()
     med = sorted(reps)[len(reps) // 2]
     print(json.dumps({"pagerank_repeats": reps, "pagerank_median": med}))
+
+    # Round-10 tier (VERDICT r9 ask #5a): HITS fixed-size repeats —
+    # same event-type-grain graph as pagerank (|V| ~ handful), but the
+    # no-checkpoint linear-lineage chain + global-window sup-norm is a
+    # different plan shape; the repeats' median is the attributable
+    # cost. Edges filter NULL ts/event_type like the query (r10
+    # NULL-vertex contract).
+    edges = ev.filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        F.lag("event_type").over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+    ).where(F.col("src").isNotNull()).cache()
+    edges.count()
+    reps = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        gr.hits(edges, iterations=4).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        reps.append(round(time.perf_counter() - t0, 2))
+    edges.unpersist()
+    med = sorted(reps)[len(reps) // 2]
+    print(json.dumps({"hits_repeats": reps, "hits_median": med}))
+
+    # Round-10 tier (VERDICT r9 ask #5b): label propagation — the
+    # bench suite's priciest entry. Replication is the ADVERSARIAL
+    # direction: every replica is a near-dup of its original, so
+    # duplicate components grow WITH the factor. The claims under
+    # test: CC rounds grow O(log² n) (large-star/small-star), and the
+    # vote/winner aggregations run on the component table — so the
+    # factor curve must stay near-linear in pair count, not bend with
+    # component size.
+    for f in factors:
+        docs = replicate(base, f).repartition(32).cache()
+        nd = docs.count()
+        seeded = docs.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 != 0,
+                F.concat(F.lit("l"), (F.col("doc_id") % 5).cast("string")),
+            ).alias("seed"),
+        )
+        pairs = dd.ngram_jaccard_pairs(
+            docs, "text", "doc_id", k=3, threshold=0.15
+        )
+        t0 = time.perf_counter()
+        dd.label_spread(seeded, pairs, "doc_id", "seed").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        ls_t = round(time.perf_counter() - t0, 2)
+        docs.unpersist()
+        print(json.dumps({
+            "label_spread_factor": f, "doc_rows": nd, "label_spread": ls_t,
+        }))
+
     spark.stop()
     return 0
 
