@@ -345,14 +345,26 @@ def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey IS NOT NULL
+      AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_custkey IS NOT NULL)
     """,
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 anti join — the LLM-resume skip-done shape
-    (run_gpt_filter.py:81-95)."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    (run_gpt_filter.py:81-95). NULL keys are filtered EXPLICITLY on
+    both sides: a single NULL o_custkey makes SQL's bare NOT IN
+    return zero rows while Spark's anti-join is unaffected, and a
+    NULL c_custkey survives Spark's anti-join but never a NOT IN —
+    the same engine-divergence class as the r10 graph-vertex fix
+    (keys are non-NULL in every shipped dataset; this pins the
+    regeneration-drift arm)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey").isNotNull()
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull()
+    )
     return j.anti_join(
         c, o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey"
     ).select("c_custkey", "c_name", "c_mktsegment")

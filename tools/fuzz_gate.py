@@ -771,6 +771,12 @@ def make_relational(rng: random.Random, n: int) -> dict:
     for i in range(1, n + 1):
         ck = (rng.randint(1, n_cust) if rng.random() < 0.85
               else n_cust + rng.randint(1, 50))  # dangling FK
+        if rng.random() < 0.02:
+            # sparse NULL FK (r10): one NULL in a bare SQL NOT IN list
+            # empties the whole anti-join result while Spark's
+            # left_anti shrugs — customers_without_orders now filters
+            # NULL keys explicitly on both sides; this arm replays it
+            ck = None
         r = rng.random()
         if r < 0.08:
             price = 100000.00  # right-closed bin edge (<=)
@@ -932,6 +938,8 @@ SCHEMA_VARIANTS = {
     "lineitem_empty": ("lineitem",
                        lambda rng, n: _empty_like(make_lineitem(rng, 64)),
                        LINEITEM_QUERIES, 0),
+    "orders_nullfk": ("orders", lambda rng, n: _orders_nullfk(rng, n),
+                      RELATIONAL_QUERIES, 400),
     "relational_empty": ("orders+customer+part+supplier",
                          lambda rng, n: {
                              t: _empty_like(tb)
@@ -942,6 +950,18 @@ SCHEMA_VARIANTS = {
                          } | {"region": make_relational(rng, 64)["region"]},
                          RELATIONAL_QUERIES, 0),
 }
+
+
+def _orders_nullfk(rng: random.Random, n: int):
+    """Orders with o_custkey ALL-NULL (r10): the degenerate arm of the
+    NULL-FK class — one NULL in a bare SQL NOT IN list empties the
+    whole anti-join result while Spark's left_anti is unaffected;
+    every custkey join/group/window must degrade identically."""
+    import pyarrow as pa
+
+    tbl = make_relational(rng, max(n, 64))["orders"]
+    i = tbl.schema.get_field_index("o_custkey")
+    return tbl.set_column(i, "o_custkey", pa.nulls(tbl.num_rows, pa.int64()))
 
 
 def _emb_allnull(rng: random.Random, n: int):
