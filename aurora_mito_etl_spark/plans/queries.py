@@ -4355,8 +4355,10 @@ _KS_ORACLE = r"""
     ),
     diffs AS (
       SELECT s.source, s.n_s,
-             floor(abs(CAST(s.cum_s AS DOUBLE) / s.n_s
-                       - CAST(gc.cum_g - s.cum_s AS DOUBLE) / (ng.n_g - s.n_s)) * 1000000 + 0.5) / 1000000 AS d
+             CASE WHEN ng.n_g > s.n_s THEN
+               floor(abs(CAST(s.cum_s AS DOUBLE) / s.n_s
+                         - CAST(gc.cum_g - s.cum_s AS DOUBLE) / (ng.n_g - s.n_s)) * 1000000 + 0.5) / 1000000
+             END AS d
       FROM scum s JOIN gcum gc ON gc.v = s.v, ng
     )
     SELECT source, CAST(n_s AS BIGINT) AS n_source, MAX(d) AS ks_stat
@@ -4407,15 +4409,22 @@ def docs_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "n_s", "v", F.sum("c").over(w_s).cast("long").alias("cum_s")
         )
     )
+    # A source that IS the whole corpus has an empty "rest" ECDF: the
+    # statistic is undefined → NULL identically on both engines
+    # (Spark's ANSI division RAISES on the 0 denominator, DuckDB's
+    # double division yields inf — the n=1 fuzz frontier, r10).
     diffs = scum.join(gcum, "v").crossJoin(F.broadcast(ng)).select(
         "source",
         "n_s",
-        fixed6(
-            F.abs(
-                F.col("cum_s").cast("double") / F.col("n_s")
-                - (F.col("cum_g") - F.col("cum_s")).cast("double")
-                / (F.col("n_g") - F.col("n_s"))
-            )
+        F.when(
+            F.col("n_g") > F.col("n_s"),
+            fixed6(
+                F.abs(
+                    F.col("cum_s").cast("double") / F.col("n_s")
+                    - (F.col("cum_g") - F.col("cum_s")).cast("double")
+                    / (F.col("n_g") - F.col("n_s"))
+                )
+            ),
         ).alias("d"),
     )
     return diffs.groupBy("source", "n_s").agg(F.max("d").alias("ks_stat")).select(
