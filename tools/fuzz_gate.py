@@ -940,6 +940,33 @@ SCHEMA_VARIANTS = {
                        LINEITEM_QUERIES, 0),
     "orders_nullfk": ("orders", lambda rng, n: _orders_nullfk(rng, n),
                       RELATIONAL_QUERIES, 400),
+    # r10 constant-content variants: unique keys, every value column
+    # identical — the zero-variance / one-distinct-value arm at scale
+    "docs_constant": ("documents",
+                      lambda rng, n: _constant_like(
+                          make_documents(rng, n), ("doc_id",)),
+                      DOCS_QUERIES, 300),
+    "events_constant": ("events",
+                        lambda rng, n: _constant_like(
+                            make_events(rng, n), ("event_id",)),
+                        EVENTS_QUERIES, 400),
+    "embeddings_constant": ("embeddings",
+                            lambda rng, n: _constant_like(
+                                make_embeddings(rng, n), ("vec_id",)),
+                            EMB_QUERIES, 200),
+    "lineitem_constant": ("lineitem",
+                          lambda rng, n: _constant_like(
+                              make_lineitem(rng, n), ("l_orderkey",)),
+                          LINEITEM_QUERIES, 400),
+    "relational_constant": ("orders+customer+part+supplier",
+                            lambda rng, n: {
+                                t: _constant_like(tb, (
+                                    "o_orderkey", "c_custkey",
+                                    "p_partkey", "s_suppkey",
+                                    "r_regionkey", "r_name"))
+                                for t, tb in make_relational(rng, n).items()
+                            },
+                            RELATIONAL_QUERIES, 400),
     "relational_empty": ("orders+customer+part+supplier",
                          lambda rng, n: {
                              t: _empty_like(tb)
@@ -950,6 +977,29 @@ SCHEMA_VARIANTS = {
                          } | {"region": make_relational(rng, 64)["region"]},
                          RELATIONAL_QUERIES, 0),
 }
+
+
+def _constant_like(tbl, key_cols=()):
+    """Every non-key column overwritten with its row-0 value (keys
+    keep their generated uniqueness): the single-distinct-value /
+    zero-variance arm at scale — ECDFs with one jump, all-tie ranks,
+    zero covariance, single-vertex graphs (r10; the n=1 frontier's
+    sibling along the cardinality axis instead of the row axis)."""
+    import pyarrow as pa
+
+    if tbl.num_rows == 0:
+        return tbl
+    out = tbl
+    for name in tbl.schema.names:
+        if name in key_cols:
+            continue
+        i = tbl.schema.get_field_index(name)
+        first = tbl.column(name)[0].as_py()
+        out = out.set_column(
+            i, name,
+            pa.array([first] * tbl.num_rows, tbl.schema.field(name).type),
+        )
+    return out
 
 
 def _orders_nullfk(rng: random.Random, n: int):
