@@ -66,7 +66,7 @@ def sanitize_compounds(raw: str) -> list[str]:
     matches the reference so outputs are comparable."""
     kept: list[str] = []
     for piece in raw.split(";"):
-        candidate = piece.strip()
+        candidate = piece.strip(" \t\n\x0b\f\r")  # ASCII ws only (see parse_result_line)
         if not candidate or candidate.lower() in BANNED_SIMPLE_NAMES:
             continue
         if len(candidate) > 80:
@@ -84,11 +84,17 @@ def parse_result_line(line: str, expected_pmid: str) -> tuple[str, str, str] | N
 
     The PMID is force-aligned to the expected item (models drift);
     the flag is validated case-insensitively (F14); NO ⇒ 'NA'.
+    Field strips are EXPLICIT ASCII whitespace, never bare
+    str.strip(): bare strip also eats Unicode whitespace (NBSP) off a
+    compound name's fringe, which the stub oracle's ASCII-set trim
+    never does — the classify twins must keep byte-identical names
+    (r10 NBSP-alphabet finding).
     """
-    parts = line.strip().split("\t")
+    _aws = " \t\n\x0b\f\r"
+    parts = line.strip(_aws).split("\t")
     if len(parts) < 3:
         return None
-    _got_pmid, got_flag, got_names = (p.strip() for p in parts[:3])
+    _got_pmid, got_flag, got_names = (p.strip(_aws) for p in parts[:3])
     # The reply's PMID field is advisory only: batch order is the
     # ground truth, so the output is unconditionally force-aligned
     # (models drift; extract_pmid remains public for callers that DO
@@ -119,8 +125,17 @@ def stub_classifier() -> Classifier:
 
     Heuristic: 'inhibit' + 'complex i' → YES, 'decrease'/'reduce' +
     'complex i' → probablyYES, else NO; the 'compound' is the first
-    capitalized non-initial word. Deterministic in the text alone.
+    ASCII-capitalized word of >2 chars. Deterministic in the text
+    alone — and PORTABLY so: tokenization is the repo-wide explicit
+    ASCII whitespace class and the capital test is ASCII `A-Z`, never
+    str.split()/str.isupper() (Python's split() breaks on Unicode
+    whitespace like NBSP and isupper() accepts Ø/Æ/Β, neither of
+    which the DuckDB oracle's squeeze+split / `^[A-Z]` does — a
+    latent engine divergence the r10 fuzz-vocabulary arming exposed).
     """
+    import re as _re
+
+    _ws = _re.compile(r"[ \t\n\x0b\f\r]+")
 
     def classify(batch: list[tuple[str, str]]) -> list[str]:
         lines = []
@@ -135,9 +150,9 @@ def stub_classifier() -> Classifier:
                 flag = "NO"
             name = "NA"
             if flag != "NO":
-                for w in text.split():
+                for w in _ws.split(text):
                     bare = w.strip(" ,.;:()[]{}")
-                    if bare[:1].isupper() and len(bare) > 2:
+                    if "A" <= bare[:1] <= "Z" and len(bare) > 2:
                         name = bare
                         break
             lines.append(f"PMID{pmid}\t{flag}\t{name}")

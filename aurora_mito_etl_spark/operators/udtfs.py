@@ -107,7 +107,15 @@ def _chunks_udtf():
     @udtf(returnType="chunk_idx int, chunk string, n_tokens int", useArrow=True)
     class Chunks:
         def eval(self, text: str, chunk_size: int, overlap: int):
-            tokens = (text or "").split()
+            # repo-wide explicit ASCII whitespace class, NOT bare
+            # str.split(): Python's split() also breaks on Unicode
+            # whitespace (NBSP, thin space), which the DuckDB oracle's
+            # squeeze+split never does — tokens must match exactly
+            import re
+
+            tokens = [
+                t for t in re.split(r"[ \t\n\x0b\f\r]+", text or "") if t
+            ]
             for idx, chunk, n in chunk_tokens(tokens, chunk_size, overlap):
                 yield idx, chunk, n
 

@@ -795,7 +795,7 @@ def orders_above_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_token_positions",
     """
     SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token
-    FROM (SELECT doc_id, string_split(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ') AS toks
+    FROM (SELECT doc_id, string_split(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' '), ' ') AS toks
           FROM documents WHERE doc_id < 10),
          UNNEST(generate_series(1, len(toks))) AS u(i)
     WHERE toks[i] <> ''
@@ -988,7 +988,12 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Text operators on `documents` (SURVEY §2.2, textstats extensions)
 # ---------------------------------------------------------------------------
 
-_CLEAN_SQL = r"trim(regexp_replace(translate(regexp_replace(regexp_replace(text, '(?i)</?(?:sup|sub|i|b|u|em|strong|small|p|br)\b[^>]*/?>', '', 'g'), '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'), '–—−', '---'), '[ \t\n\x0b\f\r]+', ' ', 'g'))"
+# The two translate layers mirror scrub_special_chars exactly
+# (text.py:45-52): zero-width chars + BOM DELETED, then NBSP→space
+# alongside the dash canonicalization — all as REAL characters in the
+# literal, the same convention as the Spark source. NBSP was invisible
+# to this oracle until the r10 fuzz alphabet carried it.
+_CLEAN_SQL = r"trim(regexp_replace(translate(translate(regexp_replace(regexp_replace(text, '(?i)</?(?:sup|sub|i|b|u|em|strong|small|p|br)\b[^>]*/?>', '', 'g'), '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'), '​‌‍﻿', ''), ' –—−', ' ---'), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')"
 
 
 @_register(
@@ -1043,7 +1048,7 @@ def docs_dict_anti_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_token_explode",
     """
     SELECT doc_id, t AS token
-    FROM (SELECT doc_id, regexp_replace(trim(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS s FROM documents WHERE doc_id < 20),
+    FROM (SELECT doc_id, regexp_replace(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS s FROM documents WHERE doc_id < 20),
          UNNEST(string_split(s, ' ')) AS u(t)
     WHERE t <> ''
     """,
@@ -1060,7 +1065,7 @@ def docs_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_token_stats",
     r"""
     SELECT doc_id,
-           len(string_split(trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')), ' ')) AS n_tokens_ws,
+           len(string_split(trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g'), ' '), ' ')) AS n_tokens_ws,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]')) AS n_tokens_bpe,
            length(text) AS n_chars_actual
     FROM documents
@@ -1086,7 +1091,7 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(length(text) AS DOUBLE) AS n,
              CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
              CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
-             CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS words
+             CAST(len(string_split(trim(text, ' '), ' ')) AS DOUBLE) AS words
       FROM (SELECT doc_id, regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS text FROM documents)
     )
     SELECT doc_id,
@@ -1177,7 +1182,7 @@ def _line_language_oracle() -> str:
       SELECT doc_id, l FROM (
         SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS l
         FROM documents)
-      WHERE trim(regexp_replace(l, '[ \t\x0b\f\r]+', ' ', 'g')) <> ''
+      WHERE trim(regexp_replace(l, '[ \t\x0b\f\r]+', ' ', 'g'), ' ') <> ''
     ),
     s AS (
       SELECT doc_id,
@@ -1228,7 +1233,7 @@ ORACLES["docs_line_language"] = _line_language_oracle()
 @_register(
     "docs_fingerprint",
     """
-    SELECT doc_id, md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS fp
+    SELECT doc_id, md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' '))) AS fp
     FROM documents
     """,
 )
@@ -1244,7 +1249,7 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH words AS (
       SELECT doc_id, w FROM (
         SELECT doc_id,
-               unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS w
+               unnest(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0b\f\r]+')) AS w
         FROM documents)
       WHERE w <> ''
     ),
@@ -1320,7 +1325,7 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH words AS (
       SELECT source, w FROM (
         SELECT source,
-               unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS w
+               unnest(string_split_regex(lower(trim(text, ' ')), '[ \t\n\x0b\f\r]+')) AS w
         FROM documents)
       WHERE w <> ''
     ),
@@ -1363,7 +1368,7 @@ def docs_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH toks AS (
       SELECT doc_id,
-             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
+             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')), ' ') AS t
       FROM documents
     ),
     grams AS (
@@ -1407,7 +1412,7 @@ def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_heavy_hitters",
     r"""
     WITH toks AS (
-      SELECT unnest(string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ')) AS tok
+      SELECT unnest(string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')), ' ')) AS tok
       FROM documents
     ),
     tz AS (SELECT tok FROM toks WHERE tok <> ''),
@@ -1436,7 +1441,7 @@ def docs_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH base AS (
       SELECT source,
-             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
+             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')), ' ') AS t
       FROM documents
     ),
     g1 AS (
@@ -1502,7 +1507,7 @@ def docs_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH base AS (
       SELECT source,
-             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
+             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')), ' ') AS t
       FROM documents
     ),
     g3 AS (
@@ -1546,7 +1551,7 @@ def docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH toks AS (
       SELECT doc_id,
-             unnest(string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ')) AS tok
+             unnest(string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')), ' ')) AS tok
       FROM documents
     ),
     tz AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
@@ -1639,7 +1644,7 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT MIN(doc_id) AS doc_id
     FROM documents
-    GROUP BY md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))))
+    GROUP BY md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')))
     """,
 )
 def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1651,7 +1656,7 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHINGLE_SQL = """
       SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh
       FROM (SELECT doc_id,
-                   string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), ' ') AS t
+                   string_split(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')), ' ') AS t
             FROM documents),
            UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
 """
@@ -2227,7 +2232,7 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id,
            CASE WHEN contains(s, '(') AND NOT contains(s, ')')
-                THEN trim(string_split(s, '(')[1]) ELSE s END AS fixed
+                THEN trim(string_split(s, '(')[1], ' ') ELSE s END AS fixed
     FROM (SELECT doc_id, source || ' (' || CAST(doc_id AS VARCHAR) AS s
           FROM documents WHERE doc_id % 2 = 0
           UNION ALL
@@ -2282,7 +2287,7 @@ def docs_ordered_typos(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AND NOT (n LIKE '%us' OR n LIKE '%is' OR n LIKE '%os' OR n LIKE '%gas')
                   THEN substring(n, 1, length(n) - 1) ELSE n END AS norm
       FROM (SELECT p_partkey, p_name, p_retailprice,
-                   regexp_replace(translate(lower(trim(p_name)), '–—−', '---'), '[ \\t\\n\\x0b\\f\\r\\-]+', '', 'g') AS n
+                   regexp_replace(translate(lower(trim(p_name, ' ')), '–—−', '---'), '[ \\t\\n\\x0b\\f\\r\\-]+', '', 'g') AS n
             FROM part)
     )
     SELECT norm, p_partkey, p_name FROM (
@@ -2400,7 +2405,7 @@ def customer_order_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_function_parity",
     """
     SELECT c_custkey,
-           lower(trim(c_name)) AS f1_lower,
+           lower(trim(c_name, ' ')) AS f1_lower,
            regexp_extract(c_name, '([0-9]+)', 1) AS f2_extract,
            regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS f2_replace,
            string_split(c_name, '#')[1] AS f3_split,
@@ -2619,10 +2624,10 @@ def docs_ac_dict_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_chunked",
     """
     WITH toks AS (
-      SELECT doc_id, string_split(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ') AS t
+      SELECT doc_id, string_split(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' '), ' ') AS t
       FROM documents
       WHERE doc_id < 50
-        AND trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) <> ''
+        AND trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') <> ''
     ),
     meta AS (
       SELECT doc_id, t, len(t) AS L,
@@ -2755,8 +2760,10 @@ def docs_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN confidence = 'NO' THEN 'NA'
                 ELSE COALESCE(
                   list_filter(
-                    list_transform(string_split(text, ' '),
-                                   w -> trim(w, ' ,.;:()[]{}')),
+                    list_transform(
+                      string_split(trim(regexp_replace(text,
+                          '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' '), ' '),
+                      w -> trim(w, ' ,.;:()[]{}')),
                     b -> length(b) > 2 AND regexp_matches(b, '^[A-Z]')
                   )[1], 'NA')
            END AS compound
@@ -2789,7 +2796,7 @@ _FLAGSHIP_BLACKLIST = ("the", "and", "for", "with")
     "flagship_compound_mentions",
     f"""
     WITH f AS (
-      SELECT doc_id, regexp_replace(trim(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS s
+      SELECT doc_id, regexp_replace(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS s
       FROM documents
       WHERE regexp_matches(text, '(?i)\\b(?:scan|merge|sort)\\b')
         AND (regexp_matches(text, '(?i)\\bwindow\\b') OR regexp_matches(text, '(?i)\\bbatch\\b'))
@@ -2878,7 +2885,7 @@ def _gopher_oracle(**overrides: float) -> str:
     return rf"""
     WITH base AS (
       SELECT doc_id,
-             trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS s,
+             trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ') AS s,
              coalesce(text, '') AS raw
       FROM documents
     ),
@@ -2890,7 +2897,7 @@ def _gopher_oracle(**overrides: float) -> str:
                + len(regexp_extract_all(s, '(\.\.\.|…)', 1)) AS n_symbols,
              len(regexp_extract_all(s, '([^ ]*[A-Za-z][^ ]*)', 1)) AS alpha_words,
              lower(s) AS low,
-             list_filter(string_split_regex(raw, '\r?\n'), l -> trim(l) <> '') AS lines
+             list_filter(string_split_regex(raw, '\r?\n'), l -> trim(l, ' ') <> '') AS lines
       FROM base
     ),
     f AS (
@@ -2939,7 +2946,7 @@ _C4_ORACLE = r"""
              list_filter(
                string_split_regex(raw, '\r?\n'),
                l -> regexp_matches(l, '[.!?"][ \t\r]*$')
-                    AND len(list_filter(string_split_regex(trim(l), '[ \t\n\x0b\f\r]+'), w -> w <> '')) >= 5
+                    AND len(list_filter(string_split_regex(trim(l, ' '), '[ \t\n\x0b\f\r]+'), w -> w <> '')) >= 5
              ) AS kept
       FROM base
     ),
@@ -2977,7 +2984,7 @@ def docs_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECONTAM_ORACLE = r"""
     WITH toks AS (
       SELECT doc_id,
-             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
+             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')), ' ') AS t
       FROM documents
     ),
     grams AS (
@@ -3018,7 +3025,7 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECONTAM_BLOOM_ORACLE = r"""
     WITH toks AS (
       SELECT doc_id,
-             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
+             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')), ' ') AS t
       FROM documents
     ),
     grams AS (
@@ -3225,7 +3232,7 @@ _TFIDF_ORACLE = r"""
     WITH n AS (SELECT count(*) AS n_docs FROM documents),
     toks AS (
       SELECT doc_id AS id,
-             unnest(string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ')) AS tok
+             unnest(string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')), ' ')) AS tok
       FROM documents
     ),
     tf AS (
@@ -3287,7 +3294,7 @@ def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONTAINMENT_ORACLE = r"""
     WITH toks AS (
       SELECT doc_id,
-             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
+             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')), ' ') AS t
       FROM documents
     ),
     grams AS (
@@ -3341,7 +3348,7 @@ def docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH toks AS (
       SELECT doc_id,
-             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
+             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')), ' ') AS t
       FROM documents
     ),
     grams AS (
@@ -3404,7 +3411,7 @@ def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SOURCE_KL_ORACLE = r"""
     WITH toks AS (
       SELECT source,
-             unnest(string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ')) AS tok
+             unnest(string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')), ' ')) AS tok
       FROM documents
     ),
     t AS (SELECT source, tok FROM toks WHERE tok <> ''),
@@ -4196,7 +4203,7 @@ _BM25_ORACLE = r"""
     WITH tf_all AS (
       SELECT id, tok, count(*) AS tf FROM (
         SELECT doc_id AS id,
-               unnest(string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ')) AS tok
+               unnest(string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')), ' ')) AS tok
         FROM documents
       ) WHERE tok <> '' GROUP BY id, tok
     ),
@@ -4247,7 +4254,7 @@ _QL_ORACLE = r"""
     WITH tf_all AS (
       SELECT id, tok, count(*) AS tf FROM (
         SELECT doc_id AS id,
-               unnest(string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ')) AS tok
+               unnest(string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')), ' ')) AS tok
         FROM documents
       ) WHERE tok <> '' GROUP BY id, tok
     ),
@@ -4441,7 +4448,7 @@ _ZIPF_ORACLE = r"""
     WITH words AS (
       SELECT source, w FROM (
         SELECT source,
-               unnest(string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ')) AS w
+               unnest(string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')), ' ')) AS w
         FROM documents)
       WHERE w <> ''
     ),
@@ -4553,7 +4560,7 @@ def _mmr_oracle(k: int = 5, lam: float = 0.7) -> str:
       SELECT DISTINCT b.doc_id, array_to_string(b.t[i:i+2], ' ') AS g
       FROM (
         SELECT doc_id,
-               string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
+               string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')), ' ') AS t
         FROM documents WHERE doc_id IN (SELECT doc_id FROM cand)
       ) b, UNNEST(generate_series(1, greatest(len(b.t) - 2, 0))) AS u(i)
     ),
@@ -5012,7 +5019,7 @@ def orders_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VOCAB_SKETCH_ORACLE = r"""
     WITH toks AS (
       SELECT source,
-             unnest(string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ')) AS tok
+             unnest(string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')), ' ')) AS tok
       FROM documents
     ),
     t AS (SELECT source, tok FROM toks WHERE tok <> '')
@@ -5180,8 +5187,8 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_ORACLE = r"""
     WITH t AS (
       SELECT doc_id, source,
-             CASE WHEN trim(coalesce(text, '')) = '' THEN 0
-                  ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) END AS n_tokens
+             CASE WHEN trim(coalesce(text, ''), ' ') = '' THEN 0
+                  ELSE len(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) END AS n_tokens
       FROM documents
     ),
     s AS (
@@ -5256,7 +5263,7 @@ def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_ORACLE = r"""
     WITH toks AS (
       SELECT doc_id, source,
-             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
+             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')), ' ') AS t
       FROM documents
     ),
     g AS (
@@ -5317,11 +5324,11 @@ def _training_corpus_oracle() -> str:
     surv AS (
       SELECT MIN(doc_id) AS doc_id
       FROM d1
-      GROUP BY md5(lower(trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g'))))
+      GROUP BY md5(lower(trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')))
     ),
     d2 AS (SELECT d1.* FROM d1 JOIN surv USING (doc_id)),
     btoks AS (
-      SELECT string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
+      SELECT string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')), ' ') AS t
       FROM documents WHERE doc_id < 5
     ),
     bgr AS (
@@ -5330,7 +5337,7 @@ def _training_corpus_oracle() -> str:
     ),
     dtoks AS (
       SELECT doc_id,
-             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
+             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')), ' ') AS t
       FROM d2
     ),
     dgr AS (
@@ -5342,8 +5349,8 @@ def _training_corpus_oracle() -> str:
     d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
     t AS (
       SELECT doc_id, source,
-             CASE WHEN trim(coalesce(text, '')) = '' THEN 0
-                  ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) END AS n_tokens
+             CASE WHEN trim(coalesce(text, ''), ' ') = '' THEN 0
+                  ELSE len(string_split_regex(trim(text, ' '), '[ \t\n\x0b\f\r]+')) END AS n_tokens
       FROM d3
     ),
     s AS (
@@ -5400,7 +5407,7 @@ def flagship_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUP_SPANS_ORACLE = r"""
     WITH toks AS (
       SELECT doc_id,
-             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
+             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')), ' ') AS t
       FROM documents
     ),
     w AS (
@@ -5446,7 +5453,7 @@ def docs_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EXACT_SUBSTR_ORACLE = r"""
     WITH toks AS (
       SELECT doc_id,
-             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
+             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')), ' ') AS t
       FROM documents
     ),
     w AS (
@@ -5498,7 +5505,7 @@ def docs_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_PAIRS_ORACLE = r"""
     WITH toks AS (
       SELECT doc_id,
-             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
+             string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')), ' ') AS t
       FROM documents
     ),
     pairs AS (
@@ -5571,7 +5578,7 @@ def _bpe_chain(num_merges: int) -> str:
     sql = r"""
     WITH wf AS (
       SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
-        SELECT unnest(string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ')) AS word
+        SELECT unnest(string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')), ' ')) AS word
         FROM documents
       ) WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word
     ),
@@ -5579,7 +5586,7 @@ def _bpe_chain(num_merges: int) -> str:
     for k in range(1, num_merges + 1):
         p = k - 1
         sql += f""",
-    s{k} AS (SELECT string_split(trim(w), '  ') AS t, freq FROM w{p}),
+    s{k} AS (SELECT string_split(trim(w, ' '), '  ') AS t, freq FROM w{p}),
     c{k} AS (
       SELECT t[i] AS a, t[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS pair_count
       FROM s{k}, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
@@ -5610,7 +5617,7 @@ def _bpe_subwords_oracle(num_merges: int = 6, top_k: int = 20) -> str:
     return _bpe_chain(num_merges) + f""",
     sub AS (
       SELECT t[i] AS token, freq
-      FROM (SELECT string_split(trim(w), '  ') AS t, freq FROM w{num_merges}),
+      FROM (SELECT string_split(trim(w, ' '), '  ') AS t, freq FROM w{num_merges}),
            UNNEST(generate_series(1, len(t))) AS u(i)
     ),
     counted AS (
@@ -5656,12 +5663,12 @@ def _tokenizer_fertility_oracle(num_merges: int = 6) -> str:
     return _bpe_chain(num_merges) + f""",
     dct AS (
       SELECT replace(w, ' ', '') AS word,
-             len(string_split(trim(w), '  ')) AS n_sub
+             len(string_split(trim(w, ' '), '  ')) AS n_sub
       FROM w{num_merges}
     ),
     sw AS (
       SELECT source, word, CAST(count(*) AS BIGINT) AS freq FROM (
-        SELECT source, unnest(string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ')) AS word
+        SELECT source, unnest(string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')), ' ')) AS word
         FROM documents
       ) WHERE regexp_matches(word, '^[a-z]+$') GROUP BY source, word
     ),
@@ -5700,7 +5707,7 @@ def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NGRAM_REP_ORACLE = r"""
     WITH base AS (
       SELECT doc_id,
-             lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS s
+             lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')) AS s
       FROM documents
     ),
     toks AS (SELECT doc_id, s, string_split(s, ' ') AS t FROM base),
@@ -5977,7 +5984,7 @@ def docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id,
              list_filter(string_split(trim(regexp_replace(text,
-                 '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' '),
+                 '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' '), ' '),
                  x -> x <> '') AS toks
       FROM documents),
     c AS (
@@ -6129,7 +6136,7 @@ def docs_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id,
              string_split(lower(trim(regexp_replace(text,
-                 '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), ' ') AS toks
+                 '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')), ' ') AS toks
       FROM documents),
     uni AS (
       SELECT w, COUNT(*) AS c
@@ -6261,13 +6268,13 @@ def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                + (CASE WHEN n > 0 THEN (CASE WHEN punct / n <= 0.1 THEN 1.0 ELSE 0.5 END) ELSE 0.0 END)
                + (CASE WHEN words > 0 AND (n - words + 1) / words >= 2.0 AND (n - words + 1) / words <= 12.0 THEN 1.0 ELSE 0.5 END)
              ) / 4.0) * 1000000 + 0.5) / 1000000 AS quality,
-             md5(lower(trim(text))) AS fp
+             md5(lower(trim(text, ' '))) AS fp
       FROM (
         SELECT source, lang, n_chars,
                CAST(length(text) AS DOUBLE) AS n,
                CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
                CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
-               CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS words,
+               CAST(len(string_split(trim(text, ' '), ' ')) AS DOUBLE) AS words,
                text
         FROM (SELECT source, lang, n_chars,
                      regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS text
@@ -6340,13 +6347,13 @@ _SOURCE_REPORT_Q_CTE = """
                + (CASE WHEN n > 0 THEN (CASE WHEN punct / n <= 0.1 THEN 1.0 ELSE 0.5 END) ELSE 0.0 END)
                + (CASE WHEN words > 0 AND (n - words + 1) / words >= 2.0 AND (n - words + 1) / words <= 12.0 THEN 1.0 ELSE 0.5 END)
              ) / 4.0) * 1000000 + 0.5) / 1000000 AS quality,
-             md5(lower(trim(text))) AS fp
+             md5(lower(trim(text, ' '))) AS fp
       FROM (
         SELECT source, lang, n_chars,
                CAST(length(text) AS DOUBLE) AS n,
                CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
                CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
-               CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS words,
+               CAST(len(string_split(trim(text, ' '), ' ')) AS DOUBLE) AS words,
                text
         FROM (SELECT source, lang, n_chars,
                      regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS text
@@ -7683,7 +7690,7 @@ def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LM_SCORE_ORACLE = r"""
     WITH base AS (
       SELECT doc_id,
-             string_split(lower(trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
+             string_split(lower(trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')), ' ') AS t
       FROM documents
     ),
     words AS (
@@ -7746,7 +7753,7 @@ _SOURCE_ENTROPY_ORACLE = r"""
     WITH words AS (
       SELECT source, w FROM (
         SELECT source,
-               unnest(string_split(lower(trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ')) AS w
+               unnest(string_split(lower(trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')), ' ')) AS w
         FROM documents)
       WHERE w <> ''
     ),
@@ -7940,12 +7947,12 @@ def emb_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LM_SCORE_XTRAIN_ORACLE = r"""
     WITH train_base AS (
-      SELECT string_split(lower(trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
+      SELECT string_split(lower(trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')), ' ') AS t
       FROM documents WHERE doc_id % 2 = 0
     ),
     score_base AS (
       SELECT doc_id,
-             string_split(lower(trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g'))), ' ') AS t
+             string_split(lower(trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')), ' ') AS t
       FROM documents WHERE doc_id % 2 = 1
     ),
     words AS (
@@ -8259,7 +8266,7 @@ _BP_LINES_CTE = """
     ),
     lines AS (
       SELECT source, doc_id, CAST(i - 1 AS INT) AS pos,
-             ls[i] AS raw, trim(ls[i]) AS line
+             ls[i] AS raw, trim(ls[i], ' ') AS line
       FROM split, UNNEST(generate_series(1, len(ls))) AS u(i)
     )
 """
@@ -8323,7 +8330,7 @@ def docs_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
     ),
     lines AS (
-      SELECT doc_id, CAST(i - 1 AS INT) AS pos, ls[i] AS raw, trim(ls[i]) AS line
+      SELECT doc_id, CAST(i - 1 AS INT) AS pos, ls[i] AS raw, trim(ls[i], ' ') AS line
       FROM split, UNNEST(generate_series(1, len(ls))) AS u(i)
     ),
     kept AS (
@@ -8361,7 +8368,7 @@ def docs_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
     ),
     lines AS (
-      SELECT doc_id, CAST(i - 1 AS INT) AS pos, ls[i] AS raw, trim(ls[i]) AS line
+      SELECT doc_id, CAST(i - 1 AS INT) AS pos, ls[i] AS raw, trim(ls[i], ' ') AS line
       FROM split, UNNEST(generate_series(1, len(ls))) AS u(i)
     ),
     kept AS (

@@ -341,8 +341,21 @@ WORDS = [
     # terms the topical-filter / BM25 queries actually match, so the
     # fuzz exercises their positive paths too (they were 0-row before)
     "scan", "merge", "window", "stream", "hash", "join", "sort",
+    # r10: open the classify-stub's POSITIVE path (flag != NO + name
+    # extraction) — it had never fired in fuzz, hiding a real
+    # tokenization divergence (Python str.split() vs the oracle's
+    # ASCII-class squeeze+split) and a Unicode-isupper() one (Ø/Æ pass
+    # Python, fail the oracle's ^[A-Z]). "complex i" carries the
+    # bigram whole; Æon/ØRSTED above are the non-ASCII-capital probes.
+    "complex i", "NADH", "inhibit", "inhibits", "decrease", "reduce",
+    "Rotenone", "Metformin",
 ]
-WS = [" ", "  ", "\t", "\n", "\x0b", "\f", "\r", " \t ", "\n\n"]
+# \xa0 (NBSP) and   (thin space): NOT whitespace to the repo's
+# explicit ASCII class — but Python's bare str.split()/strip() DO
+# break on them, the r10 twin-divergence class. They ride inside
+# tokens on both engines.
+WS = [" ", "  ", "\t", "\n", "\x0b", "\f", "\r", " \t ", "\n\n",
+      "\xa0", "   "]
 PARENS = ["(note)", "(a(b)c)", "(unclosed", "closed)", "()", "( )"]
 
 
