@@ -2756,18 +2756,39 @@ def docs_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE 'NO' END AS confidence
       FROM base
     )
+    , named AS (
+      SELECT pmid, confidence,
+             COALESCE(
+               list_filter(
+                 list_transform(
+                   string_split(trim(regexp_replace(text,
+                       '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' '), ' '),
+                   w -> trim(w, ' ,.;:()[]{}')),
+                 b -> length(b) > 2 AND regexp_matches(b, '^[A-Z]')
+               )[1], 'NA') AS name
+      FROM flagged
+    )
+    -- the sanitize_compounds pipeline (llm.py:63-78), replayed on the
+    -- extracted token: ';'-split, ban/length checks on the PRE-fringe
+    -- piece, fringe-trim, drop empties, keep <=3, '; '-rejoin (the
+    -- r10 stress fuzz caught a ';'-bearing capital token diverging;
+    -- the >80-char huge-token arm was latent in the same pipeline)
     SELECT pmid, confidence,
            CASE WHEN confidence = 'NO' THEN 'NA'
-                ELSE COALESCE(
+                ELSE COALESCE(NULLIF(array_to_string(
                   list_filter(
                     list_transform(
-                      string_split(trim(regexp_replace(text,
-                          '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' '), ' '),
-                      w -> trim(w, ' ,.;:()[]{}')),
-                    b -> length(b) > 2 AND regexp_matches(b, '^[A-Z]')
-                  )[1], 'NA')
+                      list_filter(
+                        string_split(name, ';'),
+                        p -> p <> '' AND lower(p) NOT IN
+                             ('na','k','cl','mg','ca','fe','cu','zn',
+                              'mn','au','ag','h2o','o2')
+                             AND length(p) <= 80),
+                      c -> trim(c, ' ,.;:()[]{}')),
+                    c -> c <> ''
+                  )[1:3], '; '), ''), 'NA')
            END AS compound
-    FROM flagged
+    FROM named
     """,
 )
 def docs_classify_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
