@@ -1014,16 +1014,26 @@ def docs_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_topical_filter",
     """
     SELECT doc_id, lang FROM documents
-    WHERE regexp_matches(text, '(?i)\\b(?:scan|merge)\\b')
-      AND (regexp_matches(text, '(?i)\\bwindow\\b') OR regexp_matches(text, '(?i)\\bstream\\b'))
+    WHERE regexp_matches(text, '(?i)(?:^|[^\\p{L}\\p{N}_])(?:scan|merge)(?:$|[^\\p{L}\\p{N}_])')
+      AND (regexp_matches(text, '(?i)(?:^|[^\\p{L}\\p{N}_])window(?:$|[^\\p{L}\\p{N}_])')
+           OR regexp_matches(text, '(?i)(?:^|[^\\p{L}\\p{N}_])stream(?:$|[^\\p{L}\\p{N}_])'))
     """,
 )
 def docs_topical_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5 — verb AND any(topic) regex filter
-    (process_pubmed.sh:60-68,108-113)."""
+    (process_pubmed.sh:60-68,108-113). Word boundaries are the
+    EXPLICIT class (?:^|[^\\p{L}\\p{N}_]) rather than \\b: Java's \\b
+    is Unicode-aware while RE2's is ASCII ('éscan' matched the oracle
+    but not the engine — r10 probe), and the explicit Unicode-letter
+    class is both engine-portable AND glibc's word-char set, i.e. the
+    reference grep's own semantics."""
     d = load_table(spark, sf_dir, "documents")
+    B_L, B_R = r"(?:^|[^\p{L}\p{N}_])", r"(?:$|[^\p{L}\p{N}_])"
     keep = tx.topical_filter(
-        F.col("text"), r"\b(?:scan|merge)\b", r"\bwindow\b", r"\bstream\b"
+        F.col("text"),
+        f"{B_L}(?:scan|merge){B_R}",
+        f"{B_L}window{B_R}",
+        f"{B_L}stream{B_R}",
     )
     return d.filter(keep).select("doc_id", "lang")
 
@@ -2819,8 +2829,9 @@ _FLAGSHIP_BLACKLIST = ("the", "and", "for", "with")
     WITH f AS (
       SELECT doc_id, regexp_replace(trim(text, ' '), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS s
       FROM documents
-      WHERE regexp_matches(text, '(?i)\\b(?:scan|merge|sort)\\b')
-        AND (regexp_matches(text, '(?i)\\bwindow\\b') OR regexp_matches(text, '(?i)\\bbatch\\b'))
+      WHERE regexp_matches(text, '(?i)(?:^|[^\\p{{L}}\\p{{N}}_])(?:scan|merge|sort)(?:$|[^\\p{{L}}\\p{{N}}_])')
+        AND (regexp_matches(text, '(?i)(?:^|[^\\p{{L}}\\p{{N}}_])window(?:$|[^\\p{{L}}\\p{{N}}_])')
+             OR regexp_matches(text, '(?i)(?:^|[^\\p{{L}}\\p{{N}}_])batch(?:$|[^\\p{{L}}\\p{{N}}_])'))
     ),
     tok AS (
       SELECT DISTINCT doc_id, t AS mention
@@ -2847,9 +2858,14 @@ def flagship_compound_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     finalize_realease.py:554-628 stage by stage.
     """
     d = load_table(spark, sf_dir, "documents")
+    # explicit portable word boundaries — see docs_topical_filter
+    B_L, B_R = r"(?:^|[^\p{L}\p{N}_])", r"(?:$|[^\p{L}\p{N}_])"
     filtered = d.filter(
         tx.topical_filter(
-            F.col("text"), r"\b(?:scan|merge|sort)\b", r"\bwindow\b", r"\bbatch\b"
+            F.col("text"),
+            f"{B_L}(?:scan|merge|sort){B_R}",
+            f"{B_L}window{B_R}",
+            f"{B_L}batch{B_R}",
         )
     ).withColumn("s", tx.squeeze_ws(F.col("text")))
     mentions = (

@@ -349,6 +349,11 @@ WORDS = [
     # bigram whole; Æon/ØRSTED above are the non-ASCII-capital probes.
     "complex i", "NADH", "inhibit", "inhibits", "decrease", "reduce",
     "Rotenone", "Metformin",
+    # r10 word-boundary probes: a Unicode letter DIRECTLY adjacent to
+    # a topical keyword — Java's \b calls é/ß word chars (no boundary)
+    # while RE2's ASCII \b sees a boundary; the queries now use the
+    # explicit [^\p{L}\p{N}_] boundary class, identical on both.
+    "éscan", "windowß", "mergé",
 ]
 # \xa0 (NBSP) and   (thin space): NOT whitespace to the repo's
 # explicit ASCII class — but Python's bare str.split()/strip() DO
