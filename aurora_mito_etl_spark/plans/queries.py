@@ -939,14 +939,21 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_extract",
     """
     SELECT event_type,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+           CAST(SUM(CAST(CASE WHEN json_valid(props)
+                         THEN json_extract_string(props, '$.k') END AS BIGINT))
+                AS BIGINT) AS k_total,
            COUNT(*) AS n
     FROM events GROUP BY event_type
     """,
 )
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F-series — JSON scalar extraction (the engine's from_json/
-    get_json_object surface)."""
+    get_json_object surface). The oracle guards with json_valid():
+    Spark's get_json_object returns NULL on malformed JSON while
+    DuckDB's json_extract_string RAISES (r10 probe — every other edge
+    in the matrix agrees: duplicate keys, whitespace, 1e2, -0, nested
+    values). The fuzz PROPS alphabet carries malformed rows to keep
+    the NULL arm replayed."""
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.sum(F.get_json_object("props", "$.k").cast("long")).alias("k_total"),

@@ -427,6 +427,11 @@ EVENT_TYPES = ["signup", "view", "click", "purchase", "error"]
 PROPS = [
     '{"k": 0}', '{"k": 1}', '{"k": -7}', '{"k": 12345678901}',
     '{"k": 3, "j": "x"}', '{"j": 1}', "{}", '{"k": null}',
+    # r10: malformed / non-object JSON — Spark's get_json_object
+    # returns NULL, DuckDB's json_extract_string RAISES without the
+    # json_valid() guard the oracle now carries; dup-key and
+    # whitespace forms agree on both engines (probe matrix, r10)
+    "not json", "", "[1, 2]", '{ "k" : 7 }', '{"k":2,"k":5}',
 ]
 
 
