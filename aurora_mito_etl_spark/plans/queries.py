@@ -3575,7 +3575,8 @@ _TOP_PATHS_ORACLE = r"""
     WITH seq AS (
       SELECT user_id,
              array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>') AS path
-      FROM events WHERE ts IS NOT NULL GROUP BY user_id
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY user_id
     )
     SELECT path, count(*) AS n_users
     FROM seq GROUP BY path
@@ -3589,8 +3590,13 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top 20 five-step user journeys (ordered event-type paths),
     by number of users on the path. NULL-ts events are excluded — a
     journey step needs a timeline position, and struct-sort NULL
-    placement is engine-specific (r9 fuzz)."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    placement is engine-specific (r9 fuzz). NULL event_type too (the
+    graph-vertex contract): both engines SKIP NULLs inside a mixed
+    path join, but an ALL-NULL journey diverges — Spark's concat_ws
+    yields '' where array_to_string yields NULL (r10 tiny-n seed 317)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     evs = ev.groupBy("user_id").agg(
         F.sort_array(
             F.collect_list(F.struct("ts", "event_id", "event_type"))
