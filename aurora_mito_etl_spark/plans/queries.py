@@ -44,6 +44,7 @@ from aurora_mito_etl_spark.operators import unicode_udfs as uu
 from aurora_mito_etl_spark.operators import decontaminate as dc
 from aurora_mito_etl_spark.operators import dedup as dd
 from aurora_mito_etl_spark.operators import importance as imp
+from aurora_mito_etl_spark.operators import moments as mo
 from aurora_mito_etl_spark.operators import fuzzy as fz
 from aurora_mito_etl_spark.operators import graph as gr
 from aurora_mito_etl_spark.operators import joins as j
@@ -4864,6 +4865,28 @@ def lineitem_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(var_x > 0, cov_n / var_x).alias("beta_qty_price"),
         (cov_n / (n * n)).alias("cov_qty_price"),
     )
+
+
+# Grouped distribution moments (operators/moments.py): stddev /
+# skewness / excess kurtosis from order-free exact integer-grid power
+# sums — the shape builtin skewness()/kurtosis() can't give portably
+# (running-merge float accumulators are partition-order-dependent).
+# The oracle is generated by the module's own twin builder so the
+# grid quantization, exact sums, and final double chain stay in
+# lockstep by construction.
+@_register(
+    "lineitem_price_moments",
+    mo.grouped_moments_oracle("lineitem", "l_extendedprice", "l_returnflag"),
+)
+def lineitem_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag mean / stddev / skewness / excess kurtosis of
+    l_extendedprice — the distribution-shape datasheet row beside
+    lineitem_corr_stats' dependence row. Two map-side-combinable
+    aggregations with a broadcast group-means join between them;
+    degenerate groups (constant price, n=1, all-NULL) yield
+    stddev 0.0 / NULL shape stats identically on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return mo.grouped_moments(li, "l_extendedprice", "l_returnflag")
 
 
 # One-pass column profiler (operators/profile.py): every statistic of

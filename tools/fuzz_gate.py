@@ -247,6 +247,10 @@ LINEITEM_QUERIES = {
     "lineitem_price_percentiles_approx",
     "lineitem_winsorized",
     "lineitem_corr_stats",
+    # r10: grouped skew/kurtosis — the tie blocks and zero prices
+    # stress the fixed6-mean recentering; constant-content and tiny-n
+    # variants hit the zero-central-variance NULL contract
+    "lineitem_price_moments",
     "lineitem_profile",
 }
 
