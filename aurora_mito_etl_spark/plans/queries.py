@@ -1707,6 +1707,64 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "docs_dup_triangles",
+    f"""
+    WITH sh AS (SELECT DISTINCT * FROM ({_SHINGLE_SQL})),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    e AS (
+      SELECT id_a AS a, id_b AS b FROM (
+        SELECT id_a, id_b,
+               floor((CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS jaccard
+        FROM inter
+        JOIN sizes sa ON inter.id_a = sa.doc_id
+        JOIN sizes sb ON inter.id_b = sb.doc_id
+      ) WHERE jaccard >= 0.15
+    ),
+    deg AS (
+      SELECT v, COUNT(*) AS degree FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+      ) GROUP BY v
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tc AS (
+      SELECT v, COUNT(*) AS n_triangles FROM (
+        SELECT x AS v FROM tri UNION ALL SELECT y AS v FROM tri UNION ALL SELECT z AS v FROM tri
+      ) GROUP BY v
+    )
+    SELECT deg.v AS vertex, deg.degree,
+           COALESCE(tc.n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+           CASE WHEN deg.degree >= 2 THEN
+             floor((2.0 * CAST(COALESCE(tc.n_triangles, 0) AS DOUBLE) / (CAST(deg.degree AS DOUBLE) * (CAST(deg.degree AS DOUBLE) - 1.0))) * 1000000 + 0.5) / 1000000
+           END AS clustering_coeff
+    FROM deg LEFT JOIN tc ON deg.v = tc.v
+    """,
+)
+def docs_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the 3-gram-Jaccard near-dup graph: per
+    involved document its degree, triangle count, and local
+    clustering coefficient — the cluster-density diagnostic that
+    separates tight dup cliques (coeff → 1, safe to collapse to one
+    survivor) from star-shaped false-positive hubs (coeff → 0, an LSH
+    bucket worth inspecting). Spark side runs the degree-ordered
+    node-iterator (operators/graph.py triangle_stats, O(sqrt m)
+    out-degree bound); the oracle replays the orientation-invariant
+    triangle set with plain id-ordered self-joins."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.15)
+    return gr.triangle_stats(pairs, "id_a", "id_b")
+
+
+@_register(
     "docs_bottom_k_sketch",
     f"""
     WITH sh AS (SELECT DISTINCT doc_id, md5(sh) AS h FROM ({_SHINGLE_SQL})),
@@ -8018,6 +8076,136 @@ def emb_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rbo_weight_table(p: float = 0.9, depth: int = 10) -> dict[int, float]:
+    """Closed-form per-item RBO weights: an item matched in both
+    rankings at max-rank m contributes W(m) = (1-p)·Σ_{d=m..D}
+    p^(d-1)/d to truncated RBO@D (Webber et al. 2010, the prefix-sum
+    form without residual extrapolation). Computed ONCE here and
+    embedded as identical fixed6 literals in the Spark plan and the
+    oracle SQL — the cross-engine arithmetic surface is a 10-entry
+    lookup table plus one exact decimal sum."""
+    from aurora_mito_etl_spark.functions.numeric import fixed6_py
+
+    return {
+        m: fixed6_py(
+            (1.0 - p) * sum(p ** (d - 1) / d for d in range(m, depth + 1))
+        )
+        for m in range(1, depth + 1)
+    }
+
+
+def _rbo_oracle(d_trunc: int = 32, depth: int = 10) -> str:
+    ws = _rbo_weight_table(depth=depth)
+    case = "CASE " + " ".join(
+        f"WHEN mx = {m} THEN CAST({w!r} AS DECIMAL(18,6))"
+        for m, w in ws.items()
+    ) + " END"
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    g AS (
+      SELECT vec_id, e, CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END AS nrm FROM v
+    ),
+    fscored AS (
+      SELECT b.vec_id AS query_id, a.vec_id,
+             floor((list_dot_product(a.e, b.e) / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000 AS score
+      FROM g a, g b WHERE b.vec_id % 100 = 0
+    ),
+    fullr AS (
+      SELECT query_id, vec_id, rank FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+        FROM fscored
+      ) WHERE rank <= {depth}
+    ),
+    tv AS (
+      SELECT vec_id, (embedding::DOUBLE[])[1:{d_trunc}] AS e
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    tn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM tv),
+    tg AS (
+      SELECT vec_id, e, CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END AS nrm FROM tn
+    ),
+    tscored AS (
+      SELECT b.vec_id AS query_id, a.vec_id,
+             floor((list_dot_product(a.e, b.e) / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000 AS score
+      FROM tg a, tg b WHERE b.vec_id % 100 = 0
+    ),
+    truncr AS (
+      SELECT query_id, vec_id, rank FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+        FROM tscored
+      ) WHERE rank <= {depth}
+    ),
+    matched AS (
+      SELECT f.query_id, greatest(f.rank, t.rank) AS mx
+      FROM fullr f JOIN truncr t
+        ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+    ),
+    per AS (
+      SELECT query_id, COUNT(*) AS n_overlap,
+             CAST(CAST(SUM({case}) AS VARCHAR) AS DOUBLE) AS rbo_raw
+      FROM matched GROUP BY query_id
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(p.n_overlap, 0) AS BIGINT) AS n_overlap,
+           COALESCE(p.rbo_raw, 0.0) AS rbo
+    FROM (SELECT DISTINCT query_id FROM fullr) q
+    LEFT JOIN per p USING (query_id)
+    """
+
+
+@_register("emb_rbo_overlap", _rbo_oracle())
+def emb_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between the exact
+    full-dim cosine top-10 and the 32-dim Matryoshka-truncated
+    ranking, per sampled query — the top-weighted metric that
+    distinguishes 'lost rank 1' from 'lost rank 10', which plain
+    recall@k cannot. RBO@10 reduces to a 10-entry closed-form weight
+    lookup on greatest(rank_full, rank_trunc) over the matched pairs
+    plus one exact decimal sum, so it is bit-portable by
+    construction; identical rankings score 1-p^10 ≈ 0.651 (truncated
+    prefix form, no residual). Plan shape: the two brute rankings
+    reuse the broadcast-query/streaming-corpus contract, then one
+    join on the two small top-k tables — at 100 TB the query set is
+    sampled and the corpus never shuffles."""
+    e = _emb_nn(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    depth, d_trunc = 10, 32
+    full = sim.brute_force_topk(e, q, k=depth).select(
+        "query_id", "vec_id", F.col("rank").alias("ra")
+    )
+    e32 = e.select("vec_id", F.slice("embedding", 1, d_trunc).alias("embedding"))
+    q32 = q.select("query_id", F.slice("query_vec", 1, d_trunc).alias("query_vec"))
+    trunc = sim.brute_force_topk(e32, q32, k=depth).select(
+        "query_id", "vec_id", F.col("rank").alias("rb")
+    )
+    ws = _rbo_weight_table(depth=depth)
+    mx = F.greatest("ra", "rb")
+    w = F.lit(None).cast("decimal(18,6)")
+    for m, wv in ws.items():
+        w = F.when(mx == m, F.lit(wv).cast("decimal(18,6)")).otherwise(w)
+    matched = full.join(trunc, ["query_id", "vec_id"]).select(
+        "query_id", w.alias("w")
+    )
+    per = matched.groupBy("query_id").agg(
+        F.count("*").alias("n_overlap"),
+        dec_to_double(F.sum("w")).alias("rbo_raw"),
+    )
+    qs = full.select("query_id").distinct()
+    return qs.join(per, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_overlap", F.lit(0).cast("long")).alias("n_overlap"),
+        F.coalesce("rbo_raw", F.lit(0.0)).alias("rbo"),
+    )
+
+
 _LM_SCORE_XTRAIN_ORACLE = r"""
     WITH train_base AS (
       SELECT string_split(lower(trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')), ' ') AS t
@@ -8538,7 +8726,12 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_k_anonymity",
     "events_psi_drift",
     "events_type_hour_chi2",
-    "lineitem_profile",
+    # lineitem_profile rotated OUT after driver-green r9 (plus local/
+    # fuzz/bench gates every round); the profile family stays sampled
+    # via events_profile — the riskier NULL-bearing dual-ts-form rep.
+    # Slot to the r10-new docs_dup_triangles (degree-ordered triangle
+    # census of the near-dup graph, never driver-gated).
+    "docs_dup_triangles",
     # NEW in r9: exact substring-duplication spans (Lee et al.
     # ExactSubstr, pair-free corpus-linear shape) — never driver-gated,
     # highest regenerated-data risk of the registry. Slot freed by
@@ -8636,7 +8829,12 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # green r8 — slots to the r9 PCA pair above; families stay
     # sampled via emb_ivfpq_rerank and the seven events reps.)
     "events_value_anomaly",
-    "events_key_skew_report",
+    # events_key_skew_report rotated OUT after driver-green r8+r9 —
+    # simple-agg diagnostic; the events family keeps seven reps
+    # in-window. Slot to the r10-new lineitem_price_moments (grouped
+    # skew/kurtosis from exact integer-grid power sums — the newest
+    # arithmetic surface, never driver-gated).
+    "lineitem_price_moments",
     "docs_temperature_mixture",
     # docs_source_divergence and docs_chunked rotated OUT after
     # driver-green r8+r9 (r10 rotation note above).
@@ -8699,11 +8897,16 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # Matryoshka dim-truncation recall — double brute-force ranking,
     # the most rank-tie-exposed of the new recall diagnostics.
     "emb_dim_truncation_recall",
-    # First-ever driver rows for the lexical retrieval family: the
-    # Dirichlet QL scorer and the BM25+QL reciprocal-rank fusion
-    # (outer-join NULL-rank composition is the novel plumbing).
-    "docs_ql_search",
+    # The BM25+QL reciprocal-rank fusion (outer-join NULL-rank
+    # composition is the novel plumbing). docs_ql_search rotated OUT
+    # after driver-green r8+r9 — the Dirichlet QL kernel stays
+    # in-window via docs_rrf_fusion, which composes the identical QL
+    # chain as one of its two rank lists.
     "docs_rrf_fusion",
+    # r10-new: rank-biased overlap between the exact full-dim and
+    # 32-dim-truncated rankings — never driver-gated; the weight-
+    # lookup + decimal-sum surface joins the recall diagnostics.
+    "emb_rbo_overlap",
 )
 
 

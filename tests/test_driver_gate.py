@@ -76,7 +76,10 @@ def test_driver_sample_covers_llm_tier():
         "events_k_anonymity",
         "events_psi_drift",
         "events_type_hour_chi2",
-        "lineitem_profile",
+        # lineitem_profile rotated OUT mid-r10 after driver-green r9
+        # (profile family stays via events_profile, the NULL-bearing
+        # rep); slot to the r10-new docs_dup_triangles.
+        "docs_dup_triangles",
         # NEW r9 operator: exact substring-duplication spans (slot
         # freed by docs_ngram_novelty, driver-green r8; n-gram family
         # stays via docs_ngram_diversity + docs_source_overlap)
@@ -103,8 +106,10 @@ def test_driver_sample_covers_llm_tier():
         "events_hits",
         "shipping_priority_topk",
         # round-8 rotation members riding further rounds
+        # (events_key_skew_report rotated OUT mid-r10 after driver-
+        # green r8+r9; slot to the r10-new lineitem_price_moments)
         "events_value_anomaly",
-        "events_key_skew_report",
+        "lineitem_price_moments",
         "docs_temperature_mixture",
         "docs_ac_dict_filter",
         "docs_boilerplate_lines",
@@ -124,8 +129,11 @@ def test_driver_sample_covers_llm_tier():
         "docs_source_overlap",
         "events_rfm",
         "emb_dim_truncation_recall",
-        "docs_ql_search",
+        # docs_ql_search rotated OUT mid-r10 after driver-green r8+r9
+        # (the QL chain stays via docs_rrf_fusion's composition);
+        # slot to the r10-new emb_rbo_overlap.
         "docs_rrf_fusion",
+        "emb_rbo_overlap",
     }
     assert must_sample <= first50
     # The reorder is a permutation: nothing dropped, oracles intact.

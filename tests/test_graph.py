@@ -141,3 +141,51 @@ def test_hits_empty_and_validation(spark):
     assert g.hits(empty).collect() == []
     with pytest.raises(ValueError):
         g.hits(empty, iterations=0)
+
+
+def _tri_rows(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {
+        r["vertex"]: (r["degree"], r["n_triangles"], r["clustering_coeff"])
+        for r in g.triangle_stats(df).collect()
+    }
+
+
+def test_triangle_k4(spark):
+    # K4: every vertex deg 3, in C(3,2)=3 triangles, coefficient 1.0
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = _tri_rows(spark, k4)
+    assert got == {v: (3, 3, 1.0) for v in range(4)}
+
+
+def test_triangle_path_and_star(spark):
+    # path 0-1-2-3: no triangles; middle vertices coeff 0.0, ends NULL
+    got = _tri_rows(spark, [(0, 1), (1, 2), (2, 3)])
+    assert got[1] == (2, 0, 0.0) and got[2] == (2, 0, 0.0)
+    assert got[0] == (1, 0, None) and got[3] == (1, 0, None)
+    # star hub (the LSH false-positive shape): hub coeff 0.0
+    star = [(0, i) for i in range(1, 6)]
+    got = _tri_rows(spark, star)
+    assert got[0] == (5, 0, 0.0)
+
+
+def test_triangle_hub_with_one_closure(spark):
+    # hub 0 with leaves 1..5 plus the single closing edge (1,2):
+    # exactly one triangle (0,1,2); hub coeff = 2*1/(6*5)
+    edges = [(0, i) for i in range(1, 7)] + [(1, 2)]
+    got = _tri_rows(spark, edges)
+    from aurora_mito_etl_spark.functions.numeric import fixed6_py
+
+    assert got[0] == (6, 1, fixed6_py(2 * 1 / (6 * 5)))
+    assert got[1] == (2, 1, 1.0) and got[2] == (2, 1, 1.0)
+    assert got[3] == (1, 0, None)
+
+
+def test_triangle_input_hygiene(spark):
+    # duplicate edges, reversed order and self-loops must not
+    # inflate counts: only (a < b) distinct edges participate
+    edges = [(1, 2), (1, 2), (2, 1), (1, 1), (2, 3), (1, 3)]
+    got = _tri_rows(spark, edges)
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (2, 1, 1.0)
+    assert got[3] == (2, 1, 1.0)

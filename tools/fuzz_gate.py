@@ -99,6 +99,10 @@ DOCS_QUERIES = {
     "docs_source_divergence",
     "docs_vocab_sketch",
     "docs_ngram_jaccard_pairs",
+    # r10: triangle census of the jaccard near-dup graph — the fuzz
+    # dup groups form cliques, exercising wedge closure + the
+    # degree-orientation parity with the id-ordered oracle replay
+    "docs_dup_triangles",
     "docs_minhash_lsh_pairs",
     "docs_simhash_pairs",
     "docs_near_dedup_survivors",
@@ -283,6 +287,10 @@ EMB_QUERIES = {
     # r8: dim-truncation recall — fuzz vectors include zero and
     # zero-prefix rows, exercising the truncated side's norm guard
     "emb_dim_truncation_recall",
+    # r10: rank-biased overlap between the same two rankings — the
+    # near-tie vectors stress the greatest(rank,rank) weight lookup
+    # boundary and the no-overlap COALESCE arm
+    "emb_rbo_overlap",
     # r9: bit-portable PCA — the duplicate/negated/zero/magnitude-300
     # rows stress the decimal covariance sums; the power-iteration
     # replay exercises the zero-norm CASE and the NULL-label rows the
