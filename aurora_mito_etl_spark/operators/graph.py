@@ -261,12 +261,21 @@ def triangle_stats(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a") < F.col("b"))
         .distinct()
+        # the edge table is read three times below (degree, wedge,
+        # closing join); when `edges` is itself an expensive chain (a
+        # near-dup pair plan), recomputation triples its cost — the
+        # MMR-shortlist lesson. Edge tables are pair-pruned and small
+        # relative to their source corpus, so materializing is cheap.
+        .localCheckpoint()
     )
     deg = (
         e.select(F.col("a").alias("v"))
         .unionByName(e.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count("*").alias("degree"))
+        # read once per endpoint side and once for the output spine —
+        # materialize so the degree shuffle runs once, not three times
+        .localCheckpoint()
     )
     da = deg.select(F.col("v").alias("a"), F.col("degree").alias("dega"))
     db = deg.select(F.col("v").alias("b"), F.col("degree").alias("degb"))
@@ -279,7 +288,9 @@ def triangle_stats(
     oriented = ed.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
-    )
+        # both wedge legs read this; materialize so the two degree
+        # joins run once (Catalyst has no cross-branch subplan reuse)
+    ).localCheckpoint()
     o1 = oriented.select(F.col("lo").alias("apex"), F.col("hi").alias("x"))
     o2 = oriented.select(F.col("lo").alias("apex"), F.col("hi").alias("y"))
     wedges = o1.join(o2, "apex").where(F.col("x") < F.col("y"))

@@ -628,3 +628,63 @@ def source_ngram_overlap(
             _fixed6(sh / F.col("grams_b").cast("double")).alias("containment_b"),
         )
     )
+
+
+def char_entropy_report(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document character-distribution Shannon entropy + alphabet
+    size — the gibberish/encoding-damage signal at a grain the token
+    statistics can't see: mojibake, base64 blobs, and key-mash runs
+    have near-token-shaped lengths but collapsed (or inflated) char
+    entropy (CCNet practice pairs it with the LM perplexity gate).
+
+    Portable math is the docs_source_entropy convention: each p·ln(p)
+    contribution fixed6-rounded, summed exactly in DECIMAL, negated
+    once. Characters are Unicode code points (Spark substring and
+    DuckDB substring agree); no case-mapping or trimming touches the
+    text, so the Unicode-case contract is not in play. One explode at
+    total-character grain (the corpus-linear cost every char-level
+    statistic pays), then two map-side-combinable aggregations at
+    (doc, char) and (doc); skew is bounded by document length.
+
+    Contract: one row per document; NULL/empty text yields NULL
+    entropy and 0 counted chars (the LEFT-JOIN spine, not row loss).
+    Spark's sequence(1, 0) DESCENDS ([1, 0]) where DuckDB's
+    generate_series(1, 0) is empty — the length > 0 guard below is
+    load-bearing.
+    """
+    from ..functions.numeric import dec, dec_to_double, fixed6
+
+    chars = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.col(text_col).isNotNull() & (F.length(text_col) > 0),
+                F.expr(
+                    f"transform(sequence(1, length({text_col})),"
+                    f" i -> substring({text_col}, i, 1))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("ch"),
+    )
+    cc = chars.groupBy(id_col, "ch").agg(F.count("*").alias("c"))
+    tot = cc.groupBy(id_col).agg(
+        F.sum("c").alias("n"), F.count("*").alias("k")
+    )
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    contrib = cc.join(tot, id_col).select(
+        id_col, fixed6(p * F.log(p)).alias("f6")
+    )
+    ent = contrib.groupBy(id_col).agg(
+        (-dec_to_double(F.sum(dec(F.col("f6"))))).alias("char_entropy")
+    )
+    return (
+        df.select(id_col)
+        .join(tot, id_col, "left")
+        .join(ent, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_chars_counted"),
+            F.coalesce(F.col("k"), F.lit(0)).cast("long").alias("n_distinct_chars"),
+            "char_entropy",
+        )
+    )

@@ -7905,6 +7905,51 @@ _SOURCE_ENTROPY_ORACLE = r"""
 """
 
 
+_CHAR_ENTROPY_ORACLE = r"""
+    WITH chars AS (
+      SELECT doc_id, substring(text, i, 1) AS ch
+      FROM documents, UNNEST(generate_series(1, length(text))) AS u(i)
+      WHERE text IS NOT NULL
+    ),
+    cc AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch),
+    tot AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS k
+      FROM cc GROUP BY doc_id
+    ),
+    contrib AS (
+      SELECT cc.doc_id,
+             floor(((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                    * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS f6
+      FROM cc JOIN tot USING (doc_id)
+    ),
+    ent AS (
+      SELECT doc_id,
+             -(CAST(CAST(SUM(CAST(f6 AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)) AS char_entropy
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(t.n, 0) AS BIGINT) AS n_chars_counted,
+           CAST(COALESCE(t.k, 0) AS BIGINT) AS n_distinct_chars,
+           e.char_entropy
+    FROM documents d
+    LEFT JOIN tot t ON d.doc_id = t.doc_id
+    LEFT JOIN ent e ON d.doc_id = e.doc_id
+"""
+
+
+@_register("docs_char_entropy", _CHAR_ENTROPY_ORACLE)
+def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution entropy + alphabet size
+    (operators/textstats.py char_entropy_report) — the gibberish /
+    encoding-damage gate at sub-token grain: base64 blobs and
+    key-mash runs pass length filters but sit far from natural-text
+    entropy. Same portable p·ln(p) convention as docs_source_entropy
+    at document grain; NULL/empty docs keep their spine row with 0
+    counts and NULL entropy."""
+    d = load_table(spark, sf_dir, "documents")
+    return ts.char_entropy_report(d, "text", "doc_id")
+
+
 @_register("docs_source_entropy", _SOURCE_ENTROPY_ORACLE)
 def docs_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-distribution Shannon entropy + vocabulary
@@ -8865,7 +8910,11 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # window, rotate r9).
     "docs_bpe_train",
     "docs_dedup_lines_global",
-    "docs_heavy_hitters",
+    # docs_heavy_hitters rotated OUT after driver-green r8+r9 — the
+    # sketch family stays via docs_cms_estimates and the MG kernel is
+    # also streaming-tested. Slot to the r10-new docs_char_entropy
+    # (sub-token gibberish gate, never driver-gated).
+    "docs_char_entropy",
     "events_profile",
     # Newest never-gated pair: winnowing local fingerprints (packed-
     # key window selection) and the count-min sketch estimates (the

@@ -50,6 +50,7 @@ HEADLINE = [
     "docs_repetition",
     "docs_ngram_repetition",
     "docs_ngram_diversity",
+    "docs_char_entropy",
     "docs_line_language",
     "docs_source_overlap",
     "docs_quality_funnel",
@@ -97,6 +98,7 @@ HEADLINE = [
     "docs_dedup_lines",
     "docs_dedup_lines_global",
     "docs_ngram_jaccard_pairs",
+    "docs_dup_triangles",
     "docs_containment_pairs",
     "docs_minhash_lsh_pairs",
     "docs_simhash_pairs",
@@ -115,6 +117,7 @@ HEADLINE = [
     "docs_lm_score",
     "emb_lsh_recall",
     "emb_dim_truncation_recall",
+    "emb_rbo_overlap",
     "emb_hard_positives",
     "emb_cosine_topk",
     "emb_near_dup_exact",
@@ -131,6 +134,7 @@ HEADLINE = [
     "lineitem_price_percentiles",
     "lineitem_price_percentiles_approx",
     "lineitem_corr_stats",
+    "lineitem_price_moments",
     "lineitem_profile",
     "lineitem_winsorized",
     "part_normalize_dedup",

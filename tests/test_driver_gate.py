@@ -117,7 +117,10 @@ def test_driver_sample_covers_llm_tier():
         "release_sink_smoke",
         "docs_bpe_train",
         "docs_dedup_lines_global",
-        "docs_heavy_hitters",
+        # docs_heavy_hitters rotated OUT mid-r10 after driver-green
+        # r8+r9 (sketch family stays via docs_cms_estimates); slot to
+        # the r10-new docs_char_entropy.
+        "docs_char_entropy",
         "events_profile",
         "docs_winnow_fingerprints",
         "docs_cms_estimates",

@@ -388,3 +388,37 @@ def test_source_ngram_overlap_hand_computed(spark):
     assert r["grams_a"] == 2 and r["grams_b"] == 2 and r["shared"] == 1
     assert r["jaccard"] == 0.333333        # 1/3 on the fixed6 grid
     assert r["containment_a"] == 0.5 and r["containment_b"] == 0.5
+
+
+def test_char_entropy_report(spark):
+    import math
+
+    from aurora_mito_etl_spark.functions.numeric import fixed6_py
+    from aurora_mito_etl_spark.operators import textstats as ts
+
+    df = spark.createDataFrame(
+        [
+            (1, "aabb"),
+            (2, "aaaa"),
+            (3, ""),
+            (4, None),
+            (5, "\U0001f600\U0001f600aa"),  # astral chars count ONE each
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_chars_counted"],
+            r["n_distinct_chars"],
+            r["char_entropy"],
+        )
+        for r in ts.char_entropy_report(df).collect()
+    }
+    ln2 = -2 * fixed6_py(0.5 * math.log(0.5))
+    assert got[1] == (4, 2, ln2)
+    assert abs(got[1][2] - math.log(2)) < 1e-5
+    # constant text: the single contribution is 1*ln(1) = 0 -> +/-0.0
+    assert got[2][:2] == (4, 1) and got[2][2] == 0.0
+    assert got[3] == (0, 0, None)
+    assert got[4] == (0, 0, None)
+    assert got[5] == (4, 2, ln2)

@@ -95,6 +95,10 @@ DOCS_QUERIES = {
     "docs_tfidf_topk",
     "docs_bm25_search",
     "docs_lm_score",
+    # r10: per-doc char entropy — the Unicode-whitespace/NBSP fuzz
+    # alphabet exercises codepoint-grain substring parity; empty and
+    # single-char docs hit the 0-count spine and p=1 (-0.0) arms
+    "docs_char_entropy",
     "docs_source_entropy",
     "docs_source_divergence",
     "docs_vocab_sketch",

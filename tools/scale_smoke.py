@@ -431,6 +431,33 @@ def main() -> int:
             "label_spread_factor": f, "doc_rows": nd, "label_spread": ls_t,
         }))
 
+    # Round-10 continuation tier: triangle census. Replication is
+    # adversarial here too — replicas join their original's near-dup
+    # clique, so clique size grows with f and the triangle COUNT
+    # grows ~f^3 inside cliques. The claim under test is
+    # output-optimality of the degree-ordered iterator: wall time
+    # must track the (recorded) triangle count — wedge generation is
+    # Theta(sum out_deg^2) ~ triangles inside cliques — not blow past
+    # it, and must not collapse onto a single hot apex.
+    for f in factors:
+        docs = replicate(base, f).repartition(32).cache()
+        nd = docs.count()
+        pairs = dd.ngram_jaccard_pairs(
+            docs, "text", "doc_id", k=3, threshold=0.15
+        )
+        t0 = time.perf_counter()
+        out = gr.triangle_stats(pairs, "id_a", "id_b").agg(
+            F.sum("n_triangles").alias("t3"), F.count("*").alias("verts")
+        ).collect()[0]
+        tri_t = round(time.perf_counter() - t0, 2)
+        docs.unpersist()
+        print(json.dumps({
+            "triangles_factor": f, "doc_rows": nd,
+            "n_triangles_x3": int(out["t3"] or 0),
+            "graph_vertices": int(out["verts"] or 0),
+            "triangles": tri_t,
+        }))
+
     spark.stop()
     return 0
 
