@@ -53,6 +53,7 @@ from aurora_mito_etl_spark.operators import pca as pca_op
 from aurora_mito_etl_spark.operators import quality as ql
 from aurora_mito_etl_spark.operators import quantize as qz
 from aurora_mito_etl_spark.operators import redact as rd
+from aurora_mito_etl_spark.operators import rproj as rp
 from aurora_mito_etl_spark.operators import sampling as sp
 from aurora_mito_etl_spark.operators import similarity as sim
 from aurora_mito_etl_spark.operators import sketches as sk_
@@ -8121,6 +8122,115 @@ def emb_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jl_project_oracle(out_dim: int = 16) -> str:
+    cols = ",\n           ".join(rp.jl_project_oracle_cols("e", 64, out_dim))
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e
+      FROM embeddings WHERE embedding IS NOT NULL
+    )
+    SELECT vec_id,
+           {cols}
+    FROM v
+    """
+
+
+@_register("emb_jl_project", _jl_project_oracle())
+def emb_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss ±1 random projection 64→16 dims
+    (operators/rproj.py, Achlioptas 2003) — the data-INDEPENDENT
+    reducer beside the trained PCA/IVF-PQ tier: no statistics pass,
+    no shuffle, the projection is 16 fixed-length codegen chains
+    appended to the scan, so at 100 TB it costs exactly one read of
+    the corpus. Sign matrix pinned from md5 literals; fixed6 outputs
+    make the sketch bit-portable."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    out = rp.jl_project(e, "embedding", in_dim=64, out_dim=16)
+    return out.select("vec_id", *[f"y{r}" for r in range(16)])
+
+
+def _jl_distortion_oracle(out_dim: int = 16) -> str:
+    cols = ",\n             ".join(rp.jl_project_oracle_cols("e", 64, out_dim))
+    num = rp.sqdist_named_sql(
+        [f"q.y{r}" for r in range(out_dim)], [f"c.y{r}" for r in range(out_dim)]
+    )
+    den = rp.sqdist_sql("q.e", "c.e", 64)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    p AS (
+      SELECT vec_id, e,
+             {cols}
+      FROM v
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id,
+             ({num}) AS num,
+             ({den}) AS den
+      FROM p q JOIN p c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id % 100 = 0
+    ),
+    r AS (
+      SELECT query_id,
+             CASE WHEN den > 0 THEN {fixed6_sql("num / den")} END AS ratio
+      FROM pairs
+    )
+    SELECT query_id,
+           COUNT(ratio) AS n_pairs,
+           {oracle_dec_avg("ratio", "mean_distortion")},
+           MIN(ratio) AS min_distortion,
+           MAX(ratio) AS max_distortion
+    FROM r GROUP BY query_id
+    """
+
+
+@_register("emb_jl_distortion", _jl_distortion_oracle())
+def emb_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL distance-preservation audit: for each sampled query, the
+    distribution (n/mean/min/max) of ||proj(a)-proj(b)||²/||a-b||²
+    over all partners — the measurement that certifies a projection
+    seed/width before serving switches to the sketch (JL says the
+    ratio concentrates near 1 at width O(log n / eps²)). Both norms
+    are fixed-length left-to-right chains, the ratio is one IEEE
+    divide then fixed6, the mean is the exact-decimal convention;
+    identical-vector pairs (zero denominator) score NULL and drop
+    from all four statistics on both engines."""
+    out_dim = 16
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    p = rp.jl_project(e, "embedding", in_dim=64, out_dim=out_dim)
+    ycols = [f"y{r}" for r in range(out_dim)]
+    q = p.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        *[F.col(y).alias(f"q{y}") for y in ycols],
+    )
+    num = rp.sqdist_named_col([f"q{y}" for y in ycols], ycols)
+    den = rp.sqdist_col("qe", "embedding", 64)
+    pairs = (
+        p.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", num.alias("num"), den.alias("den"))
+    )
+    r = pairs.select(
+        "query_id",
+        F.when(F.col("den") > 0, fixed6(F.col("num") / F.col("den"))).alias(
+            "ratio"
+        ),
+    )
+    return r.groupBy("query_id").agg(
+        F.count("ratio").alias("n_pairs"),
+        dec_avg("ratio", "mean_distortion"),
+        F.min("ratio").alias("min_distortion"),
+        F.max("ratio").alias("max_distortion"),
+    )
+
+
 def _rbo_weight_table(p: float = 0.9, depth: int = 10) -> dict[int, float]:
     """Closed-form per-item RBO weights: an item matched in both
     rankings at max-rank m contributes W(m) = (1-p)·Σ_{d=m..D}
@@ -8926,13 +9036,15 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # driver-green r8+r9; the mining kernel stays sampled via
     # emb_hard_positives above).
     "emb_ivfpq_rerank",
-    # Final late-r8 batch, never driver-gated: distinct-n diversity
-    # (collapse-first distinct shape), tokenizer fertility (corpus-
-    # trained BPE apply — drift-exposed dictionary chain), per-line
-    # lang-id rollup (explicit whitespace-class line semantics), and
-    # the train/holdout MinHash leakage audit (join-free side
-    # predicate over the pair table).
-    "docs_ngram_diversity",
+    # Final late-r8 batch, never driver-gated: tokenizer fertility
+    # (corpus-trained BPE apply — drift-exposed dictionary chain),
+    # per-line lang-id rollup (explicit whitespace-class line
+    # semantics), and the train/holdout MinHash leakage audit
+    # (join-free side predicate over the pair table).
+    # docs_ngram_diversity rotated OUT mid-r10 after driver-green
+    # r8+r9 (ngram family stays via docs_source_overlap); slot to the
+    # r10-new emb_jl_project (data-independent JL sketch).
+    "emb_jl_project",
     "docs_tokenizer_fertility",
     "docs_line_language",
     "docs_split_leakage",
@@ -8943,9 +9055,12 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # user filter + NULL-metric quartile labels are exactly the
     # regenerated-data-drift surface the window exists for.
     "events_rfm",
-    # Matryoshka dim-truncation recall — double brute-force ranking,
-    # the most rank-tie-exposed of the new recall diagnostics.
-    "emb_dim_truncation_recall",
+    # emb_dim_truncation_recall rotated OUT mid-r10 after driver-green
+    # r8+r9 — the truncated-vs-full ranking kernel stays in-window via
+    # emb_rbo_overlap, which ranks the IDENTICAL two lists. Slot to
+    # the r10-new emb_jl_distortion (pairwise distance-preservation
+    # audit over the JL sketch).
+    "emb_jl_distortion",
     # The BM25+QL reciprocal-rank fusion (outer-join NULL-rank
     # composition is the novel plumbing). docs_ql_search rotated OUT
     # after driver-green r8+r9 — the Dirichlet QL kernel stays

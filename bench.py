@@ -81,6 +81,8 @@ HEADLINE = [
     "docs_vocab_sketch",
     "docs_source_divergence",
     "emb_quantize_int8",
+    "emb_jl_project",
+    "emb_jl_distortion",
     "emb_pq_encode",
     "emb_pq_adc_topk",
     "emb_ivfpq_topk",

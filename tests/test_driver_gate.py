@@ -125,13 +125,19 @@ def test_driver_sample_covers_llm_tier():
         "docs_winnow_fingerprints",
         "docs_cms_estimates",
         "emb_ivfpq_rerank",
-        "docs_ngram_diversity",
+        # docs_ngram_diversity rotated OUT mid-r10 after driver-green
+        # r8+r9 (ngram family stays via docs_source_overlap); slot to
+        # emb_jl_project.
+        "emb_jl_project",
         "docs_tokenizer_fertility",
         "docs_line_language",
         "docs_split_leakage",
         "docs_source_overlap",
         "events_rfm",
-        "emb_dim_truncation_recall",
+        # emb_dim_truncation_recall rotated OUT mid-r10 after driver-
+        # green r8+r9 (the truncated-ranking kernel stays via
+        # emb_rbo_overlap); slot to emb_jl_distortion.
+        "emb_jl_distortion",
         # docs_ql_search rotated OUT mid-r10 after driver-green r8+r9
         # (the QL chain stays via docs_rrf_fusion's composition);
         # slot to the r10-new emb_rbo_overlap.

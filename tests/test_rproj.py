@@ -1,0 +1,82 @@
+from __future__ import annotations
+
+import random
+
+from aurora_mito_etl_spark.operators import rproj as rp
+
+
+def test_jl_signs_pinned_and_balanced():
+    s1 = rp.jl_signs(64, 16)
+    assert s1 == rp.jl_signs(64, 16)  # pure function of the seed
+    assert rp.jl_signs(64, 16, seed="other") != s1
+    flat = [v for row in s1 for v in row]
+    assert set(flat) == {-1, 1}
+    # md5 bit is fair: the 1024-entry matrix can't be near-constant
+    assert 0.35 < flat.count(1) / len(flat) < 0.65
+
+
+def test_jl_project_matches_python_twin(spark):
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-5, 5) for _ in range(64)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: [r[f"y{k}"] for k in range(16)]
+        for r in rp.jl_project(df, "embedding").collect()
+    }
+    for i, vec in rows:
+        assert got[i] == rp.jl_project_py(vec), f"row {i}"
+
+
+def test_jl_null_and_short_vectors(spark):
+    rows = [
+        (1, [1.0] * 64),
+        (2, [1.0] * 63 + [None]),  # NULL element -> NULL projection
+        (3, [1.0] * 10),  # short vector -> NULL (F.get out of bounds)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: [r[f"y{k}"] for k in range(16)]
+        for r in rp.jl_project(df, "embedding").collect()
+    }
+    assert all(v is not None for v in got[1])
+    assert all(v is None for v in got[2])
+    assert all(v is None for v in got[3])
+
+
+def test_jl_distortion_concentrates(spark):
+    # E[||proj(a)-proj(b)||^2] = ||a-b||^2 for +/-1 JL; wider sketches
+    # concentrate harder. Check the mean ratio lands near 1 and the
+    # 64-dim (identity-width) sketch beats the 4-dim one.
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def mean_ratio(out_dim):
+        p = rp.jl_project(df, "embedding", out_dim=out_dim)
+        import pyspark.sql.functions as F
+
+        ycols = [f"y{k}" for k in range(out_dim)]
+        q = p.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            *[F.col(y).alias(f"q{y}") for y in ycols],
+        )
+        num = rp.sqdist_named_col([f"q{y}" for y in ycols], ycols)
+        den = rp.sqdist_col("qe", "embedding", 64)
+        pairs = (
+            p.crossJoin(F.broadcast(q))
+            .where(F.col("vec_id") != F.col("qid"))
+            .select((num / den).alias("ratio"))
+        )
+        vals = [r["ratio"] for r in pairs.collect()]
+        return sum(vals) / len(vals), max(abs(v - 1) for v in vals)
+
+    m16, worst16 = mean_ratio(16)
+    m64, worst64 = mean_ratio(64)
+    assert 0.7 < m16 < 1.3
+    assert 0.85 < m64 < 1.15
+    assert worst64 < worst16  # wider sketch, tighter concentration

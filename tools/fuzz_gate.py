@@ -295,6 +295,11 @@ EMB_QUERIES = {
     # near-tie vectors stress the greatest(rank,rank) weight lookup
     # boundary and the no-overlap COALESCE arm
     "emb_rbo_overlap",
+    # r10: JL projection + distortion — NULL-element and short fuzz
+    # vectors exercise the all-or-NULL chain contract (F.get vs
+    # DuckDB [] out-of-bounds parity), duplicate vectors the den=0 arm
+    "emb_jl_project",
+    "emb_jl_distortion",
     # r9: bit-portable PCA — the duplicate/negated/zero/magnitude-300
     # rows stress the decimal covariance sums; the power-iteration
     # replay exercises the zero-norm CASE and the NULL-label rows the
