@@ -322,3 +322,67 @@ def triangle_stats(
             F.when(F.col("degree") >= 2, fixed6(coeff)).alias("clustering_coeff"),
         )
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 4,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Bounded k-core peel of an undirected id-ordered edge list:
+    ``rounds`` iterations of drop-degree-below-k, then the surviving
+    vertices with their induced-subgraph degree and a global
+    ``converged`` flag (true iff the result IS the k-core — one more
+    peel would remove nothing).
+
+    Why bounded: full coreness needs a data-dependent number of peels
+    (a path graph needs O(n)), which no unrolled oracle can replay;
+    the fixed-round contract is the pagerank/kmeans convention —
+    both engines compute 'after exactly R peels' bit-identically, and
+    the flag says whether R sufficed. In practice near-dup graphs
+    converge in 2-3 peels (tendrils are shallow); at 100 TB you rerun
+    with a higher R when converged=false.
+
+    Shape: each round is one degree aggregation + two semi joins,
+    with localCheckpoint truncating lineage per round (the iterative-
+    loop rule); the candidate set only shrinks. The k-core is the
+    cluster-quality gate above the triangle census: vertices OUTSIDE
+    the 2-core are exactly the tendril/bridge docs a transitive
+    dedup would over-merge through.
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError("k and rounds must be >= 1")
+    cur = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def degree(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("a").alias("v"))
+            .unionByName(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("deg"))
+        )
+
+    for _ in range(rounds):
+        keep = degree(cur).where(F.col("deg") >= k).select("v").localCheckpoint()
+        cur = (
+            cur.join(keep.withColumnRenamed("v", "a"), "a", "semi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    final = degree(cur).localCheckpoint()
+    flag = final.agg(
+        F.coalesce(F.min("deg") >= F.lit(k), F.lit(True)).alias("converged")
+    )
+    return final.crossJoin(F.broadcast(flag)).select(
+        F.col("v").alias("vertex"),
+        F.col("deg").alias("core_degree"),
+        "converged",
+    )

@@ -1765,6 +1765,80 @@ def docs_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.triangle_stats(pairs, "id_a", "id_b")
 
 
+def _kcore_oracle(k: int = 2, rounds: int = 4) -> str:
+    """Unrolled k-core peel over the jaccard pair chain — the
+    pagerank/kmeans fixed-round convention (a data-dependent peel
+    count can't be replayed by a CTE chain). Every CTE is AS
+    MATERIALIZED: each round references the previous round's edge CTE
+    three times (twice in the degree UNION ALL, once in the restrict
+    join), so DuckDB 1.0's default inlining re-expands the jaccard
+    chain 3^rounds — the docs_mmr_rerank lesson (CLAUDE.md)."""
+    ctes = [
+        f"""e0 AS MATERIALIZED (
+      SELECT id_a AS a, id_b AS b FROM (
+        SELECT id_a, id_b,
+               floor((CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS jaccard
+        FROM inter
+        JOIN sizes sa ON inter.id_a = sa.doc_id
+        JOIN sizes sb ON inter.id_b = sb.doc_id
+      ) WHERE jaccard >= 0.15
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"e{r - 1}"
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+      SELECT v, COUNT(*) AS deg FROM (
+        SELECT a AS v FROM {prev} UNION ALL SELECT b AS v FROM {prev}
+      ) GROUP BY v
+    ),
+    k{r} AS MATERIALIZED (SELECT v FROM d{r} WHERE deg >= {k}),
+    e{r} AS MATERIALIZED (
+      SELECT {prev}.a, {prev}.b FROM {prev}
+      JOIN k{r} x ON {prev}.a = x.v
+      JOIN k{r} y ON {prev}.b = y.v
+    )"""
+        )
+    last = f"e{rounds}"
+    ctes.append(
+        f"""df AS MATERIALIZED (
+      SELECT v, COUNT(*) AS deg FROM (
+        SELECT a AS v FROM {last} UNION ALL SELECT b AS v FROM {last}
+      ) GROUP BY v
+    ),
+    flag AS MATERIALIZED (SELECT COALESCE(MIN(deg) >= {k}, TRUE) AS converged FROM df)"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH sh AS (SELECT DISTINCT * FROM ({_SHINGLE_SQL})),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    {body}
+    SELECT df.v AS vertex, CAST(df.deg AS BIGINT) AS core_degree, flag.converged
+    FROM df, flag
+    """
+
+
+@_register("docs_dup_kcore", _kcore_oracle())
+def docs_dup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the near-dup graph after a bounded 4-round peel
+    (operators/graph.py kcore_peel): the cluster-quality gate above
+    the triangle census — vertices OUTSIDE the 2-core are exactly the
+    tendril/bridge documents a transitive dedup would over-merge
+    through, while core members sit in genuinely dense dup regions.
+    Emits each surviving vertex with its induced-subgraph degree and
+    a global converged flag (true iff a further peel is a no-op);
+    fixed rounds keep the result an unrolled-CTE replay on both
+    engines."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, "text", "doc_id", k=3, threshold=0.15)
+    return gr.kcore_peel(pairs, k=2, rounds=4)
+
+
 @_register(
     "docs_bottom_k_sketch",
     f"""
@@ -9045,7 +9119,11 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # r8+r9 (ngram family stays via docs_source_overlap); slot to the
     # r10-new emb_jl_project (data-independent JL sketch).
     "emb_jl_project",
-    "docs_tokenizer_fertility",
+    # docs_tokenizer_fertility rotated OUT mid-r10 after driver-green
+    # r8+r9 (the BPE family stays via docs_bpe_train); slot to the
+    # r10-new docs_dup_kcore (bounded peel, unrolled-CTE oracle — the
+    # drift-exposed family).
+    "docs_dup_kcore",
     "docs_line_language",
     "docs_split_leakage",
     # and the cross-source 3-gram contamination matrix (newest of

@@ -101,6 +101,7 @@ HEADLINE = [
     "docs_dedup_lines_global",
     "docs_ngram_jaccard_pairs",
     "docs_dup_triangles",
+    "docs_dup_kcore",
     "docs_containment_pairs",
     "docs_minhash_lsh_pairs",
     "docs_simhash_pairs",

@@ -129,7 +129,10 @@ def test_driver_sample_covers_llm_tier():
         # r8+r9 (ngram family stays via docs_source_overlap); slot to
         # emb_jl_project.
         "emb_jl_project",
-        "docs_tokenizer_fertility",
+        # docs_tokenizer_fertility rotated OUT mid-r10 after driver-
+        # green r8+r9 (BPE family stays via docs_bpe_train); slot to
+        # docs_dup_kcore.
+        "docs_dup_kcore",
         "docs_line_language",
         "docs_split_leakage",
         "docs_source_overlap",

@@ -189,3 +189,49 @@ def test_triangle_input_hygiene(spark):
     assert got[1] == (2, 1, 1.0)
     assert got[2] == (2, 1, 1.0)
     assert got[3] == (2, 1, 1.0)
+
+
+def _kcore_rows(spark, edges, k=2, rounds=4):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {
+        r["vertex"]: (r["core_degree"], r["converged"])
+        for r in g.kcore_peel(df, k=k, rounds=rounds).collect()
+    }
+
+
+def test_kcore_clique_with_tendril(spark):
+    # K4 plus a path tendril 3-4-5: the 2-core is exactly the K4;
+    # tendril vertices peel away, core degrees are the clique's.
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = _kcore_rows(spark, k4 + [(3, 4), (4, 5)])
+    assert set(got) == {0, 1, 2, 3}
+    assert all(got[v] == (3, True) for v in range(4))
+
+
+def test_kcore_cycle_and_bare_path(spark):
+    # a cycle IS its own 2-core
+    cycle = [(0, 1), (1, 2), (2, 3), (0, 3)]
+    got = _kcore_rows(spark, cycle)
+    assert got == {v: (2, True) for v in range(4)}
+    # a bare path has NO 2-core: everything peels within 2 rounds
+    assert _kcore_rows(spark, [(0, 1), (1, 2), (2, 3)]) == {}
+
+
+def test_kcore_bounded_rounds_not_converged(spark):
+    # a 9-vertex path peels 2 endpoints per round; 1 round is not
+    # enough, and the flag says so on every surviving row
+    path = [(i, i + 1) for i in range(8)]
+    got = _kcore_rows(spark, path, k=2, rounds=1)
+    assert set(got) == set(range(1, 8))
+    assert all(conv is False for _, conv in got.values())
+    # endpoints of the residual path have induced degree 1
+    assert got[1][0] == 1 and got[7][0] == 1
+
+
+def test_kcore_validates(spark):
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    with pytest.raises(ValueError):
+        g.kcore_peel(df, k=0)
+    with pytest.raises(ValueError):
+        g.kcore_peel(df, rounds=0)
+    assert g.kcore_peel(df).collect() == []

@@ -107,6 +107,9 @@ DOCS_QUERIES = {
     # dup groups form cliques, exercising wedge closure + the
     # degree-orientation parity with the id-ordered oracle replay
     "docs_dup_triangles",
+    # r10: bounded 2-core peel of the same graph — fuzz dup cliques
+    # survive the peel, tendrils exercise the shrink/converged arms
+    "docs_dup_kcore",
     "docs_minhash_lsh_pairs",
     "docs_simhash_pairs",
     "docs_near_dedup_survivors",
