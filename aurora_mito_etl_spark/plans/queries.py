@@ -8196,6 +8196,72 @@ def emb_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BENCH_DECONTAM_ORACLE = r"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    g AS (
+      SELECT vec_id, e, CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END AS nrm FROM v
+    ),
+    scored AS (
+      SELECT c.vec_id,
+             floor((list_dot_product(c.e, p.e) / (c.nrm * p.nrm)) * 1000000 + 0.5) / 1000000 AS score
+      FROM g c JOIN g p ON p.vec_id % 37 = 0 AND c.vec_id % 37 <> 0
+    )
+    SELECT vec_id,
+           MAX(score) AS max_sim,
+           CAST(SUM(CASE WHEN score >= 0.95 THEN 1 ELSE 0 END) AS BIGINT) AS n_probes_over,
+           CASE WHEN MAX(score) >= 0.95 THEN TRUE
+                WHEN MAX(score) IS NOT NULL THEN FALSE END AS contaminated
+    FROM scored GROUP BY vec_id
+"""
+
+
+@_register("emb_benchmark_decontam", _BENCH_DECONTAM_ORACLE)
+def emb_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination — the SEMANTIC
+    member of the decontamination family (n-gram broadcast probe =
+    docs_decontaminate, Bloom-prefiltered = _bloom): flag every
+    corpus vector whose cosine to ANY held-out benchmark probe
+    (vec_id % 37 == 0 here; eval-set embeddings in production)
+    reaches 0.95 — paraphrased eval leakage that exact n-gram probes
+    structurally miss. Plan shape is the k=1 degenerate ranking: the
+    probe set broadcasts, the corpus streams map-side, and the
+    per-row max/count are ONE map-side-combinable aggregation — no
+    window, no top-k tail, no corpus shuffle beyond the final group.
+    Exact-cosine contract (fixed6, zero-norm guard) as every vector
+    kernel; rows whose scores are all NULL (NULL-element vectors)
+    keep a row with NULL verdict on both engines."""
+    e = _emb_nn(spark, sf_dir)
+    probes = e.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    corpus = e.filter(F.col("vec_id") % 37 != 0)
+    v = sim.with_norm(corpus, "embedding", "__v", "__vn")
+    q = sim.with_norm(probes, "probe_vec", "__q", "__qn")
+    scored = v.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        fixed6(
+            sim.dot_arrow(F.col("__v"), F.col("__q"))
+            / (sim._safe_norm(F.col("__vn")) * sim._safe_norm(F.col("__qn")))
+        ).alias("score"),
+    )
+    mx = F.max("score")
+    return scored.groupBy("vec_id").agg(
+        mx.alias("max_sim"),
+        # explicit 0-arm CASE, not a bare boolean cast: a NULL score
+        # must count 0 like the oracle's ELSE 0, not NULL the sum
+        F.sum(
+            F.when(F.col("score") >= 0.95, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        ).alias("n_probes_over"),
+        F.when(mx >= 0.95, F.lit(True))
+        .when(mx.isNotNull(), F.lit(False))
+        .alias("contaminated"),
+    )
+
+
 def _jl_project_oracle(out_dim: int = 16) -> str:
     cols = ",\n           ".join(rp.jl_project_oracle_cols("e", 64, out_dim))
     return f"""
@@ -9100,11 +9166,11 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # (sub-token gibberish gate, never driver-gated).
     "docs_char_entropy",
     "events_profile",
-    # Newest never-gated pair: winnowing local fingerprints (packed-
-    # key window selection) and the count-min sketch estimates (the
-    # md5-portable sketch grid) — both land their first hard-gate row
-    # in r8's CORRECTNESS window.
-    "docs_winnow_fingerprints",
+    # docs_winnow_fingerprints rotated OUT mid-r10 after driver-green
+    # r8+r9 (the dedup family keeps four in-window reps); slot to the
+    # r10-new emb_benchmark_decontam (semantic decontamination — the
+    # 0.95-threshold + NULL-verdict arms want a driver row).
+    "emb_benchmark_decontam",
     "docs_cms_estimates",
     # IVF-PQ exact re-rank (emb_hard_negatives rotated OUT after
     # driver-green r8+r9; the mining kernel stays sampled via

@@ -62,6 +62,7 @@ HEADLINE = [
     "docs_pii_redact",
     "docs_decontaminate",
     "docs_decontaminate_bloom",
+    "emb_benchmark_decontam",
     "docs_dsir_weights",
     # sampling / quantization / packing
     "docs_stratified_sample",

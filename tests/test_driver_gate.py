@@ -122,7 +122,9 @@ def test_driver_sample_covers_llm_tier():
         # the r10-new docs_char_entropy.
         "docs_char_entropy",
         "events_profile",
-        "docs_winnow_fingerprints",
+        # docs_winnow_fingerprints rotated OUT mid-r10 after driver-
+        # green r8+r9; slot to emb_benchmark_decontam.
+        "emb_benchmark_decontam",
         "docs_cms_estimates",
         "emb_ivfpq_rerank",
         # docs_ngram_diversity rotated OUT mid-r10 after driver-green

@@ -303,6 +303,10 @@ EMB_QUERIES = {
     # DuckDB [] out-of-bounds parity), duplicate vectors the den=0 arm
     "emb_jl_project",
     "emb_jl_distortion",
+    # r10: semantic benchmark decontamination — duplicate/negated fuzz
+    # vectors hit the 0.95 threshold boundary, NULL-element vectors
+    # the all-NULL-score verdict arm, n=1 the empty-probe-set arm
+    "emb_benchmark_decontam",
     # r9: bit-portable PCA — the duplicate/negated/zero/magnitude-300
     # rows stress the decimal covariance sums; the power-iteration
     # replay exercises the zero-norm CASE and the NULL-label rows the
