@@ -34,6 +34,7 @@ HEADLINE = [
     "events_sessionize",
     "events_moving_avg",
     "events_funnel",
+    "events_funnel_windowed",
     "events_rfm",
     "events_psi_drift",
     "events_type_hour_chi2",

@@ -112,7 +112,9 @@ def test_driver_sample_covers_llm_tier():
         "lineitem_price_moments",
         "docs_temperature_mixture",
         "docs_ac_dict_filter",
-        "docs_boilerplate_lines",
+        # docs_boilerplate_lines rotated OUT mid-r10 after driver-
+        # green r8+r9; slot to events_funnel_windowed.
+        "events_funnel_windowed",
         "lineitem_price_percentiles",
         "release_sink_smoke",
         "docs_bpe_train",

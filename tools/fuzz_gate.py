@@ -338,6 +338,10 @@ EVENTS_QUERIES = {
     # semantics as pagerank; both filter NULL vertices by contract
     "events_hits",
     "events_top_paths",
+    # r10: conversion-window funnel — the generator's exact 30-min/
+    # 5-min/hour-edge gaps land ON the 2h window boundary (<= bound),
+    # NULL ts rows never match either >= anchor
+    "events_funnel_windowed",
     "events_cube",
     "events_value_anomaly",
     "events_key_skew_report",
