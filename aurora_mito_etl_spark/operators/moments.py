@@ -16,11 +16,22 @@ bit-equal statistics in Spark and DuckDB at any partitioning.
 
 Width proof (all exact, loud on violation):
   d_u  = u − μ_u           BIGINT 1e-6 units; ANSI subtraction raises
-  m    = ⌊(d_u + 500)/1000⌋  1e-3 units; |m| ≤ 9.2e15 by micros6 bound
-  m²                        BIGINT; raises on overflow (ANSI / DuckDB)
-  m³ = dec18(m)·dec19(m²)   DECIMAL(38,0) exact (Spark p1+p2+1 ≤ 38)
-  m⁴ = dec18(m²)·dec19(m²)  DECIMAL(38,0) exact
+  m    = ⌊(d_u + 500)/1000⌋  1e-3 units; GUARDED |m| < 1e9 — past it
+                            both engines raise identically
+                            (raise_error / DuckDB error(), the micros6
+                            loud-failure convention). Without the
+                            guard, m² in (1e18, 9.2e18] fits BIGINT
+                            but not Spark's DECIMAL(18,0) operand, so
+                            Spark would raise where DuckDB computed —
+                            the r10 ADVICE divergence. Per-row
+                            deviations past ~1e6 value units are out
+                            of contract and fail loudly on BOTH sides.
+  m²   < 1e18               BIGINT exact; fits DECIMAL(18,0)
+  m³ = dec18(m)·dec19(m²)   < 1e27, DECIMAL(38,0) exact (p1+p2+1 ≤ 38)
+  m⁴ = dec18(m²)·dec19(m²)  < 1e36, DECIMAL(38,0) exact
   sums                      DECIMAL(38,0); both engines raise past 1e38
+(DuckDB oracle keeps 19,0 operands for m³/m⁴ — it needs p1+p2 ≥ 38 to
+widen the product to exact HUGEINT; values are identical.)
 The floor((d_u+500)/1000.0) double divide is exact-safe: the true
 quotient is ≥ 1/1000 away from any integer unless it IS one, and the
 division error at |d_u| ≤ 2^53 is ≪ 1e-3, so the floor is the exact
@@ -34,6 +45,9 @@ plan is the same two exchanges.
 Degenerate groups (constant column, single row, all-NULL) follow the
 tiny-n fuzz contract: zero central variance ⇒ stddev 0.0, skewness
 and kurtosis NULL on BOTH engines (never a divide-by-zero raise).
+A NULL group key is a group like standard groupBy semantics: the
+means join is null-safe (eqNullSafe / IS NOT DISTINCT FROM) so the
+NULL group emits its row on both engines (r10 ADVICE).
 """
 
 from __future__ import annotations
@@ -68,9 +82,32 @@ def grouped_moments(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
     g = g.select(group_col, "n_rows", fixed6(mean_raw).alias("mean_val"))
 
     d_u = F.col("u") - micros6(F.col("mean_val"))
-    m = F.floor((d_u + F.lit(500)).cast("double") / F.lit(1000.0))
-    j = rows.join(F.broadcast(g), group_col).select(
-        group_col, "n_rows", "mean_val", m.alias("m")
+    m_raw = F.floor((d_u + F.lit(500)).cast("double") / F.lit(1000.0))
+    # |m| guard (r10 ADVICE): keeps m2 inside DECIMAL(18,0) so the m4
+    # operand cast can never raise on Spark where the oracle computed.
+    m = F.when(
+        m_raw.isNull() | (F.abs(m_raw) < F.lit(1_000_000_000)), m_raw
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "grouped_moments deviation overflow"
+                " (|m| >= 1e9 milli-units): %s",
+                m_raw.cast("string"),
+            )
+        ).cast("long")
+    )
+    j = (
+        rows.alias("r")
+        .join(
+            F.broadcast(g).alias("gm"),
+            F.col(f"r.{group_col}").eqNullSafe(F.col(f"gm.{group_col}")),
+        )
+        .select(
+            F.col(f"gm.{group_col}").alias(group_col),
+            "n_rows",
+            "mean_val",
+            m.alias("m"),
+        )
     )
     m_ = F.col("m")
     m2 = m_ * m_
@@ -140,10 +177,17 @@ def grouped_moments_oracle(
     gm AS (
       SELECT {group_col}, n_rows, {fixed6_sql(mean_raw)} AS mean_val FROM g
     ),
+    m0 AS (
+      SELECT gm.{group_col} AS {group_col}, gm.n_rows, gm.mean_val,
+             CAST(floor(CAST(r.u - {mu_u} + 500 AS DOUBLE) / 1000.0) AS BIGINT) AS mm_raw
+      FROM r JOIN gm ON r.{group_col} IS NOT DISTINCT FROM gm.{group_col}
+    ),
     m AS (
-      SELECT r.{group_col}, gm.n_rows, gm.mean_val,
-             CAST(floor(CAST(r.u - {mu_u} + 500 AS DOUBLE) / 1000.0) AS BIGINT) AS mm
-      FROM r JOIN gm ON r.{group_col} = gm.{group_col}
+      SELECT {group_col}, n_rows, mean_val,
+             CASE WHEN mm_raw IS NULL OR abs(mm_raw) < 1000000000 THEN mm_raw
+                  ELSE CAST(error('grouped_moments deviation overflow (|m| >= 1e9 milli-units): '
+                                  || CAST(mm_raw AS VARCHAR)) AS BIGINT) END AS mm
+      FROM m0
     ),
     s AS (
       SELECT {group_col},

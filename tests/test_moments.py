@@ -94,3 +94,49 @@ def test_moments_partition_invariance(spark):
         r8["skewness"],
         r8["kurtosis"],
     )
+
+
+def test_moments_null_group_key(spark):
+    # r10 ADVICE: NULL group keys must form a group (standard groupBy
+    # semantics) — the means join is null-safe on both engines.
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 3.0), ("g", 2.0)], "k string, v double"
+    )
+    got = {r["k"]: r for r in mo.grouped_moments(df, "v", "k").collect()}
+    assert None in got
+    assert got[None]["n_rows"] == 2
+    assert got[None]["mean_val"] == 2.0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES"
+        " (NULL, 1.0), (NULL, 3.0), ('g', 2.0)) v(k, val)"
+    )
+    ora = {
+        r[0]: r for r in con.execute(
+            mo.grouped_moments_oracle("t", "val", "k")
+        ).fetchall()
+    }
+    assert None in ora and ora[None][1] == 2 and ora[None][2] == 2.0
+
+
+def test_moments_overflow_guard_raises_both_engines(spark):
+    # r10 ADVICE m4 width gap: deviations past ~1e6 value units (|m|
+    # >= 1e9 milli-units) must fail LOUDLY and identically, never
+    # raise on one engine while the other computes.
+    import duckdb
+    import pytest
+
+    df = spark.createDataFrame(
+        [("g", 0.0), ("g", 2.5e6)], "k string, v double"
+    )
+    with pytest.raises(Exception, match="deviation overflow"):
+        mo.grouped_moments(df, "v", "k").collect()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES"
+        " ('g', 0.0), ('g', 2500000.0)) v(k, val)"
+    )
+    with pytest.raises(Exception, match="deviation overflow"):
+        con.execute(mo.grouped_moments_oracle("t", "val", "k")).fetchall()
