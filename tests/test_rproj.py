@@ -33,7 +33,9 @@ def test_jl_null_and_short_vectors(spark):
     rows = [
         (1, [1.0] * 64),
         (2, [1.0] * 63 + [None]),  # NULL element -> NULL projection
-        (3, [1.0] * 10),  # short vector -> NULL (F.get out of bounds)
+        # short vector -> NULL (zip_with NULL-pads past slice end,
+        # poisoning the fold — same semantics as F.get out of bounds)
+        (3, [1.0] * 10),
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     got = {
