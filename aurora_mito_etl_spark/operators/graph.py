@@ -142,13 +142,14 @@ def hits(
     scores 0 via the shared MAX>0 CASE.
 
     Scale shape per round: two map-side-combinable aggregations over
-    the collapsed edge table plus two GLOBAL-WINDOW sup-norm maxes
-    (`Window.partitionBy()` over the POST-aggregation vertex table —
-    one task sees all |V| rows, fine at event-type grain; a caller
-    with large |V| should swap `_normalize` to a broadcast 1-row max
-    join). The raw event table is touched once, up front; the chain
-    runs as one linear-lineage job (see the in-body note on the
-    deliberate no-checkpoint exception)."""
+    the collapsed edge table plus two sup-norm maxes, each a global
+    agg broadcast back as a 1-row join (DEFAULT since r11, VERDICT
+    r10 ask #3) — no unpartitioned Window anywhere in the chain, so
+    no single task ever sees all |V| rows at any vertex cardinality
+    (plan-pinned by tests/test_plan_shapes.py). The raw event table
+    is touched once, up front; each half-step localCheckpoints its
+    score frame (see `_normalize`) so the max's second reference
+    cannot double the logical plan per round."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     grid = F.lit(1000000.0)
@@ -169,38 +170,47 @@ def hits(
         final spine (a missing row contributes exactly what a 0 row
         would to every downstream sum, and can't be the max while any
         row is positive — if ALL are zero/absent both engines emit
-        zeros). The MAX is a global window, not a broadcast 1-row
-        join: the frame is the POST-AGGREGATION vertex table (|V|
-        rows — event-type-grain here), so one window task sees what a
-        broadcast max would without an extra job per half-step. Both
-        choices keep the per-round plan shallow — the spined,
-        per-round-checkpointed form measured 6-9s warm at sf0.1 from
-        plan depth alone; this form is ~2s."""
-        from pyspark.sql import Window as _W
-
-        mx = F.max("raw").over(_W.partitionBy())
-        return scores.select(
-            "vertex",
-            F.when(
-                mx > 0,
-                F.floor(
-                    F.col("raw").cast("double") / mx.cast("double") * grid
-                    + F.lit(0.5)
-                ),
+        zeros). The MAX is a map-side-combinable global agg broadcast
+        back as a 1-row join (DEFAULT since r11, VERDICT r10 ask #3 —
+        the earlier `Window.partitionBy()` form funneled all |V|
+        post-aggregation rows through one window task; fine at
+        event-type grain, a single-task sort at web-graph grain).
+        The scores frame is localCheckpointed first: the max agg and
+        the probe side BOTH reference it, and without truncation that
+        2-way self-reference doubles the logical plan every half-step
+        (2^8 over 4 rounds — the analyzer blowup the iterative-loop
+        rule exists for). Same max, same divide, same grid: the
+        unrolled-CTE oracle replays it unchanged. eager=False defers
+        materialization into the enclosing action (the plan-level
+        truncation happens at DataFrame construction either way).
+        Measured cost of the posture fix at sf0.1: ~3.9s warm vs the
+        window form's ~1.4s — the 8 half-step broadcast sides each
+        materialize as a sub-job; accepted as the price of removing
+        the |V|-row single-task window (the old form's cost was
+        invisible at event-type grain and unbounded at web-graph
+        grain)."""
+        s = scores.localCheckpoint(eager=False)
+        mxdf = s.agg(F.max("raw").alias("mx")).withColumn("_k", F.lit(1))
+        return (
+            s.withColumn("_k", F.lit(1))
+            .join(F.broadcast(mxdf), "_k")
+            .select(
+                "vertex",
+                F.when(
+                    F.col("mx") > 0,
+                    F.floor(
+                        F.col("raw").cast("double")
+                        / F.col("mx").cast("double")
+                        * grid
+                        + F.lit(0.5)
+                    ),
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias(out),
             )
-            .otherwise(F.lit(0))
-            .cast("long")
-            .alias(out),
         )
 
-    # No per-round localCheckpoint — a deliberate, documented
-    # exception to the iterative-loop rule: the window-max normalize
-    # references each upstream frame exactly ONCE, so the lineage is
-    # LINEAR in iterations (the rule targets k-way self-references
-    # that grow k^iterations). Only the final h⋈a join re-references
-    # the last a — a bounded 2×. One action executes the whole chain
-    # as a single job (the checkpointed variants measured 6-9s warm
-    # at sf0.1 from per-round job setup; this form is one job).
     h = vertices.withColumn("h", F.lit(1_000_000).cast("long"))
     a = None
     for _ in range(iterations):

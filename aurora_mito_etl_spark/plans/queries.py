@@ -7226,6 +7226,12 @@ def _events_funnel_impl(
     spark: SparkSession, sf_dir: str, window_hours: int | None
 ) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    return _events_funnel_frame(e, window_hours)
+
+
+def _events_funnel_frame(e: DataFrame, window_hours: int | None) -> DataFrame:
+    """Frame-level funnel body (split out so tools/scale_smoke.py can
+    drive the identical shape on replicated events)."""
     v = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -8364,12 +8370,17 @@ def _jl_distortion_oracle(out_dim: int = 16) -> str:
              {cols}
       FROM v
     ),
+    panel AS (
+      SELECT vec_id FROM v
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 64
+    ),
     pairs AS (
       SELECT q.vec_id AS query_id,
              ({num}) AS num,
              ({den}) AS den
-      FROM p q JOIN p c ON c.vec_id <> q.vec_id
-      WHERE q.vec_id % 100 = 0
+      FROM p q JOIN panel USING (vec_id)
+      JOIN p c ON c.vec_id <> q.vec_id
     ),
     r AS (
       SELECT query_id,
@@ -8395,17 +8406,32 @@ def emb_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     are fixed-length left-to-right chains, the ratio is one IEEE
     divide then fixed6, the mean is the exact-decimal convention;
     identical-vector pairs (zero denominator) score NULL and drop
-    from all four statistics on both engines."""
+    from all four statistics on both engines.
+
+    Panel cap (VERDICT r10 ask #2): the query panel is a
+    deterministic md5-ordered hash sample LIMITed to 64 vectors —
+    FIXED-cost broadcast at any corpus scale (the earlier
+    ``vec_id % 100 == 0`` panel grew with the corpus). Spark plans
+    the order+limit as TakeOrderedAndProject (parallel partial
+    top-k, no global sort); the oracle mirrors with the identical
+    ORDER BY md5 / LIMIT."""
     out_dim = 16
     e = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
     p = rp.jl_project(e, "embedding", in_dim=64, out_dim=out_dim)
     ycols = [f"y{r}" for r in range(out_dim)]
-    q = p.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        *[F.col(y).alias(f"q{y}") for y in ycols],
+    q = (
+        p.orderBy(
+            F.md5(F.col("vec_id").cast("string")).asc(),
+            F.col("vec_id").asc(),
+        )
+        .limit(64)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            *[F.col(y).alias(f"q{y}") for y in ycols],
+        )
     )
     num = rp.sqdist_named_col([f"q{y}" for y in ycols], ycols)
     den = rp.sqdist_col("qe", "embedding", 64)
@@ -9026,257 +9052,166 @@ def docs_dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 # else keeps its original relative order and stays covered by
 # tools/verify_local.py. Pinned by tests/test_driver_gate.py.
 #
-# r10 rotation (VERDICT r9 ask #1): the six late-r9 queries with no
-# driver-gate row ever (emb_cov_drift, emb_whitened_norm,
-# emb_pca_project2, events_hits, docs_label_spread,
-# shipping_priority_topk) rotate IN. Evicted, all driver-green r8+r9
-# with families staying represented: docs_source_report_counts (the
-# r8 BIGINT-cast bisection control rode two full green rounds; parent
-# docs_source_report stays), docs_bpe_subwords (BPE stays via train +
-# tokenizer_fertility), docs_chunked (text family stays via
-# ac_dict_filter + boilerplate_lines), customer_order_full_outer
-# (incoming shipping_priority_topk is the richer relational-join rep:
-# 3-table join + group + top-k), docs_source_divergence (source-stats
-# family stays via source_report/source_overlap/temperature_mixture),
-# emb_hard_negatives (mining kernel stays via emb_hard_positives).
-# With these six green, every registered query has a driver-gate row
-# (163/163 ever-driver-green).
+# r11 rotation — STALEST-FIRST POLICY (VERDICT r10 ask #1).
+#
+# All 172 queries have been driver-green at least once (r10), but the
+# driver REGENERATES testdata every round and r5-r7 history shows
+# regenerated-data reds surface ONLY at the driver — so driver-gate
+# freshness is the remaining risk, and the window is now rebuilt each
+# round from the queries whose last driver-green row is OLDEST:
+#
+#   window = PINNED flagships (2 slots, every round)
+#          + the stalest queries by last-green round in
+#            CORRECTNESS_r*.json, oldest round first (ties broken for
+#            SURVEY-family spread, documented per round), until the
+#            50 driver-sampled slots are full
+#   backlog = stale queries (lag > 3 rounds) that did not fit; they
+#            are the FIRST candidates for the next rebuild
+#            (DRIVER_WINDOW_DEFERRED below)
+#   new queries registered mid-round ALWAYS enter the window (they
+#            have no driver row at all — the riskiest class)
+#
+# Enforced by tests/test_driver_gate.py::test_driver_window_stalest_first,
+# which recomputes last-green rounds from the committed artifacts and
+# pins: (a) no query outside the window is staler than any non-pinned
+# query inside it, (b) every query lagging > 3 rounds is in the window
+# or the documented backlog, (c) DRIVER_WINDOW_BUILT_FOR_ROUND is not
+# behind the newest committed artifact (the next-round rebuild nudge).
+#
+# r11 window: entering are the 48 stalest — the two r1 veterans
+# (lineitem_qty_range_join, pricing_rollup — not driver-gated since
+# round 1), all 26 r4 queries, all 10 r5 queries, and 10 of the 16 r6
+# queries. The six r6 left to the backlog keep their families
+# represented in-window: docs_containment_pairs + docs_simhash_pairs
+# (pair-grain near-dup stays via docs_ngram_jaccard_pairs +
+# docs_near_dedup_best + docs_duplicate_spans), docs_weighted_sample
+# (sampling via docs_stratified_sample + docs_epoch_shuffle),
+# emb_lsh_near_dup (LSH via emb_lsh_topk), emb_pq_encode (PQ via
+# emb_pq_adc_topk, which composes the encode stage),
+# supplier_fuzzy_pairs (fuzzy pairs via docs_ngram_jaccard_pairs).
+# Evicted: all 50 r10-green members — every family they carried keeps
+# at least one in-window rep (checked family-by-family in the r11
+# rotation review); all stay gated by verify_local at both SFs, the
+# five-tier fuzz campaign, plan audit and bench every round.
 # ---------------------------------------------------------------------------
 
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
-    # Flagships (pinned every round)
+    # Pinned flagships (every round)
     "flagship_training_corpus",
     "flagship_compound_mentions",
-    # ------------------------------------------------------------------
-    # Round-9 rotation (VERDICT r8 ask #1): the ELEVEN queries that had
-    # never appeared in any CORRECTNESS_r*.json window through r8 — the
-    # three long-deferred veterans first, then the late-r8 batch. All
-    # local-green at sf0.01/sf0.1; regenerated-data reds historically
-    # surface only at the driver. Evicted to make room (all driver-green
-    # r8, several multi-round): docs_gopher_quality (green r5-r8; the
-    # quality tier stays sampled via docs_quality_funnel, which
-    # aggregates the identical verdict frame), docs_incremental_near_dup
-    # (green r5-r8; LSH family stays via docs_split_leakage's MinHash
-    # pairs), emb_semantic_dedup (green r5-r8; embedding tier keeps five
-    # reps below), docs_source_report_quality (green r7-r8; the
-    # non-integer control — parent + _counts remain as the BIGINT-fix
-    # controls), emb_ivfpq_recall (ivfpq family stays via topk/rerank),
-    # emb_knn_classify (kNN kernel stays via emb_hard_negatives +
-    # incoming emb_hard_positives), docs_bpe_pair_counts (BPE family
-    # stays via train/subwords/fertility), orders_except_intersect_all
-    # (set-op family stays via customer_order_full_outer),
-    # docs_dedup_lines (line-dedup stays via docs_dedup_lines_global),
-    # docs_ngram_repetition (ngram family stays via novelty/diversity),
-    # docs_strip_boilerplate (family stays via docs_boilerplate_lines).
-    "docs_contiguous_ids",
-    "docs_length_histogram",
-    "emb_dim_stats",
-    "docs_length_ks",
-    "docs_mmr_rerank",
-    "docs_zipf_slope",
-    "emb_hard_positives",
-    "events_k_anonymity",
-    "events_psi_drift",
-    "events_type_hour_chi2",
-    # lineitem_profile rotated OUT after driver-green r9 (plus local/
-    # fuzz/bench gates every round); the profile family stays sampled
-    # via events_profile — the riskier NULL-bearing dual-ts-form rep.
-    # Slot to the r10-new docs_dup_triangles (degree-ordered triangle
-    # census of the near-dup graph, never driver-gated).
-    "docs_dup_triangles",
-    # NEW in r9: exact substring-duplication spans (Lee et al.
-    # ExactSubstr, pair-free corpus-linear shape) — never driver-gated,
-    # highest regenerated-data risk of the registry. Slot freed by
-    # docs_ngram_novelty (driver-green r8; the n-gram family stays
-    # sampled via docs_ngram_diversity + docs_source_overlap below).
-    "docs_exact_substring_spans",
-    # NEW in r9: bit-portable PCA pair (one-pass covariance + power-
-    # iteration PC1 projection) — never driver-gated; the unrolled-CTE
-    # oracle family is the most regenerated-data-drift-exposed shape.
-    # Slots freed by emb_ivfpq_topk (driver-green r8; the IVF-PQ chain
-    # stays sampled via emb_ivfpq_rerank, which composes the identical
-    # encode/probe/ADC stages before its exact re-rank) and
-    # events_top_paths (driver-green r8; the events family keeps seven
-    # reps in-window: value_anomaly, key_skew_report, profile, rfm,
-    # k_anonymity, psi_drift, type_hour_chi2 — plus pagerank pinned).
-    "emb_pca_cov",
-    "emb_pca_pc1",
-    # NEW in r10 window (late-r9 operators, first driver rows): the
-    # rest of the PCA family — 2-D deflated projection, whitened-norm
-    # outlier score, covariance drift — all sharing the one-pass
-    # covariance kernel with the proven cov/pc1 pair above.
-    "emb_pca_project2",
-    "emb_whitened_norm",
-    "emb_cov_drift",
-    # NEW in r10 window: semi-supervised label propagation over the
-    # near-dup graph (iterative majority vote, unrolled-CTE oracle —
-    # the drift-exposed family).
-    "docs_label_spread",
-    # LLM quality / filtering / mixing tier (CLAUDE.md window rule).
-    # docs_mixture_sample and docs_bigram_pmi rotated OUT after
-    # driver-green r7 — their families stay sampled via the incoming
-    # docs_temperature_mixture and docs_bpe_pair_counts.
-    # docs_pii_redact rotated OUT after driver-green r6+r7: pure
-    # expression-only projection, the least regenerated-data-drift-
-    # sensitive LLM-tier shape; stays local+fuzz-gated (docs tier).
-    # docs_lm_score rotated OUT after driver-green r6+r7 — the bigram
-    # LM family stays sampled via docs_ccnet_buckets (which composes
-    # the same perplexity kernel).
-    # docs_pack_sequences and docs_dsir_weights rotated OUT after
-    # driver-green r6+r7 — deterministic shard-local packing and a
-    # bounded hashed-ngram broadcast respectively, the least drift-
-    # sensitive shapes left in the tier; both stay local+fuzz-gated.
-    # docs_ccnet_buckets rotated OUT after driver-green r7 (the
-    # perplexity-bucket chain rode a full round; stays local+fuzz).
-    # docs_quality_ensemble rotated OUT after driver-green r7: the
-    # per-source funnel AGGREGATES the identical verdict frame (same
-    # four gates, same joins), so its driver row covers the
-    # composition at least as deeply; ensemble stays local+fuzz.
-    "docs_quality_funnel",
-    # docs_source_report bisection block: kept one more round as the
-    # control for the r8 fix (CAST(SUM(n_chars) AS BIGINT) — VERDICT
-    # r7 localized the driver-red to DuckDB HUGEINT widening of the
-    # only uncast integer sums in the sample). _qsum yields its slot
-    # to the late-r8 queries: _quality already covers the green
-    # non-integer control and the fix targets the integer sums, whose
-    # verdict comes from the parent + _counts rows.
-    "docs_source_report",
-    # docs_source_report_counts rotated OUT after driver-green r8+r9:
-    # the HUGEINT→BIGINT bisection is settled; the parent row remains
-    # the integer-sum control.
-    # Iterative-graph reps: the unrolled-CTE oracle family is the most
-    # exposed to regenerated-data drift, so pagerank stays pinned;
-    # HITS (late r9, first driver row) shares the transition-graph
-    # builder but exercises the sup-norm integer-grid normalize and
-    # the NULL-vertex contract fixed this round.
-    "events_pagerank",
-    "events_hits",
-    # Reference text-filter surface (§2.2); docs_dict_anti_filter
-    # rotated OUT (driver-green r7) for its never-sampled AC variant.
-    # docs_clean_text (driver-green r1-r7, pytest-smoke + fuzz-gated)
-    # and part_normalize_dedup (driver-green multi-round, fuzz
-    # relational tier) yield their slots to the two never-gated
-    # late-r8 embedding queries; the text family stays sampled via
-    # docs_ac_dict_filter/docs_chunked/boilerplate below.
-    # LLM source + multimodal (§2.1 S8 / D5, multimodal columns)
-    "docs_classify_stub",
-    "docs_media_features",
-    # Relational-spine reps (§2.3/§2.4); two_tier_lookup and
-    # customers_without_orders rotated OUT after driver-green r7 —
-    # the join family stays sampled via customer_order_full_outer.
-    # (order_rollup_per_customer and events_asof_join, driver-green
-    # r7, yield their slots to the late-r8 queries; the A1 and as-of
-    # families stay local-gated + fuzz-covered. pricing_summary and
-    # window_order_stats, driver-green r1-r7 and fuzz lineitem/
-    # relational-tier staples, yield their slots to the four newest
-    # never-gated queries — the lineitem family stays sampled via
-    # lineitem_price_percentiles, the window family via
-    # events_value_anomaly's rolling stats.)
-    # ------------------------------------------------------------------
-    # Round-8 rotation (VERDICT r7 ask #3): the TWENTY queries that had
-    # never appeared in any CORRECTNESS_r*.json window r1-r7. All are
-    # local-green at sf0.01; regenerated-data reds historically surface
-    # only at the driver, so each needs one driver-green row.
-    # (emb_ivfpq_topk and events_top_paths rotated OUT after driver-
-    # green r8 — slots to the r9 PCA pair above; families stay
-    # sampled via emb_ivfpq_rerank and the seven events reps.)
-    "events_value_anomaly",
-    # events_key_skew_report rotated OUT after driver-green r8+r9 —
-    # simple-agg diagnostic; the events family keeps seven reps
-    # in-window. Slot to the r10-new lineitem_price_moments (grouped
-    # skew/kurtosis from exact integer-grid power sums — the newest
-    # arithmetic surface, never driver-gated).
-    "lineitem_price_moments",
-    "docs_temperature_mixture",
-    # docs_source_divergence and docs_chunked rotated OUT after
-    # driver-green r8+r9 (r10 rotation note above).
-    "docs_ac_dict_filter",
-    # docs_boilerplate_lines rotated OUT mid-r10 after driver-green
-    # r8+r9 (line-grain text family stays via docs_dedup_lines_global;
-    # the strip twin is local+fuzz-gated); slot to the r10-new
-    # events_funnel_windowed (conversion-window semantics, first
-    # driver row).
-    "events_funnel_windowed",
-    # docs_contiguous_ids / docs_length_histogram / emb_dim_stats were
-    # "next-best" fillers (not in VERDICT r7's named ten) and are the
-    # simplest shapes in the rotation; they yield their slots to the
-    # three queries NEW this round, which have never been driver-gated
-    # and carry the highest regenerated-data risk. Rotate the evicted
-    # trio back in r9.
-    "lineitem_price_percentiles",
-    # NEW in r10 window (late r9, first driver row): the TPC-H-Q3-
-    # shaped shipping-priority top-k — replaces the evicted
-    # customer_order_full_outer as the relational-join rep (3-table
-    # join + aggregate + partial-topk tail).
-    "shipping_priority_topk",
-    # rows-only sink e2e (no oracle by design): gives the K1-K4 sink
-    # family its first driver-side evidence; writes only to a tempdir.
-    "release_sink_smoke",
-    # ------------------------------------------------------------------
-    # Late-round-8 additions, never driver-gated (highest regenerated-
-    # data risk): the BPE train/apply pair (unrolled-CTE oracle — the
-    # drift-exposed family), corpus-wide line dedup, the Misra-Gries
-    # heavy-hitter twin, and the profiler over the NULL-bearing
-    # dual-ts-form events table (the riskier of the two profile reps;
-    # lineitem_profile stays local+fuzz+bench-gated outside the
-    # window, rotate r9).
-    "docs_bpe_train",
-    "docs_dedup_lines_global",
-    # docs_heavy_hitters rotated OUT after driver-green r8+r9 — the
-    # sketch family stays via docs_cms_estimates and the MG kernel is
-    # also streaming-tested. Slot to the r10-new docs_char_entropy
-    # (sub-token gibberish gate, never driver-gated).
-    "docs_char_entropy",
-    "events_profile",
-    # docs_winnow_fingerprints rotated OUT mid-r10 after driver-green
-    # r8+r9 (the dedup family keeps four in-window reps); slot to the
-    # r10-new emb_benchmark_decontam (semantic decontamination — the
-    # 0.95-threshold + NULL-verdict arms want a driver row).
-    "emb_benchmark_decontam",
-    "docs_cms_estimates",
-    # IVF-PQ exact re-rank (emb_hard_negatives rotated OUT after
-    # driver-green r8+r9; the mining kernel stays sampled via
-    # emb_hard_positives above).
-    "emb_ivfpq_rerank",
-    # Final late-r8 batch, never driver-gated: tokenizer fertility
-    # (corpus-trained BPE apply — drift-exposed dictionary chain),
-    # per-line lang-id rollup (explicit whitespace-class line
-    # semantics), and the train/holdout MinHash leakage audit
-    # (join-free side predicate over the pair table).
-    # docs_ngram_diversity rotated OUT mid-r10 after driver-green
-    # r8+r9 (ngram family stays via docs_source_overlap); slot to the
-    # r10-new emb_jl_project (data-independent JL sketch).
-    "emb_jl_project",
-    # docs_tokenizer_fertility rotated OUT mid-r10 after driver-green
-    # r8+r9 (the BPE family stays via docs_bpe_train); slot to the
-    # r10-new docs_dup_kcore (bounded peel, unrolled-CTE oracle — the
-    # drift-exposed family).
-    "docs_dup_kcore",
-    "docs_line_language",
-    "docs_split_leakage",
-    # and the cross-source 3-gram contamination matrix (newest of
-    # all, never driver-gated).
-    "docs_source_overlap",
-    # RFM segmentation over the NULL-bearing events table — NULL
-    # user filter + NULL-metric quartile labels are exactly the
-    # regenerated-data-drift surface the window exists for.
-    "events_rfm",
-    # emb_dim_truncation_recall rotated OUT mid-r10 after driver-green
-    # r8+r9 — the truncated-vs-full ranking kernel stays in-window via
-    # emb_rbo_overlap, which ranks the IDENTICAL two lists. Slot to
-    # the r10-new emb_jl_distortion (pairwise distance-preservation
-    # audit over the JL sketch).
-    "emb_jl_distortion",
-    # The BM25+QL reciprocal-rank fusion (outer-join NULL-rank
-    # composition is the novel plumbing). docs_ql_search rotated OUT
-    # after driver-green r8+r9 — the Dirichlet QL kernel stays
-    # in-window via docs_rrf_fusion, which composes the identical QL
-    # chain as one of its two rank lists.
-    "docs_rrf_fusion",
-    # r10-new: rank-biased overlap between the exact full-dim and
-    # 32-dim-truncated rankings — never driver-gated; the weight-
-    # lookup + decimal-sum surface joins the recall diagnostics.
-    "emb_rbo_overlap",
+    # Stalest first: last driver-green r1
+    "lineitem_qty_range_join",
+    "pricing_rollup",
+    # last driver-green r4
+    "acctbal_threshold_label",
+    "best_part_per_brand",
+    "customer_balance_quartiles",
+    "docs_bottom_k_sketch",
+    "docs_fingerprint",
+    "docs_stratified_sample",
+    "docs_token_explode",
+    "docs_token_positions",
+    "docs_top_words",
+    "docs_topical_filter",
+    "emb_array_ops",
+    "emb_cosine_topk",
+    "emb_lsh_topk",
+    "emb_quantize_int8",
+    "events_hourly",
+    "events_interval_join",
+    "events_json_extract",
+    "events_moving_avg",
+    "events_session_windows",
+    "local_supplier_volume",
+    "order_priority_counts",
+    "order_value_bins",
+    "orders_above_segment_avg",
+    "revenue_by_nation",
+    "topk_mean_supplier",
+    "union_known_panel",
+    # last driver-green r5
+    "docs_c4_filter",
+    "docs_decontaminate",
+    "docs_epoch_shuffle",
+    "docs_ngram_jaccard_pairs",
+    "docs_ordered_typos",
+    "docs_paren_truncate",
+    "docs_quality",
+    "docs_token_stats",
+    "emb_near_dup_exact",
+    "keep_first_order_per_customer",
+    # last driver-green r6 (10 of 16; the other six lead the backlog)
+    "docs_bm25_search",
+    "docs_duplicate_spans",
+    "docs_lang_id",
+    "docs_near_dedup_best",
+    "docs_vocab_sketch",
+    "emb_pq_adc_topk",
+    "events_funnel",
+    "lineitem_corr_stats",
+    "lineitem_winsorized",
+    "orders_zorder_key",
+)
+
+# The round this window was built for (bumped at each rebuild; the
+# policy test nudges the next round when a newer artifact lands).
+DRIVER_WINDOW_BUILT_FOR_ROUND = 11
+
+DRIVER_WINDOW_PINNED: tuple[str, ...] = (
+    "flagship_training_corpus",
+    "flagship_compound_mentions",
+)
+
+# Stale (lag > 3 rounds at the r11 rebuild) but out of slots this
+# round — stalest-first candidates for the r12 window. Shrinks to
+# empty as the r4-r7 backlog drains (~2 rounds), after which the
+# policy test's lag bound binds every query directly.
+DRIVER_WINDOW_DEFERRED: tuple[str, ...] = (
+    "docs_containment_pairs",
+    "docs_simhash_pairs",
+    "docs_weighted_sample",
+    "emb_lsh_near_dup",
+    "emb_pq_encode",
+    "supplier_fuzzy_pairs",
+    "customers_without_orders",
+    "docs_bigram_pmi",
+    "docs_ccnet_buckets",
+    "docs_chunk_windows",
+    "docs_clean_text",
+    "docs_decontaminate_bloom",
+    "docs_dict_anti_filter",
+    "docs_dsir_weights",
+    "docs_exact_dedup",
+    "docs_hash_sample",
+    "docs_lm_score",
+    "docs_lm_score_external",
+    "docs_minhash_lsh_pairs",
+    "docs_mixture_sample",
+    "docs_near_dedup_survivors",
+    "docs_pack_sequences",
+    "docs_pii_redact",
+    "docs_quality_ensemble",
+    "docs_repetition",
+    "docs_source_entropy",
+    "docs_source_report_qsum",
+    "docs_tfidf_topk",
+    "emb_ivf_topk",
+    "emb_kmeans_assign",
+    "emb_lsh_recall",
+    "events_asof_join",
+    "events_cube",
+    "events_hourly_gap_filled",
+    "events_retention",
+    "events_sessionize",
+    "lineitem_price_percentiles_approx",
+    "order_rollup_per_customer",
+    "orders_pivot_priority",
+    "part_normalize_dedup",
+    "pricing_summary",
+    "priority_set_ops",
+    "scalar_function_parity",
+    "two_tier_lookup",
+    "window_order_stats",
 )
 
 

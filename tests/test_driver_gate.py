@@ -35,11 +35,13 @@ SMOKE_QUERIES = {
 def test_driver_sample_covers_llm_tier():
     """The driver's hard gate samples the FIRST 50 entries of queries()
     in dict order (VERDICT r04 ask #1). Pin that the curated export
-    order puts the flagships and every LLM-tier family inside that
-    window, and that the reorder lost nothing."""
+    order is exactly the stalest-first window, that the flagships and
+    an LLM-tier core stay inside it, and that the reorder lost
+    nothing."""
     import __spark_entry__ as entry_mod
     from aurora_mito_etl_spark.plans.queries import (
         DRIVER_SAMPLE_PRIORITY,
+        DRIVER_WINDOW_PINNED,
         ORACLES,
         QUERIES,
     )
@@ -47,115 +49,109 @@ def test_driver_sample_covers_llm_tier():
     names = list(entry_mod.queries())
     first50 = set(names[:50])
     assert list(QUERIES)[:50] == names[:50]
-    # Exactly the curated head, in the curated order.
+    # Exactly the curated head, in the curated order, filling the
+    # driver's sampled window.
     assert names[: len(DRIVER_SAMPLE_PRIORITY)] == list(DRIVER_SAMPLE_PRIORITY)
-    must_sample = {
-        # Pinned every round (window rule, CLAUDE.md)
-        "flagship_training_corpus",
-        "flagship_compound_mentions",
-        "docs_classify_stub",
-        "docs_media_features",
-        "events_pagerank",
-        # round-9 rotation (VERDICT r8 ask #1): the eleven queries with
-        # no driver-gate row through r8 — three long-deferred veterans
-        # plus the late-r8 batch. Evicted: docs_gopher_quality,
-        # docs_incremental_near_dup, emb_semantic_dedup (all green
-        # r5-r8), docs_source_report_quality (green r7-r8, non-integer
-        # control), and seven single-round r8 greens whose families
-        # stay represented (emb_ivfpq_recall, emb_knn_classify,
-        # docs_bpe_pair_counts, orders_except_intersect_all,
-        # docs_dedup_lines, docs_ngram_repetition,
-        # docs_strip_boilerplate).
-        "docs_contiguous_ids",
-        "docs_length_histogram",
-        "emb_dim_stats",
-        "docs_length_ks",
-        "docs_mmr_rerank",
-        "docs_zipf_slope",
-        "emb_hard_positives",
-        "events_k_anonymity",
-        "events_psi_drift",
-        "events_type_hour_chi2",
-        # lineitem_profile rotated OUT mid-r10 after driver-green r9
-        # (profile family stays via events_profile, the NULL-bearing
-        # rep); slot to the r10-new docs_dup_triangles.
-        "docs_dup_triangles",
-        # NEW r9 operator: exact substring-duplication spans (slot
-        # freed by docs_ngram_novelty, driver-green r8; n-gram family
-        # stays via docs_ngram_diversity + docs_source_overlap)
-        "docs_exact_substring_spans",
-        # quality tier rep (aggregates the gopher/c4/lm verdict frame)
-        "docs_quality_funnel",
-        # BIGINT-cast fix control (the _counts sibling rotated OUT
-        # after driver-green r8+r9 — bisection settled)
-        "docs_source_report",
-        # NEW r9 operator pair: bit-portable PCA (slots freed by
-        # emb_ivfpq_topk and events_top_paths, both driver-green r8;
-        # IVF-PQ stays via emb_ivfpq_rerank, events keeps seven reps)
-        "emb_pca_cov",
-        "emb_pca_pc1",
-        # r10 rotation (VERDICT r9 ask #1): the six late-r9 queries
-        # with no driver-gate row ever. Evicted (driver-green r8+r9,
-        # families staying represented): docs_source_report_counts,
-        # docs_bpe_subwords, docs_chunked, customer_order_full_outer,
-        # docs_source_divergence, emb_hard_negatives.
-        "emb_pca_project2",
-        "emb_whitened_norm",
-        "emb_cov_drift",
-        "docs_label_spread",
-        "events_hits",
-        "shipping_priority_topk",
-        # round-8 rotation members riding further rounds
-        # (events_key_skew_report rotated OUT mid-r10 after driver-
-        # green r8+r9; slot to the r10-new lineitem_price_moments)
-        "events_value_anomaly",
-        "lineitem_price_moments",
-        "docs_temperature_mixture",
-        "docs_ac_dict_filter",
-        # docs_boilerplate_lines rotated OUT mid-r10 after driver-
-        # green r8+r9; slot to events_funnel_windowed.
-        "events_funnel_windowed",
-        "lineitem_price_percentiles",
-        "release_sink_smoke",
-        "docs_bpe_train",
-        "docs_dedup_lines_global",
-        # docs_heavy_hitters rotated OUT mid-r10 after driver-green
-        # r8+r9 (sketch family stays via docs_cms_estimates); slot to
-        # the r10-new docs_char_entropy.
-        "docs_char_entropy",
-        "events_profile",
-        # docs_winnow_fingerprints rotated OUT mid-r10 after driver-
-        # green r8+r9; slot to emb_benchmark_decontam.
-        "emb_benchmark_decontam",
-        "docs_cms_estimates",
-        "emb_ivfpq_rerank",
-        # docs_ngram_diversity rotated OUT mid-r10 after driver-green
-        # r8+r9 (ngram family stays via docs_source_overlap); slot to
-        # emb_jl_project.
-        "emb_jl_project",
-        # docs_tokenizer_fertility rotated OUT mid-r10 after driver-
-        # green r8+r9 (BPE family stays via docs_bpe_train); slot to
-        # docs_dup_kcore.
-        "docs_dup_kcore",
-        "docs_line_language",
-        "docs_split_leakage",
-        "docs_source_overlap",
-        "events_rfm",
-        # emb_dim_truncation_recall rotated OUT mid-r10 after driver-
-        # green r8+r9 (the truncated-ranking kernel stays via
-        # emb_rbo_overlap); slot to emb_jl_distortion.
-        "emb_jl_distortion",
-        # docs_ql_search rotated OUT mid-r10 after driver-green r8+r9
-        # (the QL chain stays via docs_rrf_fusion's composition);
-        # slot to the r10-new emb_rbo_overlap.
-        "docs_rrf_fusion",
-        "emb_rbo_overlap",
-    }
-    assert must_sample <= first50
+    assert len(DRIVER_SAMPLE_PRIORITY) == 50
+    assert set(DRIVER_WINDOW_PINNED) <= first50
+    # The engine's namesake LLM-training-data surface keeps a core in
+    # every window regardless of rotation: document-tier and
+    # embedding-tier queries (dedup/quality/sampling/retrieval/ANN).
+    assert sum(n.startswith("docs_") for n in first50) >= 10
+    assert sum(n.startswith("emb_") for n in first50) >= 4
     # The reorder is a permutation: nothing dropped, oracles intact.
     assert len(names) == len(set(names)) >= 91
     assert set(ORACLES) <= set(QUERIES)
     assert all(n in QUERIES for n in DRIVER_SAMPLE_PRIORITY)
+
+
+def _last_driver_green_rounds(limit_round: int) -> tuple[dict[str, int], int]:
+    """Last driver-green round per query from the committed
+    CORRECTNESS_r*.json artifacts, considering only rounds
+    < limit_round (the in-flight round's artifact lands after its
+    window is built). Also returns the newest artifact round seen
+    OVERALL (no limit) — the rebuild nudge."""
+    import json
+    import re
+
+    root = Path(__file__).resolve().parents[1]
+    last: dict[str, int] = {}
+    newest = 0
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        n = int(re.search(r"r(\d+)", f.name).group(1))
+        newest = max(newest, n)
+        if n >= limit_round:
+            continue
+        for q, row in json.load(open(f)).items():
+            ok = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") in (True, None)
+            )
+            if ok:
+                last[q] = max(last.get(q, 0), n)
+    return last, newest
+
+
+def test_driver_window_stalest_first():
+    """Stalest-first window policy (VERDICT r10 ask #1). The driver
+    regenerates testdata every round and regenerated-data reds
+    historically surface only at the driver, so driver-gate freshness
+    is the risk the 50-slot window must spend itself on:
+
+    (a) nothing outside the window may be STALER than a non-pinned
+        query inside it (ties allowed — family-spread swaps within
+        the same round are fine);
+    (b) every query lagging > MAX_LAG rounds must be in the window or
+        in the documented DRIVER_WINDOW_DEFERRED backlog (which only
+        exists while the stale pool exceeds 48 slots);
+    (c) when a CORRECTNESS artifact newer than
+        DRIVER_WINDOW_BUILT_FOR_ROUND lands, this test fails with a
+        rebuild instruction — the next round's forcing function.
+
+    If this test fails at round start: recompute last-green rounds
+    from CORRECTNESS_r*.json, rebuild DRIVER_SAMPLE_PRIORITY from the
+    pinned flagships + the stalest queries (family-spread tie-breaks
+    documented in the rotation comment), refresh
+    DRIVER_WINDOW_DEFERRED, and bump DRIVER_WINDOW_BUILT_FOR_ROUND.
+    """
+    from aurora_mito_etl_spark.plans.queries import (
+        DRIVER_SAMPLE_PRIORITY,
+        DRIVER_WINDOW_BUILT_FOR_ROUND,
+        DRIVER_WINDOW_DEFERRED,
+        DRIVER_WINDOW_PINNED,
+        QUERIES,
+    )
+
+    MAX_LAG = 3
+    last, newest = _last_driver_green_rounds(DRIVER_WINDOW_BUILT_FOR_ROUND)
+    assert newest <= DRIVER_WINDOW_BUILT_FOR_ROUND, (
+        f"CORRECTNESS_r{newest:02d}.json is newer than the window build "
+        f"round {DRIVER_WINDOW_BUILT_FOR_ROUND}: rebuild "
+        "DRIVER_SAMPLE_PRIORITY stalest-first (see this test's "
+        "docstring) and bump DRIVER_WINDOW_BUILT_FOR_ROUND."
+    )
+    window = set(DRIVER_SAMPLE_PRIORITY)
+    deferred = set(DRIVER_WINDOW_DEFERRED)
+    assert not window & deferred
+    inside = [q for q in DRIVER_SAMPLE_PRIORITY if q not in DRIVER_WINDOW_PINNED]
+    outside = [q for q in QUERIES if q not in window]
+    assert inside and outside
+    # (a) stalest-first fill — a brand-new query (last=0) registered
+    # mid-round lands outside and trips this until rotated in.
+    assert max(last.get(q, 0) for q in inside) <= min(
+        last.get(q, 0) for q in outside
+    ), "window is not stalest-first: a fresher query holds a slot a staler one needs"
+    # (b) lag bound: stale queries are all accounted for.
+    stale_cut = DRIVER_WINDOW_BUILT_FOR_ROUND - MAX_LAG
+    stale = {q for q in QUERIES if last.get(q, 0) < stale_cut}
+    unaccounted = stale - window - deferred
+    assert not unaccounted, (
+        f"queries lagging > {MAX_LAG} rounds neither sampled nor in the "
+        f"documented backlog: {sorted(unaccounted)}"
+    )
+    # The backlog is honest: only genuinely stale queries may defer.
+    assert all(last.get(q, 0) < stale_cut for q in deferred)
 
 
 def test_driver_gate_smoke(spark):

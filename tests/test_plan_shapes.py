@@ -215,3 +215,17 @@ def test_topk_tails_are_two_phase(spark):
         win = plan.index("Window")
         mip = plan.index("MapInPandas")
         assert mip > win, f"{qname}: MapInPandas not below Window\n{plan}"
+
+
+def test_hits_chain_has_no_unpartitioned_window(spark):
+    """VERDICT r10 ask #3: the HITS sup-norm normalize must be the
+    broadcast 1-row-max join, never a `Window.partitionBy()` global
+    window — the window form funnels all |V| post-aggregation rows
+    through ONE task (invisible at event-type grain, a single-task
+    sort at web-graph grain). The final plan covers the normalize
+    tail (the only site windows ever appeared in this chain); the
+    checkpoint boundaries hide earlier rounds, which run the
+    IDENTICAL _normalize shape."""
+    plan = plan_of(QUERIES["events_hits"](spark, SF))
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -458,6 +458,126 @@ def main() -> int:
             "triangles": tri_t,
         }))
 
+    # Round-11 tier (VERDICT r10 ask #6): the r10-continuation
+    # newcomers get measured curves.
+    #
+    # - funnel_windowed: three co-partitioned user-keyed aggregations
+    #   (view anchor, in-window click, in-window purchase) — replicating
+    #   events with DISTINCT user ids multiplies groups, not group
+    #   size, so the curve must stay ~linear in event rows.
+    # - benchmark_decontam: the probe panel is FIXED (base-corpus
+    #   probes) while the corpus replicates — broadcast side constant,
+    #   corpus streamed map-side, one aggregation: ~linear.
+    # - jl_distortion: the r11 md5-ordered LIMIT-64 panel is fixed-size
+    #   by construction (the point of the cap), so pair count is
+    #   64·n and the curve must stay ~linear in corpus rows.
+    from aurora_mito_etl_spark.functions.numeric import dec_avg, fixed6
+    from aurora_mito_etl_spark.operators import rproj as rp
+    from aurora_mito_etl_spark.plans.queries import _events_funnel_frame
+
+    ev_base = ev.select("user_id", "event_type", "ts")
+    n_users = ev_base.agg(F.max("user_id")).collect()[0][0] + 1
+
+    def decontam_shape(corpus, probes):
+        v = sim.with_norm(corpus, "embedding", "__v", "__vn")
+        q = sim.with_norm(probes, "probe_vec", "__q", "__qn")
+        scored = v.crossJoin(F.broadcast(q)).select(
+            "vec_id",
+            fixed6(
+                sim.dot_arrow(F.col("__v"), F.col("__q"))
+                / (sim._safe_norm(F.col("__vn")) * sim._safe_norm(F.col("__qn")))
+            ).alias("score"),
+        )
+        mx = F.max("score")
+        return scored.groupBy("vec_id").agg(
+            mx.alias("max_sim"),
+            F.sum(
+                F.when(F.col("score") >= 0.95, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long")
+            ).alias("n_probes_over"),
+            F.when(mx >= 0.95, F.lit(True))
+            .when(mx.isNotNull(), F.lit(False))
+            .alias("contaminated"),
+        )
+
+    def jl_distortion_shape(emb):
+        p = rp.jl_project(
+            emb.filter(F.col("embedding").isNotNull()), "embedding",
+            in_dim=64, out_dim=16,
+        )
+        ycols = [f"y{r}" for r in range(16)]
+        q = (
+            p.orderBy(
+                F.md5(F.col("vec_id").cast("string")).asc(),
+                F.col("vec_id").asc(),
+            )
+            .limit(64)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qe"),
+                *[F.col(y).alias(f"q{y}") for y in ycols],
+            )
+        )
+        num = rp.sqdist_named_col([f"q{y}" for y in ycols], ycols)
+        den = rp.sqdist_col("qe", "embedding", 64)
+        pairs = (
+            p.crossJoin(F.broadcast(q))
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", num.alias("num"), den.alias("den"))
+        )
+        r = pairs.select(
+            "query_id",
+            F.when(
+                F.col("den") > 0, fixed6(F.col("num") / F.col("den"))
+            ).alias("ratio"),
+        )
+        return r.groupBy("query_id").agg(
+            F.count("ratio").alias("n_pairs"),
+            dec_avg("ratio", "mean_distortion"),
+            F.min("ratio").alias("min_distortion"),
+            F.max("ratio").alias("max_distortion"),
+        )
+
+    probes_fixed = emb_base.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+    )
+    for f in factors:
+        evf = None
+        for i in range(f):
+            c = ev_base.withColumn(
+                "user_id", F.col("user_id") + F.lit(i * n_users)
+            )
+            evf = c if evf is None else evf.unionByName(c)
+        evf = evf.repartition(32).cache()
+        nev = evf.count()
+        t0 = time.perf_counter()
+        _events_funnel_frame(evf, window_hours=2).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        fun_t = round(time.perf_counter() - t0, 2)
+        evf.unpersist()
+
+        emb = replicate_embeddings(emb_base, f).repartition(32).cache()
+        nem = emb.count()
+        t0 = time.perf_counter()
+        decontam_shape(
+            emb.filter(F.col("vec_id") % 37 != 0), probes_fixed
+        ).write.format("noop").mode("overwrite").save()
+        dec_t = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        jl_distortion_shape(emb).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        jld_t = round(time.perf_counter() - t0, 2)
+        emb.unpersist()
+        print(json.dumps({
+            "r11_factor": f, "event_rows": nev, "emb_rows": nem,
+            "funnel_windowed": fun_t, "benchmark_decontam": dec_t,
+            "jl_distortion": jld_t,
+        }))
+
     spark.stop()
     return 0
 
