@@ -1,0 +1,134 @@
+"""Distributed EXACT discrete quantiles — the scale-ready member of
+the percentile trio (exact-buffering `percentile`, sketch
+`approx_percentile`, and this: exact AND bounded-memory).
+
+Reference parity: the reference pipeline computes summary statistics
+over score/price-like columns with single-threaded pandas
+(`quantile`, reference scripts/finalize_realease.py stats sections);
+a distributed engine needs an exact quantile that neither buffers a
+group's values on one executor (the `percentile` builtin) nor gives
+up exactness (`approx_percentile`). VERDICT r10 ask #8 suggested a
+mergeable-quantile twin beside the exact/approx pair — this is the
+DETERMINISTIC mergeable design: KLL's compactors are randomized (a
+cross-engine bit-parity dead end), while counting on a fixed value
+grid is mergeable by pure addition and exact by construction.
+
+Algorithm (all int64-exact, no global sort, no per-group buffer):
+  1. quantize values to the 1e-6 grid (`micros6` — loud overflow)
+     and count per distinct grid value: one map-side-combinable
+     aggregation, memory O(distinct values / partitions);
+  2. running total over ascending grid value via
+     `rownum.prefix_sum` — the two-phase partition-offset pattern
+     (range shuffle + P collected longs + broadcast offsets), NOT a
+     `SUM() OVER (ORDER BY v)` single-task window;
+  3. rank thresholds ceil(p·n) computed in INTEGERS from rational
+     quantiles (qnum/qden): thresh = (n·qnum + qden − 1) div qden —
+     no float p·n boundary hazard at any n;
+  4. answer per quantile = MIN(v) with cum ≥ thresh: a broadcast
+     nested-loop join of the cum frame against ≤ a handful of
+     threshold rows, then a map-side-combinable MIN.
+
+Semantics: type-1 / discrete quantile — the smallest value whose
+cumulative frequency reaches p, identical to DuckDB `quantile_disc`
+(cross-checked empirically in tests at the exact-integer boundary
+cases where float p·n is off by one ulp, e.g. 0.01·100). NULL values
+are excluded; an empty/all-NULL input yields an EMPTY result (n = 0
+has no rank-1 element) on both engines. Values are reported from the
+grid: v/1e6 as one IEEE divide, identical in both engines (lossless
+round-trip for inputs with ≤ 6 decimal digits).
+
+The oracle twin is the SAME explicit construction (grid, cumulative
+window — fine single-task on DuckDB's one node — integer thresholds,
+MIN), so no engine's internal quantile rank convention is trusted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numeric import micros6, micros6_sql
+from .rownum import prefix_sum
+
+# (name, numerator, denominator) — rational so rank thresholds stay
+# integer-exact on both engines at any n.
+DEFAULT_QUANTILES: tuple[tuple[str, int, int], ...] = (
+    ("p01", 1, 100),
+    ("p25", 1, 4),
+    ("p50", 1, 2),
+    ("p75", 3, 4),
+    ("p90", 9, 10),
+    ("p99", 99, 100),
+)
+
+
+def exact_quantiles_grid(
+    df: DataFrame,
+    value_col: str,
+    quantiles: tuple[tuple[str, int, int], ...] = DEFAULT_QUANTILES,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(quantile, value) exact discrete quantiles of a double column
+    on the 1e-6 grid — see module docstring for the scale shape."""
+    for name, qnum, qden in quantiles:
+        if qden < 1 or qnum < 0 or qnum > qden:
+            raise ValueError(f"quantile {name!r}: need 0 <= {qnum}/{qden} <= 1")
+    g = (
+        df.select(micros6(F.col(value_col)).alias("v"))
+        .where(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    cum = prefix_sum(g, "v", "c", "cum", num_partitions=num_partitions)
+    # n = the grand total = MAX(cum): one agg over the (checkpointed)
+    # distinct-value frame, no second pass over the raw rows.
+    n = cum.agg(F.max("cum").alias("n"))
+    spark = df.sparkSession
+    spec = spark.createDataFrame(
+        list(quantiles), "quantile string, qnum long, qden long"
+    )
+    thresh = (
+        spec.crossJoin(F.broadcast(n))
+        .where(F.col("n") > 0)
+        .select(
+            "quantile",
+            F.expr("(n * qnum + qden - 1) DIV qden").alias("thresh"),
+        )
+    )
+    hits = cum.join(F.broadcast(thresh), F.col("cum") >= F.col("thresh"))
+    return hits.groupBy("quantile").agg(
+        (F.min("v").cast("double") / F.lit(1_000_000.0)).alias("value")
+    )
+
+
+def exact_quantiles_grid_oracle(
+    table: str,
+    value_col: str,
+    quantiles: tuple[tuple[str, int, int], ...] = DEFAULT_QUANTILES,
+) -> str:
+    """DuckDB SQL twin — identical grid, integer thresholds and MIN
+    selection; the cumulative window is fine on the oracle's single
+    node (that shape is exactly what :func:`exact_quantiles_grid`
+    replaces at scale)."""
+    vals = ", ".join(f"('{n}', {a}, {b})" for n, a, b in quantiles)
+    return f"""
+    WITH g AS (
+      SELECT {micros6_sql(value_col)} AS v, CAST(count(*) AS BIGINT) AS c
+      FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, CAST(SUM(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM g
+    ),
+    n AS (SELECT CAST(coalesce(MAX(cum), 0) AS BIGINT) AS n FROM cum),
+    spec(quantile, qnum, qden) AS (VALUES {vals}),
+    th AS (
+      SELECT s.quantile,
+             CAST((n.n * s.qnum + s.qden - 1) // s.qden AS BIGINT) AS thresh
+      FROM spec s, n WHERE n.n > 0
+    )
+    SELECT th.quantile, MIN(cum.v) / 1000000.0 AS value
+    FROM th JOIN cum ON cum.cum >= th.thresh
+    GROUP BY th.quantile
+    """

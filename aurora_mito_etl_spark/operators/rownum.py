@@ -111,3 +111,109 @@ def assign_contiguous_ids(
             yield pdf
 
     return ranged.mapInPandas(add_seq, out_schema)
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add `out_col` = exact running SUM of `weight_col` (a BIGINT)
+    over ascending `order_col` — the distributed prefix sum behind
+    ECDFs and exact rank selection.
+
+    `SUM(w) OVER (ORDER BY key)` is the textbook form and, like the
+    row_number it generalizes, a single-partition window at scale:
+    every row funnels through ONE task. This is the same two-phase
+    partition-offset pattern as :func:`assign_contiguous_ids`:
+    range-partition + sort within partitions, collect one long per
+    partition (the per-partition weight total), broadcast the
+    exclusive prefix offsets back, and add each row's within-partition
+    running total. Counts merge by addition, so the summary is
+    MERGEABLE across shards; everything is int64-exact, so the output
+    is bit-identical to the window form (and to a DuckDB cumulative
+    window) whenever `order_col` is unique and non-NULL — both
+    enforced loudly, since duplicates would make the running total
+    partition-dependent and NULLs order differently across engines.
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas ships pandas frames)
+    from pyspark.sql import types as T
+
+    if num_partitions is not None and num_partitions < 1:
+        raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
+    parts = (
+        num_partitions
+        if num_partitions is not None
+        else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged = df.repartitionByRange(int(parts), F.col(order_col)).sortWithinPartitions(
+        order_col
+    )
+    ranged = ranged.localCheckpoint()
+    totals = (
+        ranged.select(
+            F.spark_partition_id().alias("p"),
+            F.col(order_col),
+            F.col(weight_col),
+        )
+        .groupBy("p")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(order_col).alias("nn"),
+            F.count(F.when(F.col(weight_col).isNull(), 1)).alias("wnull"),
+            F.sum(F.col(weight_col).cast("decimal(38,0)")).alias("t"),
+        )
+        .collect()
+    )
+    n_null = sum(r["n"] - r["nn"] for r in totals)
+    if n_null:
+        raise ValueError(
+            f"prefix_sum: order_col {order_col!r} has {n_null} NULL "
+            "values; the running total would be engine-dependent"
+        )
+    if sum(r["wnull"] for r in totals):
+        raise ValueError(
+            f"prefix_sum: weight_col {weight_col!r} has NULL values"
+        )
+    grand = sum(int(r["t"]) for r in totals if r["t"] is not None)
+    if not (-(2**63) <= grand <= 2**63 - 1):
+        raise ValueError(f"prefix_sum overflow: total {grand} leaves int64")
+    sizes = {r["p"]: int(r["t"]) for r in totals if r["t"] is not None}
+    offsets = {}
+    acc = 0
+    for p in sorted(sizes):
+        offsets[p] = acc
+        acc += sizes[p]
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType(), False)]
+    )
+
+    def add_cum(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        running = offsets.get(pid, 0)
+        prev_last = None
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf):
+                vals = pdf[order_col]
+                dup_in_batch = bool((vals.values[1:] == vals.values[:-1]).any())
+                dup_at_seam = prev_last is not None and vals.iloc[0] == prev_last
+                if dup_in_batch or dup_at_seam:
+                    raise ValueError(
+                        f"prefix_sum: order_col {order_col!r} has duplicate "
+                        "values; the running total would be partition-dependent"
+                    )
+                prev_last = vals.iloc[-1]
+                csum = pdf[weight_col].astype("int64").cumsum() + running
+                running = int(csum.iloc[-1])
+                pdf[out_col] = csum.astype("int64")
+            else:
+                pdf[out_col] = pdf[weight_col].astype("int64")
+            yield pdf
+
+    return ranged.mapInPandas(add_cum, out_schema)

@@ -51,6 +51,7 @@ from aurora_mito_etl_spark.operators import joins as j
 from aurora_mito_etl_spark.operators import packing as pk
 from aurora_mito_etl_spark.operators import pca as pca_op
 from aurora_mito_etl_spark.operators import quality as ql
+from aurora_mito_etl_spark.operators import quantiles as qt
 from aurora_mito_etl_spark.operators import quantize as qz
 from aurora_mito_etl_spark.operators import redact as rd
 from aurora_mito_etl_spark.operators import rproj as rp
@@ -2700,6 +2701,26 @@ def lineitem_price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @_register(
+    "lineitem_price_quantiles_dist",
+    qt.exact_quantiles_grid_oracle("lineitem", "l_extendedprice"),
+)
+def lineitem_price_quantiles_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed EXACT discrete quantiles of l_extendedprice
+    (operators/quantiles.py) — the scale-ready third member of the
+    percentile trio: `lineitem_price_percentiles` buffers each
+    group's values (exact, O(group) memory), `_approx` sketches
+    (bounded memory, bounded error), this one is exact AND
+    bounded-memory: grid-count one aggregation, two-phase
+    partition-offset prefix sum (rownum.prefix_sum — no single-task
+    `SUM() OVER (ORDER BY)` window), integer rank thresholds
+    ceil(p·n) from rational quantiles, broadcast threshold join +
+    map-side MIN. Counts merge by addition, so at 100 TB the summary
+    also merges across shards/days without re-reading the corpus."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return qt.exact_quantiles_grid(li, "l_extendedprice")
+
+
+@_register(
     "events_asof_join",
     """
     SELECT l.event_id, l.user_id, r.asof_event_id, r.asof_value
@@ -4579,8 +4600,16 @@ def docs_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
     ng = d.agg(F.count("*").cast("long").alias("n_g"))
     gc = cnt.groupBy("v").agg(F.sum("c").cast("long").alias("c"))
+    # asc_nulls_last, EXPLICITLY (CLAUDE.md window rule): a NULL
+    # n_chars sorts FIRST under Spark's bare asc but LAST in DuckDB's
+    # cumulative window, so with mixed NULL/non-NULL lengths every
+    # non-NULL cum_g would be off by the NULL count on exactly one
+    # engine (latent r11 find; the NULL row itself never survives the
+    # inner join on v, so ordering it last makes the engines agree).
     w_g = (
-        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Window.orderBy(F.col("v").asc_nulls_last()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
     )
     gcum = (
         vals.join(gc, "v", "left")
@@ -4590,7 +4619,7 @@ def docs_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = ns.crossJoin(vals)
     w_s = (
         Window.partitionBy("source")
-        .orderBy("v")
+        .orderBy(F.col("v").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     scum = (
@@ -9149,8 +9178,14 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "emb_pq_adc_topk",
     "events_funnel",
     "lineitem_corr_stats",
-    "lineitem_winsorized",
     "orders_zorder_key",
+    # NEW in r11, never driver-gated (the policy's riskiest class —
+    # new queries always enter the window): distributed exact
+    # quantiles. Slot freed by lineitem_winsorized (r6 → backlog;
+    # the lineitem family keeps corr_stats + this percentile-family
+    # rep in-window, and the winsorize kernel composes the same
+    # percentile selection this query exercises end-to-end).
+    "lineitem_price_quantiles_dist",
 )
 
 # The round this window was built for (bumped at each rebuild; the
@@ -9167,6 +9202,7 @@ DRIVER_WINDOW_PINNED: tuple[str, ...] = (
 # empty as the r4-r7 backlog drains (~2 rounds), after which the
 # policy test's lag bound binds every query directly.
 DRIVER_WINDOW_DEFERRED: tuple[str, ...] = (
+    "lineitem_winsorized",
     "docs_containment_pairs",
     "docs_simhash_pairs",
     "docs_weighted_sample",

@@ -138,6 +138,7 @@ HEADLINE = [
     "orders_except_intersect_all",
     "lineitem_price_percentiles",
     "lineitem_price_percentiles_approx",
+    "lineitem_price_quantiles_dist",
     "lineitem_corr_stats",
     "lineitem_price_moments",
     "lineitem_profile",

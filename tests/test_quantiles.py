@@ -1,0 +1,138 @@
+"""Distributed exact quantiles (operators/quantiles.py) and the
+two-phase prefix sum behind them (rownum.prefix_sum)."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from aurora_mito_etl_spark.operators import quantiles as qt
+from aurora_mito_etl_spark.operators.rownum import prefix_sum
+
+
+def test_prefix_sum_matches_window_form(spark):
+    rng = random.Random(11)
+    rows = [(v, rng.randint(1, 9)) for v in rng.sample(range(10_000), 500)]
+    df = spark.createDataFrame(rows, "v long, c long").repartition(8)
+    got = {
+        r["v"]: r["cum"] for r in prefix_sum(df, "v", "c", "cum").collect()
+    }
+    w = Window.orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r["v"]: r["cum"]
+        for r in df.select("v", F.sum("c").over(w).alias("cum")).collect()
+    }
+    assert got == want
+    # partition invariance: 1 partition == 8 partitions
+    got1 = {
+        r["v"]: r["cum"]
+        for r in prefix_sum(df.repartition(1), "v", "c").collect()
+    }
+    assert got1 == want
+
+
+def test_prefix_sum_guards(spark):
+    dup = spark.createDataFrame([(1, 1), (1, 2)], "v long, c long")
+    with pytest.raises(Exception, match="duplicate"):
+        prefix_sum(dup, "v", "c").collect()
+    nullkey = spark.createDataFrame([(None, 1), (2, 2)], "v long, c long")
+    with pytest.raises(ValueError, match="NULL"):
+        prefix_sum(nullkey, "v", "c").collect()
+    nullw = spark.createDataFrame([(1, None), (2, 2)], "v long, c long")
+    with pytest.raises(ValueError, match="NULL"):
+        prefix_sum(nullw, "v", "c").collect()
+
+
+def _duckdb_with(values, col="x"):
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE t ({col} DOUBLE)")
+    if values:
+        con.executemany(f"INSERT INTO t VALUES (?)", [(v,) for v in values])
+    return con
+
+
+def test_quantiles_match_duckdb_quantile_disc(spark):
+    """Semantic pin: our integer-threshold construction equals DuckDB's
+    quantile_disc rank convention — including the n where float p*n
+    sits one ulp above an integer (0.01*100)."""
+    rng = random.Random(5)
+    for n in (100, 101, 300, 997):
+        vals = [round(rng.uniform(0, 5000), 2) for _ in range(n)]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = {
+            r["quantile"]: r["value"]
+            for r in qt.exact_quantiles_grid(df, "x").collect()
+        }
+        con = _duckdb_with(vals)
+        # quantile_disc on the GRIDDED value, descaled by the same
+        # IEEE divide the operator uses
+        ref = con.execute(
+            """
+            SELECT quantile_disc(v, 0.01), quantile_disc(v, 0.25),
+                   quantile_disc(v, 0.5), quantile_disc(v, 0.75),
+                   quantile_disc(v, 0.9), quantile_disc(v, 0.99)
+            FROM (SELECT CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS v FROM t)
+            """
+        ).fetchone()
+        want = dict(
+            zip(
+                ("p01", "p25", "p50", "p75", "p90", "p99"),
+                (v / 1_000_000.0 for v in ref),
+            )
+        )
+        assert got == want, f"n={n}"
+
+
+def test_quantiles_oracle_parity(spark):
+    rng = random.Random(7)
+    vals = [round(rng.uniform(-100, 100), 2) for _ in range(400)] + [None] * 9
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {
+        r["quantile"]: r["value"]
+        for r in qt.exact_quantiles_grid(df, "x").collect()
+    }
+    con = _duckdb_with([v for v in vals if v is not None])
+    ora = dict(
+        con.execute(qt.exact_quantiles_grid_oracle("t", "x")).fetchall()
+    )
+    assert got == ora
+    assert len(got) == 6
+
+
+def test_quantiles_empty_and_all_null(spark):
+    empty = spark.createDataFrame([], "x double")
+    assert qt.exact_quantiles_grid(empty, "x").count() == 0
+    allnull = spark.createDataFrame([(None,), (None,)], "x double")
+    assert qt.exact_quantiles_grid(allnull, "x").count() == 0
+    con = _duckdb_with([])
+    assert con.execute(qt.exact_quantiles_grid_oracle("t", "x")).fetchall() == []
+
+
+def test_quantiles_single_row(spark):
+    df = spark.createDataFrame([(42.5,)], "x double")
+    got = qt.exact_quantiles_grid(df, "x").collect()
+    assert len(got) == 6
+    assert all(r["value"] == 42.5 for r in got)
+
+
+def test_quantiles_plan_has_no_window(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(50)], "x double")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        qt.exact_quantiles_grid(df, "x").explain("formatted")
+    assert "Window" not in buf.getvalue()
+
+
+def test_quantiles_bad_spec_raises(spark):
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError, match="quantile"):
+        qt.exact_quantiles_grid(df, "x", quantiles=(("bad", 3, 2),))

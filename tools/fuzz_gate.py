@@ -262,6 +262,11 @@ LINEITEM_QUERIES = {
     # stress the fixed6-mean recentering; constant-content and tiny-n
     # variants hit the zero-central-variance NULL contract
     "lineitem_price_moments",
+    # r11: distributed exact quantiles — fuzz price blocks (negatives,
+    # 1e9-magnitude outliers, duplicate values) stress the grid +
+    # integer rank thresholds; tiny-n/empty variants hit the n=0
+    # empty-result contract
+    "lineitem_price_quantiles_dist",
     "lineitem_profile",
 }
 
@@ -450,7 +455,16 @@ def make_documents(rng: random.Random, n: int):
             "text": pa.array([r[1] for r in rows], pa.string()),
             "lang": pa.array([r[2] for r in rows], pa.string()),
             "source": pa.array([r[3] for r in rows], pa.string()),
-            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            # sparse NULL n_chars rows (r11: the mixed-NULL length arm
+            # — cumulative ECDF windows order NULL first under Spark's
+            # bare asc but last in DuckDB, the divergence class fixed
+            # with explicit asc_nulls_last in docs_length_ks; n_chars
+            # is a physical column, so a NULL with non-NULL text is a
+            # legal upstream state)
+            "n_chars": pa.array(
+                [None if rng.random() < 0.02 else len(r[1]) for r in rows],
+                pa.int64(),
+            ),
         }
     )
 
