@@ -625,7 +625,14 @@ def window_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5 — ranking, lag, and running totals (beyond-reference
     window surface; decimal running sum keeps it engine-exact)."""
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # asc_nulls_last explicitly (CLAUDE.md window rule): o_orderdate
+    # is NOT NULL by TPC-H contract, but bare asc would sort a NULL
+    # first in Spark and last in DuckDB if regenerated data ever
+    # relaxed that — zero-cost hardening on contract-clean data.
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_last(),
+        F.col("o_orderkey").asc_nulls_last(),
+    )
     return o.select(
         "o_custkey",
         "o_orderkey",
