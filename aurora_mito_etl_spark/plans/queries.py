@@ -4595,10 +4595,13 @@ def docs_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixture. The sup |F_s - F_rest| is attained at a jump point, so
     evaluating at every distinct corpus value is exact, not an
     approximation. ECDFs are exact-integer cumulative ratios (fixed6
-    before max); the cumulative windows run over the DISTINCT-VALUE
-    frame (bounded by the length domain, not the corpus — the global
-    one is a single ordered pass over that tiny frame, the per-source
-    one partitions by source over the sources x values grid)."""
+    before max) over the DISTINCT-VALUE frame. The GLOBAL cumulative
+    is `rownum.prefix_sum` (r11 — the earlier unpartitioned
+    `SUM() OVER (ORDER BY v)` funneled the whole value domain through
+    one task; bounded for a length column, unbounded for a continuous
+    one); the per-source cumulative stays a window PARTITIONED by
+    source over the sources x values grid — parallel across sources
+    by construction."""
     d = load_table(spark, sf_dir, "documents")
     vals = d.select(F.col("n_chars").alias("v")).distinct()
     cnt = d.groupBy("source", F.col("n_chars").alias("v")).agg(
@@ -4607,21 +4610,23 @@ def docs_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
     ng = d.agg(F.count("*").cast("long").alias("n_g"))
     gc = cnt.groupBy("v").agg(F.sum("c").cast("long").alias("c"))
-    # asc_nulls_last, EXPLICITLY (CLAUDE.md window rule): a NULL
-    # n_chars sorts FIRST under Spark's bare asc but LAST in DuckDB's
-    # cumulative window, so with mixed NULL/non-NULL lengths every
-    # non-NULL cum_g would be off by the NULL count on exactly one
-    # engine (latent r11 find; the NULL row itself never survives the
-    # inner join on v, so ordering it last makes the engines agree).
-    w_g = (
-        Window.orderBy(F.col("v").asc_nulls_last()).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-    )
-    gcum = (
-        vals.join(gc, "v", "left")
-        .select("v", F.coalesce("c", F.lit(0)).alias("c"))
-        .select("v", F.sum("c").over(w_g).cast("long").alias("cum_g"))
+    # GLOBAL running count via the two-phase partition-offset prefix
+    # sum — no unpartitioned window (r11). The NULL n_chars row (if
+    # any) is excluded from the cum frame: it never survives the
+    # inner join on v, and in the oracle's NULLS-LAST cumulative it
+    # contributes to no non-NULL cum_g, so dropping it here is
+    # value-identical — while letting prefix_sum keep its loud
+    # NULL-key guard. (The mixed-NULL parity itself is pinned by the
+    # 2% NULL n_chars fuzz arm, docs tier.)
+    from aurora_mito_etl_spark.operators.rownum import prefix_sum as _psum
+
+    gcum = _psum(
+        vals.where(F.col("v").isNotNull())
+        .join(gc, "v", "left")
+        .select("v", F.coalesce("c", F.lit(0)).alias("c")),
+        "v",
+        "c",
+        "cum_g",
     )
     grid = ns.crossJoin(vals)
     w_s = (

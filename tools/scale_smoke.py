@@ -578,6 +578,34 @@ def main() -> int:
             "jl_distortion": jld_t,
         }))
 
+    # Round-11b tier: distributed exact quantiles. The claim under
+    # test: grid-count + two-phase prefix sum + broadcast threshold
+    # join is ~linear in row count with NO single-task stage — the
+    # value domain (distinct prices) grows with replication only via
+    # the per-copy id offsets, so both the count agg and the
+    # partition-offset pass must track rows, not bend.
+    from aurora_mito_etl_spark.operators import quantiles as qtl
+
+    for f in factors:
+        n_ord = li_base.agg(F.max("l_orderkey")).collect()[0][0] + 1
+        li = None
+        for i in range(f):
+            c = li_base.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(i * n_ord)
+            )
+            li = c if li is None else li.unionByName(c)
+        li = li.repartition(32).cache()
+        nli = li.count()
+        t0 = time.perf_counter()
+        qtl.exact_quantiles_grid(li, "l_extendedprice").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        q_t = round(time.perf_counter() - t0, 2)
+        li.unpersist()
+        print(json.dumps({
+            "quantiles_factor": f, "li_rows": nli, "exact_quantiles": q_t,
+        }))
+
     spark.stop()
     return 0
 
