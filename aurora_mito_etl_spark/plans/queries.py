@@ -8462,17 +8462,17 @@ def emb_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = rp.jl_project(e, "embedding", in_dim=64, out_dim=out_dim)
     ycols = [f"y{r}" for r in range(out_dim)]
-    q = (
-        p.orderBy(
-            F.md5(F.col("vec_id").cast("string")).asc(),
-            F.col("vec_id").asc(),
-        )
-        .limit(64)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qe"),
-            *[F.col(y).alias(f"q{y}") for y in ycols],
-        )
+    # top-64 over the 1-column id frame (TakeOrderedAndProject on
+    # narrow rows), then a broadcast semi-join back onto the projected
+    # frame — the oracle's panel/JOIN shape exactly; ordering the
+    # WIDE projected rows instead measured ~5.4s vs ~3.5s at sf0.1
+    panel = e.select("vec_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc()
+    ).limit(64)
+    q = p.join(F.broadcast(panel), "vec_id").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        *[F.col(y).alias(f"q{y}") for y in ycols],
     )
     num = rp.sqdist_named_col([f"q{y}" for y in ycols], ycols)
     den = rp.sqdist_col("qe", "embedding", 64)
