@@ -464,7 +464,24 @@ def ngram_diversity(
         .groupBy(group_col, "n")
         .agg(F.count("*").cast("long").alias("n_distinct"))
     )
-    per = totals.join(dis, [group_col, "n"])
+    # NULL-SAFE on the group key (r11, found by the mixed-NULL source
+    # fuzz arm): both groupBys keep a NULL group, but a bare equi-join
+    # drops the NULL match (NULL != NULL) while the oracle's UNION-ALL
+    # per-order shape never joins — spark lost the NULL-source row.
+    per = (
+        totals.alias("t")
+        .join(
+            dis.alias("d"),
+            F.col(f"t.{group_col}").eqNullSafe(F.col(f"d.{group_col}"))
+            & (F.col("t.n") == F.col("d.n")),
+        )
+        .select(
+            F.col(f"t.{group_col}").alias(group_col),
+            F.col("t.n").alias("n"),
+            "total",
+            "n_distinct",
+        )
+    )
     zero = F.lit(0).cast("long")
     cols = []
     for n in ns:

@@ -422,3 +422,19 @@ def test_char_entropy_report(spark):
     assert got[3] == (0, 0, None)
     assert got[4] == (0, 0, None)
     assert got[5] == (4, 2, ln2)
+
+
+def test_ngram_diversity_null_group(spark):
+    # r11 fuzz find (mixed-NULL source arm): a NULL group key must
+    # emit its row — both groupBys keep it, and the totals⋈distincts
+    # join is null-safe; a bare equi-join silently dropped it while
+    # the oracle's UNION-ALL shape kept it.
+    df = spark.createDataFrame(
+        [(None, "a b a"), ("s1", "x y")], "source string, text string"
+    )
+    got = {
+        r["source"]: r
+        for r in ts.ngram_diversity(df, "text", "source").collect()
+    }
+    assert None in got and "s1" in got
+    assert got[None]["total_1"] == 3 and got[None]["distinct_1"] == 2

@@ -441,7 +441,14 @@ def make_documents(rng: random.Random, n: int):
     langs = ["en", "fr", "de", "xx"]
     rows = []
     for i in range(n):
-        rows.append((i, make_text(rng), rng.choice(langs), rng.choice(sources)))
+        # sparse NULL lang/source rows (r11, the mixed-NULL group-key
+        # arm — complements the schema tier's ALL-NULL variants: a
+        # NULL group coexisting with real groups exercises groupBy
+        # NULL-group parity, join NULL-drop symmetry and window
+        # NULL-partition handling on every per-source/per-lang query)
+        lang = None if rng.random() < 0.02 else rng.choice(langs)
+        src = None if rng.random() < 0.02 else rng.choice(sources)
+        rows.append((i, make_text(rng), lang, src))
     # a few exact duplicates for the dedup queries; half keep the
     # original's SOURCE so line-level boilerplate detection (which is
     # per-source) has positive rows, not just the empty result
