@@ -132,3 +132,100 @@ def exact_quantiles_grid_oracle(
     FROM th JOIN cum ON cum.cum >= th.thresh
     GROUP BY th.quantile
     """
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: tuple[tuple[str, int, int], ...] = DEFAULT_QUANTILES,
+) -> DataFrame:
+    """(group, quantile, value) exact discrete quantiles PER GROUP —
+    the grouped sibling of :func:`exact_quantiles_grid`, pure
+    Catalyst (no python stage): grid counts per (group, value), a
+    cumulative window PARTITIONED by group (parallel across groups —
+    the per-group value domain is the only per-task frame, the same
+    bound `percentile()` pays per group buffer, but here it is
+    distinct VALUES, not rows), integer ceil(p·n) thresholds, and a
+    co-partitioned threshold join + map-side MIN. `percentile()`
+    buffers every group ROW on one executor; this buffers nothing and
+    merges by addition. NULL group keys form a group (null-safe
+    threshold join — the ngram_diversity r11 lesson); NULL values are
+    excluded; a group with zero non-NULL values emits no rows on
+    either engine."""
+    from pyspark.sql import Window
+
+    for name, qnum, qden in quantiles:
+        if qden < 1 or qnum < 0 or qnum > qden:
+            raise ValueError(f"quantile {name!r}: need 0 <= {qnum}/{qden} <= 1")
+    g = (
+        df.select(F.col(group_col), micros6(F.col(value_col)).alias("v"))
+        .where(F.col("v").isNotNull())
+        .groupBy(group_col, "v")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("v").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = g.select(
+        group_col, "v", F.sum("c").over(w).cast("long").alias("cum")
+    )
+    n = g.groupBy(group_col).agg(F.sum("c").cast("long").alias("n"))
+    spec = df.sparkSession.createDataFrame(
+        list(quantiles), "quantile string, qnum long, qden long"
+    )
+    th = (
+        n.crossJoin(F.broadcast(spec))
+        .select(
+            F.col(group_col).alias("__g"),
+            "quantile",
+            F.expr("(n * qnum + qden - 1) DIV qden").alias("thresh"),
+        )
+    )
+    hits = cum.join(
+        th,
+        F.col(group_col).eqNullSafe(F.col("__g"))
+        & (F.col("cum") >= F.col("thresh")),
+    )
+    return hits.groupBy(group_col, "quantile").agg(
+        (F.min("v").cast("double") / F.lit(1_000_000.0)).alias("value")
+    )
+
+
+def grouped_exact_quantiles_oracle(
+    table: str,
+    group_col: str,
+    value_col: str,
+    quantiles: tuple[tuple[str, int, int], ...] = DEFAULT_QUANTILES,
+) -> str:
+    """DuckDB SQL twin of :func:`grouped_exact_quantiles` — identical
+    construction; the threshold join is IS NOT DISTINCT FROM so a
+    NULL group emits its rows on both engines."""
+    vals = ", ".join(f"('{n}', {a}, {b})" for n, a, b in quantiles)
+    return f"""
+    WITH g AS (
+      SELECT {group_col}, {micros6_sql(value_col)} AS v,
+             CAST(count(*) AS BIGINT) AS c
+      FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT {group_col}, v,
+             CAST(SUM(c) OVER (PARTITION BY {group_col} ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM g
+    ),
+    n AS (SELECT {group_col}, CAST(SUM(c) AS BIGINT) AS n FROM g GROUP BY 1),
+    spec(quantile, qnum, qden) AS (VALUES {vals}),
+    th AS (
+      SELECT n.{group_col}, s.quantile,
+             CAST((n.n * s.qnum + s.qden - 1) // s.qden AS BIGINT) AS thresh
+      FROM n, spec s
+    )
+    SELECT th.{group_col}, th.quantile, MIN(cum.v) / 1000000.0 AS value
+    FROM th JOIN cum
+      ON cum.{group_col} IS NOT DISTINCT FROM th.{group_col}
+     AND cum.cum >= th.thresh
+    GROUP BY th.{group_col}, th.quantile
+    """

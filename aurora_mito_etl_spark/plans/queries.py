@@ -2728,6 +2728,24 @@ def lineitem_price_quantiles_dist(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @_register(
+    "lineitem_price_quantiles_grouped",
+    qt.grouped_exact_quantiles_oracle("lineitem", "l_returnflag", "l_extendedprice"),
+)
+def lineitem_price_quantiles_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact discrete quantiles WITHOUT per-group row
+    buffering (operators/quantiles.py grouped_exact_quantiles) — the
+    grouped sibling of the distributed quantile above, pure Catalyst:
+    grid counts per (l_returnflag, price), group-PARTITIONED
+    cumulative window (parallel across groups; the per-task frame is
+    a group's distinct VALUES, not its rows), integer ceil(p·n)
+    thresholds, null-safe threshold join + map-side MIN. The builtin
+    `percentile()` twin buffers every group row on one executor;
+    this shape replaces it at 100 TB while staying exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return qt.grouped_exact_quantiles(li, "l_returnflag", "l_extendedprice")
+
+
+@_register(
     "events_asof_join",
     """
     SELECT l.event_id, l.user_id, r.asof_event_id, r.asof_value
@@ -9186,18 +9204,22 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "docs_duplicate_spans",
     "docs_lang_id",
     "docs_near_dedup_best",
-    "docs_vocab_sketch",
+    # docs_vocab_sketch (r6) yields its slot to the second r11-new
+    # query below (the sketch family keeps docs_bottom_k_sketch, r4,
+    # in-window); it leads the backlog with lineitem_winsorized.
     "emb_pq_adc_topk",
     "events_funnel",
     "lineitem_corr_stats",
     "orders_zorder_key",
     # NEW in r11, never driver-gated (the policy's riskiest class —
-    # new queries always enter the window): distributed exact
-    # quantiles. Slot freed by lineitem_winsorized (r6 → backlog;
-    # the lineitem family keeps corr_stats + this percentile-family
-    # rep in-window, and the winsorize kernel composes the same
-    # percentile selection this query exercises end-to-end).
+    # new queries always enter the window): the distributed exact
+    # quantile pair. Slots freed by lineitem_winsorized and
+    # docs_vocab_sketch (both r6 → backlog; the lineitem family keeps
+    # corr_stats + these percentile-family reps in-window — the
+    # winsorize kernel composes the same percentile selection — and
+    # the sketch family keeps docs_bottom_k_sketch, r4).
     "lineitem_price_quantiles_dist",
+    "lineitem_price_quantiles_grouped",
 )
 
 # The round this window was built for (bumped at each rebuild; the
@@ -9215,6 +9237,7 @@ DRIVER_WINDOW_PINNED: tuple[str, ...] = (
 # policy test's lag bound binds every query directly.
 DRIVER_WINDOW_DEFERRED: tuple[str, ...] = (
     "lineitem_winsorized",
+    "docs_vocab_sketch",
     "docs_containment_pairs",
     "docs_simhash_pairs",
     "docs_weighted_sample",

@@ -136,3 +136,63 @@ def test_quantiles_bad_spec_raises(spark):
     df = spark.createDataFrame([(1.0,)], "x double")
     with pytest.raises(ValueError, match="quantile"):
         qt.exact_quantiles_grid(df, "x", quantiles=(("bad", 3, 2),))
+
+
+def test_grouped_quantiles_match_per_group_disc(spark):
+    rng = random.Random(13)
+    rows = [
+        (rng.choice(["a", "b", None]), round(rng.uniform(0, 1000), 2))
+        for _ in range(300)
+    ] + [("solo", 5.0)]
+    df = spark.createDataFrame(rows, "k string, x double").repartition(7)
+    got = {
+        (r["k"], r["quantile"]): r["value"]
+        for r in qt.grouped_exact_quantiles(df, "k", "x").collect()
+    }
+    # per-group reference via the global operator on each slice —
+    # including the NULL group (the null-safe join must emit it)
+    for key in ("a", "b", None, "solo"):
+        sl = df.filter(
+            F.col("k").isNull() if key is None else (F.col("k") == key)
+        )
+        ref = {
+            r["quantile"]: r["value"]
+            for r in qt.exact_quantiles_grid(sl, "x").collect()
+        }
+        for qname, v in ref.items():
+            assert got[(key, qname)] == v, (key, qname)
+    assert got[("solo", "p50")] == 5.0
+
+
+def test_grouped_quantiles_oracle_parity(spark):
+    rng = random.Random(17)
+    rows = [
+        (rng.choice(["r", "s"]), round(rng.uniform(-50, 50), 2))
+        for _ in range(200)
+    ] + [("r", None), (None, 1.25), (None, 7.75)]
+    df = spark.createDataFrame(rows, "k string, x double")
+    got = {
+        (r["k"], r["quantile"]): r["value"]
+        for r in qt.grouped_exact_quantiles(df, "k", "x").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k VARCHAR, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    ora = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            qt.grouped_exact_quantiles_oracle("t", "k", "x")
+        ).fetchall()
+    }
+    assert got == ora
+    assert (None, "p50") in got  # NULL group emitted on both engines
+
+
+def test_grouped_quantiles_partition_invariance(spark):
+    rng = random.Random(19)
+    rows = [(rng.choice(["a", "b"]), float(rng.randint(0, 99))) for _ in range(150)]
+    d1 = spark.createDataFrame(rows, "k string, x double").repartition(1)
+    d9 = spark.createDataFrame(rows, "k string, x double").repartition(9)
+    c1 = sorted(map(tuple, qt.grouped_exact_quantiles(d1, "k", "x").collect()))
+    c9 = sorted(map(tuple, qt.grouped_exact_quantiles(d9, "k", "x").collect()))
+    assert c1 == c9

@@ -267,6 +267,7 @@ LINEITEM_QUERIES = {
     # integer rank thresholds; tiny-n/empty variants hit the n=0
     # empty-result contract
     "lineitem_price_quantiles_dist",
+    "lineitem_price_quantiles_grouped",
     "lineitem_profile",
 }
 
