@@ -618,8 +618,11 @@ def make_lineitem(rng: random.Random, n: int):
                 price,
                 rng.choice([0.0, 0.0, 0.01, 0.05, 0.1]),
                 rng.choice([0.0, 0.02, 0.08]),
-                rng.choice(["A", "N", "R"]),
-                rng.choice(["F", "O"]),
+                # sparse NULL group keys (r11 mixed-NULL arm — TPC-H
+                # says NOT NULL, but the grouped stats operators carry
+                # a NULL-group contract and this pins its parity)
+                None if rng.random() < 0.01 else rng.choice(["A", "N", "R"]),
+                None if rng.random() < 0.01 else rng.choice(["F", "O"]),
                 ship,
             )
         )
