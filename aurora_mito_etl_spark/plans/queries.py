@@ -9137,105 +9137,32 @@ def docs_dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 # or the documented backlog, (c) DRIVER_WINDOW_BUILT_FOR_ROUND is not
 # behind the newest committed artifact (the next-round rebuild nudge).
 #
-# r11 window: entering are the 48 stalest — the two r1 veterans
-# (lineitem_qty_range_join, pricing_rollup — not driver-gated since
-# round 1), all 26 r4 queries, all 10 r5 queries, and 10 of the 16 r6
-# queries. The six r6 left to the backlog keep their families
-# represented in-window: docs_containment_pairs + docs_simhash_pairs
-# (pair-grain near-dup stays via docs_ngram_jaccard_pairs +
-# docs_near_dedup_best + docs_duplicate_spans), docs_weighted_sample
-# (sampling via docs_stratified_sample + docs_epoch_shuffle),
-# emb_lsh_near_dup (LSH via emb_lsh_topk), emb_pq_encode (PQ via
-# emb_pq_adc_topk, which composes the encode stage),
-# supplier_fuzzy_pairs (fuzzy pairs via docs_ngram_jaccard_pairs).
-# Evicted: all 50 r10-green members — every family they carried keeps
-# at least one in-window rep (checked family-by-family in the r11
-# rotation review); all stay gated by verify_local at both SFs, the
-# five-tier fuzz campaign, plan audit and bench every round.
+# r12 window: stale pool at the r12 rebuild (stale_cut = 9, i.e.
+# last-green < r9) is 61 queries — the 8 r6 + 39 r7 that deferred at
+# r11, plus the 14 r8-green. All 47 r6/r7 enter (they drained the r11
+# backlog exactly as planned); the 1 remaining non-pinned slot goes to
+# the r8 pick docs_bpe_pair_counts — family-spread tie-break: the BPE/
+# tokenization family has no other in-window representative, while
+# every other r8 candidate's family keeps one (line-dedup via
+# docs_exact_dedup+duplicate-span reps, gopher/quality via
+# docs_quality_ensemble, incremental near-dup via docs_minhash_lsh_pairs,
+# ngram stats via docs_bigram_pmi, source reports via
+# docs_source_report_qsum, IVF-PQ via emb_ivf_topk, kNN via
+# emb_kmeans_assign, semantic dedup via the LSH reps, event paths via
+# events_retention/sessionize, set-ops via priority_set_ops). The 13
+# other r8 queries form the backlog and lead the r13 rebuild.
+# Evicted: all 50 r11-green members; every family they carried keeps
+# at least one in-window rep (quantiles: the two r11-new entries are
+# now the FRESHEST queries in the registry; window/rank families keep
+# window_order_stats, r7). All remain gated by verify_local at both
+# SFs, the five-tier fuzz campaign, plan audit and bench every round.
 # ---------------------------------------------------------------------------
 
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # Pinned flagships (every round)
     "flagship_training_corpus",
     "flagship_compound_mentions",
-    # Stalest first: last driver-green r1
-    "lineitem_qty_range_join",
-    "pricing_rollup",
-    # last driver-green r4
-    "acctbal_threshold_label",
-    "best_part_per_brand",
-    "customer_balance_quartiles",
-    "docs_bottom_k_sketch",
-    "docs_fingerprint",
-    "docs_stratified_sample",
-    "docs_token_explode",
-    "docs_token_positions",
-    "docs_top_words",
-    "docs_topical_filter",
-    "emb_array_ops",
-    "emb_cosine_topk",
-    "emb_lsh_topk",
-    "emb_quantize_int8",
-    "events_hourly",
-    "events_interval_join",
-    "events_json_extract",
-    "events_moving_avg",
-    "events_session_windows",
-    "local_supplier_volume",
-    "order_priority_counts",
-    "order_value_bins",
-    "orders_above_segment_avg",
-    "revenue_by_nation",
-    "topk_mean_supplier",
-    "union_known_panel",
-    # last driver-green r5
-    "docs_c4_filter",
-    "docs_decontaminate",
-    "docs_epoch_shuffle",
-    "docs_ngram_jaccard_pairs",
-    "docs_ordered_typos",
-    "docs_paren_truncate",
-    "docs_quality",
-    "docs_token_stats",
-    "emb_near_dup_exact",
-    "keep_first_order_per_customer",
-    # last driver-green r6 (10 of 16; the other six lead the backlog)
-    "docs_bm25_search",
-    "docs_duplicate_spans",
-    "docs_lang_id",
-    "docs_near_dedup_best",
-    # docs_vocab_sketch (r6) yields its slot to the second r11-new
-    # query below (the sketch family keeps docs_bottom_k_sketch, r4,
-    # in-window); it leads the backlog with lineitem_winsorized.
-    "emb_pq_adc_topk",
-    "events_funnel",
-    "lineitem_corr_stats",
-    "orders_zorder_key",
-    # NEW in r11, never driver-gated (the policy's riskiest class —
-    # new queries always enter the window): the distributed exact
-    # quantile pair. Slots freed by lineitem_winsorized and
-    # docs_vocab_sketch (both r6 → backlog; the lineitem family keeps
-    # corr_stats + these percentile-family reps in-window — the
-    # winsorize kernel composes the same percentile selection — and
-    # the sketch family keeps docs_bottom_k_sketch, r4).
-    "lineitem_price_quantiles_dist",
-    "lineitem_price_quantiles_grouped",
-)
-
-# The round this window was built for (bumped at each rebuild; the
-# policy test nudges the next round when a newer artifact lands).
-DRIVER_WINDOW_BUILT_FOR_ROUND = 11
-
-DRIVER_WINDOW_PINNED: tuple[str, ...] = (
-    "flagship_training_corpus",
-    "flagship_compound_mentions",
-)
-
-# Stale (lag > 3 rounds at the r11 rebuild) but out of slots this
-# round — stalest-first candidates for the r12 window. Shrinks to
-# empty as the r4-r7 backlog drains (~2 rounds), after which the
-# policy test's lag bound binds every query directly.
-DRIVER_WINDOW_DEFERRED: tuple[str, ...] = (
+    # Stalest first: last driver-green r6 (the r11 backlog head)
     "lineitem_winsorized",
     "docs_vocab_sketch",
     "docs_containment_pairs",
@@ -9244,6 +9171,7 @@ DRIVER_WINDOW_DEFERRED: tuple[str, ...] = (
     "emb_lsh_near_dup",
     "emb_pq_encode",
     "supplier_fuzzy_pairs",
+    # last driver-green r7 (all 39)
     "customers_without_orders",
     "docs_bigram_pmi",
     "docs_ccnet_buckets",
@@ -9283,6 +9211,35 @@ DRIVER_WINDOW_DEFERRED: tuple[str, ...] = (
     "scalar_function_parity",
     "two_tier_lookup",
     "window_order_stats",
+    # last driver-green r8 (1 of 14; tie-break above)
+    "docs_bpe_pair_counts",
+)
+
+# The round this window was built for (bumped at each rebuild; the
+# policy test forces the rebuild once the round-N artifact lands).
+DRIVER_WINDOW_BUILT_FOR_ROUND = 12
+
+DRIVER_WINDOW_PINNED: tuple[str, ...] = (
+    "flagship_training_corpus",
+    "flagship_compound_mentions",
+)
+
+# Stale (lag > 3 rounds at the r12 rebuild) but out of slots this
+# round — stalest-first candidates for the r13 window.
+DRIVER_WINDOW_DEFERRED: tuple[str, ...] = (
+    "docs_dedup_lines",
+    "docs_gopher_quality",
+    "docs_incremental_near_dup",
+    "docs_ngram_novelty",
+    "docs_ngram_repetition",
+    "docs_source_report_quality",
+    "docs_strip_boilerplate",
+    "emb_ivfpq_recall",
+    "emb_ivfpq_topk",
+    "emb_knn_classify",
+    "emb_semantic_dedup",
+    "events_top_paths",
+    "orders_except_intersect_all",
 )
 
 

@@ -125,7 +125,11 @@ def test_driver_window_stalest_first():
 
     MAX_LAG = 3
     last, newest = _last_driver_green_rounds(DRIVER_WINDOW_BUILT_FOR_ROUND)
-    assert newest <= DRIVER_WINDOW_BUILT_FOR_ROUND, (
+    # STRICT: the build round's own artifact lands AFTER the build, so
+    # CORRECTNESS_r{N} with N == BUILT_FOR_ROUND proves round N is over
+    # and must force the round-N+1 rebuild (r11 VERDICT wrong-item #1:
+    # the old <= guard let the next round silently reuse the window).
+    assert newest < DRIVER_WINDOW_BUILT_FOR_ROUND, (
         f"CORRECTNESS_r{newest:02d}.json is newer than the window build "
         f"round {DRIVER_WINDOW_BUILT_FOR_ROUND}: rebuild "
         "DRIVER_SAMPLE_PRIORITY stalest-first (see this test's "
