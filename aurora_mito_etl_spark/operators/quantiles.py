@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.numeric import micros6, micros6_sql
-from .rownum import prefix_sum
+from .rownum import grouped_prefix_sum, prefix_sum
 
 # (name, numerator, denominator) — rational so rank thresholds stay
 # integer-exact on both engines at any n.
@@ -152,7 +152,14 @@ def grouped_exact_quantiles(
     merges by addition. NULL group keys form a group (null-safe
     threshold join — the ngram_diversity r11 lesson); NULL values are
     excluded; a group with zero non-NULL values emits no rows on
-    either engine."""
+    either engine.
+
+    SCALE BOUND: the per-group cumulative window frames a group's
+    distinct VALUES in one task — fine for discrete/price-like
+    domains, degenerate for a mega-group of near-unique continuous
+    values; :func:`grouped_exact_quantiles_dist` is the escape hatch
+    with no per-group single-task stage (same semantics and oracle).
+    """
     from pyspark.sql import Window
 
     for name, qnum, qden in quantiles:
@@ -229,3 +236,85 @@ def grouped_exact_quantiles_oracle(
      AND cum.cum >= th.thresh
     GROUP BY th.{group_col}, th.quantile
     """
+
+
+def grouped_exact_quantiles_dist(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: tuple[tuple[str, int, int], ...] = DEFAULT_QUANTILES,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(group, quantile, value) exact discrete quantiles PER GROUP with
+    NO per-group single-task stage anywhere — the mega-group escape
+    hatch for :func:`grouped_exact_quantiles` (r11 VERDICT wrong-item
+    #3): that sibling's group-partitioned cumulative window frames one
+    group's whole distinct-value domain in ONE task, which degenerates
+    when a single dominant group holds near-unique continuous values.
+
+    Same semantics (type-1 / `quantile_disc`, NULL values excluded,
+    NULL group kept, empty group emits nothing); different plan:
+
+    1. grid counts per (group, value) — map-side-combinable, mergeable
+       by addition;
+    2. `rownum.grouped_prefix_sum` — range partition by (group, v),
+       bounded per-partition summaries, driver carry chain: a
+       mega-group spans partitions instead of funneling into one task;
+       each cum row also carries its range-partition id;
+    3. per-group totals + integer ceil(p·n) thresholds (rational
+       quantiles — no float boundary hazard);
+    4. TWO-LEVEL skew-free selection: joining thresholds straight back
+       on the group key would re-concentrate the mega-group into one
+       join task, so first locate the HIT PARTITION per (group,
+       quantile) against the per-(pid, group) cum maxima (≤ P rows per
+       group — the level-1 join's per-key work is bounded by P·Q no
+       matter how big the group), then equi-join on (group, pid) —
+       the pid in the key keeps the mega-group spread — and take the
+       map-side MIN of values at/above the threshold.
+
+    The cum frame is nondecreasing in v within a group and the range
+    partitioning orders partitions by (group, v), so the first pid
+    whose in-partition cum maximum reaches the threshold contains the
+    globally minimal hit value — level 2 never needs any other pid.
+    """
+    for name, qnum, qden in quantiles:
+        if qden < 1 or qnum < 0 or qnum > qden:
+            raise ValueError(f"quantile {name!r}: need 0 <= {qnum}/{qden} <= 1")
+    g = (
+        df.select(F.col(group_col), micros6(F.col(value_col)).alias("v"))
+        .where(F.col("v").isNotNull())
+        .groupBy(group_col, "v")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    cum = grouped_prefix_sum(
+        g, group_col, "v", "c", "cum",
+        num_partitions=num_partitions, pid_col="__pid",
+    )
+    n = g.groupBy(group_col).agg(F.sum("c").cast("long").alias("n"))
+    spec = df.sparkSession.createDataFrame(
+        list(quantiles), "quantile string, qnum long, qden long"
+    )
+    th = n.crossJoin(F.broadcast(spec)).select(
+        F.col(group_col).alias("__g"),
+        "quantile",
+        F.expr("(n * qnum + qden - 1) DIV qden").alias("thresh"),
+    )
+    # level 1: per-(pid, group) cum maxima (partial-agg map-side; a
+    # mega-group contributes one row per partition it spans)
+    psum = cum.groupBy("__pid", group_col).agg(F.max("cum").alias("__pmax"))
+    hitp = (
+        psum.join(th, F.col(group_col).eqNullSafe(F.col("__g")))
+        .where(F.col("__pmax") >= F.col("thresh"))
+        .groupBy("__g", "quantile", "thresh")
+        .agg(F.min("__pid").alias("__hit_pid"))
+    )
+    # level 2: (group, pid) equi-key — skew-free by construction
+    hits = cum.join(
+        hitp,
+        F.col(group_col).eqNullSafe(F.col("__g"))
+        & (F.col("__pid") == F.col("__hit_pid"))
+        & (F.col("cum") >= F.col("thresh")),
+    )
+    return hits.groupBy(group_col, "quantile").agg(
+        (F.min("v").cast("double") / F.lit(1_000_000.0)).alias("value")
+    )

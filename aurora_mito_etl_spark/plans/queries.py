@@ -2746,6 +2746,32 @@ def lineitem_price_quantiles_grouped(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @_register(
+    "lineitem_price_quantiles_grouped_dist",
+    qt.grouped_exact_quantiles_oracle("lineitem", "l_returnflag", "l_extendedprice"),
+)
+def lineitem_price_quantiles_grouped_dist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-group exact discrete quantiles with NO per-group
+    single-task stage (operators/quantiles.py
+    grouped_exact_quantiles_dist) — the mega-group escape hatch the
+    r11 VERDICT asked for: `lineitem_price_quantiles_grouped`'s
+    group-partitioned cumulative window frames one group's distinct
+    values in one task, which degenerates when a dominant group holds
+    near-unique continuous values (l_returnflag IS that regime: 3
+    groups over the whole table). This plan: grid counts →
+    rownum.grouped_prefix_sum (range partition by (group, v), bounded
+    per-partition summaries, driver carry chain — a mega-group SPANS
+    partitions) → integer ceil(p·n) thresholds → two-level selection
+    (hit-partition located against per-(pid, group) cum maxima, then a
+    (group, pid) equi-join whose key keeps the mega-group spread) →
+    map-side MIN. Same oracle as the window sibling: identical
+    semantics, different scale posture."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return qt.grouped_exact_quantiles_dist(li, "l_returnflag", "l_extendedprice")
+
+
+@_register(
     "events_asof_join",
     """
     SELECT l.event_id, l.user_id, r.asof_event_id, r.asof_value
@@ -9149,8 +9175,10 @@ def docs_dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ngram stats via docs_bigram_pmi, source reports via
 # docs_source_report_qsum, IVF-PQ via emb_ivf_topk, kNN via
 # emb_kmeans_assign, semantic dedup via the LSH reps, event paths via
-# events_retention/sessionize, set-ops via priority_set_ops). The 13
-# other r8 queries form the backlog and lead the r13 rebuild.
+# events_retention/sessionize, set-ops via priority_set_ops) — and was
+# then re-assigned to the r12-new lineitem_price_quantiles_grouped_dist
+# (new queries always enter). All 14 r8 queries form the backlog and
+# lead the r13 rebuild.
 # Evicted: all 50 r11-green members; every family they carried keeps
 # at least one in-window rep (quantiles: the two r11-new entries are
 # now the FRESHEST queries in the registry; window/rank families keep
@@ -9211,8 +9239,13 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "scalar_function_parity",
     "two_tier_lookup",
     "window_order_stats",
-    # last driver-green r8 (1 of 14; tie-break above)
-    "docs_bpe_pair_counts",
+    # NEW in r12, never driver-gated (new queries always enter the
+    # window): the grouped-dist quantile. Its slot comes from the r8
+    # pick docs_bpe_pair_counts, which returns to the backlog head —
+    # the quantile family freshness argument wins over the r8 lag
+    # (the BPE family stays covered by verify_local + fuzz each round
+    # and leads the r13 rebuild).
+    "lineitem_price_quantiles_grouped_dist",
 )
 
 # The round this window was built for (bumped at each rebuild; the
@@ -9227,6 +9260,7 @@ DRIVER_WINDOW_PINNED: tuple[str, ...] = (
 # Stale (lag > 3 rounds at the r12 rebuild) but out of slots this
 # round — stalest-first candidates for the r13 window.
 DRIVER_WINDOW_DEFERRED: tuple[str, ...] = (
+    "docs_bpe_pair_counts",
     "docs_dedup_lines",
     "docs_gopher_quality",
     "docs_incremental_near_dup",

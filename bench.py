@@ -140,6 +140,7 @@ HEADLINE = [
     "lineitem_price_percentiles_approx",
     "lineitem_price_quantiles_dist",
     "lineitem_price_quantiles_grouped",
+    "lineitem_price_quantiles_grouped_dist",
     "lineitem_corr_stats",
     "lineitem_price_moments",
     "lineitem_profile",

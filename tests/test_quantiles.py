@@ -11,7 +11,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from aurora_mito_etl_spark.operators import quantiles as qt
-from aurora_mito_etl_spark.operators.rownum import prefix_sum
+from aurora_mito_etl_spark.operators.rownum import grouped_prefix_sum, prefix_sum
 
 
 def test_prefix_sum_matches_window_form(spark):
@@ -47,6 +47,23 @@ def test_prefix_sum_guards(spark):
     nullw = spark.createDataFrame([(1, None), (2, 2)], "v long, c long")
     with pytest.raises(ValueError, match="NULL"):
         prefix_sum(nullw, "v", "c").collect()
+
+
+def test_prefix_sum_running_overflow_guard(spark):
+    """r11 ADVICE #1: a mixed-sign stream whose GRAND total fits int64
+    but whose running prefix leaves it must be rejected loudly, not
+    wrapped inside the int64 cumsum."""
+    big = 2**62
+    rows = [(1, big), (2, big), (3, -big), (4, -big)]
+    df = spark.createDataFrame(rows, "v long, c long")
+    with pytest.raises(Exception, match="running prefix"):
+        prefix_sum(df, "v", "c", num_partitions=1).collect()
+    # same magnitudes interleaved so every prefix stays bounded: fine
+    ok = spark.createDataFrame(
+        [(1, big), (2, -big), (3, big), (4, -big)], "v long, c long"
+    )
+    got = {r["v"]: r["cum"] for r in prefix_sum(ok, "v", "c", num_partitions=1).collect()}
+    assert got == {1: big, 2: 0, 3: big, 4: 0}
 
 
 def _duckdb_with(values, col="x"):
@@ -97,7 +114,10 @@ def test_quantiles_oracle_parity(spark):
         r["quantile"]: r["value"]
         for r in qt.exact_quantiles_grid(df, "x").collect()
     }
-    con = _duckdb_with([v for v in vals if v is not None])
+    # NULL rows go into the DuckDB table too (r11 ADVICE #2): the
+    # oracle's own IS NOT NULL arm must drop them, matching the
+    # Spark-side input exactly.
+    con = _duckdb_with(vals)
     ora = dict(
         con.execute(qt.exact_quantiles_grid_oracle("t", "x")).fetchall()
     )
@@ -186,6 +206,121 @@ def test_grouped_quantiles_oracle_parity(spark):
     }
     assert got == ora
     assert (None, "p50") in got  # NULL group emitted on both engines
+
+
+def test_grouped_prefix_sum_matches_window(spark):
+    """grouped_prefix_sum == the partitioned-window form, with a
+    mega-group spanning partitions, a NULL group, and seam chaining."""
+    rng = random.Random(23)
+    vals = rng.sample(range(100_000), 1200)
+    rows = (
+        [("mega", v, rng.randint(1, 4)) for v in vals[:1000]]
+        + [(None, v, rng.randint(1, 4)) for v in vals[1000:1080]]
+        + [("b", v, rng.randint(1, 4)) for v in vals[1080:]]
+    )
+    df = spark.createDataFrame(rows, "g string, v long, c long").repartition(6)
+    got = {
+        (r["g"], r["v"]): r["cum"]
+        for r in grouped_prefix_sum(df, "g", "v", "c", num_partitions=8).collect()
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy(F.col("v").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r["g"], r["v"]): r["cum"]
+        for r in df.select("g", "v", F.sum("c").over(w).alias("cum")).collect()
+    }
+    assert got == want
+    # partition invariance: 1 partition == 8 partitions
+    got1 = {
+        (r["g"], r["v"]): r["cum"]
+        for r in grouped_prefix_sum(df, "g", "v", "c", num_partitions=1).collect()
+    }
+    assert got1 == want
+
+
+def test_grouped_prefix_sum_guards(spark):
+    dup = spark.createDataFrame([("a", 1, 1), ("a", 1, 2)], "g string, v long, c long")
+    with pytest.raises(Exception, match="duplicate"):
+        grouped_prefix_sum(dup, "g", "v", "c").collect()
+    nullv = spark.createDataFrame([("a", None, 1)], "g string, v long, c long")
+    with pytest.raises(ValueError, match="NULL"):
+        grouped_prefix_sum(nullv, "g", "v", "c").collect()
+    nullw = spark.createDataFrame([("a", 1, None)], "g string, v long, c long")
+    with pytest.raises(ValueError, match="NULL"):
+        grouped_prefix_sum(nullw, "g", "v", "c").collect()
+    neg = spark.createDataFrame([("a", 1, -1)], "g string, v long, c long")
+    with pytest.raises(ValueError, match="negative"):
+        grouped_prefix_sum(neg, "g", "v", "c").collect()
+    # duplicate (g, v) in DIFFERENT groups is fine
+    ok = spark.createDataFrame(
+        [("a", 1, 2), ("b", 1, 3)], "g string, v long, c long"
+    )
+    got = {
+        (r["g"], r["v"]): r["cum"]
+        for r in grouped_prefix_sum(ok, "g", "v", "c").collect()
+    }
+    assert got == {("a", 1): 2, ("b", 1): 3}
+
+
+def test_grouped_quantiles_dist_parity(spark):
+    """The dist variant == the window sibling == the shared DuckDB
+    oracle, under the adversarial shape it exists for: one mega-group
+    with near-unique continuous values, plus NULL group / NULL values
+    / a singleton group."""
+    rng = random.Random(29)
+    rows = (
+        [("mega", round(rng.uniform(0, 1000), 6)) for _ in range(4000)]
+        + [("small", float(rng.randint(1, 40))) for _ in range(60)]
+        + [(None, round(rng.uniform(0, 10), 6)) for _ in range(50)]
+        + [("allnull", None), ("allnull", None), ("solo", 9.5)]
+    )
+    df = spark.createDataFrame(rows, "k string, x double")
+    a = sorted(
+        map(tuple, qt.grouped_exact_quantiles(df, "k", "x").collect()), key=str
+    )
+    b = sorted(
+        map(
+            tuple,
+            qt.grouped_exact_quantiles_dist(
+                df, "k", "x", num_partitions=8
+            ).collect(),
+        ),
+        key=str,
+    )
+    assert a == b
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k VARCHAR, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    ora = sorted(
+        map(
+            tuple,
+            con.execute(
+                qt.grouped_exact_quantiles_oracle("t", "k", "x")
+            ).fetchall(),
+        ),
+        key=str,
+    )
+    assert b == ora
+    ks = {r[0] for r in b}
+    assert ks == {"mega", "small", None, "solo"}  # allnull emits nothing
+
+
+def test_grouped_quantiles_dist_partition_invariance(spark):
+    rng = random.Random(31)
+    rows = [(rng.choice(["a", "b"]), float(rng.randint(0, 99))) for _ in range(150)]
+    df = spark.createDataFrame(rows, "k string, x double")
+    c1 = sorted(
+        map(tuple, qt.grouped_exact_quantiles_dist(df, "k", "x", num_partitions=1).collect()),
+        key=str,
+    )
+    c9 = sorted(
+        map(tuple, qt.grouped_exact_quantiles_dist(df, "k", "x", num_partitions=9).collect()),
+        key=str,
+    )
+    assert c1 == c9
 
 
 def test_grouped_quantiles_partition_invariance(spark):

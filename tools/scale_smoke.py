@@ -13,6 +13,7 @@ python tools/scale_smoke.py [factors...]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -68,10 +69,63 @@ def replicate(df, times: int):
     return out
 
 
+def _megagroup_tier(li_base, n_ord, factors) -> None:
+    """Round-12 tier: grouped quantiles under the ADVERSARIAL
+    mega-group shape the dist variant exists for — ONE group holding
+    ~90% of rows with near-unique continuous values (orderkey-jittered
+    prices make the (group, distinct-value) grid track row count). The
+    window sibling frames that group's whole domain in one task; the
+    dist plan must stay ~linear with no single-task stage. Both are
+    timed so the crossover is visible in the artifact."""
+    from aurora_mito_etl_spark.operators import quantiles as qtl
+
+    for f in factors:
+        li = None
+        for i in range(f):
+            c = li_base.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(i * n_ord)
+            )
+            li = c if li is None else li.unionByName(c)
+        # ~90% of rows collapse into one mega group; jitter the value
+        # by the (near-unique) orderkey so values are near-unique
+        li = li.select(
+            F.when(F.col("l_linenumber") <= 6, F.lit("MEGA"))
+            .otherwise(F.col("l_returnflag"))
+            .alias("g"),
+            (
+                F.col("l_extendedprice")
+                + (F.col("l_orderkey") % 997).cast("double") / 1000.0
+            ).alias("x"),
+        ).repartition(32).cache()
+        nli = li.count()
+        t0 = time.perf_counter()
+        qtl.grouped_exact_quantiles_dist(li, "g", "x").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        dist_t = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        qtl.grouped_exact_quantiles(li, "g", "x").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        win_t = round(time.perf_counter() - t0, 2)
+        li.unpersist()
+        print(json.dumps({
+            "megagroup_factor": f, "rows": nli,
+            "grouped_quantiles_dist": dist_t,
+            "grouped_quantiles_window": win_t,
+        }))
+
+
 def main() -> int:
     factors = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
     spark = get_spark(app_name="scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
+    if os.environ.get("SCALE_SMOKE_ONLY") == "megagroup":
+        lib = load_table(spark, "/root/testdata/sf0.1", "lineitem")
+        mx = (lib.agg(F.max("l_orderkey")).collect()[0][0] or 0) + 1
+        _megagroup_tier(lib, mx, factors)
+        spark.stop()
+        return 0
     base = load_table(spark, "/root/testdata/sf0.1", "documents").select(
         "doc_id", "text"
     )
@@ -298,7 +352,7 @@ def main() -> int:
         ivfpq_t = round(time.perf_counter() - t0, 2)
         emb.unpersist()
 
-        n_ord = li_base.agg(F.max("l_orderkey")).collect()[0][0] + 1
+        n_ord = (li_base.agg(F.max("l_orderkey")).collect()[0][0] or 0) + 1
         li = None
         for i in range(f):
             c = li_base.withColumn(
@@ -476,7 +530,7 @@ def main() -> int:
     from aurora_mito_etl_spark.plans.queries import _events_funnel_frame
 
     ev_base = ev.select("user_id", "event_type", "ts")
-    n_users = ev_base.agg(F.max("user_id")).collect()[0][0] + 1
+    n_users = (ev_base.agg(F.max("user_id")).collect()[0][0] or 0) + 1
 
     def decontam_shape(corpus, probes):
         v = sim.with_norm(corpus, "embedding", "__v", "__vn")
@@ -586,8 +640,11 @@ def main() -> int:
     # partition-offset pass must track rows, not bend.
     from aurora_mito_etl_spark.operators import quantiles as qtl
 
+    # hoisted out of the factor loop (one scan, not one per factor;
+    # r11 ADVICE #3) and guarded for an empty table
+    max_ok = li_base.agg(F.max("l_orderkey")).collect()[0][0]
+    n_ord = (max_ok or 0) + 1
     for f in factors:
-        n_ord = li_base.agg(F.max("l_orderkey")).collect()[0][0] + 1
         li = None
         for i in range(f):
             c = li_base.withColumn(
@@ -605,6 +662,8 @@ def main() -> int:
         print(json.dumps({
             "quantiles_factor": f, "li_rows": nli, "exact_quantiles": q_t,
         }))
+
+    _megagroup_tier(li_base, n_ord, factors)
 
     spark.stop()
     return 0
