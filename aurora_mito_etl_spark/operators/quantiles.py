@@ -318,3 +318,195 @@ def grouped_exact_quantiles_dist(
     return hits.groupBy(group_col, "quantile").agg(
         (F.min("v").cast("double") / F.lit(1_000_000.0)).alias("value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mergeable quantile sketch (r12).
+#
+# KLL's compactors are randomized and t-digest's centroids are
+# merge-order-dependent — both cross-engine bit-parity dead ends (the
+# r11 module-docstring argument). The deterministic alternative: a
+# MONOTONE many-to-one coarsening of the 1e-6 grid to `sig_digits`
+# significant decimal digits (floor toward -inf). Rank semantics stay
+# EXACT — the k-th smallest coarsened value is the coarsened k-th
+# smallest value, because the map is monotone — only the reported
+# value is rounded down, with relative error < 10^(1-sig_digits).
+# The per-group domain is bounded by construction (<= 9·10^(sig-1)
+# buckets per decade x ~26 decades x 2 signs ≈ 47k buckets at sig=3
+# INDEPENDENT of group size), so the sketch is mergeable by pure
+# addition and the per-group cumulative window never degenerates —
+# the continuous-mega-group complement to the exact trio.
+# ---------------------------------------------------------------------------
+
+
+def sig_floor_py(v: int, sig: int) -> int:
+    """Python twin of the engine/oracle sig-floor: round the integer
+    `v` toward -inf to `sig` significant decimal digits."""
+    m = abs(v)
+    s = str(m)
+    d = len(s)
+    if d <= sig:
+        return v
+    p = 10 ** (d - sig)
+    tr = int(s[:sig] + "0" * (d - sig))
+    if v >= 0:
+        return tr
+    if tr == m:
+        return v
+    w = -tr - p
+    if w < -(2**63):
+        # matches the engine twins: Spark raise_error / DuckDB BIGINT
+        # overflow — loud and identical, never a silent wrap
+        raise ValueError(f"sig_floor overflow: {w} outside int64")
+    return w
+
+
+def _sig_floor_spark(col: str, sig: int) -> str:
+    """Spark SQL expression: sig-floor of BIGINT column `col`. Pure
+    string/integer ops (substring/rpad/length are deterministic and
+    identical across engines; no float log/pow anywhere)."""
+    s = f"CAST(abs({col}) AS STRING)"
+    tr = f"CAST(rpad(substring({s}, 1, {sig}), length({s}), '0') AS BIGINT)"
+    p = f"CAST(rpad('1', greatest(length({s}) - {sig}, 0) + 1, '0') AS BIGINT)"
+    # the floor adjustment for a 19-digit negative can leave int64:
+    # compute it in DECIMAL and raise loudly (DuckDB's BIGINT cast
+    # raises natively on the same inputs — the micros6 pattern)
+    neg = (
+        f"-(CAST({tr} AS DECIMAL(38,0)) + CAST({p} AS DECIMAL(38,0)))"
+    )
+    return (
+        f"CASE WHEN {col} >= 0 THEN {tr} "
+        f"WHEN -{tr} = {col} THEN {col} "
+        f"WHEN {neg} < CAST(-9223372036854775808 AS DECIMAL(38,0)) THEN "
+        f"CAST(raise_error(format_string("
+        f"'sig_floor overflow: %s', CAST({neg} AS STRING))) AS BIGINT) "
+        f"ELSE CAST({neg} AS BIGINT) END"
+    )
+
+
+def _sig_floor_duckdb(col: str, sig: int) -> str:
+    """DuckDB twin of :func:`_sig_floor_spark` — same construction;
+    written separately (type names differ; never share expression
+    strings between engines)."""
+    s = f"CAST(abs({col}) AS VARCHAR)"
+    # DuckDB rpad takes INTEGER length (length() returns BIGINT)
+    tr = (
+        f"CAST(rpad(substring({s}, 1, {sig}), "
+        f"CAST(length({s}) AS INTEGER), '0') AS BIGINT)"
+    )
+    p = (
+        f"CAST(rpad('1', CAST(greatest(length({s}) - {sig}, 0) + 1 "
+        f"AS INTEGER), '0') AS BIGINT)"
+    )
+    # HUGEINT intermediate; the final BIGINT cast raises natively on
+    # the same 19-digit-negative overflow the Spark twin raises on
+    neg = f"-(CAST({tr} AS HUGEINT) + CAST({p} AS HUGEINT))"
+    return (
+        f"CASE WHEN {col} >= 0 THEN {tr} "
+        f"WHEN -{tr} = {col} THEN {col} "
+        f"ELSE CAST({neg} AS BIGINT) END"
+    )
+
+
+def grouped_quantile_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: tuple[tuple[str, int, int], ...] = DEFAULT_QUANTILES,
+    sig_digits: int = 3,
+) -> DataFrame:
+    """(group, quantile, value) per-group quantiles from the
+    deterministic sig-digit sketch — rank-exact, value floor-rounded
+    to `sig_digits` significant digits (relative error < 10^(1-sig)).
+
+    Plan: micros6 grid → monotone sig-floor (whole-stage-codegen
+    string/int ops, no python stage) → (group, bucket) counts (one
+    map-side-combinable agg; the shuffled grid is ≤ ~47k rows PER
+    GROUP at sig=3 regardless of group size — this is the 100 TB
+    shape for continuous columns, where the exact grid must shuffle
+    every distinct value) → the same integer-threshold selection as
+    :func:`grouped_exact_quantiles` (the bounded domain makes the
+    per-group cumulative window safe by construction). Mergeable by
+    addition across shards/days. NULL group kept; NULL values
+    excluded; empty group emits nothing."""
+    from pyspark.sql import Window
+
+    for name, qnum, qden in quantiles:
+        if qden < 1 or qnum < 0 or qnum > qden:
+            raise ValueError(f"quantile {name!r}: need 0 <= {qnum}/{qden} <= 1")
+    if not (1 <= sig_digits <= 15):
+        raise ValueError(f"sig_digits must be in [1, 15], got {sig_digits}")
+    g = (
+        df.select(F.col(group_col), micros6(F.col(value_col)).alias("v0"))
+        .where(F.col("v0").isNotNull())
+        .select(
+            group_col,
+            F.expr(_sig_floor_spark("v0", sig_digits)).alias("v"),
+        )
+        .groupBy(group_col, "v")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("v").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = g.select(group_col, "v", F.sum("c").over(w).cast("long").alias("cum"))
+    n = g.groupBy(group_col).agg(F.sum("c").cast("long").alias("n"))
+    spec = df.sparkSession.createDataFrame(
+        list(quantiles), "quantile string, qnum long, qden long"
+    )
+    th = n.crossJoin(F.broadcast(spec)).select(
+        F.col(group_col).alias("__g"),
+        "quantile",
+        F.expr("(n * qnum + qden - 1) DIV qden").alias("thresh"),
+    )
+    hits = cum.join(
+        th,
+        F.col(group_col).eqNullSafe(F.col("__g"))
+        & (F.col("cum") >= F.col("thresh")),
+    )
+    return hits.groupBy(group_col, "quantile").agg(
+        (F.min("v").cast("double") / F.lit(1_000_000.0)).alias("value")
+    )
+
+
+def grouped_quantile_sketch_oracle(
+    table: str,
+    group_col: str,
+    value_col: str,
+    quantiles: tuple[tuple[str, int, int], ...] = DEFAULT_QUANTILES,
+    sig_digits: int = 3,
+) -> str:
+    """DuckDB SQL twin of :func:`grouped_quantile_sketch` — identical
+    grid → sig-floor → integer-threshold construction."""
+    vals = ", ".join(f"('{n}', {a}, {b})" for n, a, b in quantiles)
+    return f"""
+    WITH v0 AS (
+      SELECT {group_col}, {micros6_sql(value_col)} AS v0
+      FROM {table} WHERE {value_col} IS NOT NULL
+    ),
+    g AS (
+      SELECT {group_col}, {_sig_floor_duckdb("v0", sig_digits)} AS v,
+             CAST(count(*) AS BIGINT) AS c
+      FROM v0 GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT {group_col}, v,
+             CAST(SUM(c) OVER (PARTITION BY {group_col} ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM g
+    ),
+    n AS (SELECT {group_col}, CAST(SUM(c) AS BIGINT) AS n FROM g GROUP BY 1),
+    spec(quantile, qnum, qden) AS (VALUES {vals}),
+    th AS (
+      SELECT n.{group_col}, s.quantile,
+             CAST((n.n * s.qnum + s.qden - 1) // s.qden AS BIGINT) AS thresh
+      FROM n, spec s
+    )
+    SELECT th.{group_col}, th.quantile, MIN(cum.v) / 1000000.0 AS value
+    FROM th JOIN cum
+      ON cum.{group_col} IS NOT DISTINCT FROM th.{group_col}
+     AND cum.cum >= th.thresh
+    GROUP BY th.{group_col}, th.quantile
+    """

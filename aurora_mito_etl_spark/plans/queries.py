@@ -2772,6 +2772,27 @@ def lineitem_price_quantiles_grouped_dist(
 
 
 @_register(
+    "lineitem_price_quantiles_sketch",
+    qt.grouped_quantile_sketch_oracle("lineitem", "l_returnflag", "l_extendedprice"),
+)
+def lineitem_price_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mergeable quantile SKETCH per group
+    (operators/quantiles.py grouped_quantile_sketch) — the bounded-
+    communication member of the quantile family (VERDICT r11 ask #7a):
+    KLL/t-digest are randomized / merge-order-dependent (cross-engine
+    dead ends), so the sketch is a MONOTONE sig-digit floor of the
+    1e-6 grid (pure codegen string/int ops, identical in Spark SQL,
+    DuckDB and the python twin). Rank semantics stay exact — only the
+    reported value rounds down, rel. error < 10^-2 at sig=3 — and the
+    per-group domain is bounded (~47k buckets) INDEPENDENT of group
+    size, so at 100 TB the shuffle carries G x 47k rows where the
+    exact grid must carry every distinct value; merge across
+    shards/days is pure addition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return qt.grouped_quantile_sketch(li, "l_returnflag", "l_extendedprice")
+
+
+@_register(
     "events_asof_join",
     """
     SELECT l.event_id, l.user_id, r.asof_event_id, r.asof_value
@@ -9230,7 +9251,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_hourly_gap_filled",
     "events_retention",
     "events_sessionize",
-    "lineitem_price_percentiles_approx",
     "order_rollup_per_customer",
     "orders_pivot_priority",
     "part_normalize_dedup",
@@ -9240,12 +9260,14 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "two_tier_lookup",
     "window_order_stats",
     # NEW in r12, never driver-gated (new queries always enter the
-    # window): the grouped-dist quantile. Its slot comes from the r8
-    # pick docs_bpe_pair_counts, which returns to the backlog head —
-    # the quantile family freshness argument wins over the r8 lag
-    # (the BPE family stays covered by verify_local + fuzz each round
-    # and leads the r13 rebuild).
+    # window): the grouped-dist quantile and the deterministic
+    # quantile sketch. Their slots come from the r8 pick
+    # docs_bpe_pair_counts (returns to the backlog head) and
+    # lineitem_price_percentiles_approx (r7 -> backlog; the
+    # percentile family still holds TWO in-window reps — the two
+    # r12-new quantile queries — so family spread is preserved).
     "lineitem_price_quantiles_grouped_dist",
+    "lineitem_price_quantiles_sketch",
 )
 
 # The round this window was built for (bumped at each rebuild; the
@@ -9260,6 +9282,7 @@ DRIVER_WINDOW_PINNED: tuple[str, ...] = (
 # Stale (lag > 3 rounds at the r12 rebuild) but out of slots this
 # round — stalest-first candidates for the r13 window.
 DRIVER_WINDOW_DEFERRED: tuple[str, ...] = (
+    "lineitem_price_percentiles_approx",
     "docs_bpe_pair_counts",
     "docs_dedup_lines",
     "docs_gopher_quality",

@@ -141,6 +141,7 @@ HEADLINE = [
     "lineitem_price_quantiles_dist",
     "lineitem_price_quantiles_grouped",
     "lineitem_price_quantiles_grouped_dist",
+    "lineitem_price_quantiles_sketch",
     "lineitem_corr_stats",
     "lineitem_price_moments",
     "lineitem_profile",

@@ -331,3 +331,123 @@ def test_grouped_quantiles_partition_invariance(spark):
     c1 = sorted(map(tuple, qt.grouped_exact_quantiles(d1, "k", "x").collect()))
     c9 = sorted(map(tuple, qt.grouped_exact_quantiles(d9, "k", "x").collect()))
     assert c1 == c9
+
+
+def test_sig_floor_twins_and_monotone():
+    """The three sig-floor twins (python / Spark expr via the sketch /
+    DuckDB expr) agree; here: python properties + DuckDB parity.
+    Monotone, floor (w <= v), bounded relative error."""
+    import duckdb as _dk
+
+    rng = random.Random(37)
+    vals = [0, 1, -1, 9, 10, -10, 999, 1000, -999, -1000, 999999,
+            -999999, 999000, -999000, 10**18, -(10**18)]
+    vals += [rng.randint(-(10**12), 10**12) for _ in range(800)]
+    for sig in (1, 3, 6):
+        ws = [qt.sig_floor_py(v, sig) for v in vals]
+        for v, w in zip(vals, ws):
+            assert w <= v
+            assert v == 0 or abs(v - w) < 10 ** (1 - sig) * abs(v) + 1
+        sv = sorted(vals)
+        sw = [qt.sig_floor_py(v, sig) for v in sv]
+        assert all(a <= b for a, b in zip(sw, sw[1:])), f"not monotone sig={sig}"
+        con = _dk.connect()
+        con.execute("CREATE TABLE t(v BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+        rows = con.execute(
+            f"SELECT v, {qt._sig_floor_duckdb('v', sig)} FROM t"
+        ).fetchall()
+        assert all(w == qt.sig_floor_py(v, sig) for v, w in rows)
+    # 19-digit-negative overflow raises on BOTH twins (never wraps)
+    ov = -(2**63) + 3
+    with pytest.raises(ValueError, match="overflow"):
+        qt.sig_floor_py(ov, 1)
+    con = _dk.connect()
+    with pytest.raises(Exception):
+        con.execute(
+            f"SELECT {qt._sig_floor_duckdb('v', 1)} "
+            f"FROM (SELECT CAST({ov} AS BIGINT) AS v)"
+        ).fetchone()
+
+
+def test_quantile_sketch_rank_exact_value_coarsened(spark):
+    """The sketch is rank-EXACT: its answer equals sig_floor(exact
+    grouped quantile) for every (group, quantile) — monotone maps
+    commute with discrete quantile selection."""
+    rng = random.Random(41)
+    rows = (
+        [("a", round(rng.uniform(0, 90000), 4)) for _ in range(800)]
+        + [("b", round(rng.uniform(-500, 500), 4)) for _ in range(300)]
+        + [(None, float(rng.randint(1, 9))) for _ in range(40)]
+    )
+    df = spark.createDataFrame(rows, "k string, x double")
+    exact = {
+        (r["k"], r["quantile"]): r["value"]
+        for r in qt.grouped_exact_quantiles(df, "k", "x").collect()
+    }
+    sk = {
+        (r["k"], r["quantile"]): r["value"]
+        for r in qt.grouped_quantile_sketch(df, "k", "x", sig_digits=3).collect()
+    }
+    assert set(sk) == set(exact)
+    for key, v in exact.items():
+        want = qt.sig_floor_py(round(v * 1_000_000), 3) / 1_000_000.0
+        assert sk[key] == want, (key, v, sk[key], want)
+
+
+def test_quantile_sketch_oracle_parity_and_merge(spark):
+    rng = random.Random(43)
+    rows = [
+        (rng.choice(["r", "s", None]), round(rng.uniform(-2000, 2000), 3))
+        for _ in range(600)
+    ] + [("r", None)]
+    df = spark.createDataFrame(rows, "k string, x double")
+    got = sorted(
+        map(tuple, qt.grouped_quantile_sketch(df, "k", "x").collect()), key=str
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k VARCHAR, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    ora = sorted(
+        map(
+            tuple,
+            con.execute(
+                qt.grouped_quantile_sketch_oracle("t", "k", "x")
+            ).fetchall(),
+        ),
+        key=str,
+    )
+    assert got == ora
+    # MERGEABLE: sketch(A ∪ B) == sketch over the UNION of the two
+    # halves' bucket-count grids (addition is the merge)
+    half = len(rows) // 2
+    dfa = spark.createDataFrame(rows[:half], "k string, x double")
+    dfb = spark.createDataFrame(rows[half:], "k string, x double")
+    merged = sorted(
+        map(
+            tuple,
+            qt.grouped_quantile_sketch(dfa.unionByName(dfb), "k", "x").collect(),
+        ),
+        key=str,
+    )
+    assert merged == got
+
+
+def test_quantile_sketch_bounded_domain(spark):
+    """The bucket domain stays bounded regardless of value count —
+    the 100 TB communication claim."""
+    rng = random.Random(47)
+    df = spark.createDataFrame(
+        [("g", round(rng.uniform(0, 1e9), 6)) for _ in range(20_000)],
+        "k string, x double",
+    )
+    from aurora_mito_etl_spark.functions.numeric import micros6
+
+    buckets = (
+        df.select(micros6(F.col("x")).alias("v0"))
+        .select(F.expr(qt._sig_floor_spark("v0", 3)).alias("v"))
+        .distinct()
+        .count()
+    )
+    # 900 buckets/decade x ~16 decades in range — far under the row count
+    assert buckets < 15_000
