@@ -268,6 +268,13 @@ LINEITEM_QUERIES = {
     # empty-result contract
     "lineitem_price_quantiles_dist",
     "lineitem_price_quantiles_grouped",
+    # r12: the mega-group-safe dist variant (grouped prefix sum +
+    # two-level (group, pid) selection) and the deterministic
+    # sig-digit sketch — mixed-NULL l_returnflag arms hit the NULL
+    # group, negative/1e9-outlier prices hit the sig-floor negative
+    # branch and decade boundaries, tiny-n hits single-row groups
+    "lineitem_price_quantiles_grouped_dist",
+    "lineitem_price_quantiles_sketch",
     "lineitem_profile",
 }
 
@@ -597,6 +604,11 @@ def make_lineitem(rng: random.Random, n: int):
             price = 10000.00  # tie block
         elif p < 0.35:
             price = 0.0
+        elif p < 0.38:
+            # r12: sparse NEGATIVE money (returns/credits) — hits the
+            # sig-floor negative branch (floor toward -inf + decade
+            # crossings) and signed percentile/winsorize selection
+            price = -rng.randint(100, 999999) / 100.0
         else:
             price = rng.randint(100, 9999999) / 100.0
         d = rng.random()
