@@ -179,3 +179,15 @@ def fixed6_np(a):
     import numpy as np
 
     return np.floor(a * 1_000_000 + 0.5) / 1_000_000
+
+
+def micros6_py(x: float) -> int:
+    """Python twin of :func:`micros6` — the same floor(x·1e6 + 0.5)
+    with the same loud out-of-range failure, for Arrow/state-side
+    paths that must land on the identical 1e-6 grid."""
+    import math
+
+    y = x * 1_000_000 + 0.5
+    if abs(y) >= float(2**63):
+        raise ValueError(f"micros6 overflow (|value| >= ~9.2e12): {y}")
+    return math.floor(y)
