@@ -4650,6 +4650,25 @@ _KS_ORACLE = r"""
 """
 
 
+@_register(
+    "docs_length_quantiles_sketch",
+    qt.grouped_quantile_sketch_oracle("documents", "source", "n_chars"),
+)
+def docs_length_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source doc-length quantiles from the deterministic
+    sig-digit sketch (operators/quantiles.py grouped_quantile_sketch)
+    — the datasheet length-profile row computed the 100 TB way: the
+    per-source bucket domain is bounded (~47k) no matter how many
+    documents a source contributes, so a web-scale mega-source costs
+    the same shuffle as a tiny one; counts merge by addition across
+    crawl shards. Rank-exact (monotone sig-floor commutes with
+    discrete quantile selection); values floor to 3 significant
+    digits. NULL n_chars dropped, NULL source kept — the docs fuzz
+    tier's 2% NULL n_chars arm and mixed-NULL sources pin both."""
+    docs = load_table(spark, sf_dir, "documents")
+    return qt.grouped_quantile_sketch(docs, "source", "n_chars")
+
+
 @_register("docs_length_ks", _KS_ORACLE)
 def docs_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov statistic of each source's
@@ -9232,7 +9251,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "docs_exact_dedup",
     "docs_hash_sample",
     "docs_lm_score",
-    "docs_lm_score_external",
     "docs_minhash_lsh_pairs",
     "docs_mixture_sample",
     "docs_near_dedup_survivors",
@@ -9265,9 +9283,12 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # docs_bpe_pair_counts (returns to the backlog head) and
     # lineitem_price_percentiles_approx (r7 -> backlog; the
     # percentile family still holds TWO in-window reps — the two
-    # r12-new quantile queries — so family spread is preserved).
+    # r12-new quantile queries — so family spread is preserved), and
+    # the docs-tier sketch (slot from docs_lm_score_external, r7 ->
+    # backlog; the LM family keeps docs_lm_score in-window).
     "lineitem_price_quantiles_grouped_dist",
     "lineitem_price_quantiles_sketch",
+    "docs_length_quantiles_sketch",
 )
 
 # The round this window was built for (bumped at each rebuild; the
@@ -9282,6 +9303,7 @@ DRIVER_WINDOW_PINNED: tuple[str, ...] = (
 # Stale (lag > 3 rounds at the r12 rebuild) but out of slots this
 # round — stalest-first candidates for the r13 window.
 DRIVER_WINDOW_DEFERRED: tuple[str, ...] = (
+    "docs_lm_score_external",
     "lineitem_price_percentiles_approx",
     "docs_bpe_pair_counts",
     "docs_dedup_lines",

@@ -57,6 +57,7 @@ HEADLINE = [
     "docs_quality_funnel",
     "docs_zipf_slope",
     "docs_length_ks",
+    "docs_length_quantiles_sketch",
     # quality filtering / privacy / decontamination
     "docs_gopher_quality",
     "docs_c4_filter",

@@ -65,6 +65,9 @@ BASE_SF = "/root/testdata/sf0.001"
 
 # Documents-driven, oracle-paired queries exercising the text tier.
 DOCS_QUERIES = {
+    # r12: per-source length quantiles via the deterministic sketch
+    # (NULL n_chars dropped, NULL source kept; tiny-n single-row groups)
+    "docs_length_quantiles_sketch",
     "docs_clean_text",
     "docs_paren_truncate",
     "docs_ordered_typos",
