@@ -357,9 +357,16 @@ def grouped_prefix_sum(
 
     def _runs(pdf):
         """Yield (group_or_None, exact_int_total) per maximal same-group
-        run of a sorted batch. Python-int sums: no wrap at any size."""
+        run of a sorted batch. int64 fast path guarded by a float
+        magnitude bound (|w| sums < 2^62 can't wrap in int64; the
+        float overestimate is far inside the 2x margin), python-int
+        objects only on the rare huge-weight batch."""
         gv = pdf[group_col]
-        wobj = pdf[weight_col].fillna(0).astype("object")
+        wfill = pdf[weight_col].fillna(0)
+        if float(wfill.abs().astype("float64").sum()) < float(2**62):
+            wsum = wfill.astype("int64")
+        else:
+            wsum = wfill.astype("object")
         na = gv.isna().values
         same = (gv.values[1:] == gv.values[:-1]) | (na[1:] & na[:-1])
         change = np.flatnonzero(~same) + 1
@@ -367,7 +374,7 @@ def grouped_prefix_sum(
         ends = change.tolist() + [len(pdf)]
         for s, e in zip(starts, ends):
             g = gv.iloc[s]
-            yield (None if pd.isna(g) else g), int(wobj.iloc[s:e].sum())
+            yield (None if pd.isna(g) else g), int(wsum.iloc[s:e].sum())
 
     def summarize(batches):
         from pyspark import TaskContext
