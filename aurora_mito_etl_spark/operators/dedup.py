@@ -345,6 +345,107 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_est_audit(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Signature-accuracy audit of the MinHash-LSH index — the text
+    twin of the IVF-PQ recall diagnostic (`quantize.ivfpq_rerank` /
+    `emb_ivfpq_recall`): measure, on the real corpus, how well the
+    k-slot signature estimate predicts exact Jaccard over the banded
+    CANDIDATE pairs, and what precision each estimate level buys.
+
+    One row per distinct signature-match count (0..num_hashes):
+
+      matches      — # equal signature slots (the estimator numerator)
+      est_jaccard  — matches / num_hashes (the textbook MinHash
+                     estimate, fixed6)
+      n_pairs      — banded candidate pairs at this match count
+      n_true       — of those, pairs whose EXACT shingle Jaccard
+                     clears `threshold` (the verify bar)
+      precision    — n_true / n_pairs (fixed6)
+      mean_exact   — mean exact Jaccard (fixed6; exact 1e-6-grid
+                     integer sum, order-free)
+
+    This is the measured S-curve the (num_hashes, bands) tuning
+    decision needs: if high-match candidates show low precision the
+    bands are too coarse; if the audit never sees low-exact pairs the
+    banding wastes verify work. Plan shape: the SAME O(n·bands)
+    banded-candidate chain as :func:`minhash_lsh_pairs` (no n² —
+    auditing only what the index proposes), two keyed joins back to
+    the signature table, exact-Jaccard verify on candidates only,
+    then a ≤ num_hashes+1-row map-side-combinable aggregate. Portable
+    md5 hashes so candidates, signatures AND verification replay in
+    the DuckDB oracle."""
+    from aurora_mito_etl_spark.functions.numeric import micros6, micros_sum
+
+    hashed = _minhash_hashed(df, text_col, id_col, k_shingle, portable_hash=True)
+    sigs = _minhash_sigs(hashed, id_col, num_hashes)
+    stacked = _minhash_banded(hashed, id_col, num_hashes, bands, portable_hash=True)
+    left = stacked.select(F.col(id_col).alias("id_a"), "band", "bh")
+    right = stacked.select(F.col(id_col).alias("id_b"), "band", "bh")
+    candidates = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # threshold 0.0 keeps EVERY candidate (exact jaccard >= 0 always):
+    # the audit must see the false positives the filter would drop.
+    verified = _jaccard_verify(
+        candidates, hashed, hashed, id_col, "id_a", "id_b", 0.0
+    )
+    sig_a = sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    sig_b = sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    match_expr = None
+    for i in range(num_hashes):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        match_expr = term if match_expr is None else match_expr + term
+    pairs = (
+        verified.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            match_expr.alias("matches"),
+            F.col("jaccard"),
+        )
+    )
+    agg = pairs.groupBy("matches").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.when(F.col("jaccard") >= F.lit(threshold), F.lit(1)).otherwise(
+                F.lit(0)
+            ).cast("long")
+        ).alias("n_true"),
+        micros_sum(micros6(F.col("jaccard")), "sum_micros"),
+    )
+    return agg.select(
+        F.col("matches"),
+        _fixed6(F.col("matches").cast("double") / F.lit(float(num_hashes))).alias(
+            "est_jaccard"
+        ),
+        F.col("n_pairs"),
+        F.col("n_true"),
+        _fixed6(
+            F.col("n_true").cast("double") / F.col("n_pairs").cast("double")
+        ).alias("precision"),
+        _fixed6(
+            F.col("sum_micros").cast("double")
+            / (F.col("n_pairs").cast("double") * F.lit(1_000_000.0))
+        ).alias("mean_exact"),
+    ).orderBy("matches")
+
+
 def _minhash_hashed(
     df: DataFrame, text_col: str, id_col: str, k_shingle: int, portable_hash: bool
 ) -> DataFrame:
@@ -359,13 +460,10 @@ def _minhash_hashed(
     return shingle.select(F.col(id_col), h_expr.alias("h"))
 
 
-def _minhash_banded(
-    hashed: DataFrame, id_col: str, num_hashes: int, bands: int, portable_hash: bool
-) -> DataFrame:
-    """(id, band, band-hash) — k-permutation signatures folded into
-    per-band keys and stacked one row per band."""
-    rows_per_band = num_hashes // bands
-    sigs = hashed.select(
+def _minhash_sigs(hashed: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """(id, m0..m{k-1}) k-permutation signature table from the shared
+    (id, shingle-hash) frame — ONE hash aggregate, map-side partial."""
+    return hashed.select(
         F.col(id_col), F.pmod(F.col("h"), F.lit(_MERSENNE_P)).alias("hm")
     ).groupBy(id_col).agg(
         *[
@@ -375,6 +473,15 @@ def _minhash_banded(
             for i, (a, b) in enumerate(_perm_params(num_hashes))
         ]
     )
+
+
+def _minhash_banded(
+    hashed: DataFrame, id_col: str, num_hashes: int, bands: int, portable_hash: bool
+) -> DataFrame:
+    """(id, band, band-hash) — k-permutation signatures folded into
+    per-band keys and stacked one row per band."""
+    rows_per_band = num_hashes // bands
+    sigs = _minhash_sigs(hashed, id_col, num_hashes)
     if portable_hash:
         band_cols = [
             F.md5(

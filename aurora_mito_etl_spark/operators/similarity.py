@@ -1027,6 +1027,111 @@ def semantic_dedup(
     )
 
 
+def label_centroid_cosines(
+    df: DataFrame, vec_col: str, label_col: str, id_out: str = "label", dim: int = 64
+) -> DataFrame:
+    """Per-label centroid geometry: mean vector per label, then the
+    cosine between every label pair — the class-separability
+    datasheet row (near-identical centroids = the labels are not
+    semantically distinct; a training-data label-noise signal), the
+    embedding-space sibling of `textstats.source_ngram_overlap`.
+
+    Output (label_a, label_b, n_a, n_b, cos_centroid) for every
+    label_a < label_b; cos_centroid is NULL when either centroid is
+    exactly the zero vector.
+
+    Numeric contract: per-dimension sums are exact 1e-6-grid BIGINT
+    micros (order-free, overflow-guarded — `micros_sum`), so the
+    centroid is ONE deterministic IEEE divide per dimension; dot and
+    norms are explicit LEFT-TO-RIGHT double chains over the FIXED
+    `dim` terms (the pca.py exception pattern — a Σq² int fold would
+    overflow int64 at magnitudes the linear sums handle), written
+    identically in the SQL twin; one divide, fixed6 output.
+
+    Plan shape: rows with a NULL label, NULL/short vector or NULL
+    element are excluded (contract mirrored by the oracle); ONE
+    map-side-combinable aggregate per label (dim+1 columns), then a
+    self-join of the n_labels-row centroid table — fixed cost at any
+    corpus scale; the corpus is read exactly once."""
+    from aurora_mito_etl_spark.functions.numeric import micros6, micros_sum
+
+    emb = F.col(vec_col)
+    valid = df.filter(
+        F.col(label_col).isNotNull()
+        & emb.isNotNull()
+        & (F.size(emb) == dim)
+        & ~F.exists(emb, lambda x: x.isNull())
+    )
+    cents = valid.groupBy(F.col(label_col).alias(id_out)).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            micros_sum(micros6(F.get(emb, d).cast("double")), f"s{d}")
+            for d in range(dim)
+        ],
+    )
+    cvals = cents.select(
+        id_out,
+        "n",
+        *[
+            (
+                (F.col(f"s{d}").cast("double") / F.lit(1_000_000.0))
+                / F.col("n").cast("double")
+            ).alias(f"c{d}")
+            for d in range(dim)
+        ],
+    )
+    # n_labels-row frame: cut lineage BEFORE the fold + self-join
+    # (same lineage-cut rule as the iterative loops, applied to a
+    # bounded label-domain-sized frame — the eager job costs one pass
+    # over the already-aggregated centroid rows), then fold dot/norm
+    # as HOF aggregates over ONE array column. An explicit 64-term
+    # `+`-chain here drove Catalyst's commutative-Add canonicalization
+    # inside join constraint propagation into a driver OOM at dim=64;
+    # the zip_with/aggregate fold is a single expression node with the
+    # SAME left-to-right IEEE order the SQL twin's chain writes out
+    # ((0.0 + t0) + t1 ... == (t0 + t1) + ... bit-for-bit; the -0.0
+    # seam only flips a sign fixed6 and the ==0 guard both erase).
+    cvals = cvals.localCheckpoint(eager=True)
+    cvals = cvals.select(
+        id_out,
+        "n",
+        F.array(*[F.col(f"c{d}") for d in range(dim)]).alias("vec"),
+    ).withColumn("norm2", dot(F.col("vec"), F.col("vec")))
+    a = cvals.select(
+        F.col(id_out).alias("label_a"),
+        F.col("n").alias("n_a"),
+        F.col("norm2").alias("norm2_a"),
+        F.col("vec").alias("vec_a"),
+    )
+    b = cvals.select(
+        F.col(id_out).alias("label_b"),
+        F.col("n").alias("n_b"),
+        F.col("norm2").alias("norm2_b"),
+        F.col("vec").alias("vec_b"),
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.when(
+                (F.col("norm2_a") == F.lit(0.0)) | (F.col("norm2_b") == F.lit(0.0)),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                _fixed6(
+                    dot(F.col("vec_a"), F.col("vec_b"))
+                    / (F.sqrt(F.col("norm2_a")) * F.sqrt(F.col("norm2_b")))
+                )
+            )
+            .alias("cos_centroid"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
 def hard_negative_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -1997,6 +1997,100 @@ def docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_audit_oracle(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.3
+) -> str:
+    """SQL twin of :func:`dedup.minhash_est_audit` — the same portable
+    MinHash chain as :func:`_minhash_oracle`, but keeping EVERY banded
+    candidate (false positives included, LEFT JOIN so zero-overlap
+    band-hash collisions still score jaccard 0) and aggregating the
+    signature-estimate accuracy per match count."""
+    from aurora_mito_etl_spark.operators.dedup import _MERSENNE_P, _perm_params
+    from aurora_mito_etl_spark.functions.numeric import (
+        fixed6_sql,
+        micros_sum_sql,
+    )
+
+    rows_per_band = num_hashes // bands
+    mins = ",\n         ".join(
+        f"MIN(({a} * hm + {b}) % {_MERSENNE_P}) AS m{i}"
+        for i, (a, b) in enumerate(_perm_params(num_hashes))
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {i} AS band, md5(concat_ws(',', '{i}', {cols})) AS bh FROM sigs".format(
+            i=i,
+            cols=", ".join(f"m{i * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for i in range(bands)
+    )
+    match_terms = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    jac = (
+        "CAST(COALESCE(i.i, 0) AS DOUBLE)"
+        " / CAST(sza.sz + szb.sz - COALESCE(i.i, 0) AS DOUBLE)"
+    )
+    return f"""
+    WITH sh AS (SELECT DISTINCT * FROM ({_SHINGLE_SQL})),
+    h AS (SELECT doc_id, CAST(('0x' || substring(md5(sh),1,15)) AS BIGINT) AS h FROM sh),
+    hm AS (SELECT doc_id, h, h % {_MERSENNE_P} AS hm FROM h),
+    sigs AS (SELECT doc_id, {mins} FROM hm GROUP BY doc_id),
+    bands AS (
+{band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hm GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM hm a JOIN hm b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT ({match_terms}) AS matches,
+             {fixed6_sql(jac)} AS jaccard
+      FROM cand c
+      LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+      JOIN sizes sza ON c.id_a = sza.doc_id
+      JOIN sizes szb ON c.id_b = szb.doc_id
+      JOIN sigs sa ON c.id_a = sa.doc_id
+      JOIN sigs sb ON c.id_b = sb.doc_id
+    ),
+    agg AS (
+      SELECT matches,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN jaccard >= {threshold} THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+             {micros_sum_sql("jaccard", "sum_micros")}
+      FROM pairs GROUP BY matches
+    )
+    SELECT matches,
+           {fixed6_sql(f"CAST(matches AS DOUBLE) / {float(num_hashes)}")} AS est_jaccard,
+           n_pairs,
+           n_true,
+           {fixed6_sql("CAST(n_true AS DOUBLE) / CAST(n_pairs AS DOUBLE)")} AS "precision",
+           {fixed6_sql("CAST(sum_micros AS DOUBLE) / (CAST(n_pairs AS DOUBLE) * 1000000.0)")} AS mean_exact
+    FROM agg
+    ORDER BY matches
+    """
+
+
+@_register("docs_minhash_est_audit", _minhash_audit_oracle())
+def docs_minhash_est_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature-accuracy audit — the text-index twin of
+    `emb_ivfpq_recall`: per signature-match count over the banded
+    CANDIDATE pairs (false positives included), how the k-slot
+    estimate tracks exact Jaccard and what precision each level buys
+    against the verify bar. The measured S-curve the (num_hashes,
+    bands) tuning decision needs; same O(n·bands) chain as the pairs
+    query, two keyed sig joins, ≤ 17-row map-side aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.minhash_est_audit(
+        d, "text", "doc_id", k_shingle=3, num_hashes=16, bands=4, threshold=0.3
+    )
+
+
 @_register("docs_minhash_lsh_pairs", _minhash_oracle())
 def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, Jaccard-verified — the 100 TB dedup
@@ -8709,6 +8803,65 @@ def emb_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _label_centroid_oracle(dim: int = 64) -> str:
+    """SQL twin of :func:`similarity.label_centroid_cosines`: exact
+    1e-6-grid BIGINT per-dimension sums (micros_sum twins), one IEEE
+    divide per centroid coordinate, then LEFT-TO-RIGHT fixed-length
+    double chains for dot and norms — the pca.py bounded-length
+    exception pattern, written term-for-term like the Spark side."""
+    from aurora_mito_etl_spark.functions.numeric import fixed6_sql, micros_sum_sql
+
+    sums = ",\n             ".join(
+        micros_sum_sql(f"embedding[{d + 1}]::DOUBLE", f"s{d}") for d in range(dim)
+    )
+    cs = ",\n             ".join(
+        f"(CAST(s{d} AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE) AS c{d}"
+        for d in range(dim)
+    )
+    norm_chain = " + ".join(f"c{d} * c{d}" for d in range(dim))
+    dot_chain = " + ".join(f"a.c{d} * b.c{d}" for d in range(dim))
+    return f"""
+    WITH valid AS (
+      SELECT label, embedding FROM embeddings
+      WHERE label IS NOT NULL AND embedding IS NOT NULL
+        AND len(embedding) = {dim}
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    ),
+    cents AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+             {sums}
+      FROM valid GROUP BY label
+    ),
+    cvals AS (
+      SELECT label, n,
+             {cs}
+      FROM cents
+    ),
+    cn AS (
+      SELECT *, {norm_chain} AS norm2 FROM cvals
+    )
+    SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a, b.n AS n_b,
+           CASE WHEN a.norm2 = 0 OR b.norm2 = 0 THEN NULL
+                ELSE {fixed6_sql(f"({dot_chain}) / (sqrt(a.norm2) * sqrt(b.norm2))")}
+           END AS cos_centroid
+    FROM cn a JOIN cn b ON a.label < b.label
+    ORDER BY label_a, label_b
+    """
+
+
+@_register("emb_label_centroid_cosine", _label_centroid_oracle())
+def emb_label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid geometry: the cosine between every pair of
+    label mean-vectors — the class-separability datasheet row
+    (near-identical centroids = label noise), the embedding-space
+    sibling of the lexical `docs_source_overlap` matrix. ONE
+    map-side-combinable aggregate over the corpus (65 columns), then
+    a broadcast self-join of the n_labels-row centroid table — fixed
+    cost at any corpus scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.label_centroid_cosines(e, "embedding", "label", dim=64)
+
+
 _LM_SCORE_XTRAIN_ORACLE = r"""
     WITH train_base AS (
       SELECT string_split(lower(trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')), ' ') AS t
@@ -9251,7 +9404,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "docs_exact_dedup",
     "docs_hash_sample",
     "docs_lm_score",
-    "docs_minhash_lsh_pairs",
     "docs_mixture_sample",
     "docs_near_dedup_survivors",
     "docs_pack_sequences",
@@ -9263,7 +9415,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "docs_tfidf_topk",
     "emb_ivf_topk",
     "emb_kmeans_assign",
-    "emb_lsh_recall",
     "events_asof_join",
     "events_cube",
     "events_hourly_gap_filled",
@@ -9289,6 +9440,16 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "lineitem_price_quantiles_grouped_dist",
     "lineitem_price_quantiles_sketch",
     "docs_length_quantiles_sketch",
+    # NEW in r12 session 2 (new queries always enter): the LSH
+    # signature-accuracy audit and the label-centroid geometry query.
+    # Their slots come from docs_minhash_lsh_pairs (r7 -> backlog; the
+    # audit's oracle replays the ENTIRE pairs chain — candidates,
+    # signatures, verification — plus the per-slot estimate, so the
+    # LSH family's driver coverage strictly grows) and emb_lsh_recall
+    # (r7 -> backlog; the embedding family keeps emb_lsh_near_dup,
+    # emb_pq_encode, emb_ivf_topk and emb_kmeans_assign in-window).
+    "docs_minhash_est_audit",
+    "emb_label_centroid_cosine",
 )
 
 # The round this window was built for (bumped at each rebuild; the
@@ -9306,6 +9467,8 @@ DRIVER_WINDOW_DEFERRED: tuple[str, ...] = (
     "docs_lm_score_external",
     "lineitem_price_percentiles_approx",
     "docs_bpe_pair_counts",
+    "docs_minhash_lsh_pairs",
+    "emb_lsh_recall",
     "docs_dedup_lines",
     "docs_gopher_quality",
     "docs_incremental_near_dup",

@@ -1008,3 +1008,66 @@ def test_label_spread_majority_ties_and_orphans(spark):
     assert out[5] == out[6] == "de"          # tie 1-1 -> min label
     assert out[7] is None and out[8] is None  # all-unlabeled component
     assert out[9] == "it" and out[10] is None
+
+
+def test_minhash_est_audit_consistency(spark):
+    """The audit's per-match-count rows must reconcile EXACTLY with
+    the registered pairs query: Σ n_true == pairs above the verify
+    bar, identical docs land in the full-match row, and every
+    estimate/precision/mean sits on its defined grid."""
+    d = _docs(spark)
+    audit = dd.minhash_est_audit(
+        d, "text", "doc_id", k_shingle=3, num_hashes=16, bands=4, threshold=0.3
+    ).collect()
+    assert audit, "banded candidates expected on the dup-heavy corpus"
+    for r in audit:
+        assert 0 <= r["matches"] <= 16
+        # every k/16 terminates within 4 decimals — fixed6-exact
+        assert r["est_jaccard"] == r["matches"] / 16
+        assert 0 <= r["n_true"] <= r["n_pairs"]
+        assert 0.0 <= r["precision"] <= 1.0
+        assert 0.0 <= r["mean_exact"] <= 1.0
+    # docs 0/1 are byte-identical -> all 16 slots equal, exact J=1
+    full = [r for r in audit if r["matches"] == 16]
+    assert full and full[0]["n_pairs"] >= 1
+    assert full[0]["mean_exact"] > 0.5
+    pairs = dd.minhash_lsh_pairs(
+        d, "text", "doc_id", k_shingle=3, num_hashes=16, bands=4,
+        threshold=0.3, portable_hash=True,
+    ).collect()
+    assert sum(r["n_true"] for r in audit) == len(pairs)
+
+
+def test_label_centroid_cosines(spark):
+    """Hand-checkable centroid geometry: orthogonal / parallel /
+    diagonal labels, the zero-centroid NULL guard, and the exclusion
+    contract (NULL label, NULL vector, short vector, NULL element)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.0, 0.0, 0.0], 0),       # label 0 centroid (1,0,0,0)
+        (2, [0.0, 2.0, 0.0, 0.0], 1),       # label 1 centroid (0,2,0,0)
+        (3, [1.0, 1.0, 0.0, 0.0], 2),       # label 2 centroid (1,1,0,0)
+        (4, [0.0, 0.0, 0.0, 0.0], 3),       # label 3 zero centroid
+        (5, [9.0, 9.0, 9.0, 9.0], None),    # NULL label: excluded
+        (6, None, 0),                        # NULL vector: excluded
+        (7, [1.0, 2.0], 0),                  # short vector: excluded
+        (8, [1.0, None, 0.0, 0.0], 1),       # NULL element: excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {
+        (r["label_a"], r["label_b"]): r
+        for r in sim.label_centroid_cosines(df, "embedding", "label", dim=4).collect()
+    }
+    assert len(out) == 6  # labels {0,1,2,3} -> 4C2 pairs
+    assert out[(0, 1)]["n_a"] == 2 and out[(0, 1)]["n_b"] == 1
+    assert out[(0, 1)]["cos_centroid"] == 0.0                      # orthogonal
+    assert out[(0, 2)]["cos_centroid"] == pytest.approx(
+        1 / math.sqrt(2), abs=1e-6
+    )
+    assert out[(1, 2)]["cos_centroid"] == pytest.approx(
+        1 / math.sqrt(2), abs=1e-6
+    )
+    for other in (0, 1, 2):
+        assert out[(other, 3)]["cos_centroid"] is None             # zero norm

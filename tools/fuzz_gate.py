@@ -114,6 +114,10 @@ DOCS_QUERIES = {
     # survive the peel, tendrils exercise the shrink/converged arms
     "docs_dup_kcore",
     "docs_minhash_lsh_pairs",
+    # r12: LSH signature-accuracy audit — fuzz dup clusters populate
+    # the full-match row, shared-boilerplate docs the partial-match
+    # rows; tiny-n corpora exercise the empty-candidate-set arm
+    "docs_minhash_est_audit",
     "docs_simhash_pairs",
     "docs_near_dedup_survivors",
     "docs_duplicate_spans",
@@ -337,6 +341,10 @@ EMB_QUERIES = {
     # the zero vector, and the magnitude-300 row)
     "emb_whitened_norm",
     "emb_pca_project2",
+    # r12: per-label centroid geometry — NULL labels / NULL elements /
+    # zero vector exercise the exclusion contract and the zero-norm
+    # NULL guard; duplicate clusters give exactly-parallel centroids
+    "emb_label_centroid_cosine",
 }
 
 EVENTS_QUERIES = {
