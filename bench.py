@@ -107,6 +107,7 @@ HEADLINE = [
     "docs_dup_kcore",
     "docs_containment_pairs",
     "docs_minhash_lsh_pairs",
+    "docs_minhash_est_audit",
     "docs_simhash_pairs",
     "docs_near_dedup_survivors",
     "docs_label_spread",
@@ -130,6 +131,7 @@ HEADLINE = [
     "emb_lsh_near_dup",
     "emb_semantic_dedup",
     "emb_hard_negatives",
+    "emb_label_centroid_cosine",
     # joins / function surface
     "events_asof_join",
     "supplier_fuzzy_pairs",

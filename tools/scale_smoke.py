@@ -126,6 +126,42 @@ def main() -> int:
         _megagroup_tier(lib, mx, factors)
         spark.stop()
         return 0
+    if os.environ.get("SCALE_SMOKE_ONLY") == "r12b":
+        # Just the r12 session-2 newcomers (the full tiers already
+        # have committed curves this round): LSH signature audit on
+        # the docs tier, label-centroid geometry on the emb tier.
+        from aurora_mito_etl_spark.operators import similarity as sim
+
+        dbase = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+            "doc_id", "text"
+        )
+        ebase = load_table(spark, "/root/testdata/sf0.1", "embeddings").select(
+            "vec_id", "embedding"
+        )
+        for f in factors:
+            df = replicate(dbase, f).repartition(32).cache()
+            n = df.count()
+            t0 = time.perf_counter()
+            dd.minhash_est_audit(
+                df, "text", "doc_id", num_hashes=16, bands=4, threshold=0.3
+            ).write.format("noop").mode("overwrite").save()
+            audit = round(time.perf_counter() - t0, 2)
+            df.unpersist()
+            emb = replicate_embeddings(ebase, f).repartition(32).cache()
+            vn = emb.count()
+            t0 = time.perf_counter()
+            sim.label_centroid_cosines(
+                emb.withColumn("label", (F.col("vec_id") % 5).cast("int")),
+                "embedding", "label", dim=64,
+            ).write.format("noop").mode("overwrite").save()
+            cen = round(time.perf_counter() - t0, 2)
+            emb.unpersist()
+            print(json.dumps({
+                "factor": f, "rows": n, "minhash_audit": audit,
+                "vec_rows": vn, "label_centroids": cen,
+            }))
+        spark.stop()
+        return 0
     base = load_table(spark, "/root/testdata/sf0.1", "documents").select(
         "doc_id", "text"
     )
@@ -144,6 +180,15 @@ def main() -> int:
             df, "text", "doc_id", num_hashes=16, bands=4, threshold=0.3
         ).write.format("noop").mode("overwrite").save()
         t["minhash_lsh"] = round(time.perf_counter() - t0, 2)
+        # r12 session-2 tier: signature-accuracy audit — same banded
+        # chain as the pairs query plus two keyed sig joins and a
+        # 17-row aggregate; the curve must track minhash_lsh's shape
+        # (the audit adds no new asymptote).
+        t0 = time.perf_counter()
+        dd.minhash_est_audit(
+            df, "text", "doc_id", num_hashes=16, bands=4, threshold=0.3
+        ).write.format("noop").mode("overwrite").save()
+        t["minhash_audit"] = round(time.perf_counter() - t0, 2)
         t0 = time.perf_counter()
         dd.simhash_pairs(df, "text", "doc_id", max_hamming=8).write.format(
             "noop"
@@ -239,11 +284,23 @@ def main() -> int:
             "noop"
         ).mode("overwrite").save()
         km = round(time.perf_counter() - t0, 2)
+        # r12 session-2 tier: label-centroid geometry — one map-side
+        # 65-column aggregate over the corpus then a fixed-size
+        # self-join; the curve must be ~linear in corpus rows with a
+        # constant pairwise tail. Replicated vec_ids keep their label
+        # via vec_id % 5 (synthetic labels: the sf0.1 table's label
+        # column is not replicated by replicate_embeddings).
+        t0 = time.perf_counter()
+        sim.label_centroid_cosines(
+            emb.withColumn("label", (F.col("vec_id") % 5).cast("int")),
+            "embedding", "label", dim=64,
+        ).write.format("noop").mode("overwrite").save()
+        cen = round(time.perf_counter() - t0, 2)
         emb.unpersist()
         print(
             json.dumps(
                 {"emb_factor": f, "vec_rows": n, "pq_adc_topk": adc,
-                 "kmeans_fit_assign": km}
+                 "kmeans_fit_assign": km, "label_centroids": cen}
             )
         )
 
