@@ -1027,6 +1027,67 @@ def semantic_dedup(
     )
 
 
+def _label_valid(df: DataFrame, vec_col: str, label_col: str, dim: int) -> DataFrame:
+    """Shared exclusion contract of the label-centroid family: NULL
+    label, NULL/short vector or NULL element rows never participate
+    (mirrored verbatim by the oracle CTE)."""
+    emb = F.col(vec_col)
+    return df.filter(
+        F.col(label_col).isNotNull()
+        & emb.isNotNull()
+        & (F.size(emb) == dim)
+        & ~F.exists(emb, lambda x: x.isNull())
+    )
+
+
+def _label_centroids(
+    df: DataFrame, vec_col: str, label_col: str, id_out: str, dim: int
+) -> DataFrame:
+    """(label, n, vec: array<double>[dim], norm2) — per-label mean
+    vector with exact 1e-6-grid BIGINT per-dimension sums (order-free,
+    overflow-guarded), ONE map-side-combinable aggregate.
+
+    The n_labels-row result is localCheckpoint'ed: lineage is cut
+    BEFORE the dot/norm folds + any self-join (same lineage-cut rule
+    as the iterative loops, applied to a bounded label-domain-sized
+    frame — the eager job costs one pass over the already-aggregated
+    centroid rows). An explicit 64-term `+`-chain here drove
+    Catalyst's commutative-Add canonicalization inside join constraint
+    propagation into a driver OOM at dim=64; the zip_with/aggregate
+    fold downstream is a single expression node with the SAME
+    left-to-right IEEE order the SQL twin's chain writes out
+    ((0.0 + t0) + t1 ... == (t0 + t1) + ... bit-for-bit; the -0.0 seam
+    only flips a sign fixed6 and the ==0 guard both erase)."""
+    from aurora_mito_etl_spark.functions.numeric import micros6, micros_sum
+
+    emb = F.col(vec_col)
+    valid = _label_valid(df, vec_col, label_col, dim)
+    cents = valid.groupBy(F.col(label_col).alias(id_out)).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            micros_sum(micros6(F.get(emb, d).cast("double")), f"s{d}")
+            for d in range(dim)
+        ],
+    )
+    cvals = cents.select(
+        id_out,
+        "n",
+        *[
+            (
+                (F.col(f"s{d}").cast("double") / F.lit(1_000_000.0))
+                / F.col("n").cast("double")
+            ).alias(f"c{d}")
+            for d in range(dim)
+        ],
+    )
+    cvals = cvals.localCheckpoint(eager=True)
+    return cvals.select(
+        id_out,
+        "n",
+        F.array(*[F.col(f"c{d}") for d in range(dim)]).alias("vec"),
+    ).withColumn("norm2", dot(F.col("vec"), F.col("vec")))
+
+
 def label_centroid_cosines(
     df: DataFrame, vec_col: str, label_col: str, id_out: str = "label", dim: int = 64
 ) -> DataFrame:
@@ -1053,50 +1114,7 @@ def label_centroid_cosines(
     map-side-combinable aggregate per label (dim+1 columns), then a
     self-join of the n_labels-row centroid table — fixed cost at any
     corpus scale; the corpus is read exactly once."""
-    from aurora_mito_etl_spark.functions.numeric import micros6, micros_sum
-
-    emb = F.col(vec_col)
-    valid = df.filter(
-        F.col(label_col).isNotNull()
-        & emb.isNotNull()
-        & (F.size(emb) == dim)
-        & ~F.exists(emb, lambda x: x.isNull())
-    )
-    cents = valid.groupBy(F.col(label_col).alias(id_out)).agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            micros_sum(micros6(F.get(emb, d).cast("double")), f"s{d}")
-            for d in range(dim)
-        ],
-    )
-    cvals = cents.select(
-        id_out,
-        "n",
-        *[
-            (
-                (F.col(f"s{d}").cast("double") / F.lit(1_000_000.0))
-                / F.col("n").cast("double")
-            ).alias(f"c{d}")
-            for d in range(dim)
-        ],
-    )
-    # n_labels-row frame: cut lineage BEFORE the fold + self-join
-    # (same lineage-cut rule as the iterative loops, applied to a
-    # bounded label-domain-sized frame — the eager job costs one pass
-    # over the already-aggregated centroid rows), then fold dot/norm
-    # as HOF aggregates over ONE array column. An explicit 64-term
-    # `+`-chain here drove Catalyst's commutative-Add canonicalization
-    # inside join constraint propagation into a driver OOM at dim=64;
-    # the zip_with/aggregate fold is a single expression node with the
-    # SAME left-to-right IEEE order the SQL twin's chain writes out
-    # ((0.0 + t0) + t1 ... == (t0 + t1) + ... bit-for-bit; the -0.0
-    # seam only flips a sign fixed6 and the ==0 guard both erase).
-    cvals = cvals.localCheckpoint(eager=True)
-    cvals = cvals.select(
-        id_out,
-        "n",
-        F.array(*[F.col(f"c{d}") for d in range(dim)]).alias("vec"),
-    ).withColumn("norm2", dot(F.col("vec"), F.col("vec")))
+    cvals = _label_centroids(df, vec_col, label_col, id_out, dim)
     a = cvals.select(
         F.col(id_out).alias("label_a"),
         F.col("n").alias("n_a"),
@@ -1129,6 +1147,71 @@ def label_centroid_cosines(
             .alias("cos_centroid"),
         )
         .orderBy("label_a", "label_b")
+    )
+
+
+def label_outlier_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    k: int = 5,
+    dim: int = 64,
+) -> DataFrame:
+    """Per-label centroid-distance outliers: the k rows of each label
+    LEAST cosine-similar to their own label's mean vector — the
+    mislabeled-example miner (confident-learning family): a row far
+    from its class centroid is the first candidate for label noise or
+    an out-of-distribution member.
+
+    Output (label, vec_id, cos_centroid, rank) with rank 1 = farthest.
+    Zero-norm rows or a zero-norm centroid score NULL and never
+    outrank a defined score (NULLS LAST both engines); exclusion
+    contract shared with :func:`label_centroid_cosines` via
+    :func:`_label_valid`.
+
+    Plan shape: centroids are ONE map-side aggregate (n_labels rows,
+    broadcast back), scoring is a single corpus pass with HOF folds
+    (left-to-right, SQL-chain order), and the ranking tail is the
+    mandatory two-phase shape — :func:`partial_topk` (ascending)
+    prunes to ≤ k·P survivors before the per-label rank window, so no
+    label concentrates the corpus into one task."""
+    cents = _label_centroids(df, vec_col, label_col, "label", dim)
+    valid = _label_valid(df, vec_col, label_col, dim).select(
+        F.col(label_col).alias("label"),
+        F.col(id_col),
+        _to_double(F.col(vec_col)).alias("vd"),
+    )
+    scored = (
+        valid.join(F.broadcast(cents), "label")
+        .withColumn("rn2", dot(F.col("vd"), F.col("vd")))
+        .select(
+            "label",
+            id_col,
+            F.when(
+                (F.col("norm2") == F.lit(0.0)) | (F.col("rn2") == F.lit(0.0)),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                _fixed6(
+                    dot(F.col("vd"), F.col("vec"))
+                    / (F.sqrt(F.col("rn2")) * F.sqrt(F.col("norm2")))
+                )
+            )
+            .alias("score"),
+        )
+    )
+    pruned = partial_topk(scored, "label", id_col, k, "score", ascending=True)
+    w = Window.partitionBy("label").orderBy(
+        F.asc_nulls_last("score"), F.asc(id_col)
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "label", id_col, F.col("score").alias("cos_centroid"), "rank"
+        )
+        .orderBy("label", "rank")
     )
 
 

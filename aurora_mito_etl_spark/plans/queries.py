@@ -8803,13 +8803,14 @@ def emb_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _label_centroid_oracle(dim: int = 64) -> str:
-    """SQL twin of :func:`similarity.label_centroid_cosines`: exact
-    1e-6-grid BIGINT per-dimension sums (micros_sum twins), one IEEE
-    divide per centroid coordinate, then LEFT-TO-RIGHT fixed-length
-    double chains for dot and norms — the pca.py bounded-length
-    exception pattern, written term-for-term like the Spark side."""
-    from aurora_mito_etl_spark.functions.numeric import fixed6_sql, micros_sum_sql
+def _label_centroid_ctes(dim: int = 64) -> str:
+    """Shared WITH-body of the label-centroid family's SQL twins:
+    exclusion contract (valid), exact 1e-6-grid BIGINT per-dimension
+    sums (micros_sum twins, cents), one IEEE divide per centroid
+    coordinate (cvals), and the LEFT-TO-RIGHT fixed-length double
+    norm chain (cn) — the pca.py bounded-length exception pattern,
+    written term-for-term like the Spark side's HOF folds."""
+    from aurora_mito_etl_spark.functions.numeric import micros_sum_sql
 
     sums = ",\n             ".join(
         micros_sum_sql(f"embedding[{d + 1}]::DOUBLE", f"s{d}") for d in range(dim)
@@ -8819,10 +8820,9 @@ def _label_centroid_oracle(dim: int = 64) -> str:
         for d in range(dim)
     )
     norm_chain = " + ".join(f"c{d} * c{d}" for d in range(dim))
-    dot_chain = " + ".join(f"a.c{d} * b.c{d}" for d in range(dim))
     return f"""
     WITH valid AS (
-      SELECT label, embedding FROM embeddings
+      SELECT vec_id, label, embedding FROM embeddings
       WHERE label IS NOT NULL AND embedding IS NOT NULL
         AND len(embedding) = {dim}
         AND len(list_filter(embedding, x -> x IS NULL)) = 0
@@ -8839,13 +8839,62 @@ def _label_centroid_oracle(dim: int = 64) -> str:
     ),
     cn AS (
       SELECT *, {norm_chain} AS norm2 FROM cvals
-    )
+    )"""
+
+
+def _label_centroid_oracle(dim: int = 64) -> str:
+    """SQL twin of :func:`similarity.label_centroid_cosines` — the
+    shared centroid CTEs plus the pairwise dot chain."""
+    from aurora_mito_etl_spark.functions.numeric import fixed6_sql
+
+    dot_chain = " + ".join(f"a.c{d} * b.c{d}" for d in range(dim))
+    return f"""{_label_centroid_ctes(dim)}
     SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a, b.n AS n_b,
            CASE WHEN a.norm2 = 0 OR b.norm2 = 0 THEN NULL
                 ELSE {fixed6_sql(f"({dot_chain}) / (sqrt(a.norm2) * sqrt(b.norm2))")}
            END AS cos_centroid
     FROM cn a JOIN cn b ON a.label < b.label
     ORDER BY label_a, label_b
+    """
+
+
+def _label_outlier_oracle(dim: int = 64, k: int = 5) -> str:
+    """SQL twin of :func:`similarity.label_outlier_topk` — the shared
+    centroid CTEs, a per-row cosine-to-own-centroid (row norm and dot
+    as LEFT-TO-RIGHT chains over the row elements, matching the HOF
+    fold), then the ascending NULLS LAST rank with the id tie-break."""
+    from aurora_mito_etl_spark.functions.numeric import fixed6_sql
+
+    rn_chain = " + ".join(
+        f"v.embedding[{d + 1}]::DOUBLE * v.embedding[{d + 1}]::DOUBLE"
+        for d in range(dim)
+    )
+    dot_chain = " + ".join(
+        f"v.embedding[{d + 1}]::DOUBLE * c.c{d}" for d in range(dim)
+    )
+    return f"""{_label_centroid_ctes(dim)},
+    rowsco AS (
+      SELECT v.label, v.vec_id,
+             ({rn_chain}) AS rn2,
+             ({dot_chain}) AS dt,
+             c.norm2 AS cnorm2
+      FROM valid v JOIN cn c USING (label)
+    ),
+    scored AS (
+      SELECT label, vec_id,
+             CASE WHEN cnorm2 = 0 OR rn2 = 0 THEN NULL
+                  ELSE {fixed6_sql("dt / (sqrt(rn2) * sqrt(cnorm2))")}
+             END AS cos_centroid
+      FROM rowsco
+    )
+    SELECT label, vec_id, cos_centroid, rank FROM (
+      SELECT label, vec_id, cos_centroid,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY cos_centroid ASC NULLS LAST,
+                                         vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    ORDER BY label, rank
     """
 
 
@@ -8860,6 +8909,19 @@ def emb_label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost at any corpus scale."""
     e = load_table(spark, sf_dir, "embeddings")
     return sim.label_centroid_cosines(e, "embedding", "label", dim=64)
+
+
+@_register("emb_label_outliers", _label_outlier_oracle())
+def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid-distance outliers (k=5): the rows of each
+    label least cosine-similar to their own label's mean vector — the
+    mislabeled-example miner (confident-learning family). Centroids
+    are one map-side aggregate broadcast back; scoring is a single
+    corpus pass with HOF folds; the ranking tail is the mandatory
+    two-phase partial_topk + per-label window (ascending, NULLS
+    LAST)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.label_outlier_topk(e, "embedding", "vec_id", "label", k=5, dim=64)
 
 
 _LM_SCORE_XTRAIN_ORACLE = r"""
@@ -9405,7 +9467,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "docs_hash_sample",
     "docs_lm_score",
     "docs_mixture_sample",
-    "docs_near_dedup_survivors",
     "docs_pack_sequences",
     "docs_pii_redact",
     "docs_quality_ensemble",
@@ -9450,6 +9511,11 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # emb_pq_encode, emb_ivf_topk and emb_kmeans_assign in-window).
     "docs_minhash_est_audit",
     "emb_label_centroid_cosine",
+    # NEW in r12 session 2 (same rule): per-label centroid-distance
+    # outlier mining. Its slot comes from docs_near_dedup_survivors
+    # (r7 -> backlog; the near-dup family keeps docs_exact_dedup,
+    # docs_minhash_est_audit and docs_incremental_near_dup in-window).
+    "emb_label_outliers",
 )
 
 # The round this window was built for (bumped at each rebuild; the
@@ -9469,6 +9535,7 @@ DRIVER_WINDOW_DEFERRED: tuple[str, ...] = (
     "docs_bpe_pair_counts",
     "docs_minhash_lsh_pairs",
     "emb_lsh_recall",
+    "docs_near_dedup_survivors",
     "docs_dedup_lines",
     "docs_gopher_quality",
     "docs_incremental_near_dup",

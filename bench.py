@@ -132,6 +132,7 @@ HEADLINE = [
     "emb_semantic_dedup",
     "emb_hard_negatives",
     "emb_label_centroid_cosine",
+    "emb_label_outliers",
     # joins / function surface
     "events_asof_join",
     "supplier_fuzzy_pairs",

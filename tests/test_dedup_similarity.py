@@ -1071,3 +1071,33 @@ def test_label_centroid_cosines(spark):
     )
     for other in (0, 1, 2):
         assert out[(other, 3)]["cos_centroid"] is None             # zero norm
+
+
+def test_label_outlier_topk(spark):
+    """Hand-checkable outlier mining: the vector opposite its label
+    centroid ranks first (ascending cosine), near-centroid members
+    rank by (score, id), zero-norm rows score NULL and never outrank
+    a defined score (NULLS LAST)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.1, 0.0, 0.0], 0),
+        (2, [1.0, -0.1, 0.0, 0.0], 0),
+        (3, [-1.0, 0.0, 0.0, 0.0], 0),   # opposite of the (0.5,0,0,0) centroid
+        (4, [0.0, 0.0, 0.0, 0.0], 1),    # zero vector: NULL score
+        (5, [0.0, 1.0, 0.0, 0.0], 1),
+        (6, None, 0),                     # excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = sim.label_outlier_topk(
+        df, "embedding", "vec_id", "label", k=2, dim=4
+    ).collect()
+    got = {(r["label"], r["rank"]): r for r in out}
+    assert len(out) == 4
+    assert got[(0, 1)]["vec_id"] == 3
+    assert got[(0, 1)]["cos_centroid"] == -1.0
+    # v1 and v2 tie on cosine (symmetric about the centroid) -> id
+    assert got[(0, 2)]["vec_id"] == 1
+    assert got[(1, 1)]["vec_id"] == 5 and got[(1, 1)]["cos_centroid"] == 1.0
+    assert got[(1, 2)]["vec_id"] == 4 and got[(1, 2)]["cos_centroid"] is None

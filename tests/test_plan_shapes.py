@@ -206,6 +206,8 @@ def test_topk_tails_are_two_phase(spark):
         "emb_ivfpq_topk",
         # per-source vocabulary rank tail (CLAUDE.md top-k rule)
         "docs_zipf_slope",
+        # r12: per-label centroid-distance outlier tail (ascending)
+        "emb_label_outliers",
     ):
         plan = plan_of(QUERIES[qname](spark, SF))
         assert "MapInPandas" in plan, qname

@@ -345,6 +345,10 @@ EMB_QUERIES = {
     # zero vector exercise the exclusion contract and the zero-norm
     # NULL guard; duplicate clusters give exactly-parallel centroids
     "emb_label_centroid_cosine",
+    # r12: centroid-distance outliers — negated/duplicate clusters
+    # give exact -1/+1 scores (id tie-breaks), the zero vector the
+    # NULL-score NULLS LAST tail, NULL labels/elements the exclusions
+    "emb_label_outliers",
 }
 
 EVENTS_QUERIES = {

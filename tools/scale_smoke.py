@@ -155,10 +155,17 @@ def main() -> int:
                 "embedding", "label", dim=64,
             ).write.format("noop").mode("overwrite").save()
             cen = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            sim.label_outlier_topk(
+                emb.withColumn("label", (F.col("vec_id") % 5).cast("int")),
+                "embedding", "vec_id", "label", k=5, dim=64,
+            ).write.format("noop").mode("overwrite").save()
+            outl = round(time.perf_counter() - t0, 2)
             emb.unpersist()
             print(json.dumps({
                 "factor": f, "rows": n, "minhash_audit": audit,
                 "vec_rows": vn, "label_centroids": cen,
+                "label_outliers": outl,
             }))
         spark.stop()
         return 0
