@@ -1215,6 +1215,66 @@ def label_outlier_topk(
     )
 
 
+def centroid_confusion(
+    df: DataFrame, vec_col: str, id_col: str, label_col: str, dim: int = 64
+) -> DataFrame:
+    """Nearest-centroid confusion matrix: classify every labeled row
+    by its most cosine-similar label centroid, then count
+    (label_true, label_pred) cells — the dataset-level label-quality
+    readout above :func:`label_outlier_topk`'s per-row miner (high
+    off-diagonal mass between two labels = the classes are not
+    separable in embedding space / systematic mislabeling).
+
+    Prediction = argmax centroid cosine, ties and ordering resolved by
+    (score desc NULLS LAST, centroid label asc). Rows with a zero-norm
+    vector have no direction and are excluded; zero-norm centroids
+    score NULL and can never win over a defined score; rows whose
+    every candidate score is NULL are excluded (matching the oracle).
+
+    Plan shape: centroids are one map-side aggregate broadcast back
+    (n_labels rows), scoring is a single corpus pass producing
+    n_labels candidates per row, the argmax window partitions by the
+    ROW (≤ n_labels candidates per partition — bounded, no mega-group,
+    the kmeans-assignment precedent), and the confusion cells are one
+    map-side-combinable count over ≤ n_labels² groups."""
+    cents = _label_centroids(df, vec_col, label_col, "label_pred", dim)
+    valid = (
+        _label_valid(df, vec_col, label_col, dim)
+        .select(
+            F.col(label_col).alias("label_true"),
+            _to_double(F.col(vec_col)).alias("vd"),
+            F.col(id_col).alias("__rid"),
+        )
+        .withColumn("rn2", dot(F.col("vd"), F.col("vd")))
+        .filter(F.col("rn2") != F.lit(0.0))
+    )
+    scored = valid.crossJoin(F.broadcast(cents)).select(
+        "__rid",
+        "label_true",
+        "label_pred",
+        F.when(F.col("norm2") == F.lit(0.0), F.lit(None).cast("double"))
+        .otherwise(
+            _fixed6(
+                dot(F.col("vd"), F.col("vec"))
+                / (F.sqrt(F.col("rn2")) * F.sqrt(F.col("norm2")))
+            )
+        )
+        .alias("score"),
+    )
+    w = Window.partitionBy("__rid").orderBy(
+        F.desc_nulls_last("score"), F.asc("label_pred")
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & F.col("score").isNotNull())
+    )
+    return (
+        best.groupBy("label_true", "label_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label_true", "label_pred")
+    )
+
+
 def hard_negative_topk(
     vectors: DataFrame,
     queries: DataFrame,

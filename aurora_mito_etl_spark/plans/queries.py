@@ -8911,6 +8911,61 @@ def emb_label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.label_centroid_cosines(e, "embedding", "label", dim=64)
 
 
+def _centroid_confusion_oracle(dim: int = 64) -> str:
+    """SQL twin of :func:`similarity.centroid_confusion` — the shared
+    centroid CTEs, per-row scores against EVERY centroid (row chains),
+    the (score DESC NULLS LAST, label_pred ASC) argmax per row, then
+    the confusion-cell counts."""
+    from aurora_mito_etl_spark.functions.numeric import fixed6_sql
+
+    rn_chain = " + ".join(
+        f"embedding[{d + 1}]::DOUBLE * embedding[{d + 1}]::DOUBLE"
+        for d in range(dim)
+    )
+    dot_chain = " + ".join(
+        f"v.embedding[{d + 1}]::DOUBLE * c.c{d}" for d in range(dim)
+    )
+    return f"""{_label_centroid_ctes(dim)},
+    rows2 AS (
+      SELECT vec_id, label, embedding, ({rn_chain}) AS rn2
+      FROM valid
+    ),
+    rowsco AS (
+      SELECT v.vec_id AS rid, v.label AS label_true, c.label AS label_pred,
+             CASE WHEN c.norm2 = 0 THEN NULL
+                  ELSE {fixed6_sql(f"({dot_chain}) / (sqrt(v.rn2) * sqrt(c.norm2))")}
+             END AS score
+      FROM rows2 v CROSS JOIN cn c
+      WHERE v.rn2 <> 0
+    ),
+    best AS (
+      SELECT label_true, label_pred FROM (
+        SELECT label_true, label_pred, score,
+               row_number() OVER (PARTITION BY rid
+                                  ORDER BY score DESC NULLS LAST,
+                                           label_pred ASC) AS rn
+        FROM rowsco
+      ) WHERE rn = 1 AND score IS NOT NULL
+    )
+    SELECT label_true, label_pred, CAST(COUNT(*) AS BIGINT) AS n
+    FROM best GROUP BY label_true, label_pred
+    ORDER BY label_true, label_pred
+    """
+
+
+@_register("emb_centroid_confusion", _centroid_confusion_oracle())
+def emb_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid confusion matrix: every labeled row classified
+    by its most cosine-similar label centroid, counted per
+    (label_true, label_pred) cell — the dataset-level label-quality
+    readout above the per-row outlier miner (off-diagonal mass =
+    inseparable or systematically mislabeled classes). Centroids
+    broadcast back, one scoring pass, per-ROW argmax window (≤
+    n_labels candidates per partition), ≤ n_labels² output cells."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.centroid_confusion(e, "embedding", "vec_id", "label", dim=64)
+
+
 @_register("emb_label_outliers", _label_outlier_oracle())
 def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid-distance outliers (k=5): the rows of each
@@ -9456,7 +9511,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "supplier_fuzzy_pairs",
     # last driver-green r7 (all 39)
     "customers_without_orders",
-    "docs_bigram_pmi",
     "docs_ccnet_buckets",
     "docs_chunk_windows",
     "docs_clean_text",
@@ -9516,6 +9570,10 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # (r7 -> backlog; the near-dup family keeps docs_exact_dedup,
     # docs_minhash_est_audit and docs_incremental_near_dup in-window).
     "emb_label_outliers",
+    # NEW in r12 session 2 (same rule): nearest-centroid confusion
+    # matrix. Its slot comes from docs_bigram_pmi (r7 -> backlog;
+    # the ngram-stats family keeps docs_source_entropy in-window).
+    "emb_centroid_confusion",
 )
 
 # The round this window was built for (bumped at each rebuild; the
@@ -9536,6 +9594,7 @@ DRIVER_WINDOW_DEFERRED: tuple[str, ...] = (
     "docs_minhash_lsh_pairs",
     "emb_lsh_recall",
     "docs_near_dedup_survivors",
+    "docs_bigram_pmi",
     "docs_dedup_lines",
     "docs_gopher_quality",
     "docs_incremental_near_dup",

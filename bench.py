@@ -133,6 +133,7 @@ HEADLINE = [
     "emb_hard_negatives",
     "emb_label_centroid_cosine",
     "emb_label_outliers",
+    "emb_centroid_confusion",
     # joins / function surface
     "events_asof_join",
     "supplier_fuzzy_pairs",

@@ -1101,3 +1101,29 @@ def test_label_outlier_topk(spark):
     assert got[(0, 2)]["vec_id"] == 1
     assert got[(1, 1)]["vec_id"] == 5 and got[(1, 1)]["cos_centroid"] == 1.0
     assert got[(1, 2)]["vec_id"] == 4 and got[(1, 2)]["cos_centroid"] is None
+
+
+def test_centroid_confusion(spark):
+    """Hand-checkable confusion cells: a label-0 row sitting on label
+    1's centroid lands in the (0, 1) off-diagonal cell; zero-norm rows
+    and NULL labels are excluded (the zero row still counts toward its
+    label's centroid)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.1, 0.0, 0.0], 0),
+        (2, [0.0, 1.0, 0.0, 0.0], 0),    # actually label-1-shaped
+        (3, [0.0, 1.0, 0.0, 0.0], 1),
+        (4, [0.1, 1.0, 0.0, 0.0], 1),
+        (5, [0.0, 0.0, 0.0, 0.0], 1),    # zero row: no direction
+        (6, [9.0, 9.0, 9.0, 9.0], None),  # NULL label: excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {
+        (r["label_true"], r["label_pred"]): r["n"]
+        for r in sim.centroid_confusion(
+            df, "embedding", "vec_id", "label", dim=4
+        ).collect()
+    }
+    assert out == {(0, 0): 2, (0, 1): 1, (1, 1): 2}

@@ -349,6 +349,10 @@ EMB_QUERIES = {
     # give exact -1/+1 scores (id tie-breaks), the zero vector the
     # NULL-score NULLS LAST tail, NULL labels/elements the exclusions
     "emb_label_outliers",
+    # r12: nearest-centroid confusion — duplicate clusters pin exact
+    # argmax ties (label asc), the zero vector the row exclusion,
+    # negated copies the off-diagonal cells
+    "emb_centroid_confusion",
 }
 
 EVENTS_QUERIES = {

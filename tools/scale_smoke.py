@@ -161,11 +161,17 @@ def main() -> int:
                 "embedding", "vec_id", "label", k=5, dim=64,
             ).write.format("noop").mode("overwrite").save()
             outl = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            sim.centroid_confusion(
+                emb.withColumn("label", (F.col("vec_id") % 5).cast("int")),
+                "embedding", "vec_id", "label", dim=64,
+            ).write.format("noop").mode("overwrite").save()
+            conf = round(time.perf_counter() - t0, 2)
             emb.unpersist()
             print(json.dumps({
                 "factor": f, "rows": n, "minhash_audit": audit,
                 "vec_rows": vn, "label_centroids": cen,
-                "label_outliers": outl,
+                "label_outliers": outl, "centroid_confusion": conf,
             }))
         spark.stop()
         return 0
