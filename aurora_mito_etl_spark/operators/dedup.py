@@ -385,8 +385,12 @@ def minhash_est_audit(
     from aurora_mito_etl_spark.functions.numeric import micros6, micros_sum
 
     hashed = _minhash_hashed(df, text_col, id_col, k_shingle, portable_hash=True)
+    # ONE signature aggregate feeds both the banding and the per-slot
+    # equality joins — building them independently would re-run the
+    # shingle-explode + md5 + 16-MIN pipeline (the family's hottest
+    # stage) twice.
     sigs = _minhash_sigs(hashed, id_col, num_hashes)
-    stacked = _minhash_banded(hashed, id_col, num_hashes, bands, portable_hash=True)
+    stacked = _bands_from_sigs(sigs, id_col, num_hashes, bands, portable_hash=True)
     left = stacked.select(F.col(id_col).alias("id_a"), "band", "bh")
     right = stacked.select(F.col(id_col).alias("id_b"), "band", "bh")
     candidates = (
@@ -480,8 +484,18 @@ def _minhash_banded(
 ) -> DataFrame:
     """(id, band, band-hash) — k-permutation signatures folded into
     per-band keys and stacked one row per band."""
-    rows_per_band = num_hashes // bands
     sigs = _minhash_sigs(hashed, id_col, num_hashes)
+    return _bands_from_sigs(sigs, id_col, num_hashes, bands, portable_hash)
+
+
+def _bands_from_sigs(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int, portable_hash: bool
+) -> DataFrame:
+    """Banding half of :func:`_minhash_banded`, taking a prebuilt
+    signature table — callers that ALSO need the signatures
+    (:func:`minhash_est_audit`) reuse one aggregate instead of
+    re-running the shingle-explode + hash + 16-MIN pipeline twice."""
+    rows_per_band = num_hashes // bands
     if portable_hash:
         band_cols = [
             F.md5(

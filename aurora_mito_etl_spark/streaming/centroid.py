@@ -59,7 +59,7 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def _centroid(n: int, sums: list[int], dim: int) -> list[float]:
+def _centroid(n: int, sums: list[int]) -> list[float]:
     """The batch twin's per-coordinate math: one IEEE divide over the
     exact integer sums — (CAST(s AS DOUBLE) / 1e6) / n, identically."""
     return [(float(s) / 1_000_000.0) / float(n) for s in sums]
@@ -76,7 +76,12 @@ def _norm(vec: list[float]) -> float:
 
 def _cos_ref(vec: list[float], ref: list[float]) -> float | None:
     """fixed6 cosine against the reference — left-to-right dot fold,
-    one divide; None when either norm is zero (the batch guard)."""
+    one divide; None when either norm is zero (the batch guard) or
+    the reference has the wrong length (the batch twin's zip_with
+    NULL-pads, the NULL poisons its fold, cos_ref comes out NULL —
+    a bare zip() here would silently truncate instead)."""
+    if len(ref) != len(vec):
+        return None
     nv, nr = _norm(vec), _norm(ref)
     if nv == 0.0 or nr == 0.0:
         return None
@@ -125,7 +130,7 @@ def centroid_drift_stream(
         if n == 0:
             return
         state.update((n, sums))
-        cent = _centroid(n, sums, dim)
+        cent = _centroid(n, sums)
         ref = reference.get(label) if label is not None else None
         cos = _cos_ref(cent, ref) if ref is not None else None
         yield pd.DataFrame(

@@ -99,7 +99,10 @@ def test_stream_accumulates_and_matches_batch_twin(spark, tmp_path):
 def test_zero_norm_reference_and_centroid_guard(spark, tmp_path):
     landing = str(tmp_path / "landing")
     ckpt = str(tmp_path / "ckpt")
-    reference = {"z": [0.0] * DIM}  # zero reference -> cos_ref NULL
+    reference = {
+        "z": [0.0] * DIM,   # zero reference -> cos_ref NULL
+        "y": [1.0, 2.0],    # wrong-length reference -> cos_ref NULL
+    }
     emissions: list[tuple] = []
 
     def sink(bdf, _bid):
@@ -110,7 +113,8 @@ def test_zero_norm_reference_and_centroid_guard(spark, tmp_path):
 
     rows = [
         ("z", [1.0] * DIM),
-        ("y", [0.0] * DIM),  # zero centroid, no reference
+        ("y", [2.0] * DIM),  # nonzero centroid, wrong-length reference
+        ("w", [0.0] * DIM),  # zero centroid, no reference
     ]
     spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(
         landing
@@ -118,7 +122,8 @@ def test_zero_norm_reference_and_centroid_guard(spark, tmp_path):
     _drain(spark, landing, ckpt, sink, reference)
     got = {r[0]: r for r in emissions}
     assert got["z"][3] is None          # zero-norm reference
-    assert got["y"][2] == 0.0 and got["y"][3] is None
+    assert got["y"][3] is None          # wrong-length reference
+    assert got["w"][2] == 0.0 and got["w"][3] is None
     twin = {
         r["label"]: (r["n"], r["centroid_norm"], r["cos_ref"])
         for r in cd.centroid_drift_batch(

@@ -169,7 +169,11 @@ def main() -> int:
             conf = round(time.perf_counter() - t0, 2)
             emb.unpersist()
             print(json.dumps({
-                "factor": f, "rows": n, "minhash_audit": audit,
+                # tier-distinct key: the main dedup tier also prints
+                # "factor", and the committed artifact groups lines by
+                # this key — a bare "factor" here would be
+                # indistinguishable (r12 session-2 review finding)
+                "r12b_factor": f, "rows": n, "minhash_audit": audit,
                 "vec_rows": vn, "label_centroids": cen,
                 "label_outliers": outl, "centroid_confusion": conf,
             }))
