@@ -1065,6 +1065,14 @@ SCHEMA_VARIANTS = {
                             lambda rng, n: _constant_like(
                                 make_embeddings(rng, n), ("vec_id",)),
                             EMB_QUERIES, 200),
+    # r12: many-labels arm — label domain ~ row count (label = vec_id
+    # % 97 over n=200 rows → ~97 labels, most singleton): stresses the
+    # centroid family's n_labels dimension (n_labels² confusion grid,
+    # pairwise centroid matrix, per-label outlier windows) and every
+    # other per-label grouping at maximal group cardinality
+    "embeddings_manylabels": ("embeddings",
+                              lambda rng, n: _emb_manylabels(rng, n),
+                              EMB_QUERIES, 200),
     "lineitem_constant": ("lineitem",
                           lambda rng, n: _constant_like(
                               make_lineitem(rng, n), ("l_orderkey",)),
@@ -1137,6 +1145,21 @@ def _emb_allnull(rng: random.Random, n: int):
             i, name, pa.nulls(tbl.num_rows, tbl.schema.field(name).type)
         )
     return tbl
+
+
+def _emb_manylabels(rng: random.Random, n: int):
+    """Embeddings whose label domain scales with row count (vec_id %
+    97, int32): ~min(n, 97) labels, mostly singleton groups — the
+    maximal-group-cardinality arm for every per-label operator
+    (centroid matrix n_labels², confusion grid, per-label windows)."""
+    import pyarrow as pa
+
+    tbl = make_embeddings(rng, n)
+    i = tbl.schema.get_field_index("label")
+    labels = pa.array(
+        [int(v) % 97 for v in range(tbl.num_rows)], pa.int32()
+    )
+    return tbl.set_column(i, "label", labels)
 
 
 def _run_built(spark, built, table, queries) -> tuple[int, int]:
