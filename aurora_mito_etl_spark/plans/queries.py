@@ -4947,6 +4947,101 @@ def docs_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-source keyword extraction: top-10 tokens per source by smoothed
+# TF-IDF where the "document" is the SOURCE slice (df = # sources
+# containing the token, from the distinct (source, token) pairs both
+# engines count identically) — the "what is this slice about"
+# datasheet row beside the zipf fit. idf = fixed6(ln((1+N)/(1+df)))+1
+# (the sklearn smooth form keeps every score positive, so a
+# single-source corpus degrades to plain frequency ranking instead of
+# all-zero scores); score = tf·idf, one IEEE multiply on exact
+# operands, fixed6.
+_SOURCE_KEYWORDS_ORACLE = r"""
+    WITH words AS (
+      SELECT source, w FROM (
+        SELECT source,
+               unnest(string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')), ' ')) AS w
+        FROM documents WHERE source IS NOT NULL)
+      WHERE w <> ''
+    ),
+    cnt AS (SELECT source, w, CAST(count(*) AS BIGINT) AS tf FROM words GROUP BY source, w),
+    dfreq AS (SELECT w, CAST(count(DISTINCT source) AS BIGINT) AS df FROM cnt GROUP BY w),
+    ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n FROM words),
+    scored AS (
+      SELECT c.source, c.w, c.tf, d.df,
+             floor((CAST(c.tf AS DOUBLE)
+                    * (floor(ln((1.0 + CAST(ns.n AS DOUBLE)) / (1.0 + CAST(d.df AS DOUBLE))) * 1000000 + 0.5) / 1000000
+                       + 1.0)) * 1000000 + 0.5) / 1000000 AS score
+      FROM cnt c JOIN dfreq d USING (w) CROSS JOIN ns
+    )
+    SELECT source, w AS token, tf, df AS df_sources, score, rank FROM (
+      SELECT source, w, tf, df, score,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score DESC NULLS LAST, w ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    ORDER BY source, rank
+"""
+
+
+@_register("docs_source_keywords", _SOURCE_KEYWORDS_ORACLE)
+def docs_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keyword extraction: the 10 most distinctive tokens
+    per source by smoothed TF-IDF at SOURCE grain (df = sources
+    containing the token) — the "what is this slice about" datasheet
+    row beside `docs_zipf_slope`. NULL-source docs are excluded
+    (consistent-by-drop on both engines). Plan shape: one token
+    explode → (source, token) counts (map-side combinable), df from
+    the distinct-pair table's token-keyed aggregate, the one-row
+    source count broadcast back, and the mandatory TWO-PHASE rank
+    tail (partial_topk below the per-source window)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.where(F.col("source").isNotNull())
+        .select("source", F.explode(ts.tokens_expr(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    cnt = words.groupBy("source", "w").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = cnt.groupBy("w").agg(
+        F.count_distinct(F.col("source")).cast("long").alias("df")
+    )
+    ns = words.agg(F.count_distinct(F.col("source")).cast("long").alias("n"))
+    idf = fixed6(
+        F.log(
+            (F.lit(1.0) + F.col("n").cast("double"))
+            / (F.lit(1.0) + F.col("df").cast("double"))
+        )
+    ) + F.lit(1.0)
+    scored = (
+        cnt.join(dfreq, "w")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "source",
+            "w",
+            "tf",
+            "df",
+            fixed6(F.col("tf").cast("double") * idf).alias("score"),
+        )
+    )
+    pruned = sim.partial_topk(scored, "source", "w", 10, "score", ascending=False)
+    w_rank = Window.partitionBy("source").orderBy(
+        F.desc_nulls_last("score"), F.asc("w")
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= 10)
+        .select(
+            "source",
+            F.col("w").alias("token"),
+            "tf",
+            F.col("df").alias("df_sources"),
+            "score",
+            "rank",
+        )
+        .orderBy("source", "rank")
+    )
+
+
 def _mmr_oracle(k: int = 5, lam: float = 0.7) -> str:
     """Unrolled greedy MMR CTE chain (the pagerank-oracle pattern):
     BM25 top-20 candidates, pairwise candidate 3-gram Jaccard, then k
@@ -9518,7 +9613,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "docs_dict_anti_filter",
     "docs_dsir_weights",
     "docs_exact_dedup",
-    "docs_hash_sample",
     "docs_lm_score",
     "docs_mixture_sample",
     "docs_pack_sequences",
@@ -9574,6 +9668,11 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # matrix. Its slot comes from docs_bigram_pmi (r7 -> backlog;
     # the ngram-stats family keeps docs_source_entropy in-window).
     "emb_centroid_confusion",
+    # NEW in r12 session 2 (same rule): per-source keyword extraction.
+    # Its slot comes from docs_hash_sample (r7 -> backlog; the
+    # sampling family keeps docs_mixture_sample, docs_weighted_sample
+    # and docs_dsir_weights in-window).
+    "docs_source_keywords",
 )
 
 # The round this window was built for (bumped at each rebuild; the
@@ -9595,6 +9694,7 @@ DRIVER_WINDOW_DEFERRED: tuple[str, ...] = (
     "emb_lsh_recall",
     "docs_near_dedup_survivors",
     "docs_bigram_pmi",
+    "docs_hash_sample",
     "docs_dedup_lines",
     "docs_gopher_quality",
     "docs_incremental_near_dup",

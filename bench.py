@@ -108,6 +108,7 @@ HEADLINE = [
     "docs_containment_pairs",
     "docs_minhash_lsh_pairs",
     "docs_minhash_est_audit",
+    "docs_source_keywords",
     "docs_simhash_pairs",
     "docs_near_dedup_survivors",
     "docs_label_spread",

@@ -438,3 +438,49 @@ def test_ngram_diversity_null_group(spark):
     }
     assert None in got and "s1" in got
     assert got[None]["total_1"] == 3 and got[None]["distinct_1"] == 2
+
+
+def test_source_keywords_distinctive_terms(spark):
+    """Source-exclusive tokens must outrank shared ones: the smoothed
+    idf gives a source-exclusive token (df=1) a strictly higher
+    per-occurrence score than an everywhere token (df=N), so at equal
+    tf the exclusive token ranks first; single-source-corpus inputs
+    degrade to frequency ranking (idf constant 1.0)."""
+    from aurora_mito_etl_spark.plans.queries import QUERIES
+    import pyspark.sql.functions as F
+
+    rows = [
+        (0, "alpha alpha shared shared shared", "en", "s1", 30),
+        (1, "alpha shared", "en", "s1", 12),
+        (2, "beta beta beta shared shared shared shared", "en", "s2", 40),
+        (3, None, "en", None, 0),  # NULL source: excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.createOrReplaceTempView("___kw_docs")
+    import aurora_mito_etl_spark.plans.queries as q
+    import aurora_mito_etl_spark.operators.textstats as ts
+    from aurora_mito_etl_spark.operators import similarity as sim
+    from aurora_mito_etl_spark.functions.numeric import fixed6
+
+    # drive the registered builder against the in-memory frame by
+    # monkeypatching load_table for this call
+    orig = q.load_table
+    try:
+        q.load_table = lambda _s, _d, _n: df
+        out = QUERIES["docs_source_keywords"](spark, "unused").collect()
+    finally:
+        q.load_table = orig
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # s1: 'alpha' tf=3 df=1 beats 'shared' tf=4 df=2
+    s1 = by_src["s1"]
+    assert s1[0]["token"] == "alpha" and s1[0]["rank"] == 1
+    assert s1[0]["df_sources"] == 1 and s1[0]["tf"] == 3
+    assert s1[1]["token"] == "shared" and s1[1]["tf"] == 4
+    # s2: 'beta' exclusive outranks 'shared'
+    s2 = by_src["s2"]
+    assert s2[0]["token"] == "beta" and s2[1]["token"] == "shared"
+    assert None not in by_src  # NULL source dropped

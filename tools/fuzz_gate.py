@@ -118,6 +118,10 @@ DOCS_QUERIES = {
     # the full-match row, shared-boilerplate docs the partial-match
     # rows; tiny-n corpora exercise the empty-candidate-set arm
     "docs_minhash_est_audit",
+    # r12: per-source smoothed TF-IDF keywords — NULL sources dropped
+    # consistent-by-drop, Unicode-WS alphabet exercises the token
+    # spine, single-source corpora the idf-constant degradation
+    "docs_source_keywords",
     "docs_simhash_pairs",
     "docs_near_dedup_survivors",
     "docs_duplicate_spans",
