@@ -5042,6 +5042,157 @@ def docs_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Heaps'-law vocabulary-growth fit per source: distinct types T(n)
+# over cumulative tokens n follows T ≈ K·n^β (Heaps 1978; natural text
+# β ≈ 0.4-0.6). A deduped, diverse slice keeps β up; a boilerplate or
+# template-heavy slice flattens early — the vocabulary-growth
+# datasheet row beside the zipf fit (its rank-frequency dual) and a
+# direct dedup-effectiveness readout. Cumulatives are per-doc points
+# in doc_id order; the fit is OLS of fixed6 ln(types) on fixed6
+# ln(tokens) with the corr-stats decimal-exact sums.
+_HEAPS_ORACLE = r"""
+    WITH words AS (
+      SELECT source, doc_id, w FROM (
+        SELECT source, doc_id,
+               unnest(string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ')), ' ')) AS w
+        FROM documents WHERE source IS NOT NULL)
+      WHERE w <> ''
+    ),
+    tokcnt AS (
+      SELECT source, doc_id, CAST(count(*) AS BIGINT) AS toks
+      FROM words GROUP BY source, doc_id
+    ),
+    first AS (
+      SELECT source, w, min(doc_id) AS fd FROM words GROUP BY source, w
+    ),
+    newt AS (
+      SELECT source, fd AS doc_id, CAST(count(*) AS BIGINT) AS nt
+      FROM first GROUP BY source, fd
+    ),
+    perdoc AS (
+      SELECT d.source, d.doc_id,
+             coalesce(t.toks, 0) AS toks, coalesce(n.nt, 0) AS nt
+      FROM (SELECT source, doc_id FROM documents WHERE source IS NOT NULL) d
+      LEFT JOIN tokcnt t ON d.source = t.source AND d.doc_id = t.doc_id
+      LEFT JOIN newt n ON d.source = n.source AND d.doc_id = n.doc_id
+    ),
+    cums AS (
+      SELECT source, doc_id,
+             CAST(SUM(toks) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS ct,
+             CAST(SUM(nt) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cy
+      FROM perdoc
+    ),
+    pts AS (
+      SELECT source,
+             floor(ln(CAST(ct AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS x,
+             floor(ln(CAST(cy AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS y
+      FROM cums WHERE ct >= 1 AND cy >= 1
+    ),
+    s AS (
+      SELECT source,
+             count(*) AS n_points,
+             count(DISTINCT x) AS nx,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(y AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxy
+      FROM pts GROUP BY source
+    )
+    SELECT source,
+           CAST(n_points AS BIGINT) AS n_points,
+           CASE WHEN nx >= 2 AND (CAST(n_points AS DOUBLE) * sxx - sx * sx) > 0 THEN
+             floor(((CAST(n_points AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(n_points AS DOUBLE) * sxx - sx * sx)) * 1000000 + 0.5) / 1000000
+           END AS heaps_beta,
+           CASE WHEN nx >= 2 AND (CAST(n_points AS DOUBLE) * sxx - sx * sx) > 0 THEN
+             floor(((sy - ((CAST(n_points AS DOUBLE) * sxy - sx * sy)
+                           / (CAST(n_points AS DOUBLE) * sxx - sx * sx)) * sx)
+                    / CAST(n_points AS DOUBLE)) * 1000000 + 0.5) / 1000000
+           END AS heaps_logk
+    FROM s
+    ORDER BY source
+"""
+
+
+@_register("docs_heaps_fit", _HEAPS_ORACLE)
+def docs_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit per source: OLS of ln(distinct
+    types so far) on ln(tokens so far) over per-doc cumulative points
+    in doc_id order — the vocabulary-growth datasheet row (natural
+    text β ≈ 0.4-0.6; template-heavy slices flatten early), the
+    rank-frequency dual of `docs_zipf_slope` and a direct
+    dedup-effectiveness readout.
+
+    Scale shape: first-occurrence via min(doc_id) per (source, token)
+    (map-side combinable), per-doc token / new-type counts, then BOTH
+    cumulatives via `rownum.grouped_prefix_sum` — the mega-group-safe
+    two-phase pass (a source that IS the whole corpus would
+    concentrate a `SUM OVER (PARTITION BY source ORDER BY doc_id)`
+    window into one task; the oracle keeps the window form, DuckDB's
+    problem is smaller). Degenerate single-point sources fit NULL on
+    both engines (the zipf zero-variance guard)."""
+    from aurora_mito_etl_spark.operators.rownum import grouped_prefix_sum
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("source").isNotNull())
+    words = d.select(
+        "source", "doc_id", F.explode(ts.tokens_expr(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    tokcnt = words.groupBy("source", "doc_id").agg(
+        F.count("*").cast("long").alias("toks")
+    )
+    first = words.groupBy("source", "w").agg(F.min("doc_id").alias("fd"))
+    newt = (
+        first.groupBy("source", "fd")
+        .agg(F.count("*").cast("long").alias("nt"))
+        .withColumnRenamed("fd", "doc_id")
+    )
+    perdoc = (
+        d.select("source", "doc_id")
+        .join(tokcnt, ["source", "doc_id"], "left")
+        .join(newt, ["source", "doc_id"], "left")
+        .select(
+            "source",
+            "doc_id",
+            F.coalesce("toks", F.lit(0).cast("long")).alias("toks"),
+            F.coalesce("nt", F.lit(0).cast("long")).alias("nt"),
+        )
+    )
+    c = grouped_prefix_sum(perdoc, "source", "doc_id", "toks", "ct")
+    c = grouped_prefix_sum(c, "source", "doc_id", "nt", "cy")
+    pts = c.where((F.col("ct") >= 1) & (F.col("cy") >= 1)).select(
+        "source",
+        fixed6(F.log(F.col("ct").cast("double"))).alias("x"),
+        fixed6(F.log(F.col("cy").cast("double"))).alias("y"),
+    )
+    x, y = dec("x"), dec("y")
+    s = pts.groupBy("source").agg(
+        F.count("*").alias("n_points"),
+        F.count_distinct(F.col("x")).alias("nx"),
+        dec_to_double(F.sum(x)).alias("sx"),
+        dec_to_double(F.sum(y)).alias("sy"),
+        dec_to_double(F.sum(x * x)).alias("sxx"),
+        dec_to_double(F.sum(x * y)).alias("sxy"),
+    )
+    n = F.col("n_points").cast("double")
+    var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    # nx >= 2 makes the zero-variance case EXACT: with one distinct x
+    # the algebraic var_x is 0 but the double expression sits one ulp
+    # off (x² as exact decimal vs sx·sx as a double product), and a
+    # tiny positive residue would "fit" beta = noise/noise ≈ 1.0
+    # identically on both engines — defined-looking garbage. With two
+    # distinct grid points var_x ≥ ~1e-12, far above ulp noise.
+    ok = (F.col("nx") >= 2) & (var_x > 0)
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / var_x
+    return s.select(
+        "source",
+        F.col("n_points").cast("long").alias("n_points"),
+        F.when(ok, fixed6(slope)).alias("heaps_beta"),
+        F.when(
+            ok, fixed6((F.col("sy") - slope * F.col("sx")) / n)
+        ).alias("heaps_logk"),
+    ).orderBy("source")
+
+
 def _mmr_oracle(k: int = 5, lam: float = 0.7) -> str:
     """Unrolled greedy MMR CTE chain (the pagerank-oracle pattern):
     BM25 top-20 candidates, pairwise candidate 3-gram Jaccard, then k
@@ -9614,7 +9765,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "docs_dsir_weights",
     "docs_exact_dedup",
     "docs_lm_score",
-    "docs_mixture_sample",
     "docs_pack_sequences",
     "docs_pii_redact",
     "docs_quality_ensemble",
@@ -9670,9 +9820,13 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "emb_centroid_confusion",
     # NEW in r12 session 2 (same rule): per-source keyword extraction.
     # Its slot comes from docs_hash_sample (r7 -> backlog; the
-    # sampling family keeps docs_mixture_sample, docs_weighted_sample
-    # and docs_dsir_weights in-window).
+    # sampling family keeps docs_weighted_sample and docs_dsir_weights
+    # in-window).
     "docs_source_keywords",
+    # NEW in r12 session 2 (same rule): Heaps'-law vocabulary-growth
+    # fit. Its slot comes from docs_mixture_sample (r7 -> backlog;
+    # sampling keeps docs_weighted_sample + docs_dsir_weights).
+    "docs_heaps_fit",
 )
 
 # The round this window was built for (bumped at each rebuild; the
@@ -9695,6 +9849,7 @@ DRIVER_WINDOW_DEFERRED: tuple[str, ...] = (
     "docs_near_dedup_survivors",
     "docs_bigram_pmi",
     "docs_hash_sample",
+    "docs_mixture_sample",
     "docs_dedup_lines",
     "docs_gopher_quality",
     "docs_incremental_near_dup",

@@ -109,6 +109,7 @@ HEADLINE = [
     "docs_minhash_lsh_pairs",
     "docs_minhash_est_audit",
     "docs_source_keywords",
+    "docs_heaps_fit",
     "docs_simhash_pairs",
     "docs_near_dedup_survivors",
     "docs_label_spread",

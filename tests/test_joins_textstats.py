@@ -484,3 +484,44 @@ def test_source_keywords_distinctive_terms(spark):
     s2 = by_src["s2"]
     assert s2[0]["token"] == "beta" and s2[1]["token"] == "shared"
     assert None not in by_src  # NULL source dropped
+
+
+def test_heaps_fit_hand_points(spark):
+    """The per-doc cumulative points and the OLS fit are exactly the
+    hand-computed values; a single-point source fits NULL (the
+    zero-variance guard)."""
+    import math
+    from aurora_mito_etl_spark.functions.numeric import fixed6_py
+    from aurora_mito_etl_spark.plans.queries import QUERIES
+    import aurora_mito_etl_spark.plans.queries as q
+
+    rows = [
+        (0, "a b", "en", "s1", 3),     # cum (2 toks, 2 types)
+        (1, "a c", "en", "s1", 3),     # cum (4, 3)
+        (2, "a a", "en", "s1", 3),     # cum (6, 3)
+        (3, "x y z", "en", "s2", 5),   # single point -> NULL fit
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = q.load_table
+    try:
+        q.load_table = lambda _s, _d, _n: df
+        out = {r["source"]: r for r in QUERIES["docs_heaps_fit"](spark, "x").collect()}
+    finally:
+        q.load_table = orig
+    assert out["s2"]["n_points"] == 1
+    assert out["s2"]["heaps_beta"] is None and out["s2"]["heaps_logk"] is None
+    s1 = out["s1"]
+    assert s1["n_points"] == 3
+    xs = [fixed6_py(math.log(v)) for v in (2, 4, 6)]
+    ys = [fixed6_py(math.log(v)) for v in (2, 3, 3)]
+    n = 3.0
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    logk = (sy - beta * sx) / n
+    assert s1["heaps_beta"] == pytest.approx(beta, abs=2e-6)
+    assert s1["heaps_logk"] == pytest.approx(logk, abs=2e-6)
+    assert 0.0 < s1["heaps_beta"] < 1.0

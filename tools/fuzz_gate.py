@@ -122,6 +122,10 @@ DOCS_QUERIES = {
     # consistent-by-drop, Unicode-WS alphabet exercises the token
     # spine, single-source corpora the idf-constant degradation
     "docs_source_keywords",
+    # r12: Heaps vocabulary-growth fit — tiny-n hits the nx<2 NULL-fit
+    # guard, empty/NULL-text docs the zero-token cumulative points,
+    # dup clusters flatten the type curve
+    "docs_heaps_fit",
     "docs_simhash_pairs",
     "docs_near_dedup_survivors",
     "docs_duplicate_spans",
