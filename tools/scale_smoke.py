@@ -138,6 +138,8 @@ def main() -> int:
         ebase = load_table(spark, "/root/testdata/sf0.1", "embeddings").select(
             "vec_id", "embedding"
         )
+        from aurora_mito_etl_spark.operators.rownum import grouped_prefix_sum
+
         for f in factors:
             df = replicate(dbase, f).repartition(32).cache()
             n = df.count()
@@ -146,6 +148,44 @@ def main() -> int:
                 df, "text", "doc_id", num_hashes=16, bands=4, threshold=0.3
             ).write.format("noop").mode("overwrite").save()
             audit = round(time.perf_counter() - t0, 2)
+            # Heaps-fit SHAPE on the replicated corpus (synthetic
+            # source: replicate() drops the column): first-occurrence
+            # aggregate + two grouped_prefix_sum passes + the OLS agg
+            # — must stay ~linear in corpus rows.
+            dsrc = df.withColumn(
+                "source", (F.col("doc_id") % 7).cast("string")
+            )
+            words = dsrc.select(
+                "source", "doc_id",
+                F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+            ).filter(F.col("w") != "")
+            tokcnt = words.groupBy("source", "doc_id").agg(
+                F.count("*").cast("long").alias("toks")
+            )
+            newt = (
+                words.groupBy("source", "w")
+                .agg(F.min("doc_id").alias("fd"))
+                .groupBy("source", "fd")
+                .agg(F.count("*").cast("long").alias("nt"))
+                .withColumnRenamed("fd", "doc_id")
+            )
+            perdoc = (
+                dsrc.select("source", "doc_id")
+                .join(tokcnt, ["source", "doc_id"], "left")
+                .join(newt, ["source", "doc_id"], "left")
+                .select(
+                    "source", "doc_id",
+                    F.coalesce("toks", F.lit(0).cast("long")).alias("toks"),
+                    F.coalesce("nt", F.lit(0).cast("long")).alias("nt"),
+                )
+            )
+            t0 = time.perf_counter()
+            c = grouped_prefix_sum(perdoc, "source", "doc_id", "toks", "ct")
+            c = grouped_prefix_sum(c, "source", "doc_id", "nt", "cy")
+            c.groupBy("source").agg(
+                F.count("*"), F.max("ct"), F.max("cy")
+            ).write.format("noop").mode("overwrite").save()
+            heaps = round(time.perf_counter() - t0, 2)
             df.unpersist()
             emb = replicate_embeddings(ebase, f).repartition(32).cache()
             vn = emb.count()
@@ -174,6 +214,7 @@ def main() -> int:
                 # this key — a bare "factor" here would be
                 # indistinguishable (r12 session-2 review finding)
                 "r12b_factor": f, "rows": n, "minhash_audit": audit,
+                "heaps_cumulatives": heaps,
                 "vec_rows": vn, "label_centroids": cen,
                 "label_outliers": outl, "centroid_confusion": conf,
             }))
