@@ -25,14 +25,25 @@ from pyspark.sql import functions as F
 
 def assign_contiguous_ids(
     df: DataFrame,
-    order_col: str,
+    order_col,
     out_col: str = "seq",
     num_partitions: int | None = None,
+    nulls_last: bool = False,
 ) -> DataFrame:
-    """Add `out_col` = dense 0-based rank of `order_col` (which must be
-    unique — ties would make the assignment partition-dependent).
+    """Add `out_col` = dense 0-based rank of `order_col` — a single
+    column name or a sequence of them, ordered lexicographically; the
+    composite key must be unique (ties would make the assignment
+    partition-dependent).
 
-    Plan: repartitionByRange(order_col) → sortWithinPartitions →
+    `nulls_last=False` (the default) rejects NULLs in any order column:
+    Spark's bare ascending sorts NULL first while a DuckDB oracle's
+    row_number() sorts them last, so the assignment would be
+    engine-dependent. `nulls_last=True` sorts NULLS LAST explicitly on
+    every order column — the convention both engines share — so NULL
+    keys become legal (the composite must still be total; a unique
+    trailing tie-break column is the usual way).
+
+    Plan: repartitionByRange(order exprs) → sortWithinPartitions →
     one count-per-partition pass (collects P longs, the documented
     bounded driver op) → mapInPandas adds offset + local position.
     No single-partition stage anywhere; the range exchange is the
@@ -41,6 +52,7 @@ def assign_contiguous_ids(
     import pandas as pd
     from pyspark.sql import types as T
 
+    cols = [order_col] if isinstance(order_col, str) else list(order_col)
     if num_partitions is not None and num_partitions < 1:
         raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
     parts = (
@@ -48,27 +60,39 @@ def assign_contiguous_ids(
         if num_partitions is not None
         else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    ranged = df.repartitionByRange(int(parts), F.col(order_col)).sortWithinPartitions(
-        order_col
+    sort_exprs = [
+        F.asc_nulls_last(c) if nulls_last else F.col(c).asc() for c in cols
+    ]
+    ranged = df.repartitionByRange(int(parts), *sort_exprs).sortWithinPartitions(
+        *sort_exprs
     )
     # materialize once: the count pass and the assignment pass must see
     # the SAME partitioning (repartitionByRange samples its boundaries;
     # re-executing it twice would also double the shuffle work)
     ranged = ranged.localCheckpoint()
+    any_null = None
+    for c in cols:
+        cond = F.col(c).isNull()
+        any_null = cond if any_null is None else (any_null | cond)
     counts = (
-        ranged.select(F.spark_partition_id().alias("p"), F.col(order_col))
+        ranged.select(F.spark_partition_id().alias("p"), *cols)
         .groupBy("p")
-        .agg(F.count("*").alias("n"), F.count(order_col).alias("nn"))
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(any_null, 1)).alias("n_null"),
+        )
         .collect()
     )
-    # Contract guard (free in the existing count pass): NULL keys would
-    # sort NULLS FIRST in Spark but NULLS LAST in a DuckDB oracle's
-    # row_number() — fail fast instead of silently diverging.
-    n_null = sum(r["n"] - r["nn"] for r in counts)
-    if n_null:
+    # Contract guard (free in the existing count pass): without the
+    # explicit NULLS LAST ordering, NULL keys would sort NULLS FIRST in
+    # Spark but NULLS LAST in a DuckDB oracle's row_number() — fail
+    # fast instead of silently diverging.
+    n_null = sum(r["n_null"] for r in counts)
+    if n_null and not nulls_last:
         raise ValueError(
-            f"assign_contiguous_ids: order_col {order_col!r} has {n_null} "
-            "NULL values; the assignment would be engine-dependent"
+            f"assign_contiguous_ids: order columns {cols!r} have {n_null} "
+            "NULL values; pass nulls_last=True for the portable "
+            "NULLS LAST ordering"
         )
     sizes = {r["p"]: r["n"] for r in counts}
     offsets = {}
@@ -84,6 +108,7 @@ def assign_contiguous_ids(
     def add_seq(batches):
         # partition id is constant per task; read it lazily from the
         # TaskContext (mapInPandas keeps partitioning)
+        import numpy as np
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
@@ -95,17 +120,29 @@ def assign_contiguous_ids(
             # Uniqueness guard: range partitioning co-locates equal
             # keys and each partition is sorted, so any duplicate is
             # adjacent — within a batch or across the batch boundary.
+            # NULL==NULL counts as equal (the NULLS LAST order treats
+            # them as one key class; the tie-break column must split
+            # them).
             if len(pdf):
-                vals = pdf[order_col]
-                dup_in_batch = bool((vals.values[1:] == vals.values[:-1]).any())
-                dup_at_seam = prev_last is not None and vals.iloc[0] == prev_last
+                eq = np.ones(max(len(pdf) - 1, 0), dtype=bool)
+                for c in cols:
+                    v = pdf[c]
+                    na = v.isna().values
+                    eq &= (v.values[1:] == v.values[:-1]) | (na[1:] & na[:-1])
+                dup_in_batch = bool(eq.any())
+                first = pdf.iloc[0]
+                dup_at_seam = prev_last is not None and all(
+                    (pd.isna(first[c]) and pd.isna(prev_last[c]))
+                    or first[c] == prev_last[c]
+                    for c in cols
+                )
                 if dup_in_batch or dup_at_seam:
                     raise ValueError(
-                        f"assign_contiguous_ids: order_col {order_col!r} has "
+                        f"assign_contiguous_ids: order columns {cols!r} have "
                         "duplicate values; the assignment would be "
                         "partition-dependent"
                     )
-                prev_last = vals.iloc[-1]
+                prev_last = pdf.iloc[-1]
             pdf[out_col] = range(base + seen, base + seen + len(pdf))
             seen += len(pdf)
             yield pdf
@@ -460,6 +497,16 @@ def grouped_prefix_sum(
         if int(r["n_groups"]) == 1:
             carry_g, carry_t = r["last_g"], off + int(r["last_t"])
         else:
+            # the spanning FIRST group terminates inside this
+            # partition: its final running total (off + first_t) never
+            # reaches carry_t, but the worker adds the same offset with
+            # wrapping int64 arithmetic — validate it here too.
+            if off and off + int(r["first_t"]) > 2**63 - 1:
+                raise ValueError(
+                    "grouped_prefix_sum overflow: a group's running "
+                    f"total reaches {off + int(r['first_t'])}, outside "
+                    "int64"
+                )
             carry_g, carry_t = r["last_g"], int(r["last_t"])
         have_carry = True
         if carry_t > 2**63 - 1:

@@ -837,20 +837,61 @@ def docs_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.5 ranking-family windows: ntile / percent_rank / rank /
-    dense_rank over one global ordering (tie-broken by key; NULL
-    balances sort LAST explicitly — Spark's bare asc puts them first,
-    DuckDB last, the CLAUDE.md window-null invariant). A global
-    window is a single-partition sort — fine for dimension tables,
-    never for facts (partition it or use approx quantiles there)."""
+    """§2.5 ranking-family semantics (ntile / percent_rank / rank /
+    dense_rank over ONE global ordering) computed WITHOUT the
+    single-partition window the textbook form plans (r12 VERDICT
+    wrong-item #3). The ordering (c_acctbal NULLS LAST, c_custkey) is
+    total — custkey is unique — so rank == dense_rank == row_number,
+    and every output is a closed-form expression of (row_number, n):
+
+      rnk = drnk = seq + 1
+      pct_rank   = seq / (n - 1)            (0.0 when n == 1)
+      quartile   = ntile(4) by its size rule: the first n%4 tiles get
+                   n//4+1 rows, the rest n//4 — integer DIV, never
+                   float division (one-ulp floor slips at scale).
+
+    row_number comes from the two-phase range-partition + offset
+    pattern (`rownum.assign_contiguous_ids`, composite NULLS LAST
+    key); n rides in on a broadcast one-row aggregate. The oracle
+    keeps the textbook window form — same results, scale-safe plan
+    (no `WindowExec: No Partition Defined`)."""
+    from aurora_mito_etl_spark.operators.rownum import assign_contiguous_ids
+
     c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.asc_nulls_last("c_acctbal"), "c_custkey")
-    return c.select(
-        "c_custkey",
-        F.ntile(4).over(w).alias("quartile"),
-        fixed6(F.percent_rank().over(w)).alias("pct_rank"),
-        F.rank().over(w).cast("long").alias("rnk"),
-        F.dense_rank().over(w).cast("long").alias("drnk"),
+    seq = assign_contiguous_ids(
+        c.select("c_custkey", "c_acctbal"),
+        ["c_acctbal", "c_custkey"],
+        out_col="seq0",
+        nulls_last=True,
+    )
+    n_row = seq.agg(F.count("*").cast("long").alias("n_total"))
+    return (
+        seq.crossJoin(F.broadcast(n_row))
+        .withColumn("rnk", (F.col("seq0") + F.lit(1)).cast("long"))
+        .withColumn(
+            "quartile",
+            F.expr(
+                "CASE WHEN rnk <= (n_total % 4) * (n_total DIV 4 + 1) "
+                "THEN (rnk - 1) DIV (n_total DIV 4 + 1) + 1 "
+                "ELSE (n_total % 4) "
+                "  + (rnk - 1 - (n_total % 4) * (n_total DIV 4 + 1)) "
+                "    DIV (n_total DIV 4) + 1 END"
+            ).cast("int"),
+        )
+        .withColumn(
+            "pct_rank",
+            F.when(
+                F.col("n_total") > 1,
+                fixed6(F.col("seq0") / (F.col("n_total") - F.lit(1))),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select(
+            "c_custkey",
+            "quartile",
+            "pct_rank",
+            "rnk",
+            F.col("rnk").alias("drnk"),
+        )
     )
 
 
@@ -9719,137 +9760,54 @@ def docs_dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 # or the documented backlog, (c) DRIVER_WINDOW_BUILT_FOR_ROUND is not
 # behind the newest committed artifact (the next-round rebuild nudge).
 #
-# r12 window: stale pool at the r12 rebuild (stale_cut = 9, i.e.
-# last-green < r9) is 61 queries — the 8 r6 + 39 r7 that deferred at
-# r11, plus the 14 r8-green. All 47 r6/r7 enter (they drained the r11
-# backlog exactly as planned); the 1 remaining non-pinned slot goes to
-# the r8 pick docs_bpe_pair_counts — family-spread tie-break: the BPE/
-# tokenization family has no other in-window representative, while
-# every other r8 candidate's family keeps one (line-dedup via
-# docs_exact_dedup+duplicate-span reps, gopher/quality via
-# docs_quality_ensemble, incremental near-dup via docs_minhash_lsh_pairs,
-# ngram stats via docs_bigram_pmi, source reports via
-# docs_source_report_qsum, IVF-PQ via emb_ivf_topk, kNN via
-# emb_kmeans_assign, semantic dedup via the LSH reps, event paths via
-# events_retention/sessionize, set-ops via priority_set_ops) — and was
-# then re-assigned to the r12-new lineitem_price_quantiles_grouped_dist
-# (new queries always enter). All 14 r8 queries form the backlog and
-# lead the r13 rebuild.
-# Evicted: all 50 r11-green members; every family they carried keeps
-# at least one in-window rep (quantiles: the two r11-new entries are
-# now the FRESHEST queries in the registry; window/rank families keep
-# window_order_stats, r7). All remain gated by verify_local at both
-# SFs, the five-tier fuzz campaign, plan audit and bench every round.
+# r13 window: last-green map recomputed from CORRECTNESS_r01–r12
+# (8 r7, 14 r8, 15 r9, 48 r10, 48 r11, 50 r12; every query green at
+# least once). Stale pool at the r13 rebuild (stale_cut = 10, i.e.
+# last-green < r10) is 37 queries — the full 22-name r12 backlog
+# (8 r7 + 14 r8) plus all 15 r9 — and for the first time the whole
+# stale pool FITS in the 48 non-pinned slots, so the backlog empties.
+# The 11 remaining slots go to r10-green queries chosen for family
+# spread, preferring families with no other in-window representative:
+#   docs_media_features   (multimodal tier — only rep anywhere)
+#   release_sink_smoke    (K1–K4 sinks — only rep)
+#   docs_classify_stub    (LLM batch classify D5/S8 — only rep)
+#   events_pagerank       (iterative graph — pagerank specifically)
+#   docs_dup_kcore        (dup-graph analytics beyond CC)
+#   events_psi_drift      (distribution drift — PSI specifically)
+#   docs_length_ks        (KS/ECDF family — the r11 NULL-ordering class)
+#   emb_pca_cov           (PCA family — cov is the root of pc1/project2)
+#   lineitem_price_moments (moments/higher-order stats family)
+#   docs_contiguous_ids   (rownum/contiguous-ID two-phase family)
+#   events_k_anonymity    (privacy/k-anon — only rep)
+# Their r10 siblings stay outside with lag 3 (not stale), covered by
+# verify_local at both SFs, the fuzz campaign, plan audit and bench.
+# Evicted: all 48 r11-green + the 48 non-pinned r12-green members;
+# every family they carried keeps at least one in-window rep via the
+# stale pool (quantiles via lineitem_price_percentiles_approx +
+# lineitem_profile, LSH via docs_minhash_lsh_pairs + emb_lsh_recall,
+# BPE via docs_bpe_pair_counts + docs_bpe_subwords + the fertility
+# query, quality via docs_gopher_quality + docs_source_report_quality,
+# sessions/events via events_top_paths + events_key_skew_report).
+# NEW queries registered during r13 always enter; each one's slot
+# donor comes from the 11 r10 picks above (freshest in-window class),
+# documented per query at the point of insertion below.
 # ---------------------------------------------------------------------------
 
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # Pinned flagships (every round)
     "flagship_training_corpus",
     "flagship_compound_mentions",
-    # Stalest first: last driver-green r6 (the r11 backlog head)
-    "lineitem_winsorized",
-    "docs_vocab_sketch",
-    "docs_containment_pairs",
-    "docs_simhash_pairs",
-    "docs_weighted_sample",
-    "emb_lsh_near_dup",
-    "emb_pq_encode",
-    "supplier_fuzzy_pairs",
-    # last driver-green r7 (all 39)
-    "customers_without_orders",
-    "docs_ccnet_buckets",
-    "docs_chunk_windows",
-    "docs_clean_text",
-    "docs_decontaminate_bloom",
-    "docs_dict_anti_filter",
-    "docs_dsir_weights",
-    "docs_exact_dedup",
-    "docs_lm_score",
-    "docs_pack_sequences",
-    "docs_pii_redact",
-    "docs_quality_ensemble",
-    "docs_repetition",
-    "docs_source_entropy",
-    "docs_source_report_qsum",
-    "docs_tfidf_topk",
-    "emb_ivf_topk",
-    "emb_kmeans_assign",
-    "events_asof_join",
-    "events_cube",
-    "events_hourly_gap_filled",
-    "events_retention",
-    "events_sessionize",
-    "order_rollup_per_customer",
-    "orders_pivot_priority",
-    "part_normalize_dedup",
-    "pricing_summary",
-    "priority_set_ops",
-    "scalar_function_parity",
-    "two_tier_lookup",
-    "window_order_stats",
-    # NEW in r12, never driver-gated (new queries always enter the
-    # window): the grouped-dist quantile and the deterministic
-    # quantile sketch. Their slots come from the r8 pick
-    # docs_bpe_pair_counts (returns to the backlog head) and
-    # lineitem_price_percentiles_approx (r7 -> backlog; the
-    # percentile family still holds TWO in-window reps — the two
-    # r12-new quantile queries — so family spread is preserved), and
-    # the docs-tier sketch (slot from docs_lm_score_external, r7 ->
-    # backlog; the LM family keeps docs_lm_score in-window).
-    "lineitem_price_quantiles_grouped_dist",
-    "lineitem_price_quantiles_sketch",
-    "docs_length_quantiles_sketch",
-    # NEW in r12 session 2 (new queries always enter): the LSH
-    # signature-accuracy audit and the label-centroid geometry query.
-    # Their slots come from docs_minhash_lsh_pairs (r7 -> backlog; the
-    # audit's oracle replays the ENTIRE pairs chain — candidates,
-    # signatures, verification — plus the per-slot estimate, so the
-    # LSH family's driver coverage strictly grows) and emb_lsh_recall
-    # (r7 -> backlog; the embedding family keeps emb_lsh_near_dup,
-    # emb_pq_encode, emb_ivf_topk and emb_kmeans_assign in-window).
-    "docs_minhash_est_audit",
-    "emb_label_centroid_cosine",
-    # NEW in r12 session 2 (same rule): per-label centroid-distance
-    # outlier mining. Its slot comes from docs_near_dedup_survivors
-    # (r7 -> backlog; the near-dup family keeps docs_exact_dedup,
-    # docs_minhash_est_audit and docs_incremental_near_dup in-window).
-    "emb_label_outliers",
-    # NEW in r12 session 2 (same rule): nearest-centroid confusion
-    # matrix. Its slot comes from docs_bigram_pmi (r7 -> backlog;
-    # the ngram-stats family keeps docs_source_entropy in-window).
-    "emb_centroid_confusion",
-    # NEW in r12 session 2 (same rule): per-source keyword extraction.
-    # Its slot comes from docs_hash_sample (r7 -> backlog; the
-    # sampling family keeps docs_weighted_sample and docs_dsir_weights
-    # in-window).
-    "docs_source_keywords",
-    # NEW in r12 session 2 (same rule): Heaps'-law vocabulary-growth
-    # fit. Its slot comes from docs_mixture_sample (r7 -> backlog;
-    # sampling keeps docs_weighted_sample + docs_dsir_weights).
-    "docs_heaps_fit",
-)
-
-# The round this window was built for (bumped at each rebuild; the
-# policy test forces the rebuild once the round-N artifact lands).
-DRIVER_WINDOW_BUILT_FOR_ROUND = 12
-
-DRIVER_WINDOW_PINNED: tuple[str, ...] = (
-    "flagship_training_corpus",
-    "flagship_compound_mentions",
-)
-
-# Stale (lag > 3 rounds at the r12 rebuild) but out of slots this
-# round — stalest-first candidates for the r13 window.
-DRIVER_WINDOW_DEFERRED: tuple[str, ...] = (
-    "docs_lm_score_external",
-    "lineitem_price_percentiles_approx",
-    "docs_bpe_pair_counts",
-    "docs_minhash_lsh_pairs",
-    "emb_lsh_recall",
-    "docs_near_dedup_survivors",
+    # Stalest first: last driver-green r7 (the r12 backlog head)
     "docs_bigram_pmi",
     "docs_hash_sample",
+    "docs_lm_score_external",
+    "docs_minhash_lsh_pairs",
     "docs_mixture_sample",
+    "docs_near_dedup_survivors",
+    "emb_lsh_recall",
+    "lineitem_price_percentiles_approx",
+    # last driver-green r8 (all 14; the rest of the r12 backlog)
+    "docs_bpe_pair_counts",
     "docs_dedup_lines",
     "docs_gopher_quality",
     "docs_incremental_near_dup",
@@ -9863,7 +9821,48 @@ DRIVER_WINDOW_DEFERRED: tuple[str, ...] = (
     "emb_semantic_dedup",
     "events_top_paths",
     "orders_except_intersect_all",
+    # last driver-green r9 (all 15)
+    "customer_order_full_outer",
+    "docs_boilerplate_lines",
+    "docs_bpe_subwords",
+    "docs_chunked",
+    "docs_heavy_hitters",
+    "docs_ngram_diversity",
+    "docs_ql_search",
+    "docs_source_divergence",
+    "docs_source_report_counts",
+    "docs_tokenizer_fertility",
+    "docs_winnow_fingerprints",
+    "emb_dim_truncation_recall",
+    "emb_hard_negatives",
+    "events_key_skew_report",
+    "lineitem_profile",
+    # r10 family-spread picks (rationale in the rotation comment)
+    "docs_media_features",
+    "release_sink_smoke",
+    "docs_classify_stub",
+    "events_pagerank",
+    "docs_dup_kcore",
+    "events_psi_drift",
+    "docs_length_ks",
+    "emb_pca_cov",
+    "lineitem_price_moments",
+    "docs_contiguous_ids",
+    "events_k_anonymity",
 )
+
+# The round this window was built for (bumped at each rebuild; the
+# policy test forces the rebuild once the round-N artifact lands).
+DRIVER_WINDOW_BUILT_FOR_ROUND = 13
+
+DRIVER_WINDOW_PINNED: tuple[str, ...] = (
+    "flagship_training_corpus",
+    "flagship_compound_mentions",
+)
+
+# Stale (lag > 3 rounds at the r13 rebuild) but out of slots — EMPTY
+# this round: the whole 37-query stale pool fit in the window.
+DRIVER_WINDOW_DEFERRED: tuple[str, ...] = ()
 
 
 def _apply_driver_sample_order() -> None:

@@ -104,11 +104,15 @@ def quantile_sketch_stream(
             acc = dict(zip(b, c))
         else:
             acc = {}
+        n_before = sum(acc.values())
         for pdf in pdfs:
             vals = pdf[value_col].dropna().to_numpy(dtype=np.float64)
             if len(vals):
                 _fold_values(vals, sig_digits, acc)
-        if not acc:
+        # counts only grow, so an unchanged total means this batch
+        # contributed nothing (all-NULL) — skip the state write and the
+        # emission: append mode must not re-emit unchanged quantiles.
+        if not acc or sum(acc.values()) == n_before:
             return
         state.update((list(acc.keys()), [int(v) for v in acc.values()]))
         rows = [(g, name, v, n) for name, v, n in _select(acc, quantiles)]

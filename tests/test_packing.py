@@ -130,6 +130,52 @@ def test_assign_contiguous_ids_rejects_null_keys(spark):
         assign_contiguous_ids(df, "k", "seq")
 
 
+def test_assign_contiguous_ids_composite_nulls_last(spark):
+    """Composite order key with nulls_last=True matches the
+    row_number window over (asc_nulls_last(a), b) exactly — the
+    ordering convention DuckDB shares — including NULL and duplicate
+    values in the leading column (r13: customer_balance_quartiles'
+    scale-safe re-shape rides on this)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aurora_mito_etl_spark.operators.rownum import assign_contiguous_ids
+
+    rng = random.Random(17)
+    rows = [
+        (i, rng.choice([None, 0.0, -5.25, 17.5, 17.5, 99.0]))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "k long, bal double").repartition(7)
+    got = {
+        r["k"]: r["seq"]
+        for r in assign_contiguous_ids(
+            df, ["bal", "k"], "seq", nulls_last=True
+        ).collect()
+    }
+    w = Window.orderBy(F.asc_nulls_last("bal"), "k")
+    want = {
+        r["k"]: r["seq"]
+        for r in df.select(
+            "k", (F.row_number().over(w) - 1).alias("seq")
+        ).collect()
+    }
+    assert got == want
+    # NULLs without nulls_last stay rejected (engine-dependent order)
+    import pytest
+
+    with pytest.raises(ValueError, match="NULL"):
+        assign_contiguous_ids(df, ["bal", "k"], "seq")
+    # duplicate COMPOSITE keys rejected, including the all-NULL pair
+    dup = spark.createDataFrame(
+        [(1, None), (1, None), (2, 3.0)], "k long, bal double"
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        assign_contiguous_ids(dup, ["bal", "k"], "s", nulls_last=True).collect()
+
+
 def test_assign_contiguous_ids_rejects_duplicate_keys(spark):
     """Duplicate order keys make the assignment partition-dependent;
     range partitioning co-locates equal keys and each partition is

@@ -265,6 +265,32 @@ def test_grouped_prefix_sum_guards(spark):
     assert got == {("a", 1): 2, ("b", 1): 3}
 
 
+def test_grouped_prefix_sum_spanning_group_overflow_guard(spark):
+    """r12 ADVICE #1: a group whose running total leaves int64 must
+    raise loudly under EVERY partition arrangement — including the one
+    where the spanning group terminates inside a multi-group partition
+    (off + first_t is the quantity the old guard never checked; the
+    worker-side numpy add would wrap silently). Which guard fires
+    depends on where range partitioning cuts, so pin the invariant:
+    some loud 'overflow' error, never a wrapped result."""
+    big = 2**61
+    rows = [("g", i, big) for i in range(1, 5)] + [("h", 5, 7)]
+    df = spark.createDataFrame(rows, "g string, v long, c long")
+    for nparts in (1, 2, 3):
+        with pytest.raises(Exception, match="overflow"):
+            grouped_prefix_sum(df, "g", "v", "c", num_partitions=nparts).collect()
+    # same group totals kept inside int64: fine, and exact
+    ok_rows = [("g", i, big) for i in range(1, 4)] + [("h", 5, 7)]
+    ok = spark.createDataFrame(ok_rows, "g string, v long, c long")
+    got = {
+        (r["g"], r["v"]): r["cum"]
+        for r in grouped_prefix_sum(ok, "g", "v", "c", num_partitions=2).collect()
+    }
+    assert got == {
+        ("g", 1): big, ("g", 2): 2 * big, ("g", 3): 3 * big, ("h", 5): 7,
+    }
+
+
 def test_grouped_quantiles_dist_parity(spark):
     """The dist variant == the window sibling == the shared DuckDB
     oracle, under the adversarial shape it exists for: one mega-group

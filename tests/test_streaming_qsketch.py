@@ -81,6 +81,37 @@ def test_stream_accumulates_and_matches_batch_twin(spark, tmp_path):
     assert ("b", "p50") in twin and twin[("b", "p50")] == (7.25, 2)
 
 
+def test_all_null_batch_emits_nothing_for_existing_group(spark, tmp_path):
+    """A micro-batch whose rows for an existing group are all NULL
+    leaves that group's state untouched and must NOT re-emit its
+    unchanged quantiles (append-mode contract; ADVICE r12)."""
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    emissions: list[tuple] = []
+
+    def write(rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    def sink(bdf, _bid):
+        emissions.extend(
+            (r["group"], r["quantile"], r["value"], r["n"])
+            for r in bdf.collect()
+        )
+
+    write([("a", 1.0), ("a", 2.0), ("b", 5.0)])
+    _drain(spark, landing, ckpt, sink)
+    n_first = len(emissions)
+    assert n_first == 12  # groups a, b x 6 quantiles
+    # second batch: group a all-NULL (state unchanged), group c new
+    write([("a", None), ("a", None), ("c", 3.0)])
+    _drain(spark, landing, ckpt, sink)
+    second = emissions[n_first:]
+    assert {g for g, *_ in second} == {"c"}  # no duplicate 'a' rows
+    assert len(second) == 6
+
+
 def test_selection_matches_operator_semantics():
     """The python selection is the integer-threshold bucket-min rule."""
     acc = {100_000_000: 3, 200_000_000: 1}  # values 100.0 x3, 200.0 x1
