@@ -726,6 +726,110 @@ def minhash_lsh_join_persisted(
     )
 
 
+def index_snapshot(
+    spark: SparkSession,
+    table: str,
+    text_col: str,
+    id_col: str,
+    index_base: str,
+    version: int | None = None,
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    portable_hash: bool = False,
+    num_buckets: int = 32,
+) -> tuple[str, str]:
+    """Persist the LSH corpus index for ONE snapshot version of a
+    manifest-controlled table (`sources/merge.py`): the index tables
+    carry the version in their names (``{base}_v{V:05d}_bands`` /
+    ``_shingles``), so a release pipeline can always answer "which
+    corpus state does this index cover" from the catalog alone —
+    the r12 VERDICT cross-release wiring. Defaults to the latest
+    version. Idempotent per version (overwrite re-index)."""
+    from aurora_mito_etl_spark.sources import merge as mg
+
+    versions = mg.snapshot_versions(table)
+    if not versions:
+        raise ValueError(f"{table} has no snapshots — snapshot_init first")
+    v = versions[-1] if version is None else version
+    corpus = mg.read_snapshot(spark, table, v)
+    return persist_corpus_index(
+        corpus,
+        text_col,
+        id_col,
+        f"{index_base}_v{v:05d}",
+        k_shingle=k_shingle,
+        num_hashes=num_hashes,
+        bands=bands,
+        portable_hash=portable_hash,
+        num_buckets=num_buckets,
+    )
+
+
+def cross_release_near_dup(
+    spark: SparkSession,
+    table: str,
+    text_col: str,
+    id_col: str,
+    index_base: str,
+    prior_version: int | None = None,
+    new_version: int | None = None,
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    portable_hash: bool = False,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Release N+1 near-dup'd against release N WITHOUT re-reading
+    release N (r12 VERDICT ask #7) — the documented recipe gluing the
+    snapshot manifests (`sources/merge.py`) to the persisted LSH index
+    (:func:`persist_corpus_index` via :func:`index_snapshot`):
+
+    1. the NEW side is the manifest diff (`merge.release_delta`) —
+       only files added between the versions are opened;
+    2. rewritten survivor rows riding in those files (same id as in
+       release N) are anti-joined away against the id column of the
+       PRIOR index's shingle table — reading the index, not the data
+       (and satisfying the distinct-ids contract of the LSH join);
+    3. the banded probe + Jaccard verify run through
+       :func:`minhash_lsh_join_persisted`, so the corpus side arrives
+       pre-bucketed and shuffle-free.
+
+    Per release the cost is O(delta) hashing plus bucket probes —
+    release N's text is never re-shingled, its data files never
+    re-opened. Defaults: prior = latest-1, new = latest. The prior
+    version must have been indexed with `index_snapshot` under the
+    SAME LSH parameters. Output: (new_id, corpus_id, jaccard)."""
+    from aurora_mito_etl_spark.sources import merge as mg
+
+    versions = mg.snapshot_versions(table)
+    if len(versions) < 2 and (prior_version is None or new_version is None):
+        raise ValueError(
+            f"{table} needs two snapshot versions for a cross-release "
+            f"dedup; found {versions}"
+        )
+    prior = versions[-2] if prior_version is None else prior_version
+    new_v = versions[-1] if new_version is None else new_version
+    prefix = f"{index_base}_v{prior:05d}"
+    delta = mg.release_delta(spark, table, prior, new_v)
+    prior_ids = spark.table(f"{prefix}_shingles").select(id_col)
+    fresh = delta.join(prior_ids, id_col, "anti")
+    return minhash_lsh_join_persisted(
+        spark,
+        fresh,
+        text_col,
+        id_col,
+        prefix,
+        k_shingle=k_shingle,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        portable_hash=portable_hash,
+        max_bucket_size=max_bucket_size,
+    )
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """One large-star round: every node connects its strictly-larger
     neighbors to the minimum of its neighborhood (incl. itself)."""

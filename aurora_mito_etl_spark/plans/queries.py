@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aurora_mito_etl_spark.functions.numeric import (
@@ -9721,6 +9721,262 @@ def docs_dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Web-corpus surface (r13): HTML main-content extraction and URL
+# canonicalization / host keys — the steps a 100 TB CommonCrawl-style
+# pipeline runs BEFORE any quality gate or dedup tier. Both are pure
+# Catalyst expression work (operators/html.py, operators/url.py) with
+# verbatim DuckDB twins; the synthetic page / URL scaffolds below are
+# built from documents columns with the SAME concat on both engines,
+# so every adversarial fuzz text flows through the full pipeline.
+# ---------------------------------------------------------------------------
+
+# The synthetic page: head noise (title/style/script), an all-anchor
+# nav, a comment, the document text as the main block, a constant
+# entity-bearing paragraph (pins entity decode in the output), a short
+# link list, a malformed-markup block (unclosed tags), an all-anchor
+# footer, and a trailing script. Built identically in Spark and SQL.
+_HTML_PAGE_PARTS: tuple[tuple[str, str], ...] = (
+    ("lit", "<html><head><title>Doc "),
+    ("col", "doc_id"),
+    ("lit", '</title><style>p{margin:0}</style><script src="x.js"></script></head><body>'),
+    ("lit", '<nav class="top"><a href="/">Home</a> <a href="/s/'),
+    ("col", "source"),
+    ("lit", '">'),
+    ("col", "source"),
+    ("lit", '</a> <a href="/more">More</a></nav>'),
+    ("lit", '<!-- boilerplate notice --><div id="main">'),
+    ("col", "text"),
+    ("lit", "</div>"),
+    ("lit", "<p>Entities &amp; escapes: &quot;quoted&quot; it&#39;s &lt;tag&gt;&nbsp;done here.</p>"),
+    ("lit", '<p>Tags: <a href="/t/1">alpha</a> <a href="/t/2">beta</a></p>'),
+    ("lit", '<div class="bad"><span>broken <unclosed and <b>nested</div>'),
+    ("lit", '<footer><a href="/about">About</a> &copy; 2026</footer>'),
+    ("lit", "<script>var n="),
+    ("col", "n_chars"),
+    ("lit", ";</script></body></html>"),
+)
+
+
+def _synth_html_spark() -> Column:
+    return F.concat(
+        *(
+            F.lit(v) if kind == "lit" else F.col(v).cast("string")
+            for kind, v in _HTML_PAGE_PARTS
+        )
+    )
+
+
+def _synth_html_sql() -> str:
+    return " || ".join(
+        "'" + v.replace("'", "''") + "'"
+        if kind == "lit"
+        else f"CAST({v} AS VARCHAR)"
+        for kind, v in _HTML_PAGE_PARTS
+    )
+
+
+def _html_extract_oracle() -> str:
+    from aurora_mito_etl_spark.operators.html import main_text_sql
+
+    main, n_kept = main_text_sql("html")
+    return f"""
+    WITH synth AS (
+      SELECT doc_id, {_synth_html_sql()} AS html FROM documents
+    ),
+    ext AS (
+      SELECT doc_id, {main} AS main_text, {n_kept} AS n_blocks_kept
+      FROM synth
+    )
+    SELECT doc_id, main_text, n_blocks_kept,
+           CAST(length(main_text) AS BIGINT) AS main_len
+    FROM ext
+    """
+
+
+@_register("docs_html_extract", _html_extract_oracle())
+def docs_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content extraction (r12 VERDICT ask #4): each doc is
+    wrapped in a deterministic full-page scaffold — head noise, anchor
+    nav, comments, an entity paragraph, malformed markup, footer,
+    scripts — and `operators/html.extract_main_text` recovers the
+    text-dense blocks (the trafilatura-family density heuristic as
+    pure Catalyst: strip noise containers, split on block tags,
+    per-block clean + anchor-count via higher-order transform/filter,
+    one array_join). Zero Python, zero shuffle: the whole pipeline is
+    one codegen'd projection over the scan. A NULL column anywhere
+    NULLs the page, the extract and the stats on both engines."""
+    from aurora_mito_etl_spark.operators.html import extract_main_text
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _synth_html_spark().alias("html")
+    )
+    out = extract_main_text(d, "html")
+    return out.select(
+        "doc_id",
+        "main_text",
+        "n_blocks_kept",
+        F.length("main_text").cast("long").alias("main_len"),
+    )
+
+
+# URL scaffold: six shapes keyed by doc_id % 6 — uppercase scheme/www
+# + default https port + dup slashes + tracking params + fragment;
+# http default port + trailing slash; subdomain + fbclid-only query;
+# nonstandard port + duplicate keys + trailing '&'; a non-http scheme;
+# and a relative (non-normalizable) path. Same CASE on both engines.
+_URL_SHAPES: tuple[tuple[tuple[str, str], ...], ...] = (
+    (
+        ("lit", "HTTPS://WWW."),
+        ("col", "source"),
+        ("lit", ".org:443/Path/"),
+        ("col", "doc_id"),
+        ("lit", "//sub/?utm_source=feed&z=9&a=1#frag"),
+    ),
+    (
+        ("lit", "http://"),
+        ("col", "source"),
+        ("lit", ".org:80//a//b/"),
+        ("col", "doc_id"),
+        ("lit", "/"),
+    ),
+    (
+        ("lit", "https://cdn."),
+        ("col", "source"),
+        ("lit", ".org/img/"),
+        ("col", "doc_id"),
+        ("lit", "?fbclid=abc123"),
+    ),
+    (
+        ("lit", "http://"),
+        ("col", "source"),
+        ("lit", ".org:8080/api?b=2&a=10&a=1&gclid=z&"),
+    ),
+    (
+        ("lit", "ftp://files."),
+        ("col", "source"),
+        ("lit", ".org/pub/"),
+        ("col", "doc_id"),
+    ),
+    (("lit", "relative/path/"), ("col", "doc_id")),
+)
+
+
+def _synth_url_spark() -> Column:
+    def build(parts):
+        return F.concat(
+            *(
+                F.lit(v) if kind == "lit" else F.col(v).cast("string")
+                for kind, v in parts
+            )
+        )
+
+    m = F.col("doc_id") % 6
+    expr = F.when(m == 0, build(_URL_SHAPES[0]))
+    for i in range(1, 5):
+        expr = expr.when(m == i, build(_URL_SHAPES[i]))
+    return expr.otherwise(build(_URL_SHAPES[5]))
+
+
+def _synth_url_sql() -> str:
+    def build(parts):
+        return " || ".join(
+            "'" + v.replace("'", "''") + "'"
+            if kind == "lit"
+            else f"CAST({v} AS VARCHAR)"
+            for kind, v in parts
+        )
+
+    arms = " ".join(
+        f"WHEN {i} THEN {build(_URL_SHAPES[i])}" for i in range(5)
+    )
+    return f"CASE doc_id % 6 {arms} ELSE {build(_URL_SHAPES[5])} END"
+
+
+def _url_normalize_oracle() -> str:
+    from aurora_mito_etl_spark.operators.url import normalize_url_sql
+
+    twins = normalize_url_sql("url_raw")
+    return f"""
+    WITH synth AS (
+      SELECT doc_id, {_synth_url_sql()} AS url_raw FROM documents
+    )
+    SELECT doc_id, url_raw, {twins['url_norm']} AS url_norm,
+           {twins['host']} AS host
+    FROM synth
+    """
+
+
+@_register("docs_url_normalize", _url_normalize_oracle())
+def docs_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (r12 VERDICT ask #5): scheme/host
+    lowercasing, www- and default-port stripping, slash collapse,
+    fragment drop, tracking-param removal + byte-order param sort —
+    `operators/url.normalize_url`, one fused projection (regexes +
+    higher-order filter/array_sort, no Python, no shuffle). Rows whose
+    scaffold is not an absolute URL normalize to NULL; NULL inputs
+    stay NULL."""
+    from aurora_mito_etl_spark.operators import url as U
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url_spark().alias("url_raw")
+    )
+    return d.select(
+        "doc_id",
+        "url_raw",
+        U.normalize_url(F.col("url_raw")).alias("url_norm"),
+        U.url_host(F.col("url_raw")).alias("host"),
+    )
+
+
+def _host_report_oracle() -> str:
+    from aurora_mito_etl_spark.operators.url import normalize_url_sql
+
+    host = normalize_url_sql("url_raw")["host"]
+    return f"""
+    WITH synth AS (
+      SELECT doc_id, text, n_chars, {_synth_url_sql()} AS url_raw
+      FROM documents
+    ),
+    keyed AS (
+      SELECT {host} AS host, text, n_chars FROM synth
+    )
+    SELECT host,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+           floor((COUNT(*) - COUNT(DISTINCT md5(text))) * 1.0 / COUNT(*)
+                 * 1000000 + 0.5) / 1000000 AS dup_rate
+    FROM keyed GROUP BY host
+    """
+
+
+@_register("docs_host_report", _host_report_oracle())
+def docs_host_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host corpus report (r12 VERDICT ask #5): docs keyed by
+    canonical host, then ONE host-keyed partial-aggregating groupBy —
+    doc count, exact-dedup cardinality (count distinct md5(text), the
+    A2 tier's fingerprint), total chars, duplicate rate. The single
+    distinct aggregate keeps Spark's two-phase hash plan (no Expand);
+    a NULL host (NULL scaffold inputs) is a real group on both
+    engines. The only shuffle is the host agg — the 100 TB posture
+    for host-level stats."""
+    from aurora_mito_etl_spark.operators import url as U
+
+    d = load_table(spark, sf_dir, "documents").select(
+        U.url_host(_synth_url_spark()).alias("host"), "text", "n_chars"
+    )
+    return d.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct(F.md5("text")).cast("long").alias("n_unique_texts"),
+        F.sum(F.col("n_chars").cast("long")).cast("long").alias("total_chars"),
+        fixed6(
+            (F.count("*") - F.count_distinct(F.md5("text")))
+            / F.count("*")
+        ).alias("dup_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-sample curation.
 #
 # The driver's hard correctness gate (CORRECTNESS_r{N}.json) samples the
@@ -9842,13 +10098,25 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "release_sink_smoke",
     "docs_classify_stub",
     "events_pagerank",
-    "docs_dup_kcore",
     "events_psi_drift",
     "docs_length_ks",
-    "emb_pca_cov",
-    "lineitem_price_moments",
     "docs_contiguous_ids",
     "events_k_anonymity",
+    # NEW in r13 (new queries always enter the window): the web-corpus
+    # surface — HTML main-content extraction, URL canonicalization,
+    # per-host dedup/quality report. Their slots come from three r10
+    # picks (lag 3, not stale, so they return outside without a
+    # backlog entry): docs_dup_kcore (graph family keeps
+    # events_pagerank in-window), emb_pca_cov (PCA/spectral family
+    # keeps emb_dim_truncation_recall in-window), and
+    # lineitem_price_moments (numeric-stats family keeps
+    # lineitem_profile and lineitem_price_percentiles_approx
+    # in-window). docs_contiguous_ids deliberately KEEPS its slot:
+    # assign_contiguous_ids gained composite-key support this round
+    # and should face the driver's regenerated data immediately.
+    "docs_html_extract",
+    "docs_url_normalize",
+    "docs_host_report",
 )
 
 # The round this window was built for (bumped at each rebuild; the

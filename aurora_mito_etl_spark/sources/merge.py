@@ -342,6 +342,35 @@ def merge_upsert_snapshot(
     return new_version, stats
 
 
+def release_delta(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Rows of `table` that live in files ADDED between two snapshot
+    versions — the physical delta of a release, read without opening
+    any file the old version already had.
+
+    The manifest diff is exact at file grain: copy-on-write MERGE
+    rewrites whole files, so the delta contains every inserted and
+    updated row (plus rewritten survivors that shared a file with
+    one — callers that need only NEW keys anti-join those away, see
+    `operators/dedup.cross_release_near_dup`). An empty diff returns
+    an empty frame with the table's schema."""
+    versions = snapshot_versions(table)
+    if not versions:
+        raise ValueError(f"{table} has no snapshots — snapshot_init first")
+    to_v = versions[-1] if to_version is None else to_version
+    old = set(_read_manifest(table, from_version))
+    added = [f for f in _read_manifest(table, to_v) if f not in old]
+    if not added:
+        return spark.createDataFrame(
+            [], read_snapshot(spark, table, to_v).schema
+        )
+    return spark.read.parquet(*[str(Path(table) / f) for f in added])
+
+
 def vacuum(table: str, keep_last: int = 2) -> dict[str, int]:
     """Reclaim space: drop all but the last `keep_last` manifests and
     delete every data file no kept manifest references. Run this only
