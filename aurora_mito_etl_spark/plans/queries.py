@@ -9928,6 +9928,52 @@ def docs_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _url_dedup_oracle() -> str:
+    from aurora_mito_etl_spark.operators.url import normalize_url_sql
+
+    url_norm = normalize_url_sql("url_raw")["url_norm"]
+    return f"""
+    WITH synth AS (
+      SELECT doc_id, {_synth_url_sql()} AS url_raw FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, {url_norm} AS url_norm FROM synth
+    )
+    SELECT url_norm, MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_fetches, COUNT(*) - 1 AS n_dropped
+    FROM keyed WHERE url_norm IS NOT NULL
+    GROUP BY url_norm
+    """
+
+
+@_register("docs_url_dedup", _url_dedup_oracle())
+def docs_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup — the stage a web pipeline runs BEFORE any
+    text dedup (re-crawls and tracking-param variants of one page
+    collapse on the canonical URL alone, no content hashing): docs
+    keyed by `operators/url.normalize_url`, keep-first (min doc_id)
+    per canonical URL with the duplicate mass counted. Rows that are
+    not absolute URLs (url_norm NULL) pass through a web pipeline
+    untouched and are excluded here on both engines. One url-keyed
+    partial-aggregating groupBy — the A3 keep-first shape on the
+    canonical key; the scaffold's shape-3 URLs collide per source, so
+    real collapse happens at every SF."""
+    from aurora_mito_etl_spark.operators import url as U
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", U.normalize_url(_synth_url_spark()).alias("url_norm")
+    )
+    return (
+        d.filter(F.col("url_norm").isNotNull())
+        .groupBy("url_norm")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_fetches"),
+            (F.count("*") - F.lit(1)).cast("long").alias("n_dropped"),
+        )
+    )
+
+
 def _host_report_oracle() -> str:
     from aurora_mito_etl_spark.operators.url import normalize_url_sql
 
@@ -10098,7 +10144,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "release_sink_smoke",
     "docs_classify_stub",
     "events_pagerank",
-    "events_psi_drift",
     "docs_length_ks",
     "docs_contiguous_ids",
     "events_k_anonymity",
@@ -10117,6 +10162,12 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "docs_html_extract",
     "docs_url_normalize",
     "docs_host_report",
+    # NEW in r13 (same rule): canonical-URL keep-first dedup. Its slot
+    # comes from events_psi_drift (r10 -> outside, lag 3 not stale;
+    # the PSI family stays pinned by the streaming drift twin's
+    # BIT-parity pytest against this very query plus the fuzz events
+    # tier, which replays its oracle every campaign).
+    "docs_url_dedup",
 )
 
 # The round this window was built for (bumped at each rebuild; the

@@ -58,6 +58,11 @@ HEADLINE = [
     "docs_zipf_slope",
     "docs_length_ks",
     "docs_length_quantiles_sketch",
+    # web-corpus surface (r13)
+    "docs_html_extract",
+    "docs_url_normalize",
+    "docs_url_dedup",
+    "docs_host_report",
     # quality filtering / privacy / decontamination
     "docs_gopher_quality",
     "docs_c4_filter",

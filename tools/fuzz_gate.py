@@ -220,6 +220,15 @@ DOCS_QUERIES = {
     # below k (or to zero), exercising the early-exhaustion arm of
     # the unrolled greedy on both engines
     "docs_mmr_rerank",
+    # r13: web-corpus surface — the page/URL scaffolds are built from
+    # documents columns, so hostile text (unicode ws/quotes/angle
+    # brackets, NULL/empty/constant arms) flows through the full HTML
+    # density heuristic, the URL canonicalizer's regex/param-sort
+    # rules, and the host/url-keyed aggregates on both engines
+    "docs_html_extract",
+    "docs_url_normalize",
+    "docs_url_dedup",
+    "docs_host_report",
 }
 
 # Relational-spine queries driven by orders/customer/part/supplier —
