@@ -10022,6 +10022,51 @@ def docs_host_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _host_kmv_oracle() -> str:
+    from aurora_mito_etl_spark.operators.sketches import kmv_sql
+    from aurora_mito_etl_spark.operators.url import normalize_url_sql
+
+    host = normalize_url_sql("url_raw")["host"]
+    return f"""
+    WITH synth AS (
+      SELECT text, {_synth_url_sql()} AS url_raw FROM documents
+    ),
+    keyed AS (
+      SELECT {host} AS host, text FROM synth
+    ),
+    {kmv_sql("host", "text", "keyed", k=64)}
+    SELECT grp AS host, n_rows AS n_docs, k_used, distinct_est FROM kmv
+    """
+
+
+@_register("docs_host_distinct_kmv", _host_kmv_oracle())
+def docs_host_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host distinct-content estimate via the deterministic KMV
+    (bottom-k) sketch (`sketches.kmv_distinct`) — the bounded-state
+    sibling of docs_host_report's exact COUNT(DISTINCT md5): at 100 TB
+    the distinct shuffle carries only (host, 48-bit hash) pairs pruned
+    by the mandatory `partial_topk` two-phase tail (a lone host can
+    own the corpus), the per-host state is k hashes forever, and the
+    same order-free set-merge state powers the always-on streaming
+    twin (`streaming/hoststats.py`) with EXACT batch/stream parity.
+    Below saturation (k_used < k) the estimate IS the exact count;
+    at saturation it is the KMV (k-1)/U_k estimator, one exact IEEE
+    multiply + one correctly-rounded divide on every engine."""
+    from aurora_mito_etl_spark.operators import url as U
+    from aurora_mito_etl_spark.operators.sketches import kmv_distinct
+
+    d = load_table(spark, sf_dir, "documents").select(
+        U.url_host(_synth_url_spark()).alias("host"), "text"
+    )
+    out = kmv_distinct(d, "host", "text", k=64)
+    return out.select(
+        "host",
+        F.col("n_rows").alias("n_docs"),
+        "k_used",
+        "distinct_est",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-sample curation.
 #
@@ -10146,7 +10191,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_pagerank",
     "docs_length_ks",
     "docs_contiguous_ids",
-    "events_k_anonymity",
     # NEW in r13 (new queries always enter the window): the web-corpus
     # surface — HTML main-content extraction, URL canonicalization,
     # per-host dedup/quality report. Their slots come from three r10
@@ -10168,6 +10212,12 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # BIT-parity pytest against this very query plus the fuzz events
     # tier, which replays its oracle every campaign).
     "docs_url_dedup",
+    # NEW in r13 (same rule): the per-host KMV distinct sketch. Its
+    # slot comes from events_k_anonymity (r10 -> outside, lag 3 not
+    # stale; the privacy family keeps docs_pii_redact — r12
+    # driver-green — and k-anonymity's oracle replays in the fuzz
+    # events tier every campaign).
+    "docs_host_distinct_kmv",
 )
 
 # The round this window was built for (bumped at each rebuild; the

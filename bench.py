@@ -63,6 +63,7 @@ HEADLINE = [
     "docs_url_normalize",
     "docs_url_dedup",
     "docs_host_report",
+    "docs_host_distinct_kmv",
     # quality filtering / privacy / decontamination
     "docs_gopher_quality",
     "docs_c4_filter",

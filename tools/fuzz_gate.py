@@ -229,6 +229,10 @@ DOCS_QUERIES = {
     "docs_url_normalize",
     "docs_url_dedup",
     "docs_host_report",
+    # r13: per-host KMV distinct sketch — hostile texts exercise both
+    # estimator branches (constant-content arms saturate nothing;
+    # unique-text arms saturate every host) and the NULL-host group
+    "docs_host_distinct_kmv",
 }
 
 # Relational-spine queries driven by orders/customer/part/supplier —
