@@ -60,6 +60,7 @@ def gopher_signals(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
     **overrides: float,
 ) -> DataFrame:
     """Per-document Gopher quality signals + per-rule booleans + the
@@ -120,6 +121,7 @@ def gopher_signals(
 
     out = df.select(
         F.col(id_col),
+        *[F.col(k) for k in keep_cols],
         n_words.alias("n_words"),
         frac(word_chars, n_words).alias("mean_word_len"),
         frac(n_symbols, n_words).alias("symbol_ratio"),
@@ -153,6 +155,7 @@ def c4_signals(
     id_col: str = "doc_id",
     min_line_words: int = 5,
     min_sentences: int = 3,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """C4-style document cleaning + keep verdict.
 
@@ -179,6 +182,7 @@ def c4_signals(
     has_lorem = F.lower(raw).contains("lorem ipsum")
     return df.select(
         F.col(id_col),
+        *[F.col(k) for k in keep_cols],
         F.size(kept).alias("n_kept_lines"),
         clean.alias("clean_text"),
         n_sentences.alias("n_sentences"),

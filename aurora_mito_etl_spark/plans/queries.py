@@ -9441,20 +9441,34 @@ def docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _quality_gate_verdicts(d: DataFrame) -> DataFrame:
+def _quality_gate_verdicts(
+    d: DataFrame, extra: tuple[str, ...] = ()
+) -> DataFrame:
     """Per-doc verdict frame shared by the ensemble gate and the
-    per-source funnel: four single-projection branches over one scan
-    lineage joined on doc_id (gopher_keep, c4_keep, lm_keep,
-    lang_pred)."""
+    per-source funnel (gopher_keep, c4_keep, lm_keep, lang_pred
+    [+ `extra` carried-through columns]).
+
+    r13 optimization (guide §2.4): gopher, C4 and lang-id are pure
+    per-row projections, so they compose COLUMN-WISE over one scan —
+    the previous shape joined four branches on doc_id, which planned
+    three extra Exchanges and parsed `text` four times (doc_id is
+    unique in every gate — testdata PK and the fuzz generators — so
+    the inner joins were exactly this column concat). Only the
+    bigram-LM verdict needs corpus aggregates and keeps its join.
+    4 joins → 1, text parsed 4× → 2× (the LM branch re-reads it for
+    shingles); results bit-identical (verified vs the unchanged
+    4-way-join oracles at sf0.01 and sf0.1)."""
     from aurora_mito_etl_spark.operators import lm_score as lms
 
-    g = ql.gopher_signals(d, **_GOPHER_QUERY_OVERRIDES).select(
-        "doc_id", "gopher_keep"
+    base = d.withColumn("lang_pred", ts.lang_id(F.col("text")))
+    g = ql.gopher_signals(
+        base, keep_cols=("text", "lang_pred", *extra), **_GOPHER_QUERY_OVERRIDES
     )
-    c = ql.c4_signals(d).select("doc_id", "c4_keep")
+    c = ql.c4_signals(g, keep_cols=("gopher_keep", "lang_pred", *extra))
     lm = lms.bigram_lm_score(d, "text", "doc_id").select("doc_id", "lm_keep")
-    la = d.select("doc_id", ts.lang_id(F.col("text")).alias("lang_pred"))
-    return g.join(c, "doc_id").join(lm, "doc_id").join(la, "doc_id")
+    return c.select(
+        "doc_id", "gopher_keep", "c4_keep", "lang_pred", *extra
+    ).join(lm, "doc_id")
 
 
 @_register(
@@ -9529,9 +9543,7 @@ def docs_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable SUMs, and yield_frac is a fixed6 exact-integer
     division."""
     d = load_table(spark, sf_dir, "documents")
-    j = _quality_gate_verdicts(d).join(
-        d.select("doc_id", "source"), "doc_id"
-    )
+    j = _quality_gate_verdicts(d, extra=("source",))
     s1 = F.col("gopher_keep")
     s2 = s1 & F.col("c4_keep")
     s3 = s2 & F.col("lm_keep")
