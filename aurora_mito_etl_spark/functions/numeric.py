@@ -106,6 +106,24 @@ def fixed6_sql(expr: str) -> str:
     return f"floor(({expr}) * 1000000 + 0.5) / 1000000"
 
 
+def fixed6_spark_sql(expr: str) -> str:
+    """SPARK-SQL-string twin of :func:`fixed6`, for ``F.expr``-built
+    columns (r13): expression-heavy operators that assemble dozens of
+    fixed6 columns pay ~15 ms of py4j round-trips PER :func:`fixed6`
+    Column call; parsing the same tree from one SQL string is ~100×
+    cheaper on the driver. The CASE/abs/floor structure and the
+    explicit double literals reproduce fixed6's Catalyst tree exactly
+    (the repeated ``y`` subtree mirrors the Column build, which also
+    inlines ``y`` three times — Catalyst expressions are trees, not
+    DAGs), so values are bit-identical. Spark-side ONLY — the DuckDB
+    twin stays :func:`fixed6_sql`."""
+    y = f"(({expr}) * 1000000.0D + 0.5D)"
+    return (
+        f"(CASE WHEN abs({y}) < 9007199254740992.0D "
+        f"THEN cast(floor({y}) as double) ELSE {y} END) / 1000000.0D"
+    )
+
+
 def micros6(x: Column) -> Column:
     """Value → exact 1e-6-grid BIGINT micros: floor(x·1e6 + 0.5) as
     LONG, guarded so out-of-range input fails LOUDLY and identically

@@ -8934,7 +8934,16 @@ def emb_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     panel = e.select("vec_id").orderBy(
         F.md5(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc()
     ).limit(64)
-    q = p.join(F.broadcast(panel), "vec_id").select(
+    # r13: semi-join the panel BEFORE projecting — the earlier
+    # p.join(panel) shape computed all 16 projection folds for EVERY
+    # corpus row on the query branch and then kept 64 (Catalyst does
+    # not push a join below a Project), i.e. one wasted corpus-wide
+    # projection pass. Projection is per-row deterministic, so
+    # project-after-join is value-identical.
+    q = rp.jl_project(
+        e.join(F.broadcast(panel), "vec_id"), "embedding",
+        in_dim=64, out_dim=out_dim,
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         *[F.col(y).alias(f"q{y}") for y in ycols],
