@@ -664,16 +664,33 @@ def char_entropy_report(df, text_col: str = "text", id_col: str = "doc_id"):
     (doc, char) and (doc); skew is bounded by document length.
 
     Contract: one row per document; NULL/empty text yields NULL
-    entropy and 0 counted chars (the LEFT-JOIN spine, not row loss).
-    Spark's sequence(1, 0) DESCENDS ([1, 0]) where DuckDB's
-    generate_series(1, 0) is empty — the length > 0 guard below is
-    load-bearing.
+    entropy and 0 counted chars (the explode_outer sentinel row, not
+    row loss). Spark's sequence(1, 0) DESCENDS ([1, 0]) where
+    DuckDB's generate_series(1, 0) is empty — the length > 0 guard
+    below is load-bearing.
+
+    Plan shape (r13, guide §2.4): ONE corpus pass. The earlier
+    join-back form referenced the exploded (doc, ch) aggregate three
+    times (totals, contributions, spine re-join) and Catalyst
+    re-executed the explode subtree for each — 3 Generate passes and
+    6 Exchanges in the physical plan, none reused. Now per-doc
+    totals ride a window partitioned by `id_col` (per-task frame
+    bounded by the document's ALPHABET — distinct code points, not
+    characters — so no mega-group risk at any corpus scale),
+    `explode_outer` keeps empty/NULL docs as a (doc, NULL) sentinel
+    instead of a spine re-join, and one final per-doc aggregation
+    emits the row. Values unchanged: same n per doc, same fixed6
+    contributions, and the DECIMAL sum is exact so its order never
+    mattered; the p division is guarded by ch IS NOT NULL, which
+    implies n > 0.
     """
+    from pyspark.sql import Window
+
     from ..functions.numeric import dec, dec_to_double, fixed6
 
     chars = df.select(
         F.col(id_col),
-        F.explode(
+        F.explode_outer(
             F.when(
                 F.col(text_col).isNotNull() & (F.length(text_col) > 0),
                 F.expr(
@@ -684,24 +701,24 @@ def char_entropy_report(df, text_col: str = "text", id_col: str = "doc_id"):
         ).alias("ch"),
     )
     cc = chars.groupBy(id_col, "ch").agg(F.count("*").alias("c"))
-    tot = cc.groupBy(id_col).agg(
-        F.sum("c").alias("n"), F.count("*").alias("k")
+    w = Window.partitionBy(id_col)
+    cc2 = cc.select(
+        F.col(id_col),
+        "ch",
+        "c",
+        F.sum(F.when(F.col("ch").isNotNull(), F.col("c")).otherwise(F.lit(0)))
+        .over(w)
+        .alias("n"),
     )
     p = F.col("c").cast("double") / F.col("n").cast("double")
-    contrib = cc.join(tot, id_col).select(
-        id_col, fixed6(p * F.log(p)).alias("f6")
+    per = cc2.select(
+        F.col(id_col),
+        "n",
+        "ch",
+        F.when(F.col("ch").isNotNull(), fixed6(p * F.log(p))).alias("f6"),
     )
-    ent = contrib.groupBy(id_col).agg(
-        (-dec_to_double(F.sum(dec(F.col("f6"))))).alias("char_entropy")
-    )
-    return (
-        df.select(id_col)
-        .join(tot, id_col, "left")
-        .join(ent, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_chars_counted"),
-            F.coalesce(F.col("k"), F.lit(0)).cast("long").alias("n_distinct_chars"),
-            "char_entropy",
-        )
+    return per.groupBy(id_col).agg(
+        F.max("n").cast("long").alias("n_chars_counted"),
+        F.count("ch").cast("long").alias("n_distinct_chars"),
+        (-dec_to_double(F.sum(dec(F.col("f6"))))).alias("char_entropy"),
     )

@@ -8453,11 +8453,22 @@ def emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization codes over pinned per-subspace codebooks:
     64-dim float32 → 4 nibble codes (64× smaller ANN shortlist
-    representation). One codegen'd projection, no shuffle; codes are
+    representation). One Arrow corpus pass, no shuffle; codes are
     bit-identical to the closed-form DuckDB oracle because both
-    engines fold the same centroid literals left-to-right."""
+    engines fold the same centroid literals left-to-right — the
+    Arrow kernel (`_subspace_codes`) accumulates dimension-at-a-time
+    in input order, the exact aggregate(zip_with) sequence of the
+    expression path (equality pinned by
+    test_pq_encode_arrow_matches_{expression_path,on_real_table}).
+
+    r13 optimization (guide §4.2): the registered query previously
+    ran the interpreted expression path — 64 higher-order-function
+    folds per row (Spark does not codegen lambda expressions),
+    measured 2.5 s vs 0.4 s for the bit-identical Arrow twin at
+    sf0.1. The expression path stays exercised by the twin tests;
+    `emb_pq_encode_prod` in bench.py now measures the same plan."""
     e = _emb_nn(spark, sf_dir).select("vec_id", "embedding")
-    return qz.pq_encode(e, dim=64, m=4, n_centroids=16).select(
+    return qz.pq_encode_arrow(e, dim=64, m=4, n_centroids=16).select(
         "vec_id", "pq_0", "pq_1", "pq_2", "pq_3", "pq_csv"
     )
 
