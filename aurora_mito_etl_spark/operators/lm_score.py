@@ -58,20 +58,43 @@ def bigram_lm_score(
     self_train = train is None
     train = docs if self_train else train
 
+    # Count tables are MATERIALIZED (localCheckpoint) before reuse:
+    # each is referenced twice downstream (uni by the vocab scalar and
+    # the context join; the collapsed doc-bigram frame by the bigram
+    # counts and the contribution join), and Catalyst re-executes an
+    # unshared subtree per reference — the final adaptive plan showed
+    # the token explode AND the Arrow shingle pass each running twice
+    # (8 Generate nodes, zero ReusedExchange). One corpus pass each is
+    # the r13 shape (guide §2.4); at 100 TB the materialized frames
+    # are the trained model tables (vocab-sized) plus the collapsed
+    # (doc, bigram) pairs — the same bytes the old plan's exchanges
+    # already spilled, now read twice instead of recomputed.
     words = train.select(
         F.explode(_tokens(F.col(text_col))).alias("w")
     ).filter(F.col("w") != "")
-    uni = words.groupBy("w").agg(F.count("*").alias("c1"))
+    uni = words.groupBy("w").agg(F.count("*").alias("c1")).localCheckpoint()
     vocab = uni.agg(F.count("*").alias("V"))
 
-    doc_bg = docs.select(
-        F.col(id_col), F.explode(shingles_arrow(F.col(text_col), 2)).alias("bg")
+    # Collapse doc bigrams to (id, bg, o) occurrence counts FIRST: the
+    # per-occurrence contribution is a function of bg alone, so o
+    # identical fixed6 values sum to o × f6 — EXACT in DECIMAL
+    # (decimal(18,6) × decimal(18,0) is a 37-digit product, no
+    # precision cap), bit-equal to the oracle's per-occurrence sum
+    # while the contribution join carries distinct pairs, not
+    # occurrences (guide §2.3 "aggregate before you shuffle").
+    dbc = (
+        docs.select(
+            F.col(id_col),
+            F.explode(shingles_arrow(F.col(text_col), 2)).alias("bg"),
+        )
+        .groupBy(id_col, "bg")
+        .agg(F.count("*").alias("o"))
+        .localCheckpoint()
     )
-    # self-training reuses the document bigram explode for the count
-    # table instead of shingling the corpus a second time (the Arrow
-    # shingle pass is the expensive half of the plan)
+    # self-training rolls the bigram count table up from the SAME
+    # collapsed frame instead of shingling the corpus a second time
     if self_train:
-        bi = doc_bg.groupBy("bg").agg(F.count("*").alias("c2"))
+        bi = dbc.groupBy("bg").agg(F.sum("o").cast("long").alias("c2"))
     else:
         train_bg = train.select(
             F.explode(shingles_arrow(F.col(text_col), 2)).alias("bg")
@@ -81,12 +104,13 @@ def bigram_lm_score(
     # Laplace mass ((0+1)/(0+V)) instead of silently dropping out —
     # the whole point of smoothing (caught by the external-train test).
     contrib = (
-        doc_bg.join(bi, "bg", "left")
+        dbc.join(bi, "bg", "left")
         .withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
         .join(uni.select(F.col("w").alias("w1"), "c1"), "w1", "left")
         .crossJoin(F.broadcast(vocab))
         .select(
             F.col(id_col),
+            F.col("o"),
             # Degenerate-train guard, PER CONTRIBUTION: V=0 makes the
             # Laplace denominator (c1+V) zero, so a bigram scored
             # against an empty vocabulary fails loudly (external-train
@@ -118,8 +142,10 @@ def bigram_lm_score(
         )
     )
     agg = contrib.groupBy(id_col).agg(
-        dec_to_double(F.sum(dec(F.col("f6")))).alias("s"),
-        F.count("*").alias("n"),
+        dec_to_double(
+            F.sum(dec(F.col("f6")) * F.col("o").cast("decimal(18,0)"))
+        ).alias("s"),
+        F.sum("o").cast("long").alias("n"),
     )
     ids = docs.select(id_col).distinct()
     avg = F.when(F.col("n") > 0, F.col("s") / F.col("n")).otherwise(F.lit(0.0))

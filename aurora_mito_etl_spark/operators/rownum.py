@@ -306,8 +306,8 @@ def grouped_prefix_sum(
     df: DataFrame,
     group_col: str,
     order_col: str,
-    weight_col: str,
-    out_col: str = "cum",
+    weight_col: str | list[str],
+    out_col: str | list[str] = "cum",
     num_partitions: int | None = None,
     pid_col: str | None = None,
 ) -> DataFrame:
@@ -353,6 +353,16 @@ def grouped_prefix_sum(
     given, each row also carries its range-partition id — downstream
     consumers (grouped quantile selection) key skew-free joins on
     (group, pid) so a mega-group stays spread over its partitions.
+
+    `weight_col`/`out_col` accept LISTS of equal length (r13): every
+    weight's running total is computed in the SAME range pass —
+    callers needing several cumulatives over one (group, order) key
+    (docs_heaps_fit's token and new-type sums) previously chained
+    two full invocations, paying the range shuffle, the eager
+    localCheckpoint and the summary collect twice for identical
+    partitioning. All contracts and guards apply per weight column;
+    values are unchanged (each weight's cumsum is computed
+    independently, exactly as its single-weight call would).
     """
     import numpy as np
     import pandas as pd
@@ -360,6 +370,14 @@ def grouped_prefix_sum(
 
     if num_partitions is not None and num_partitions < 1:
         raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
+    wcols = [weight_col] if isinstance(weight_col, str) else list(weight_col)
+    ocols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(wcols) != len(ocols) or not wcols:
+        raise ValueError(
+            f"weight_col/out_col must be non-empty and equal-length, "
+            f"got {wcols!r} / {ocols!r}"
+        )
+    nw = len(wcols)
     parts = int(
         num_partitions
         if num_partitions is not None
@@ -382,9 +400,9 @@ def grouped_prefix_sum(
             T.StructField("n_groups", T.LongType(), False),
             # NULL group vs no-rows disambiguated by n_rows == 0
             T.StructField("first_g", g_field.dataType, True),
-            T.StructField("first_t", T.LongType(), True),
+            T.StructField("first_t", T.ArrayType(T.LongType(), False), True),
             T.StructField("last_g", g_field.dataType, True),
-            T.StructField("last_t", T.LongType(), True),
+            T.StructField("last_t", T.ArrayType(T.LongType(), False), True),
         ]
     )
 
@@ -393,17 +411,20 @@ def grouped_prefix_sum(
         return (an and bn) or (not an and not bn and a == b)
 
     def _runs(pdf):
-        """Yield (group_or_None, exact_int_total) per maximal same-group
-        run of a sorted batch. int64 fast path guarded by a float
-        magnitude bound (|w| sums < 2^62 can't wrap in int64; the
-        float overestimate is far inside the 2x margin), python-int
-        objects only on the rare huge-weight batch."""
+        """Yield (group_or_None, [exact_int_total per weight]) per
+        maximal same-group run of a sorted batch. int64 fast path
+        guarded by a float magnitude bound (|w| sums < 2^62 can't
+        wrap in int64; the float overestimate is far inside the 2x
+        margin), python-int objects only on the rare huge-weight
+        batch."""
         gv = pdf[group_col]
-        wfill = pdf[weight_col].fillna(0)
-        if float(wfill.abs().astype("float64").sum()) < float(2**62):
-            wsum = wfill.astype("int64")
-        else:
-            wsum = wfill.astype("object")
+        wsums = []
+        for wc in wcols:
+            wfill = pdf[wc].fillna(0)
+            if float(wfill.abs().astype("float64").sum()) < float(2**62):
+                wsums.append(wfill.astype("int64"))
+            else:
+                wsums.append(wfill.astype("object"))
         na = gv.isna().values
         same = (gv.values[1:] == gv.values[:-1]) | (na[1:] & na[:-1])
         change = np.flatnonzero(~same) + 1
@@ -411,7 +432,9 @@ def grouped_prefix_sum(
         ends = change.tolist() + [len(pdf)]
         for s, e in zip(starts, ends):
             g = gv.iloc[s]
-            yield (None if pd.isna(g) else g), int(wsum.iloc[s:e].sum())
+            yield (None if pd.isna(g) else g), [
+                int(ws.iloc[s:e].sum()) for ws in wsums
+            ]
 
     def summarize(batches):
         from pyspark import TaskContext
@@ -420,28 +443,40 @@ def grouped_prefix_sum(
         n_rows = n_null_order = n_null_w = n_neg_w = 0
         groups = 0
         first_g = first_t = last_g = last_t = None
-        max_t = 0  # largest per-group in-partition total seen
+        max_t = 0  # largest per-group in-partition total seen (any weight)
         for pdf in batches:
             if not len(pdf):
                 continue
-            wv = pdf[weight_col]
             n_rows += len(pdf)
             n_null_order += int(pdf[order_col].isna().sum())
-            n_null_w += int(wv.isna().sum())
-            n_neg_w += int((wv.dropna() < 0).sum())
+            for wc in wcols:
+                wv = pdf[wc]
+                n_null_w += int(wv.isna().sum())
+                n_neg_w += int((wv.dropna() < 0).sum())
             for rg, rt in _runs(pdf):
                 if groups == 0:
                     groups = 1
-                    first_g, first_t = rg, rt
-                    last_g, last_t = rg, rt
+                    first_g, first_t = rg, list(rt)
+                    last_g, last_t = rg, list(rt)
                 elif _nse(rg, last_g):  # run continues across a seam
-                    last_t += rt
+                    last_t = [a + b for a, b in zip(last_t, rt)]
                     if groups == 1:
-                        first_t = last_t
+                        first_t = list(last_t)
                 else:
                     groups += 1
-                    last_g, last_t = rg, rt
-                max_t = max(max_t, last_t)
+                    last_g, last_t = rg, list(rt)
+                max_t = max(max_t, max(last_t))
+        # Raise HERE, not just via the driver-side flag: a summary row
+        # whose totals left int64 cannot even serialize through Arrow
+        # (the old single-weight form leaned on Spark's safe-cast
+        # error text accidentally containing "overflow"); the explicit
+        # worker-side raise keeps the loud-overflow contract under
+        # every partition arrangement.
+        if max_t > 2**62:
+            raise ValueError(
+                "grouped_prefix_sum overflow: a group's in-partition "
+                "total exceeds 2^62"
+            )
         too_big = 1 if max_t > 2**62 else 0
         yield pd.DataFrame(
             [
@@ -469,11 +504,11 @@ def grouped_prefix_sum(
         )
     if sum(r["n_null_w"] for r in summaries):
         raise ValueError(
-            f"grouped_prefix_sum: weight_col {weight_col!r} has NULL values"
+            f"grouped_prefix_sum: weight_col {wcols!r} has NULL values"
         )
     if sum(r["n_neg_w"] for r in summaries):
         raise ValueError(
-            f"grouped_prefix_sum: weight_col {weight_col!r} has negative "
+            f"grouped_prefix_sum: weight_col {wcols!r} has negative "
             "values; use prefix_sum (ungrouped) for general-sign weights"
         )
     if any(r["too_big"] for r in summaries):
@@ -482,40 +517,42 @@ def grouped_prefix_sum(
             "exceeds 2^62"
         )
 
-    offsets: dict[int, int] = {}
-    carry_g, carry_t, have_carry = None, 0, False
+    offsets: dict[int, list[int]] = {}
+    carry_g, carry_t, have_carry = None, [0] * nw, False
     for r in sorted(summaries, key=lambda row: row["p"]):
         if not r["n_rows"]:
             continue
-        off = 0
+        off = [0] * nw
         if have_carry and _nse(r["first_g"], carry_g):
-            off = carry_t
+            off = list(carry_t)
             offsets[int(r["p"])] = off
         # the next partition can only continue THIS partition's last
         # group; its accumulated total includes the inherited offset
         # exactly when first == last (a single spanning group).
         if int(r["n_groups"]) == 1:
-            carry_g, carry_t = r["last_g"], off + int(r["last_t"])
+            carry_g = r["last_g"]
+            carry_t = [o + int(t) for o, t in zip(off, r["last_t"])]
         else:
             # the spanning FIRST group terminates inside this
             # partition: its final running total (off + first_t) never
             # reaches carry_t, but the worker adds the same offset with
             # wrapping int64 arithmetic — validate it here too.
-            if off and off + int(r["first_t"]) > 2**63 - 1:
-                raise ValueError(
-                    "grouped_prefix_sum overflow: a group's running "
-                    f"total reaches {off + int(r['first_t'])}, outside "
-                    "int64"
-                )
-            carry_g, carry_t = r["last_g"], int(r["last_t"])
+            for o, t in zip(off, r["first_t"]):
+                if o and o + int(t) > 2**63 - 1:
+                    raise ValueError(
+                        "grouped_prefix_sum overflow: a group's running "
+                        f"total reaches {o + int(t)}, outside int64"
+                    )
+            carry_g = r["last_g"]
+            carry_t = [int(t) for t in r["last_t"]]
         have_carry = True
-        if carry_t > 2**63 - 1:
+        if max(carry_t) > 2**63 - 1:
             raise ValueError(
                 f"grouped_prefix_sum overflow: a group's running total "
-                f"reaches {carry_t}, outside int64"
+                f"reaches {max(carry_t)}, outside int64"
             )
 
-    extra = [T.StructField(out_col, T.LongType(), False)]
+    extra = [T.StructField(oc, T.LongType(), False) for oc in ocols]
     if pid_col is not None:
         extra.append(T.StructField(pid_col, T.LongType(), False))
     out_schema = T.StructType(list(df.schema.fields) + extra)
@@ -524,16 +561,18 @@ def grouped_prefix_sum(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        carry = offsets.get(pid, 0)  # applies to the partition's 1st group
+        # applies to the partition's 1st group
+        carry = list(offsets.get(pid, [0] * nw))
         first_batch = True
         prev_g = prev_v = None
         have_prev = False
         for pdf in batches:
             pdf = pdf.copy()
             if not len(pdf):
-                pdf[out_col] = pdf[weight_col].astype("int64")
+                for wc, oc in zip(wcols, ocols):
+                    pdf[oc] = pdf[wc].astype("int64")
                 if pid_col is not None:
-                    pdf[pid_col] = pdf[out_col]
+                    pdf[pid_col] = pdf[ocols[0]]
                 yield pdf
                 continue
             gv, vv = pdf[group_col], pdf[order_col]
@@ -552,23 +591,25 @@ def grouped_prefix_sum(
                 )
             # cast BEFORE the cumsum: a narrower weight dtype would
             # wrap inside pandas' dtype-preserving cumulative sum
-            csum = (
-                pdf.assign(__w64=pdf[weight_col].astype("int64"))
-                .groupby(group_col, dropna=False, sort=False)["__w64"]
-                .cumsum()
-            )
+            grouped = pdf.assign(
+                **{f"__w64_{i}": pdf[wc].astype("int64") for i, wc in enumerate(wcols)}
+            ).groupby(group_col, dropna=False, sort=False)
+            csums = [grouped[f"__w64_{i}"].cumsum() for i in range(nw)]
             # carry flows into the batch's FIRST run only: the
             # partition offset (first batch) or the previous batch's
             # last-group running total (seam continuation).
             if first_batch or seam_g:
-                if carry:
+                if any(carry):
                     change = np.flatnonzero(~same_g)
                     first_run_end = int(change[0]) + 1 if len(change) else len(pdf)
-                    csum.iloc[:first_run_end] += carry
-            pdf[out_col] = csum
+                    for i in range(nw):
+                        if carry[i]:
+                            csums[i].iloc[:first_run_end] += carry[i]
+            for oc, cs in zip(ocols, csums):
+                pdf[oc] = cs
             if pid_col is not None:
                 pdf[pid_col] = pid
-            carry = int(csum.iloc[-1])
+            carry = [int(cs.iloc[-1]) for cs in csums]
             prev_g, prev_v, have_prev = gv.iloc[-1], vv.iloc[-1], True
             first_batch = False
             yield pdf

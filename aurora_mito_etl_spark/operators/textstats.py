@@ -456,31 +456,18 @@ def ngram_diversity(
     grams = df.select(
         F.col(group_col), F.explode(F.concat(*branches)).alias("x")
     ).select(group_col, F.col("x.n").alias("n"), F.col("x.g").alias("g"))
-    totals = grams.groupBy(group_col, "n").agg(
-        F.count("*").cast("long").alias("total")
-    )
-    dis = (
-        grams.distinct()
-        .groupBy(group_col, "n")
-        .agg(F.count("*").cast("long").alias("n_distinct"))
-    )
-    # NULL-SAFE on the group key (r11, found by the mixed-NULL source
-    # fuzz arm): both groupBys keep a NULL group, but a bare equi-join
-    # drops the NULL match (NULL != NULL) while the oracle's UNION-ALL
-    # per-order shape never joins — spark lost the NULL-source row.
-    per = (
-        totals.alias("t")
-        .join(
-            dis.alias("d"),
-            F.col(f"t.{group_col}").eqNullSafe(F.col(f"d.{group_col}"))
-            & (F.col("t.n") == F.col("d.n")),
-        )
-        .select(
-            F.col(f"t.{group_col}").alias(group_col),
-            F.col("t.n").alias("n"),
-            "total",
-            "n_distinct",
-        )
+    # r13 (guide §2.4): totals and distincts BOTH roll up from one
+    # (group, n, gram) count aggregate — total = SUM(c), distinct =
+    # COUNT(*) — instead of aggregating the exploded frame twice
+    # (Catalyst re-executed the shingle explode for each reference;
+    # zero exchange reuse in the final adaptive plan) and re-joining
+    # per-(group, n) frames. The rollup also subsumes the r11
+    # NULL-SAFE join lesson: a NULL group flows through both groupBys
+    # (no join to drop it), matching the oracle's UNION-ALL shape.
+    cg = grams.groupBy(group_col, "n", "g").agg(F.count("*").alias("c"))
+    per = cg.groupBy(group_col, "n").agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_distinct"),
     )
     zero = F.lit(0).cast("long")
     cols = []

@@ -5198,8 +5198,13 @@ def docs_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("nt", F.lit(0).cast("long")).alias("nt"),
         )
     )
-    c = grouped_prefix_sum(perdoc, "source", "doc_id", "toks", "ct")
-    c = grouped_prefix_sum(c, "source", "doc_id", "nt", "cy")
+    # ONE multi-weight pass (r13): both cumulatives share the same
+    # (source, doc_id) range partitioning, so chaining two calls paid
+    # the range shuffle + eager checkpoint + summary collect twice
+    # for identical partitioning; values unchanged per weight.
+    c = grouped_prefix_sum(
+        perdoc, "source", "doc_id", ["toks", "nt"], ["ct", "cy"]
+    )
     pts = c.where((F.col("ct") >= 1) & (F.col("cy") >= 1)).select(
         "source",
         fixed6(F.log(F.col("ct").cast("double"))).alias("x"),
