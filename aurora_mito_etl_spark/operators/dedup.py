@@ -885,20 +885,29 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # nodes is consumed exactly ONCE (the final left join), so it
+    # stays LAZY over the checkpointed initial edges — the eager
+    # checkpoint it used to carry was one full job that bought
+    # nothing (r13, guide §1.2: don't compute what you don't reuse).
     nodes = (
         edges.select(F.col("u").alias("id"))
         .union(edges.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint()
     )
     converged = False
+    # carry the edge count across rounds: last round's new_edges.count()
+    # IS this round's edges.count() — re-counting it paid one job per
+    # round (r13; the check itself stays EXACT, not a checksum).
+    n_edges = edges.count()
     for _ in range(max_iter):
         new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        n_new = new_edges.count()
         same = (
-            new_edges.count() == edges.count()
+            n_new == n_edges
             and new_edges.exceptAll(edges).limit(1).count() == 0
         )
         edges = new_edges
+        n_edges = n_new
         if same:
             converged = True
             break
@@ -914,6 +923,12 @@ def connected_components(
     return (
         nodes.join(star, "id", "left")
         .select("id", F.coalesce("component", F.col("id")).alias("component"))
+        # materialize the RESULT once (component-table-sized): every
+        # caller references it several times (label votes, winners,
+        # final corpus join) and would otherwise re-execute the
+        # nodes-distinct + star join per reference (r13; this also
+        # lets `nodes` above stay lazy).
+        .localCheckpoint()
     )
 
 

@@ -8965,7 +8965,12 @@ def emb_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(y).alias(f"q{y}") for y in ycols],
     )
     num = rp.sqdist_named_col([f"q{y}" for y in ycols], ycols)
-    den = rp.sqdist_col("qe", "embedding", 64)
+    # r13 (guide §4.2): the 64-dim denominator fold runs per PAIR
+    # (n_corpus × 64 pairs) — as a Catalyst HOF it evaluated
+    # interpreted, per element, per row; the Arrow twin computes the
+    # identical left-to-right per-dimension sequence on numpy batches
+    # (bit-parity pinned by test_sqdist_arrow_matches_expression).
+    den = rp.sqdist_arrow(F.col("qe"), F.col("embedding"), 64)
     pairs = (
         p.crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("query_id"))

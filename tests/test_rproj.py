@@ -82,3 +82,48 @@ def test_jl_distortion_concentrates(spark):
     assert 0.7 < m16 < 1.3
     assert 0.85 < m64 < 1.15
     assert worst64 < worst16  # wider sketch, tighter concentration
+
+
+def test_sqdist_arrow_matches_expression(spark):
+    """r13: the Arrow pair-distance twin is bit-identical to the
+    expression fold — including the OOB/NULL contract (short vector →
+    NULL, extra dims ignored, NULL element → NULL, NULL vector →
+    NULL)."""
+    import math
+    import random
+
+    import pyspark.sql.functions as F
+
+    rng = random.Random(17)
+    rows = []
+    for i in range(40):
+        v = [rng.gauss(0, 1) * (10 ** rng.randint(-3, 3)) for _ in range(64)]
+        rows.append((i, v))
+    rows.append((100, None))                      # NULL vector
+    rows.append((101, [1.0] * 32))                # shorter than dim
+    rows.append((102, [1.0] * 80))                # longer than dim
+    v103 = [1.0] * 64
+    v103[7] = None                                # NULL element
+    rows.append((103, v103))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    pairs = df.crossJoin(F.broadcast(q))
+    expr = pairs.select(
+        "vec_id", "qid", rp.sqdist_col("qe", "embedding", 64).alias("d")
+    )
+    arrow = pairs.select(
+        "vec_id",
+        "qid",
+        rp.sqdist_arrow(F.col("qe"), F.col("embedding"), 64).alias("d"),
+    )
+    e = {(r["vec_id"], r["qid"]): r["d"] for r in expr.collect()}
+    a = {(r["vec_id"], r["qid"]): r["d"] for r in arrow.collect()}
+    assert set(e) == set(a)
+    for k in e:
+        if e[k] is None:
+            assert a[k] is None, k
+        else:
+            assert a[k] is not None and math.isclose(a[k], e[k], rel_tol=0.0, abs_tol=0.0), (
+                k, e[k], a[k])
