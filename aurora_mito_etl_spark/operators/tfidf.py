@@ -49,11 +49,19 @@ def _term_weights(
         F.lower(F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " "))),
         " ",
     )
+    # Materialize the postings once (r13, guide §2.4): tf feeds the
+    # df cap AND the weight join, w feeds norms AND the normalize
+    # join, and the normalized index feeds both sides of the pair
+    # join — Catalyst re-executed the token explode for EVERY
+    # reference (16 Generate nodes in the tfidf_topk physical plan,
+    # zero reuse). The postings/index tables are exactly what a
+    # production deployment persists.
     tf = (
         docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
         .where(F.col("tok") != "")
         .groupBy("id", "tok")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
     )
     df_t = (
         tf.groupBy("tok")
@@ -75,12 +83,14 @@ def _term_weights(
     )
     # zero weights (idf rounds to 0 when df ≈ N) contribute nothing
     # and would zero a document's norm — drop them before normalizing
-    w = w.where(F.col("wt") != 0)
+    w = w.where(F.col("wt") != 0).localCheckpoint()
     norms = w.groupBy("id").agg(
         F.sqrt(dec_to_double(F.sum(dec("wt") * dec("wt")))).alias("norm")
     )
-    return w.join(norms, "id").select(
-        "id", "tok", fixed6(F.col("wt") / F.col("norm")).alias("wn")
+    return (
+        w.join(norms, "id")
+        .select("id", "tok", fixed6(F.col("wt") / F.col("norm")).alias("wn"))
+        .localCheckpoint()
     )
 
 
@@ -108,6 +118,9 @@ def tfidf_topk(
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(dec_to_double(F.sum(dec("wn_a") * dec("wn_b"))).alias("sim"))
+        # the mirror union reads pairs twice; materializing runs the
+        # inverted-index join ONCE (it is the plan's expensive half)
+        .localCheckpoint()
     )
     mirrored = pairs.select(
         F.col("id_a").alias("doc_id"), F.col("id_b").alias("neighbor_id"), "sim"
@@ -159,13 +172,17 @@ def bm25_search(
         F.lower(F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " "))),
         " ",
     )
+    # Postings materialized once (r13): doclen and the query-term
+    # slice both read tf_all, and doclen itself feeds stats AND the
+    # scoring join — unshared, the token explode re-ran 4× per query.
     tf_all = (
         docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
         .where(F.col("tok") != "")
         .groupBy("id", "tok")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
     )
-    doclen = tf_all.groupBy("id").agg(F.sum("tf").alias("dl"))
+    doclen = tf_all.groupBy("id").agg(F.sum("tf").alias("dl")).localCheckpoint()
     # Corpus stats (N = docs with at least one token, avg_dl) as a
     # broadcast 1-row aggregate — the lm_score.py pattern — instead of
     # a driver count + collect: no extra full-scan jobs, one plan.
@@ -255,13 +272,15 @@ def ql_search(
         F.lower(F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " "))),
         " ",
     )
+    # Same postings materialization as bm25_search (r13).
     tf_all = (
         docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
         .where(F.col("tok") != "")
         .groupBy("id", "tok")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
     )
-    doclen = tf_all.groupBy("id").agg(F.sum("tf").alias("dl"))
+    doclen = tf_all.groupBy("id").agg(F.sum("tf").alias("dl")).localCheckpoint()
     cs = doclen.agg(F.sum("dl").cast("double").alias("ctot"))
     tf_q = tf_all.where(F.col("tok").isin(terms))
     ctf = (
