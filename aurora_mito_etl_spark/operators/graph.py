@@ -80,14 +80,34 @@ def pagerank(
         return vertices.withColumn("rank", F.lit(0.0))
     base = (1.0 - damping) / float(n)
 
-    has_out = out_w.select(F.col("src").alias("vertex"))
     # Each round references `ranks` three times (contributions,
     # dangling mass, vertex spine); without lineage truncation the
     # logical plan grows 3^iterations. Same pattern as
     # dedup.connected_components: materialize per round.
+    #
+    # r13 (guide §2.4): the dangling-mass branch used to anti-join
+    # ranks against the has-out vertex set EVERY round — but the
+    # vertex set is static, so the flag is computed ONCE into the
+    # initial ranks table and carried through each round's rebuild:
+    # dangling becomes a plain filtered aggregate, removing one
+    # vertex-sized join per iteration (values unchanged — the same
+    # rows feed the same fixed6/decimal sum).
     p = p.localCheckpoint()
-    has_out = has_out.localCheckpoint()
-    ranks = vertices.withColumn("rank", F.lit(1.0 / float(n))).localCheckpoint()
+    ranks = (
+        vertices.join(
+            out_w.select(
+                F.col("src").alias("vertex"), F.lit(True).alias("__has_out")
+            ),
+            "vertex",
+            "left",
+        )
+        .select(
+            "vertex",
+            F.lit(1.0 / float(n)).alias("rank"),
+            F.coalesce("__has_out", F.lit(False)).alias("__has_out"),
+        )
+        .localCheckpoint()
+    )
     for _ in range(iterations):
         contrib = (
             ranks.join(p, ranks["vertex"] == p["src"])
@@ -96,12 +116,12 @@ def pagerank(
             .agg(dec_to_double(F.sum(dec("c"))).alias("in_sum"))
         )
         dangling = (
-            ranks.join(has_out, "vertex", "anti")
+            ranks.where(~F.col("__has_out"))
             .agg(dec_to_double(F.sum(dec(fixed6(F.col("rank"))))).alias("dang"))
             .select(F.coalesce("dang", F.lit(0.0)).alias("dang"), F.lit(1).alias("_k"))
         )
         ranks = (
-            ranks.select("vertex")
+            ranks.select("vertex", "__has_out")
             .join(contrib.withColumnRenamed("dst", "vertex"), "vertex", "left")
             .withColumn("_k", F.lit(1))
             .join(F.broadcast(dangling), "_k")
@@ -115,9 +135,10 @@ def pagerank(
                         + F.col("dang") / F.lit(float(n))
                     )
                 ).alias("rank"),
+                "__has_out",
             )
         ).localCheckpoint()
-    return ranks
+    return ranks.select("vertex", "rank")
 
 
 def hits(
