@@ -70,6 +70,73 @@ def _int_dot(vi: Column, c_ints: list[int]) -> Column:
     )
 
 
+def _int_dots_arrow(c_ints: list[list[int]], dim: int) -> Column:
+    """Arrow twin of k × :func:`_int_dot`: one ``array<long>`` of the
+    k exact integer dots per row (r13, guide §4.2 — the k interpreted
+    HOF folds per row dominated the assignment projection; Spark does
+    not codegen lambdas). INTEGER arithmetic is exact and order-free,
+    so one int64 matmul per batch is bit-identical to the fold.
+
+    Semantics parity with the expression path, row by row:
+    - quantization is the SAME float64 op (floor(x·1e6 + 0.5)) numpy
+      and the JVM both evaluate exactly;
+    - a NULL vector, a vector shorter than `dim`, or a NULL element
+      inside the first `dim` dims returns a NULL dots array — exactly
+      the states where the zip_with NULL-pad poisons every fold — so
+      the downstream struct-sort sees the same NULLs;
+    - the int64-range contract fails LOUDLY: rows whose conservative
+      envelope (dim · max|vi| · max|c|) could wrap int64 raise, the
+      same inputs the expression path kills with Spark's ANSI long
+      overflow (the embeddings fuzz tier's magnitude-1e6 arm).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(c_ints, dtype=np.int64)  # (k, dim)
+    max_c = int(np.abs(C).max()) if C.size else 0
+
+    def batch(s):
+        rows = s.tolist()
+        out: list[list[int] | None] = [None] * len(rows)
+        cand = []
+        for i, v in enumerate(rows):
+            if v is not None and len(v) >= dim:
+                # None elements become NaN here (object list → float64)
+                cand.append((i, np.array(v[:dim], dtype=np.float64)))
+        if cand:
+            A = np.stack([a for _, a in cand])
+            vi_f = np.floor(A * float(_SCALE) + 0.5)
+            # a NULL element surfaces as NaN through Arrow — those rows
+            # keep the NULL-poisoned dots of the zip_with pad (the
+            # dot_arrow NaN→NULL convention)
+            finite = np.isfinite(vi_f).all(axis=1)
+            safe = np.where(np.isfinite(vi_f), vi_f, 0.0)
+            if finite.any() and float(np.abs(safe[finite]).max()) >= float(
+                2**63
+            ):
+                raise ValueError(
+                    "assign_cells: quantized component leaves int64 "
+                    "(|value| too large for the fixed6 grid)"
+                )
+            vi = safe.astype(np.int64)
+            max_v = int(np.abs(vi[finite]).max()) if finite.any() else 0
+            if dim * max_v * max_c >= 2**63:
+                raise ValueError(
+                    "assign_cells long overflow: integer dot envelope "
+                    f"dim·{max_v}·{max_c} leaves int64 (input magnitude "
+                    "outside the fixed6-grid contract)"
+                )
+            dots = vi @ C.T  # exact int64 — envelope checked above
+            for (row_i, _), d, is_fin in zip(cand, dots, finite):
+                if is_fin:
+                    out[row_i] = [int(x) for x in d]
+        return pd.Series(out)
+
+    return pandas_udf(batch, T.ArrayType(T.LongType()))
+
+
 def assign_cells(
     vectors: DataFrame,
     centroids: list[list[float]],
@@ -78,7 +145,47 @@ def assign_cells(
 ) -> DataFrame:
     """Nearest-centroid assignment (argmin ‖v−c‖² via the
     dot − ‖c‖²/2 identity) as a pure projection; ties → larger cell
-    id. Centroid values must already sit on the fixed6 grid."""
+    id. Centroid values must already sit on the fixed6 grid.
+
+    r13 plan shape: the k integer dots come from ONE Arrow batch
+    kernel (`_int_dots_arrow`; the k interpreted HOF folds per row
+    were the projection's cost); the score combine, the argmax
+    struct-sort, and every NULL path stay in Catalyst UNCHANGED, so
+    tie and NULL semantics are exactly the expression path's (pinned
+    by test_assign_cells_arrow_matches_expression)."""
+    dim = len(centroids[0])
+    all_c_ints = [[_q(x) for x in c] for c in centroids]
+    dots_col = _int_dots_arrow(all_c_ints, dim)(F.col(vec_col))
+    tmp = f"__dots_{out_col}"
+    scored = []
+    for i, c_ints in enumerate(all_c_ints):
+        half_norm = float(sum(ci * ci for ci in c_ints)) / (2.0 * _SCALE * _SCALE)
+        scored.append(
+            F.struct(
+                (
+                    F.get(F.col(tmp), i).cast("double")
+                    / F.lit(float(_SCALE * _SCALE))
+                    - F.lit(half_norm)
+                ).alias("s"),
+                F.lit(i).alias("cell"),
+            )
+        )
+    return (
+        vectors.withColumn(tmp, dots_col)
+        .withColumn(out_col, F.sort_array(F.array(*scored), asc=False)[0]["cell"])
+        .drop(tmp)
+    )
+
+
+def assign_cells_expr(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """The pure-expression form of :func:`assign_cells` (the pre-r13
+    registered path) — kept as the parity twin the equality test pins
+    the Arrow kernel against."""
     dim = len(centroids[0])
     # slice BEFORE zip_with: zip_with pads the shorter array with
     # NULLs, which would poison the fold

@@ -93,3 +93,71 @@ def test_trained_centroids_drive_ivf(spark):
     # own vector as its top hit (cosine 1.0)
     top = {r["query_id"]: r["vec_id"] for r in rows if r["rank"] == 1}
     assert all(q == v for q, v in top.items())
+
+
+def test_assign_cells_arrow_matches_expression(spark):
+    """r13: the Arrow integer-dot kernel + unchanged Catalyst argmax
+    equals the pure-expression assignment on every adversarial shape
+    the fuzz tier generates: exact-duplicate rows, the zero vector,
+    negated copies, in-contract huge magnitude, NULL vector, NULL
+    element, short and long vectors."""
+    import math
+    import random
+
+    from aurora_mito_etl_spark.operators import clustering as cu
+    from aurora_mito_etl_spark.operators.similarity import ivf_centroids
+
+    rng = random.Random(23)
+    dim, k = 16, 8
+    init = [
+        [math.floor(x * 1e6 + 0.5) / 1e6 for x in c]
+        for c in ivf_centroids(dim, k, seed=7)
+    ]
+    rows = []
+    for i in range(30):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(dim)]))
+    rows.append((100, rows[2][1]))                    # exact duplicate
+    rows.append((101, [0.0] * dim))                   # zero vector
+    rows.append((102, [-x for x in rows[2][1]]))      # negation
+    rows.append((103, [x * 300.0 for x in rows[2][1]]))  # huge, in-contract
+    rows.append((104, None))                          # NULL vector
+    v105 = list(rows[3][1])
+    v105[5] = None                                    # NULL element
+    rows.append((105, v105))
+    rows.append((106, [1.0] * (dim - 4)))             # shorter than dim
+    rows.append((107, [1.0] * (dim + 8)))             # longer than dim
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got_a = {
+        r["vec_id"]: r["cell"]
+        for r in cu.assign_cells(df, init).select("vec_id", "cell").collect()
+    }
+    got_e = {
+        r["vec_id"]: r["cell"]
+        for r in cu.assign_cells_expr(df, init)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert got_a == got_e
+
+
+def test_assign_cells_arrow_overflow_is_loud(spark):
+    """Magnitude far outside the fixed6-grid contract must raise
+    loudly from the Arrow kernel, as the expression fold does via
+    Spark's ANSI long overflow (the fuzz tier's 1e6-magnitude arm)."""
+    import math
+
+    import pytest
+
+    from aurora_mito_etl_spark.operators import clustering as cu
+    from aurora_mito_etl_spark.operators.similarity import ivf_centroids
+
+    dim, k = 16, 8
+    init = [
+        [math.floor(x * 1e6 + 0.5) / 1e6 for x in c]
+        for c in ivf_centroids(dim, k, seed=7)
+    ]
+    df = spark.createDataFrame(
+        [(0, [1.0e6] * dim)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="overflow|int64"):
+        cu.assign_cells(df, init).collect()
