@@ -19,7 +19,8 @@ Algorithm (all int64-exact, no global sort, no per-group buffer):
      aggregation, memory O(distinct values / partitions);
   2. running total over ascending grid value via
      `rownum.prefix_sum` — the two-phase partition-offset pattern
-     (range shuffle + P collected longs + broadcast offsets), NOT a
+     (range shuffle + a P-row in-plan summary whose carry chain runs
+     in one bounded task + broadcast offsets re-join), NOT a
      `SUM() OVER (ORDER BY v)` single-task window;
   3. rank thresholds ceil(p·n) computed in INTEGERS from rational
      quantiles (qnum/qden): thresh = (n·qnum + qden − 1) div qden —
@@ -78,11 +79,18 @@ def exact_quantiles_grid(
         .where(F.col("v").isNotNull())
         .groupBy("v")
         .agg(F.count("*").cast("long").alias("c"))
+        # lazy materialization (r14): g feeds BOTH the prefix sum
+        # (whose repartitionByRange additionally SAMPLES its input —
+        # an extra full execution of the grid aggregate) and the n
+        # aggregate below; without the checkpoint the scan+aggregate
+        # runs 3x (Catalyst has no cross-branch subtree reuse).
+        .localCheckpoint(eager=False)
     )
     cum = prefix_sum(g, "v", "c", "cum", num_partitions=num_partitions)
-    # n = the grand total = MAX(cum): one agg over the (checkpointed)
-    # distinct-value frame, no second pass over the raw rows.
-    n = cum.agg(F.max("cum").alias("n"))
+    # n = the grand total = SUM(c) over the checkpointed grid — the
+    # same number MAX(cum) gives (counts are positive), without
+    # re-executing the prefix-sum python stage a second time.
+    n = g.agg(F.sum("c").cast("long").alias("n"))
     spark = df.sparkSession
     spec = spark.createDataFrame(
         list(quantiles), "quantile string, qnum long, qden long"
@@ -170,6 +178,9 @@ def grouped_exact_quantiles(
         .where(F.col("v").isNotNull())
         .groupBy(group_col, "v")
         .agg(F.count("*").cast("long").alias("c"))
+        # lazy materialization (r14): g feeds both the cumulative
+        # window and the per-group n aggregate — one scan, not two.
+        .localCheckpoint(eager=False)
     )
     w = (
         Window.partitionBy(group_col)
@@ -258,7 +269,8 @@ def grouped_exact_quantiles_dist(
     1. grid counts per (group, value) — map-side-combinable, mergeable
        by addition;
     2. `rownum.grouped_prefix_sum` — range partition by (group, v),
-       bounded per-partition summaries, driver carry chain: a
+       bounded per-partition summaries, in-plan single-task carry
+       chain over the P summary rows (r14 — no driver collect): a
        mega-group spans partitions instead of funneling into one task;
        each cum row also carries its range-partition id;
     3. per-group totals + integer ceil(p·n) thresholds (rational
@@ -285,11 +297,18 @@ def grouped_exact_quantiles_dist(
         .where(F.col("v").isNotNull())
         .groupBy(group_col, "v")
         .agg(F.count("*").cast("long").alias("c"))
+        # lazy materialization (r14): g feeds the grouped prefix sum
+        # (whose repartitionByRange also samples its input) AND the
+        # per-group n aggregate — one scan+aggregate, not three.
+        .localCheckpoint(eager=False)
     )
     cum = grouped_prefix_sum(
         g, group_col, "v", "c", "cum",
         num_partitions=num_partitions, pid_col="__pid",
-    )
+    # cum is consumed twice (level-1 partition maxima and the level-2
+    # hit join); the chain ends in a python stage, so re-execution
+    # would pay the whole prefix-sum pipeline twice (r14).
+    ).localCheckpoint(eager=False)
     n = g.groupBy(group_col).agg(F.sum("c").cast("long").alias("n"))
     spec = df.sparkSession.createDataFrame(
         list(quantiles), "quantile string, qnum long, qden long"
@@ -445,6 +464,9 @@ def grouped_quantile_sketch(
         )
         .groupBy(group_col, "v")
         .agg(F.count("*").cast("long").alias("c"))
+        # lazy materialization (r14): g feeds both the cumulative
+        # window and the per-group n aggregate — one scan, not two.
+        .localCheckpoint(eager=False)
     )
     w = (
         Window.partitionBy(group_col)

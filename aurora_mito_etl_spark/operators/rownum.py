@@ -8,19 +8,65 @@ two-phase partition-offset pattern:
 
 1. range-partition + sort WITHIN partitions by the key (one shuffle,
    fully parallel — this is what a distributed ORDER BY does anyway);
-2. count rows per partition (a few hundred longs to the driver);
-3. broadcast the exclusive prefix sums back and add each row's
-   within-partition position.
+2. summarize each partition (one row per partition);
+3. chain the per-partition summaries into exclusive prefix offsets
+   and add each row's within-partition position.
 
 Output is bit-identical to the window form whenever the key order is
 total (enforce with a unique key), which keeps the operator
 DuckDB-oracle-checkable while the plan stays straggler-free.
+
+IN-PLAN OFFSETS (r14, VERDICT r13 ask #2): the offsets used to be a
+driver-side collect of the P summary rows — an EAGER job (plus an
+eager localCheckpoint) at DataFrame *build* time, paid once per call
+even before the query ran. The chain is now fully lazy:
+
+- the range-partitioned frame is localCheckpoint(eager=False) — the
+  materialization (which both the summary pass and the value pass
+  must share, or the sampled range boundaries could differ between
+  the two subtrees) happens inside the first job that needs it;
+- the per-partition summary is a lazy aggregate / mapInPandas;
+- the carry chain runs in ONE task over the ≤P summary rows (a
+  mapInPandas after repartition(1) — the same bounded work the
+  driver used to do, including every loud guard raise, now
+  worker-side so the errors surface at the ACTION, wrapped in
+  Spark's PythonException with the original message);
+- the per-partition offsets re-attach via a BROADCAST join on a
+  spark_partition_id() column computed in a Project directly over
+  the checkpoint (broadcast hash join streams the big side: row
+  order and partitioning are preserved, so the final mapInPandas
+  still sees whole sorted range partitions).
+
+No eager job, no driver collect, and the input subtree executes
+once (the old eager checkpoint already ensured that; now nothing
+else runs at build time either). Values are bit-identical: the
+carry-chain arithmetic is the same python-int code, moved.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Helper column names used to carry partition ids / offsets through
+# the broadcast re-join; dropped before the operator returns rows.
+_PID = "__ps_pid"
+_OFFP = "__ps_p"
+_OFF = "__ps_off"
+_RISKY = "__ps_risky"
+
+
+def _check_reserved(df: DataFrame, func: str) -> None:
+    clash = {_PID, _OFFP, _OFF, _RISKY} & set(df.columns)
+    if clash:
+        raise ValueError(f"{func}: input columns {sorted(clash)} are reserved")
+
+
+def _with_pid(ranged: DataFrame) -> DataFrame:
+    # A separate Project keeps the nondeterministic expression out of
+    # the join condition (Catalyst only allows nondeterminism in
+    # Project/Filter/Aggregate/Window).
+    return ranged.withColumn(_PID, F.spark_partition_id())
 
 
 def assign_contiguous_ids(
@@ -44,14 +90,17 @@ def assign_contiguous_ids(
     trailing tie-break column is the usual way).
 
     Plan: repartitionByRange(order exprs) → sortWithinPartitions →
-    one count-per-partition pass (collects P longs, the documented
-    bounded driver op) → mapInPandas adds offset + local position.
-    No single-partition stage anywhere; the range exchange is the
-    same shuffle a global ORDER BY pays, minus its final merge.
+    lazy localCheckpoint → per-partition count aggregate → single-task
+    carry over the ≤P summary rows → broadcast offsets re-join →
+    mapInPandas adds offset + local position. No single-partition
+    stage over DATA anywhere (the carry task sees P summary rows, not
+    rows); no eager job, no driver collect. Guards (NULL keys without
+    nulls_last, duplicate keys) raise loudly at the action.
     """
     import pandas as pd
     from pyspark.sql import types as T
 
+    _check_reserved(df, "assign_contiguous_ids")
     cols = [order_col] if isinstance(order_col, str) else list(order_col)
     if num_partitions is not None and num_partitions < 1:
         raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
@@ -66,10 +115,11 @@ def assign_contiguous_ids(
     ranged = df.repartitionByRange(int(parts), *sort_exprs).sortWithinPartitions(
         *sort_exprs
     )
-    # materialize once: the count pass and the assignment pass must see
-    # the SAME partitioning (repartitionByRange samples its boundaries;
-    # re-executing it twice would also double the shuffle work)
-    ranged = ranged.localCheckpoint()
+    # lazy: the summary pass and the assignment pass must see the SAME
+    # partitioning (repartitionByRange samples its boundaries, and
+    # re-executing it twice would also double the shuffle work), but
+    # nothing needs to RUN until the caller's action.
+    ranged = ranged.localCheckpoint(eager=False)
     any_null = None
     for c in cols:
         cond = F.col(c).isNull()
@@ -81,42 +131,64 @@ def assign_contiguous_ids(
             F.count("*").alias("n"),
             F.count(F.when(any_null, 1)).alias("n_null"),
         )
-        .collect()
     )
-    # Contract guard (free in the existing count pass): without the
-    # explicit NULLS LAST ordering, NULL keys would sort NULLS FIRST in
-    # Spark but NULLS LAST in a DuckDB oracle's row_number() — fail
-    # fast instead of silently diverging.
-    n_null = sum(r["n_null"] for r in counts)
-    if n_null and not nulls_last:
-        raise ValueError(
-            f"assign_contiguous_ids: order columns {cols!r} have {n_null} "
-            "NULL values; pass nulls_last=True for the portable "
-            "NULLS LAST ordering"
+
+    off_schema = T.StructType(
+        [
+            T.StructField(_OFFP, T.LongType(), False),
+            T.StructField(_OFF, T.LongType(), False),
+        ]
+    )
+
+    def carry(batches):
+        rows = [pdf for pdf in batches if len(pdf)]
+        if not rows:
+            return
+        summ = pd.concat(rows).sort_values("p")
+        # Contract guard (free in the existing count pass): without
+        # the explicit NULLS LAST ordering, NULL keys would sort NULLS
+        # FIRST in Spark but NULLS LAST in a DuckDB oracle's
+        # row_number() — fail fast instead of silently diverging.
+        n_null = int(summ["n_null"].sum())
+        if n_null and not nulls_last:
+            raise ValueError(
+                f"assign_contiguous_ids: order columns {cols!r} have "
+                f"{n_null} NULL values; pass nulls_last=True for the "
+                "portable NULLS LAST ordering"
+            )
+        acc = 0
+        out_p, out_off = [], []
+        for p, n in zip(summ["p"].tolist(), summ["n"].tolist()):
+            out_p.append(int(p))
+            out_off.append(acc)
+            acc += int(n)
+        yield pd.DataFrame(
+            {
+                _OFFP: pd.Series(out_p, dtype="int64"),
+                _OFF: pd.Series(out_off, dtype="int64"),
+            }
         )
-    sizes = {r["p"]: r["n"] for r in counts}
-    offsets = {}
-    acc = 0
-    for p in sorted(sizes):
-        offsets[p] = acc
-        acc += sizes[p]
+
+    offsets = counts.repartition(1).mapInPandas(carry, off_schema)
+    joined = _with_pid(ranged).join(
+        F.broadcast(offsets), F.col(_PID) == F.col(_OFFP), "left"
+    )
 
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out_col, T.LongType(), False)]
     )
+    helper_cols = [_PID, _OFFP, _OFF]
 
     def add_seq(batches):
-        # partition id is constant per task; read it lazily from the
-        # TaskContext (mapInPandas keeps partitioning)
         import numpy as np
-        from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        base = offsets.get(pid, 0)
+        base = None
         seen = 0
         prev_last = None
         for pdf in batches:
-            pdf = pdf.copy()
+            if base is None and len(pdf):
+                base = int(pdf[_OFF].iloc[0])
+            pdf = pdf.drop(columns=helper_cols)
             # Uniqueness guard: range partitioning co-locates equal
             # keys and each partition is sorted, so any duplicate is
             # adjacent — within a batch or across the batch boundary.
@@ -143,11 +215,12 @@ def assign_contiguous_ids(
                         "partition-dependent"
                     )
                 prev_last = pdf.iloc[-1]
-            pdf[out_col] = range(base + seen, base + seen + len(pdf))
+            b = base or 0
+            pdf[out_col] = range(b + seen, b + seen + len(pdf))
             seen += len(pdf)
             yield pdf
 
-    return ranged.mapInPandas(add_seq, out_schema)
+    return joined.mapInPandas(add_seq, out_schema)
 
 
 def prefix_sum(
@@ -165,24 +238,25 @@ def prefix_sum(
     row_number it generalizes, a single-partition window at scale:
     every row funnels through ONE task. This is the same two-phase
     partition-offset pattern as :func:`assign_contiguous_ids`:
-    range-partition + sort within partitions, collect one long per
-    partition (the per-partition weight total), broadcast the
-    exclusive prefix offsets back, and add each row's within-partition
-    running total. Counts merge by addition, so the summary is
-    MERGEABLE across shards; everything is int64-exact, so the output
-    is bit-identical to the window form (and to a DuckDB cumulative
-    window) whenever `order_col` is unique and non-NULL — both
-    enforced loudly, since duplicates would make the running total
-    partition-dependent and NULLs order differently across engines.
-    Weights may be any BIGINT sign: the count pass also collects
+    range-partition + sort within partitions, summarize one row per
+    partition (count + exact decimal weight totals), chain the
+    exclusive prefix offsets in one bounded task, and add each row's
+    within-partition running total. Counts merge by addition, so the
+    summary is MERGEABLE across shards; everything is int64-exact, so
+    the output is bit-identical to the window form (and to a DuckDB
+    cumulative window) whenever `order_col` is unique and non-NULL —
+    both enforced loudly, since duplicates would make the running
+    total partition-dependent and NULLs order differently across
+    engines. Weights may be any BIGINT sign: the summary also carries
     per-partition positive/negative partial sums, which bound every
     intra-partition running prefix, so a mid-stream int64 wrap (a
     prefix excursion beyond int64 even when the grand total fits) is
     rejected loudly rather than wrapping in the int64 cumsum.
     """
-    import pandas as pd  # noqa: F401  (mapInPandas ships pandas frames)
+    import pandas as pd
     from pyspark.sql import types as T
 
+    _check_reserved(df, "prefix_sum")
     if num_partitions is not None and num_partitions < 1:
         raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
     parts = (
@@ -193,7 +267,7 @@ def prefix_sum(
     ranged = df.repartitionByRange(int(parts), F.col(order_col)).sortWithinPartitions(
         order_col
     )
-    ranged = ranged.localCheckpoint()
+    ranged = ranged.localCheckpoint(eager=False)
     totals = (
         ranged.select(
             F.spark_partition_id().alias("p"),
@@ -222,54 +296,81 @@ def prefix_sum(
                 .cast("decimal(38,0)")
             ).alias("tn"),
         )
-        .collect()
     )
-    n_null = sum(r["n"] - r["nn"] for r in totals)
-    if n_null:
-        raise ValueError(
-            f"prefix_sum: order_col {order_col!r} has {n_null} NULL "
-            "values; the running total would be engine-dependent"
+
+    off_schema = T.StructType(
+        [
+            T.StructField(_OFFP, T.LongType(), False),
+            T.StructField(_OFF, T.LongType(), False),
+            T.StructField(_RISKY, T.BooleanType(), False),
+        ]
+    )
+
+    def carry(batches):
+        rows = [pdf for pdf in batches if len(pdf)]
+        if not rows:
+            return
+        summ = pd.concat(rows).sort_values("p")
+        n_null = int((summ["n"] - summ["nn"]).sum())
+        if n_null:
+            raise ValueError(
+                f"prefix_sum: order_col {order_col!r} has {n_null} NULL "
+                "values; the running total would be engine-dependent"
+            )
+        if int(summ["wnull"].sum()):
+            raise ValueError(
+                f"prefix_sum: weight_col {weight_col!r} has NULL values"
+            )
+        recs = [
+            (int(p), int(t), int(tn or 0), int(tp or 0))
+            for p, t, tn, tp in zip(
+                summ["p"], summ["t"], summ["tn"], summ["tp"]
+            )
+            if t is not None
+        ]
+        grand = sum(t for _, t, _, _ in recs)
+        if not (-(2**63) <= grand <= 2**63 - 1):
+            raise ValueError(f"prefix_sum overflow: total {grand} leaves int64")
+        # Partitions whose CONSERVATIVE prefix envelope (offset + all-
+        # negatives .. offset + all-positives) leaves int64: not
+        # necessarily wrong — an interleaved stream can stay bounded —
+        # so they fall back to an exact python-int cumsum below that
+        # raises only on a REAL excursion.
+        out_p, out_off, out_risky = [], [], []
+        acc = 0
+        for p, t, tn, tp in sorted(recs):
+            lo, hi = acc + tn, acc + tp
+            out_p.append(p)
+            out_off.append(acc)
+            out_risky.append(not (-(2**63) <= lo and hi <= 2**63 - 1))
+            acc += t
+        yield pd.DataFrame(
+            {
+                _OFFP: pd.Series(out_p, dtype="int64"),
+                _OFF: pd.Series(out_off, dtype="int64"),
+                _RISKY: pd.Series(out_risky, dtype="bool"),
+            }
         )
-    if sum(r["wnull"] for r in totals):
-        raise ValueError(
-            f"prefix_sum: weight_col {weight_col!r} has NULL values"
-        )
-    grand = sum(int(r["t"]) for r in totals if r["t"] is not None)
-    if not (-(2**63) <= grand <= 2**63 - 1):
-        raise ValueError(f"prefix_sum overflow: total {grand} leaves int64")
-    sizes = {r["p"]: int(r["t"]) for r in totals if r["t"] is not None}
-    bounds = {
-        r["p"]: (int(r["tn"] or 0), int(r["tp"] or 0))
-        for r in totals
-        if r["t"] is not None
-    }
-    offsets = {}
-    # Partitions whose CONSERVATIVE prefix envelope (offset + all-
-    # negatives .. offset + all-positives) leaves int64: not
-    # necessarily wrong — an interleaved stream can stay bounded —
-    # so they fall back to an exact python-int cumsum below that
-    # raises only on a REAL excursion.
-    risky = set()
-    acc = 0
-    for p in sorted(sizes):
-        offsets[p] = acc
-        lo, hi = acc + bounds[p][0], acc + bounds[p][1]
-        if not (-(2**63) <= lo and hi <= 2**63 - 1):
-            risky.add(p)
-        acc += sizes[p]
+
+    offsets = totals.repartition(1).mapInPandas(carry, off_schema)
+    joined = _with_pid(ranged).join(
+        F.broadcast(offsets), F.col(_PID) == F.col(_OFFP), "left"
+    )
 
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out_col, T.LongType(), False)]
     )
+    helper_cols = [_PID, _OFFP, _OFF, _RISKY]
 
     def add_cum(batches):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        running = offsets.get(pid, 0)
+        running = None
+        risky = False
         prev_last = None
         for pdf in batches:
-            pdf = pdf.copy()
+            if running is None and len(pdf):
+                running = int(pdf[_OFF].iloc[0])
+                risky = bool(pdf[_RISKY].iloc[0])
+            pdf = pdf.drop(columns=helper_cols)
             if len(pdf):
                 vals = pdf[order_col]
                 dup_in_batch = bool((vals.values[1:] == vals.values[:-1]).any())
@@ -280,10 +381,10 @@ def prefix_sum(
                         "values; the running total would be partition-dependent"
                     )
                 prev_last = vals.iloc[-1]
-                if pid in risky:
+                if risky:
                     # exact arbitrary-precision pass: raise only on a
                     # prefix that actually leaves int64 (the
-                    # conservative driver-side envelope tripped)
+                    # conservative envelope tripped)
                     csum = pdf[weight_col].astype("object").cumsum() + running
                     mn, mx = int(csum.min()), int(csum.max())
                     if mn < -(2**63) or mx > 2**63 - 1:
@@ -299,7 +400,7 @@ def prefix_sum(
                 pdf[out_col] = pdf[weight_col].astype("int64")
             yield pdf
 
-    return ranged.mapInPandas(add_cum, out_schema)
+    return joined.mapInPandas(add_cum, out_schema)
 
 
 def grouped_prefix_sum(
@@ -321,31 +422,35 @@ def grouped_prefix_sum(
 
     Plan — no per-group single task anywhere:
 
-    1. range-partition by (group, order) + sort within partitions:
+    1. range-partition by (group, order) + sort within partitions
+       (lazy localCheckpoint — both passes share the partitioning):
        groups are CONTIGUOUS across the partition sequence, and a
        mega-group simply spans several partitions;
     2. one bounded summary pass (mapInPandas, one row per partition):
        each partition reports only its FIRST and LAST group with their
        in-partition weight totals plus guard counters — interior
-       groups never cross a partition boundary, so the driver needs
+       groups never cross a partition boundary, so the carry needs
        nothing about them;
-    3. driver-side carry chain over the P summary rows: the offset a
-       partition's first group inherits is the accumulated total of
-       that same group across earlier partitions; every other group in
-       the partition starts at zero by construction;
-    4. broadcast the P offsets back; a per-partition pandas
-       group-cumsum adds them, chaining batch seams within the task.
+    3. carry chain over the P summary rows in ONE bounded task: the
+       offset a partition's first group inherits is the accumulated
+       total of that same group across earlier partitions; every
+       other group in the partition starts at zero by construction;
+    4. broadcast the P offsets back (join on a spark_partition_id
+       column — broadcast hash join preserves the streamed side's
+       partitioning and order); a per-partition pandas group-cumsum
+       adds them, chaining batch seams within the task.
 
-    Contracts (all enforced loudly): `order_col` non-NULL and unique
-    PER GROUP (duplicates would make the running total
-    partition-dependent; NULLs order differently across engines);
-    `weight_col` non-NULL and NON-NEGATIVE — the sign restriction
-    keeps the int64-exactness proof one-sided (every prefix is bounded
-    above by its group's grand total, which the carry chain validates
-    against int64, and below by 0); :func:`prefix_sum` remains the
-    general-sign ungrouped twin. A NULL group key is a real group (the
-    NULL-GROUP rule) — it range-sorts first on the Spark side, which
-    is invisible downstream because the output is per-row.
+    Contracts (all enforced loudly, at the ACTION): `order_col`
+    non-NULL and unique PER GROUP (duplicates would make the running
+    total partition-dependent; NULLs order differently across
+    engines); `weight_col` non-NULL and NON-NEGATIVE — the sign
+    restriction keeps the int64-exactness proof one-sided (every
+    prefix is bounded above by its group's grand total, which the
+    carry chain validates against int64, and below by 0);
+    :func:`prefix_sum` remains the general-sign ungrouped twin. A NULL
+    group key is a real group (the NULL-GROUP rule) — it range-sorts
+    first on the Spark side, which is invisible downstream because the
+    output is per-row.
 
     Output is bit-identical to the partitioned-window form (and to a
     DuckDB `SUM() OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED
@@ -368,6 +473,7 @@ def grouped_prefix_sum(
     import pandas as pd
     from pyspark.sql import types as T
 
+    _check_reserved(df, "grouped_prefix_sum")
     if num_partitions is not None and num_partitions < 1:
         raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
     wcols = [weight_col] if isinstance(weight_col, str) else list(weight_col)
@@ -386,7 +492,7 @@ def grouped_prefix_sum(
     ranged = df.repartitionByRange(
         parts, F.col(group_col), F.col(order_col)
     ).sortWithinPartitions(group_col, order_col)
-    ranged = ranged.localCheckpoint()
+    ranged = ranged.localCheckpoint(eager=False)
 
     g_field = df.schema[group_col]
     sum_schema = T.StructType(
@@ -396,7 +502,6 @@ def grouped_prefix_sum(
             T.StructField("n_null_order", T.LongType(), False),
             T.StructField("n_null_w", T.LongType(), False),
             T.StructField("n_neg_w", T.LongType(), False),
-            T.StructField("too_big", T.LongType(), False),
             T.StructField("n_groups", T.LongType(), False),
             # NULL group vs no-rows disambiguated by n_rows == 0
             T.StructField("first_g", g_field.dataType, True),
@@ -466,18 +571,18 @@ def grouped_prefix_sum(
                     groups += 1
                     last_g, last_t = rg, list(rt)
                 max_t = max(max_t, max(last_t))
-        # Raise HERE, not just via the driver-side flag: a summary row
-        # whose totals left int64 cannot even serialize through Arrow
-        # (the old single-weight form leaned on Spark's safe-cast
-        # error text accidentally containing "overflow"); the explicit
-        # worker-side raise keeps the loud-overflow contract under
-        # every partition arrangement.
+        # Raise HERE, in the worker: a summary row whose totals left
+        # int64 cannot even serialize through Arrow (the old
+        # single-weight form leaned on Spark's safe-cast error text
+        # accidentally containing "overflow"); the explicit worker-side
+        # raise keeps the loud-overflow contract under every partition
+        # arrangement. (The old driver-side `too_big` summary flag was
+        # unreachable behind this raise and is gone — r13 ADVICE #4.)
         if max_t > 2**62:
             raise ValueError(
                 "grouped_prefix_sum overflow: a group's in-partition "
                 "total exceeds 2^62"
             )
-        too_big = 1 if max_t > 2**62 else 0
         yield pd.DataFrame(
             [
                 {
@@ -486,7 +591,6 @@ def grouped_prefix_sum(
                     "n_null_order": n_null_order,
                     "n_null_w": n_null_w,
                     "n_neg_w": n_neg_w,
-                    "too_big": too_big,
                     "n_groups": groups,
                     "first_g": first_g,
                     "first_t": first_t,
@@ -496,78 +600,109 @@ def grouped_prefix_sum(
             ]
         )
 
-    summaries = ranged.mapInPandas(summarize, sum_schema).collect()
-    if sum(r["n_null_order"] for r in summaries):
-        raise ValueError(
-            f"grouped_prefix_sum: order_col {order_col!r} has NULL values; "
-            "the running total would be engine-dependent"
-        )
-    if sum(r["n_null_w"] for r in summaries):
-        raise ValueError(
-            f"grouped_prefix_sum: weight_col {wcols!r} has NULL values"
-        )
-    if sum(r["n_neg_w"] for r in summaries):
-        raise ValueError(
-            f"grouped_prefix_sum: weight_col {wcols!r} has negative "
-            "values; use prefix_sum (ungrouped) for general-sign weights"
-        )
-    if any(r["too_big"] for r in summaries):
-        raise ValueError(
-            "grouped_prefix_sum overflow: a group's in-partition total "
-            "exceeds 2^62"
+    summaries = ranged.mapInPandas(summarize, sum_schema)
+
+    off_schema = T.StructType(
+        [
+            T.StructField(_OFFP, T.LongType(), False),
+            T.StructField(_OFF, T.ArrayType(T.LongType(), False), False),
+        ]
+    )
+
+    def carry_chain(batches):
+        rows = [pdf for pdf in batches if len(pdf)]
+        if not rows:
+            return
+        summ = pd.concat(rows).sort_values("p")
+        if int(summ["n_null_order"].sum()):
+            raise ValueError(
+                f"grouped_prefix_sum: order_col {order_col!r} has NULL "
+                "values; the running total would be engine-dependent"
+            )
+        if int(summ["n_null_w"].sum()):
+            raise ValueError(
+                f"grouped_prefix_sum: weight_col {wcols!r} has NULL values"
+            )
+        if int(summ["n_neg_w"].sum()):
+            raise ValueError(
+                f"grouped_prefix_sum: weight_col {wcols!r} has negative "
+                "values; use prefix_sum (ungrouped) for general-sign weights"
+            )
+        out_p, out_off = [], []
+        carry_g, carry_t, have_carry = None, [0] * nw, False
+        for r in summ.itertuples(index=False):
+            if not r.n_rows:
+                continue
+            first_g = None if pd.isna(r.first_g) else r.first_g
+            last_g = None if pd.isna(r.last_g) else r.last_g
+            off = [0] * nw
+            if have_carry and _nse(first_g, carry_g):
+                off = list(carry_t)
+                out_p.append(int(r.p))
+                out_off.append(off)
+            # the next partition can only continue THIS partition's
+            # last group; its accumulated total includes the inherited
+            # offset exactly when first == last (a single spanning
+            # group).
+            if int(r.n_groups) == 1:
+                carry_g = last_g
+                carry_t = [o + int(t) for o, t in zip(off, r.last_t)]
+            else:
+                # the spanning FIRST group terminates inside this
+                # partition: its final running total (off + first_t)
+                # never reaches carry_t, but the worker adds the same
+                # offset with wrapping int64 arithmetic — validate it
+                # here too.
+                for o, t in zip(off, r.first_t):
+                    if o and o + int(t) > 2**63 - 1:
+                        raise ValueError(
+                            "grouped_prefix_sum overflow: a group's running "
+                            f"total reaches {o + int(t)}, outside int64"
+                        )
+                carry_g = last_g
+                carry_t = [int(t) for t in r.last_t]
+            have_carry = True
+            if max(carry_t) > 2**63 - 1:
+                raise ValueError(
+                    f"grouped_prefix_sum overflow: a group's running total "
+                    f"reaches {max(carry_t)}, outside int64"
+                )
+        # explicit dtypes: an empty frame would default to float64
+        # columns, which Arrow cannot convert to array<long>
+        yield pd.DataFrame(
+            {
+                _OFFP: pd.Series(out_p, dtype="int64"),
+                _OFF: pd.Series(out_off, dtype="object"),
+            }
         )
 
-    offsets: dict[int, list[int]] = {}
-    carry_g, carry_t, have_carry = None, [0] * nw, False
-    for r in sorted(summaries, key=lambda row: row["p"]):
-        if not r["n_rows"]:
-            continue
-        off = [0] * nw
-        if have_carry and _nse(r["first_g"], carry_g):
-            off = list(carry_t)
-            offsets[int(r["p"])] = off
-        # the next partition can only continue THIS partition's last
-        # group; its accumulated total includes the inherited offset
-        # exactly when first == last (a single spanning group).
-        if int(r["n_groups"]) == 1:
-            carry_g = r["last_g"]
-            carry_t = [o + int(t) for o, t in zip(off, r["last_t"])]
-        else:
-            # the spanning FIRST group terminates inside this
-            # partition: its final running total (off + first_t) never
-            # reaches carry_t, but the worker adds the same offset with
-            # wrapping int64 arithmetic — validate it here too.
-            for o, t in zip(off, r["first_t"]):
-                if o and o + int(t) > 2**63 - 1:
-                    raise ValueError(
-                        "grouped_prefix_sum overflow: a group's running "
-                        f"total reaches {o + int(t)}, outside int64"
-                    )
-            carry_g = r["last_g"]
-            carry_t = [int(t) for t in r["last_t"]]
-        have_carry = True
-        if max(carry_t) > 2**63 - 1:
-            raise ValueError(
-                f"grouped_prefix_sum overflow: a group's running total "
-                f"reaches {max(carry_t)}, outside int64"
-            )
+    offsets = summaries.repartition(1).mapInPandas(carry_chain, off_schema)
+    joined = _with_pid(ranged).join(
+        F.broadcast(offsets), F.col(_PID) == F.col(_OFFP), "left"
+    )
 
     extra = [T.StructField(oc, T.LongType(), False) for oc in ocols]
     if pid_col is not None:
         extra.append(T.StructField(pid_col, T.LongType(), False))
     out_schema = T.StructType(list(df.schema.fields) + extra)
+    helper_cols = [_PID, _OFFP, _OFF]
 
     def add_cum(batches):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        # applies to the partition's 1st group
-        carry = list(offsets.get(pid, [0] * nw))
+        carry = None  # applies to the partition's 1st group
+        pid = None
         first_batch = True
         prev_g = prev_v = None
         have_prev = False
         for pdf in batches:
-            pdf = pdf.copy()
+            if carry is None and len(pdf):
+                off_val = pdf[_OFF].iloc[0]
+                carry = (
+                    [int(x) for x in off_val]
+                    if off_val is not None and not isinstance(off_val, float)
+                    else [0] * nw
+                )
+                pid = int(pdf[_PID].iloc[0])
+            pdf = pdf.drop(columns=helper_cols)
             if not len(pdf):
                 for wc, oc in zip(wcols, ocols):
                     pdf[oc] = pdf[wc].astype("int64")
@@ -614,4 +749,4 @@ def grouped_prefix_sum(
             first_batch = False
             yield pdf
 
-    return ranged.mapInPandas(add_cum, out_schema)
+    return joined.mapInPandas(add_cum, out_schema)

@@ -126,8 +126,10 @@ def test_assign_contiguous_ids_rejects_null_keys(spark):
     df = spark.createDataFrame(
         [(1, "a"), (None, "b"), (3, "c")], "k long, v string"
     )
-    with pytest.raises(ValueError, match="NULL"):
-        assign_contiguous_ids(df, "k", "seq")
+    # r14: the guard moved into the in-plan carry task — it raises at
+    # the action (PythonException), not at DataFrame build.
+    with pytest.raises(Exception, match="NULL"):
+        assign_contiguous_ids(df, "k", "seq").collect()
 
 
 def test_assign_contiguous_ids_composite_nulls_last(spark):
@@ -166,8 +168,8 @@ def test_assign_contiguous_ids_composite_nulls_last(spark):
     # NULLs without nulls_last stay rejected (engine-dependent order)
     import pytest
 
-    with pytest.raises(ValueError, match="NULL"):
-        assign_contiguous_ids(df, ["bal", "k"], "seq")
+    with pytest.raises(Exception, match="NULL"):
+        assign_contiguous_ids(df, ["bal", "k"], "seq").collect()
     # duplicate COMPOSITE keys rejected, including the all-NULL pair
     dup = spark.createDataFrame(
         [(1, None), (1, None), (2, 3.0)], "k long, bal double"

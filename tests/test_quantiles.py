@@ -41,11 +41,14 @@ def test_prefix_sum_guards(spark):
     dup = spark.createDataFrame([(1, 1), (1, 2)], "v long, c long")
     with pytest.raises(Exception, match="duplicate"):
         prefix_sum(dup, "v", "c").collect()
+    # r14: guards moved into the in-plan carry task (no driver
+    # collect), so they surface at the action as PythonException
+    # carrying the original ValueError message.
     nullkey = spark.createDataFrame([(None, 1), (2, 2)], "v long, c long")
-    with pytest.raises(ValueError, match="NULL"):
+    with pytest.raises(Exception, match="NULL"):
         prefix_sum(nullkey, "v", "c").collect()
     nullw = spark.createDataFrame([(1, None), (2, 2)], "v long, c long")
-    with pytest.raises(ValueError, match="NULL"):
+    with pytest.raises(Exception, match="NULL"):
         prefix_sum(nullw, "v", "c").collect()
 
 
@@ -245,14 +248,16 @@ def test_grouped_prefix_sum_guards(spark):
     dup = spark.createDataFrame([("a", 1, 1), ("a", 1, 2)], "g string, v long, c long")
     with pytest.raises(Exception, match="duplicate"):
         grouped_prefix_sum(dup, "g", "v", "c").collect()
+    # r14: guards moved into the in-plan carry task (no driver
+    # collect) — PythonException at the action, original message kept.
     nullv = spark.createDataFrame([("a", None, 1)], "g string, v long, c long")
-    with pytest.raises(ValueError, match="NULL"):
+    with pytest.raises(Exception, match="NULL"):
         grouped_prefix_sum(nullv, "g", "v", "c").collect()
     nullw = spark.createDataFrame([("a", 1, None)], "g string, v long, c long")
-    with pytest.raises(ValueError, match="NULL"):
+    with pytest.raises(Exception, match="NULL"):
         grouped_prefix_sum(nullw, "g", "v", "c").collect()
     neg = spark.createDataFrame([("a", 1, -1)], "g string, v long, c long")
-    with pytest.raises(ValueError, match="negative"):
+    with pytest.raises(Exception, match="negative"):
         grouped_prefix_sum(neg, "g", "v", "c").collect()
     # duplicate (g, v) in DIFFERENT groups is fine
     ok = spark.createDataFrame(

@@ -33,7 +33,11 @@ def main() -> int:
     spark = get_spark(app_name="plan-dump")
     spark.sparkContext.setLogLevel("ERROR")
 
-    outdir = Path(__file__).resolve().parent.parent / "plans" / "r13"
+    outdir = (
+        Path(__file__).resolve().parent.parent
+        / "plans"
+        / os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r14")
+    )
     outdir.mkdir(parents=True, exist_ok=True)
 
     runnable = {name: QUERIES[name] for name in bench.HEADLINE}
