@@ -272,6 +272,22 @@ def main() -> int:
     # stall poison both measurements of the same query, while samples
     # a full suite apart are uncorrelated, so min() actually removes
     # the stall instead of averaging it in.
+    # Session hygiene between queries (r14, VERDICT r13 ask #5): the
+    # operators' in-query localCheckpoint blocks are dead the moment a
+    # query's noop save returns (the next build creates fresh ones),
+    # but the ContextCleaner only reclaims them on JVM GC, so storage
+    # in the shared local JVM oscillated up to ~320 MiB mid-suite.
+    # Explicitly unpersisting between queries (UNTIMED — after the
+    # elapsed reading) measured consistently faster suite passes
+    # (tools/ckpt_hygiene.py A/B: pass totals 62-71s vs 74-104s on the
+    # 16-query checkpoint-heavy tier, two repeats each) and removes a
+    # cross-query contamination: one query's leaked storage inflating
+    # ANOTHER query's GC time. Timing methodology itself is unchanged
+    # (same noop sink, same interleaved best-of-2).
+    def _drop_dead_checkpoints() -> None:
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist(False)
+
     per_query: dict[str, float] = {}
     for _pass in range(2):
         for name, fn in runnable.items():
@@ -279,6 +295,7 @@ def main() -> int:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             elapsed = time.perf_counter() - t0
             per_query[name] = round(min(per_query.get(name, elapsed), elapsed), 3)
+            _drop_dead_checkpoints()
 
     total = round(sum(per_query.values()), 3)
     payload = {
@@ -322,6 +339,9 @@ def main() -> int:
         # driver BENCH_r*.json wraps the payload: timings live under
         # parsed.queries (top level is n/rc/tail/parsed); bench_full_*
         # carries them at the top level
+        prior_sf = doc.get("sf") or (doc.get("parsed") or {}).get("sf")
+        if prior_sf is not None and float(prior_sf) != sf:
+            continue  # never fold minima across scale factors
         prior = (
             doc.get("queries")
             or (doc.get("parsed") or {}).get("queries")  # parsed may be null

@@ -244,6 +244,44 @@ def test_grouped_prefix_sum_matches_window(spark):
     assert got1 == want
 
 
+def test_grouped_prefix_sum_multi_weight_mixed_carry(spark):
+    """r13 ADVICE #5: the multi-weight path's cross-partition carry
+    with MIXED zero/nonzero per-weight carries — one weight all-zero
+    in the leading partitions (carry[i] == 0, its `if carry[i]` branch
+    must NOT fire) while the other weight carries a nonzero offset
+    across the same partition/batch seam. A spanning mega-group forces
+    the seam; per-weight window forms are the truth."""
+    n = 400
+    rows = [
+        # w1 is zero for the first half of the spanning group: every
+        # partition seam inside that half has carry == (0, nonzero)
+        ("mega", v, 0 if v < n // 2 else 3, 2)
+        for v in range(n)
+    ] + [("tail", n + 1, 5, 7)]
+    df = spark.createDataFrame(rows, "g string, v long, a long, b long")
+    got = {
+        (r["g"], r["v"]): (r["ca"], r["cb"])
+        for r in grouped_prefix_sum(
+            df.repartition(5), "g", "v", ["a", "b"], ["ca", "cb"],
+            num_partitions=8,
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy(F.col("v").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r["g"], r["v"]): (r["ca"], r["cb"])
+        for r in df.select(
+            "g", "v",
+            F.sum("a").over(w).alias("ca"),
+            F.sum("b").over(w).alias("cb"),
+        ).collect()
+    }
+    assert got == want
+
+
 def test_grouped_prefix_sum_guards(spark):
     dup = spark.createDataFrame([("a", 1, 1), ("a", 1, 2)], "g string, v long, c long")
     with pytest.raises(Exception, match="duplicate"):
