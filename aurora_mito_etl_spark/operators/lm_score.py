@@ -72,7 +72,9 @@ def bigram_lm_score(
     words = train.select(
         F.explode(_tokens(F.col(text_col))).alias("w")
     ).filter(F.col("w") != "")
-    uni = words.groupBy("w").agg(F.count("*").alias("c1")).localCheckpoint()
+    uni = words.groupBy("w").agg(F.count("*").alias("c1")).localCheckpoint(
+        eager=False
+    )
     vocab = uni.agg(F.count("*").alias("V"))
 
     # Collapse doc bigrams to (id, bg, o) occurrence counts FIRST: the
@@ -89,7 +91,7 @@ def bigram_lm_score(
         )
         .groupBy(id_col, "bg")
         .agg(F.count("*").alias("o"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # self-training rolls the bigram count table up from the SAME
     # collapsed frame instead of shingling the corpus a second time
