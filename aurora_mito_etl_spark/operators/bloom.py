@@ -174,7 +174,7 @@ def ngram_contamination_bloom(
             ).alias("s")
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     doc_grams = _spread(docs).select(
         F.col(id_col),
@@ -182,7 +182,7 @@ def ngram_contamination_bloom(
             F.array_distinct(shingles_arrow(F.col(text_col), n))
         ).alias("s"),
     )
-    blocks = bloom_bit_blocks(bench_grams, "s", m_bits, k).localCheckpoint()
+    blocks = bloom_bit_blocks(bench_grams, "s", m_bits, k).localCheckpoint(eager=False)
     survivors = bloom_member_filter(doc_grams, "s", blocks, m_bits, k)
     hits = (
         survivors.join(bench_grams.hint("merge"), "s")
@@ -201,7 +201,7 @@ def ngram_contamination_bloom(
     # sessions: materialize hits once (localCheckpoint), count it,
     # broadcast only under the cap.
     if hits_broadcast_rows is not None:
-        hits = hits.localCheckpoint()
+        hits = hits.localCheckpoint(eager=False)
         if hits.count() <= hits_broadcast_rows:
             hits = F.broadcast(hits)
     return docs.select(id_col).join(hits, id_col, "left").select(

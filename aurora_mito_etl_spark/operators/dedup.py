@@ -883,7 +883,9 @@ def connected_components(
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        # lazy (r14): the count() just below materializes the
+        # checkpoint in the same job instead of a separate eager one
+        .localCheckpoint(eager=False)
     )
     # nodes is consumed exactly ONCE (the final left join), so it
     # stays LAZY over the checkpointed initial edges — the eager
@@ -900,7 +902,9 @@ def connected_components(
     # round (r13; the check itself stays EXACT, not a checksum).
     n_edges = edges.count()
     for _ in range(max_iter):
-        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(
+            eager=False
+        )
         n_new = new_edges.count()
         same = (
             n_new == n_edges
@@ -928,7 +932,7 @@ def connected_components(
         # final corpus join) and would otherwise re-execute the
         # nodes-distinct + star join per reference (r13; this also
         # lets `nodes` above stay lazy).
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
 

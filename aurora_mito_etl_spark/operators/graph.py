@@ -308,7 +308,7 @@ def triangle_stats(
         # near-dup pair plan), recomputation triples its cost — the
         # MMR-shortlist lesson. Edge tables are pair-pruned and small
         # relative to their source corpus, so materializing is cheap.
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("a").alias("v"))
@@ -317,7 +317,7 @@ def triangle_stats(
         .agg(F.count("*").alias("degree"))
         # read once per endpoint side and once for the output spine —
         # materialize so the degree shuffle runs once, not three times
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     da = deg.select(F.col("v").alias("a"), F.col("degree").alias("dega"))
     db = deg.select(F.col("v").alias("b"), F.col("degree").alias("degb"))
@@ -332,7 +332,7 @@ def triangle_stats(
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
         # both wedge legs read this; materialize so the two degree
         # joins run once (Catalyst has no cross-branch subplan reuse)
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     o1 = oriented.select(F.col("lo").alias("apex"), F.col("hi").alias("x"))
     o2 = oriented.select(F.col("lo").alias("apex"), F.col("hi").alias("y"))
     wedges = o1.join(o2, "apex").where(F.col("x") < F.col("y"))
@@ -400,7 +400,7 @@ def kcore_peel(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a") < F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def degree(e: DataFrame) -> DataFrame:
@@ -412,14 +412,14 @@ def kcore_peel(
         )
 
     for _ in range(rounds):
-        keep = degree(cur).where(F.col("deg") >= k).select("v").localCheckpoint()
+        keep = degree(cur).where(F.col("deg") >= k).select("v").localCheckpoint(eager=False)
         cur = (
             cur.join(keep.withColumnRenamed("v", "a"), "a", "semi")
             .join(keep.withColumnRenamed("v", "b"), "b", "semi")
             .select("a", "b")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-    final = degree(cur).localCheckpoint()
+    final = degree(cur).localCheckpoint(eager=False)
     flag = final.agg(
         F.coalesce(F.min("deg") >= F.lit(k), F.lit(True)).alias("converged")
     )

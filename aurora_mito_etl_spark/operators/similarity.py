@@ -1114,7 +1114,7 @@ def _label_centroids(
             ),
         ).alias("vec"),
     )
-    cvals = cvals.localCheckpoint(eager=True)
+    cvals = cvals.localCheckpoint(eager=False)
     return cvals.withColumn("norm2", dot(F.col("vec"), F.col("vec")))
 
 

@@ -61,7 +61,7 @@ def _term_weights(
         .where(F.col("tok") != "")
         .groupBy("id", "tok")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     df_t = (
         tf.groupBy("tok")
@@ -83,14 +83,14 @@ def _term_weights(
     )
     # zero weights (idf rounds to 0 when df ≈ N) contribute nothing
     # and would zero a document's norm — drop them before normalizing
-    w = w.where(F.col("wt") != 0).localCheckpoint()
+    w = w.where(F.col("wt") != 0).localCheckpoint(eager=False)
     norms = w.groupBy("id").agg(
         F.sqrt(dec_to_double(F.sum(dec("wt") * dec("wt")))).alias("norm")
     )
     return (
         w.join(norms, "id")
         .select("id", "tok", fixed6(F.col("wt") / F.col("norm")).alias("wn"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
 
@@ -120,7 +120,7 @@ def tfidf_topk(
         .agg(dec_to_double(F.sum(dec("wn_a") * dec("wn_b"))).alias("sim"))
         # the mirror union reads pairs twice; materializing runs the
         # inverted-index join ONCE (it is the plan's expensive half)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     mirrored = pairs.select(
         F.col("id_a").alias("doc_id"), F.col("id_b").alias("neighbor_id"), "sim"
@@ -180,9 +180,9 @@ def bm25_search(
         .where(F.col("tok") != "")
         .groupBy("id", "tok")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    doclen = tf_all.groupBy("id").agg(F.sum("tf").alias("dl")).localCheckpoint()
+    doclen = tf_all.groupBy("id").agg(F.sum("tf").alias("dl")).localCheckpoint(eager=False)
     # Corpus stats (N = docs with at least one token, avg_dl) as a
     # broadcast 1-row aggregate — the lm_score.py pattern — instead of
     # a driver count + collect: no extra full-scan jobs, one plan.
@@ -278,9 +278,9 @@ def ql_search(
         .where(F.col("tok") != "")
         .groupBy("id", "tok")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    doclen = tf_all.groupBy("id").agg(F.sum("tf").alias("dl")).localCheckpoint()
+    doclen = tf_all.groupBy("id").agg(F.sum("tf").alias("dl")).localCheckpoint(eager=False)
     cs = doclen.agg(F.sum("dl").cast("double").alias("ctot"))
     tf_q = tf_all.where(F.col("tok").isin(terms))
     ctf = (
@@ -382,15 +382,15 @@ def mmr_rerank(
     # against them, and without this each round's plan re-derives the
     # FULL upstream lineage (BM25 chain, pairwise sims) k times over —
     # the k^rounds analyzer blowup the iterative-loop rule exists for
-    candidates = candidates.localCheckpoint()
-    sims = sims.localCheckpoint()
+    candidates = candidates.localCheckpoint(eager=False)
+    sims = sims.localCheckpoint(eager=False)
     sel = (
         candidates.orderBy(F.col(score_col).desc(), id_col)
         .limit(1)
         .select(id_col, score_col)
         .withColumn("mmr_rank", F.lit(1).cast("int"))
     )
-    out = sel.localCheckpoint()
+    out = sel.localCheckpoint(eager=False)
     for rnd in range(2, k + 1):
         selected = out.select(id_col)
         remaining = candidates.join(selected, id_col, "anti")
@@ -416,5 +416,5 @@ def mmr_rerank(
             .select(id_col, score_col)
             .withColumn("mmr_rank", F.lit(rnd).cast("int"))
         )
-        out = out.unionByName(pick).localCheckpoint()
+        out = out.unionByName(pick).localCheckpoint(eager=False)
     return out

@@ -5358,14 +5358,14 @@ def mmr_rerank_docs(d: DataFrame) -> DataFrame:
     same-session shuffle reuse; measured by tools/scale_smoke.py)."""
     cand = tf_.bm25_search(d, "hash join merge sort", k=20).select(
         "doc_id", "score"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     texts = d.join(F.broadcast(cand.select("doc_id")), "doc_id", "semi")
     # same reasoning as cand: g3 feeds both self-join sides AND the
     # per-doc sizes — materialize the (bounded: 20 docs' distinct
     # 3-grams) frame once instead of 3 corpus scans
     g3 = texts.select(
         "doc_id", F.explode(ts.shingles_arrow(F.col("text"), 3)).alias("g")
-    ).distinct().localCheckpoint()
+    ).distinct().localCheckpoint(eager=False)
     sz = g3.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
     a, b = g3.alias("a"), g3.alias("b")
     inter = (
