@@ -8865,14 +8865,18 @@ def emb_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson–Lindenstrauss ±1 random projection 64→16 dims
     (operators/rproj.py, Achlioptas 2003) — the data-INDEPENDENT
     reducer beside the trained PCA/IVF-PQ tier: no statistics pass,
-    no shuffle, the projection is 16 fixed-length codegen chains
-    appended to the scan, so at 100 TB it costs exactly one read of
-    the corpus. Sign matrix pinned from md5 literals; fixed6 outputs
-    make the sketch bit-portable."""
+    no shuffle, the projection is one Arrow kernel pass appended to
+    the scan, so at 100 TB it costs exactly one read of the corpus.
+    Sign matrix pinned from md5 literals; fixed6 outputs make the
+    sketch bit-portable. r14 (guide §4.2): the 16 per-row HOF folds
+    ran INTERPRETED (Spark never codegens lambdas) — swapped to the
+    bit-identical numpy dimension-at-a-time kernel
+    (rp.jl_project_arrow; the expression form stays as the pinned
+    twin, test_jl_project_arrow_matches_expression)."""
     e = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    out = rp.jl_project(e, "embedding", in_dim=64, out_dim=16)
+    out = rp.jl_project_arrow(e, "embedding", in_dim=64, out_dim=16)
     return out.select("vec_id", *[f"y{r}" for r in range(16)])
 
 
@@ -8941,7 +8945,9 @@ def emb_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    p = rp.jl_project(e, "embedding", in_dim=64, out_dim=out_dim)
+    # r14: corpus-side projection through the Arrow kernel (16
+    # interpreted HOF folds per row otherwise; bit-parity pinned)
+    p = rp.jl_project_arrow(e, "embedding", in_dim=64, out_dim=out_dim)
     ycols = [f"y{r}" for r in range(out_dim)]
     # top-64 over the 1-column id frame (TakeOrderedAndProject on
     # narrow rows), then a broadcast semi-join back onto the projected
@@ -8956,7 +8962,7 @@ def emb_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not push a join below a Project), i.e. one wasted corpus-wide
     # projection pass. Projection is per-row deterministic, so
     # project-after-join is value-identical.
-    q = rp.jl_project(
+    q = rp.jl_project_arrow(
         e.join(F.broadcast(panel), "vec_id"), "embedding",
         in_dim=64, out_dim=out_dim,
     ).select(

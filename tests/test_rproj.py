@@ -127,3 +127,57 @@ def test_sqdist_arrow_matches_expression(spark):
         else:
             assert a[k] is not None and math.isclose(a[k], e[k], rel_tol=0.0, abs_tol=0.0), (
                 k, e[k], a[k])
+
+
+def test_jl_project_arrow_matches_expression(spark):
+    """r14: the Arrow projection twin must equal the expression fold
+    EXACTLY on every input class — dense randoms (huge magnitudes
+    included), NULL vector, short vector, long vector, NULL element,
+    and the non-finite values the r13 ADVICE flagged (NaN / ±Inf
+    elements, -0.0): mapInArrow keeps element validity, so NaN stays
+    a VALUE (the fold's NaN) while a NULL element NULLs the row."""
+    import math
+
+    rng = random.Random(17)
+    rows = [
+        (i, [rng.uniform(-5, 5) for _ in range(64)]) for i in range(30)
+    ] + [
+        (100, [rng.uniform(-1e12, 1e12) for _ in range(64)]),
+        (101, None),                      # NULL vector
+        (102, [1.0] * 63),                # short -> NULL
+        (103, [1.0] * 70),                # long -> extra dims ignored
+        (104, [1.0] * 30 + [None] + [1.0] * 33),  # NULL element -> NULL
+        (105, [1.0] * 30 + [float("nan")] + [1.0] * 33),  # NaN VALUE
+        (106, [float("inf")] + [1.0] * 63),
+        (107, [float("inf"), float("-inf")] + [1.0] * 62),  # Inf-Inf -> NaN
+        (108, [-0.0] * 64),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def grab(frame):
+        return {
+            r["vec_id"]: [r[f"y{k}"] for k in range(16)]
+            for r in frame.collect()
+        }
+
+    want = grab(rp.jl_project(df, "embedding").select(
+        "vec_id", *[f"y{k}" for k in range(16)]
+    ))
+    got = grab(rp.jl_project_arrow(df, "embedding").select(
+        "vec_id", *[f"y{k}" for k in range(16)]
+    ))
+    assert set(got) == set(want)
+    for vid in want:
+        for k, (g, w) in enumerate(zip(got[vid], want[vid])):
+            if w is None or g is None:
+                assert g is None and w is None, (vid, k, g, w)
+            elif isinstance(w, float) and math.isnan(w):
+                assert isinstance(g, float) and math.isnan(g), (vid, k, g, w)
+            else:
+                assert g == w, (vid, k, g, w)
+    # sanity on the edge classes (not just mutual agreement)
+    assert all(v is None for v in got[101])
+    assert all(v is None for v in got[102])
+    assert all(v is None for v in got[104])
+    assert all(isinstance(v, float) and math.isnan(v) for v in got[105])
+    assert all(v is not None for v in got[103])
