@@ -88,6 +88,17 @@ def _int_dots_arrow(c_ints: list[list[int]], dim: int) -> Column:
       envelope (dim · max|vi| · max|c|) could wrap int64 raise, the
       same inputs the expression path kills with Spark's ANSI long
       overflow (the embeddings fuzz tier's magnitude-1e6 arm).
+      The batch-max envelope is EQUIVALENT to a per-row check (dim
+      and max|c| are constants, so the batch trips iff its worst row
+      trips — raising never depends on which rows share a batch); it
+      remains conservative vs the exact running fold, i.e. this path
+      may fail loudly slightly earlier than the ANSI expression path
+      near the contract boundary (r13 ADVICE #2, documented trade);
+    - NON-FINITE elements are outside the data contract and the two
+      paths diverge there BY PINNED DESIGN
+      (test_assign_cells_nonfinite_behavior_pinned): here NaN/Inf
+      NULL the row's dots (NaN→NULL convention) while the expression
+      path quantizes NaN to 0 and raises ANSI overflow on Inf.
     """
     import numpy as np
     import pandas as pd

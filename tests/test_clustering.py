@@ -161,3 +161,57 @@ def test_assign_cells_arrow_overflow_is_loud(spark):
     )
     with pytest.raises(Exception, match="overflow|int64"):
         cu.assign_cells(df, init).collect()
+
+
+def test_assign_cells_nonfinite_behavior_pinned(spark):
+    """r13 ADVICE #3 closure: non-finite vector elements are OUTSIDE
+    the fixed6-grid data contract, and the two assignment paths
+    genuinely diverge there — pin the current behavior of each so a
+    silent change is caught. Expression path: floor(NaN·1e6+0.5) is a
+    LONG 0 (Spark's saturating floor), so a NaN element scores as if
+    it were 0.0; an Inf element saturates to long-max and the ANSI
+    multiply RAISES. Arrow path: any non-finite element NULLs the
+    row's dots array (the documented NaN->NULL convention), which the
+    unchanged Catalyst argmax turns into the same cell a NULL vector
+    gets."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aurora_mito_etl_spark.operators import clustering as cu
+    from aurora_mito_etl_spark.operators.similarity import ivf_centroids
+
+    dim, k = 16, 4
+    init = [
+        [math.floor(x * 1e6 + 0.5) / 1e6 for x in c]
+        for c in ivf_centroids(dim, k, seed=7)
+    ]
+    vnan = [1.0] * dim
+    vnan[3] = float("nan")
+    vinf = [1.0] * dim
+    vinf[3] = float("inf")
+    vzero_at_3 = [1.0] * dim
+    vzero_at_3[3] = 0.0
+    df = spark.createDataFrame(
+        [(1, vnan), (2, vinf), (3, vzero_at_3), (4, None)],
+        "vec_id long, embedding array<double>",
+    )
+    # expression: NaN quantizes to 0 — same cell as the 0.0-element row
+    expr_out = {
+        r["vec_id"]: r["cell"]
+        for r in cu.assign_cells_expr(
+            df.where(F.col("vec_id").isin(1, 3)), init
+        ).collect()
+    }
+    assert expr_out[1] == expr_out[3]
+    # expression: Inf saturates and the ANSI multiply raises loudly
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        cu.assign_cells_expr(df.where(F.col("vec_id") == 2), init).collect()
+    # Arrow: both non-finite rows behave exactly like a NULL vector
+    arrow_out = {
+        r["vec_id"]: r["cell"]
+        for r in cu.assign_cells(df, init).collect()
+    }
+    assert arrow_out[1] == arrow_out[4]
+    assert arrow_out[2] == arrow_out[4]

@@ -181,3 +181,30 @@ def test_jl_project_arrow_matches_expression(spark):
     assert all(v is None for v in got[104])
     assert all(isinstance(v, float) and math.isnan(v) for v in got[105])
     assert all(v is not None for v in got[103])
+
+
+def test_sqdist_nonfinite_divergence_pinned(spark):
+    """r13 ADVICE #1 closure: non-finite elements are OUTSIDE the
+    embeddings data contract (no generator/fuzz tier produces them),
+    and the two sqdist twins genuinely diverge there — the expression
+    fold propagates NaN as a VALUE while the Arrow kernel's pandas
+    Series conversion maps NaN to NULL. Pin both behaviors so a
+    silent change in either path is caught; callers that could see
+    non-finite input must normalize first (jl_project_arrow shows
+    the mapInArrow shape that avoids the divergence entirely)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    v = [1.0] * 64
+    w = [1.0] * 64
+    w[5] = float("nan")
+    df = spark.createDataFrame(
+        [(1, v, w)], "i long, a array<double>, b array<double>"
+    )
+    e = df.select(rp.sqdist_col("a", "b", 64).alias("d")).collect()[0]["d"]
+    assert isinstance(e, float) and math.isnan(e)  # expression: NaN value
+    a = df.select(
+        rp.sqdist_arrow(F.col("a"), F.col("b"), 64).alias("d")
+    ).collect()[0]["d"]
+    assert a is None  # Arrow: NaN -> NULL through the Series path
