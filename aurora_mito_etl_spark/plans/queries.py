@@ -10192,93 +10192,81 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # Pinned flagships (every round)
     "flagship_training_corpus",
     "flagship_compound_mentions",
-    # Stalest first: last driver-green r7 (the r12 backlog head)
-    "docs_bigram_pmi",
-    "docs_hash_sample",
-    "docs_lm_score_external",
-    "docs_minhash_lsh_pairs",
-    "docs_mixture_sample",
-    "docs_near_dedup_survivors",
-    "emb_lsh_recall",
-    "lineitem_price_percentiles_approx",
-    # last driver-green r8 (all 14; the rest of the r12 backlog)
-    "docs_bpe_pair_counts",
-    "docs_dedup_lines",
-    "docs_gopher_quality",
-    "docs_incremental_near_dup",
-    "docs_ngram_novelty",
-    "docs_ngram_repetition",
-    "docs_source_report_quality",
-    "docs_strip_boilerplate",
-    "emb_ivfpq_recall",
-    "emb_ivfpq_topk",
-    "emb_knn_classify",
-    "emb_semantic_dedup",
-    "events_top_paths",
-    "orders_except_intersect_all",
-    # last driver-green r9 (all 15)
-    "customer_order_full_outer",
-    "docs_boilerplate_lines",
-    "docs_bpe_subwords",
-    "docs_chunked",
-    "docs_heavy_hitters",
-    "docs_ngram_diversity",
-    "docs_ql_search",
-    "docs_source_divergence",
-    "docs_source_report_counts",
-    "docs_tokenizer_fertility",
-    "docs_winnow_fingerprints",
-    "emb_dim_truncation_recall",
-    "emb_hard_negatives",
-    "events_key_skew_report",
-    "lineitem_profile",
-    # r10 family-spread picks (rationale in the rotation comment)
-    "docs_media_features",
-    "release_sink_smoke",
-    "docs_classify_stub",
-    "events_pagerank",
-    "docs_length_ks",
-    "docs_contiguous_ids",
-    # NEW in r13 (new queries always enter the window): the web-corpus
-    # surface — HTML main-content extraction, URL canonicalization,
-    # per-host dedup/quality report. Their slots come from three r10
-    # picks (lag 3, not stale, so they return outside without a
-    # backlog entry): docs_dup_kcore (graph family keeps
-    # events_pagerank in-window), emb_pca_cov (PCA/spectral family
-    # keeps emb_dim_truncation_recall in-window), and
-    # lineitem_price_moments (numeric-stats family keeps
-    # lineitem_profile and lineitem_price_percentiles_approx
-    # in-window). docs_contiguous_ids deliberately KEEPS its slot:
-    # assign_contiguous_ids gained composite-key support this round
-    # and should face the driver's regenerated data immediately.
-    "docs_html_extract",
-    "docs_url_normalize",
-    "docs_host_report",
-    # NEW in r13 (same rule): canonical-URL keep-first dedup. Its slot
-    # comes from events_psi_drift (r10 -> outside, lag 3 not stale;
-    # the PSI family stays pinned by the streaming drift twin's
-    # BIT-parity pytest against this very query plus the fuzz events
-    # tier, which replays its oracle every campaign).
-    "docs_url_dedup",
-    # NEW in r13 (same rule): the per-host KMV distinct sketch. Its
-    # slot comes from events_k_anonymity (r10 -> outside, lag 3 not
-    # stale; the privacy family keeps docs_pii_redact — r12
-    # driver-green — and k-anonymity's oracle replays in the fuzz
-    # events tier every campaign).
-    "docs_host_distinct_kmv",
+    # ---- r14 rebuild (stalest-first; see DRIVER_WINDOW_BUILT_FOR_ROUND).
+    # Last driver-green rounds recomputed over CORRECTNESS_r01..r13:
+    # r10-green = 42 queries (lag 4 — the ENTIRE stale pool, all in),
+    # r11-green = 48 (lag 3, not stale), r12 = 48, r13 = 50.
+    # All 42 r10-green queries, alphabetical:
+    "docs_ac_dict_filter",
+    "docs_bpe_train",
+    "docs_char_entropy",
+    "docs_cms_estimates",
+    "docs_dedup_lines_global",
+    "docs_dup_kcore",
+    "docs_dup_triangles",
+    "docs_exact_substring_spans",
+    "docs_label_spread",
+    "docs_length_histogram",
+    "docs_line_language",
+    "docs_mmr_rerank",
+    "docs_quality_funnel",
+    "docs_rrf_fusion",
+    "docs_source_overlap",
+    "docs_source_report",
+    "docs_split_leakage",
+    "docs_temperature_mixture",
+    "docs_zipf_slope",
+    "emb_benchmark_decontam",
+    "emb_cov_drift",
+    "emb_dim_stats",
+    "emb_hard_positives",
+    "emb_ivfpq_rerank",
+    "emb_jl_distortion",
+    "emb_jl_project",
+    "emb_pca_cov",
+    "emb_pca_pc1",
+    "emb_pca_project2",
+    "emb_rbo_overlap",
+    "emb_whitened_norm",
+    "events_funnel_windowed",
+    "events_hits",
+    "events_k_anonymity",
+    "events_profile",
+    "events_psi_drift",
+    "events_rfm",
+    "events_type_hour_chi2",
+    "events_value_anomaly",
+    "lineitem_price_moments",
+    "lineitem_price_percentiles",
+    "shipping_priority_topk",
+    # 6 remaining slots from the r11-green bucket (lag 3, tie —
+    # family-spread picks): the four paths REWRITTEN this round face
+    # the driver's regenerated data immediately (the in-plan
+    # prefix-sum offsets behind customer_balance_quartiles and the
+    # two exact-quantile forms; the lazily-checkpointed retrieval
+    # index behind docs_bm25_search), plus the CC-backed
+    # docs_near_dedup_best (lazy checkpoint loop) and
+    # revenue_by_nation (relational join family — exercises the
+    # preferSortMergeJoin=false adoption in the bench session).
+    "customer_balance_quartiles",
+    "lineitem_price_quantiles_dist",
+    "lineitem_price_quantiles_grouped",
+    "docs_bm25_search",
+    "docs_near_dedup_best",
+    "revenue_by_nation",
 )
 
 # The round this window was built for (bumped at each rebuild; the
 # policy test forces the rebuild once the round-N artifact lands).
-DRIVER_WINDOW_BUILT_FOR_ROUND = 13
+DRIVER_WINDOW_BUILT_FOR_ROUND = 14
 
 DRIVER_WINDOW_PINNED: tuple[str, ...] = (
     "flagship_training_corpus",
     "flagship_compound_mentions",
 )
 
-# Stale (lag > 3 rounds at the r13 rebuild) but out of slots — EMPTY
-# this round: the whole 37-query stale pool fit in the window.
+# Stale (lag > 3 rounds at the r14 rebuild) but out of slots — EMPTY
+# this round: the whole 42-query stale pool fit in the window.
 DRIVER_WINDOW_DEFERRED: tuple[str, ...] = ()
 
 

@@ -49,6 +49,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Dimension tables (reference lists, tag sets) stay map-side.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Let the planner use shuffled hash join when its size
+        # conditions hold (guide §3.1/§9): no sort on either side, a
+        # per-partition hash build instead — SMJ remains the fallback
+        # whenever the build side estimate is too large to hash.
+        # Adopted r14 after a full plan-audit (0 cartesian, SMJ->SHJ
+        # only where the build side is bounded) + full oracle gate +
+        # bench neutral-or-better.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # Stable session timezone for deterministic timestamp semantics.
         .config("spark.sql.session.timeZone", "UTC")
         # Read INT64 TIMESTAMP(NANOS) parquet columns as long (Spark has
