@@ -174,30 +174,47 @@ def _subspace_codes(mat, books, half_norms, subdim):
     return out
 
 
+def _qvec_sql(query_vec_col: str) -> str:
+    """Spark-SQL fragment: the query vector cast element-wise to
+    double — the exact tree F.transform(col, x -> cast double)
+    parses to."""
+    return f"transform(`{query_vec_col}`, x -> cast(x as double))"
+
+
+def _dot_fold_sql(sub_sql: str, cent) -> str:
+    """Spark-SQL fragment: the left-to-right dot fold against an
+    embedded centroid-literal array — the exact
+    aggregate(zip_with(..., (x,y) -> x*y), 0.0, (acc,x) -> acc+x)
+    tree the Column API built, as ONE parseable string (repr
+    round-trips every double literal exactly)."""
+    arr = ",".join(f"{float(x)!r}D" for x in cent)
+    return (
+        f"aggregate(zip_with({sub_sql}, array({arr}), (x, y) -> x * y), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def _adc_distance_table_cols(books, subdim: int, query_vec_col: str):
     """Per-subspace ADC distance tables as expression array columns
     ``_dt_j``: entry = ‖c‖² − 2·dot(q_sub, c) (rank-equivalent to
     ‖q_sub − c‖²; the per-query ‖q_sub‖² constant cancels), dots as
     left-to-right folds over embedded centroid literals. SHARED by
-    pq_adc_topk and ivfpq_adc_topk — identical to both oracles' qd."""
-    qvec = F.transform(F.col(query_vec_col), lambda x: x.cast("double"))
+    pq_adc_topk and ivfpq_adc_topk — identical to both oracles' qd.
+
+    Built as ONE ``F.expr`` SQL parse per subspace (r14): the Column
+    build of m×n_centroids fold entries cost ~1,300 py4j round trips
+    (~2 s of driver-side socket chatter per query BUILD — guide §7.3,
+    the r13 JL-projection lesson); the parsed SQL yields the
+    IDENTICAL Catalyst tree, so values are bit-unchanged."""
     cols = []
     for j, book in enumerate(books):
-        sub = F.slice(qvec, j * subdim + 1, subdim)
-        entries = []
-        for cent in book:
-            n2 = sum(x * x for x in cent)
-            dot = F.aggregate(
-                F.zip_with(
-                    sub,
-                    F.array(*[F.lit(float(x)) for x in cent]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            entries.append(F.lit(float(n2)) - F.lit(2.0) * dot)
-        cols.append(F.array(*entries).alias(f"_dt_{j}"))
+        sub = f"slice({_qvec_sql(query_vec_col)}, {j * subdim + 1}, {subdim})"
+        entries = ", ".join(
+            f"{float(sum(x * x for x in cent))!r}D - 2.0D * "
+            + _dot_fold_sql(sub, cent)
+            for cent in book
+        )
+        cols.append(F.expr(f"array({entries})").alias(f"_dt_{j}"))
     return cols
 
 
@@ -423,31 +440,17 @@ def ivfpq_adc_topk(
     # Probed cells: top-n_probe by (dot(q,c) − ‖c‖²/2, cell) struct
     # sort descending — identical tie convention (larger cell wins) to
     # the corpus-side argmax and the oracle's ORDER BY ... DESC,
-    # cell DESC.
-    qvec = F.transform(F.col(query_vec_col), lambda x: x.cast("double"))
-    scored_cells = F.array(
-        *[
-            F.struct(
-                (
-                    F.aggregate(
-                        F.zip_with(
-                            qvec,
-                            F.array(*[F.lit(float(x)) for x in c]),
-                            lambda x, y: x * y,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    - F.lit(sum(x * x for x in c) / 2.0)
-                ).alias("s"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    # cell DESC. ONE F.expr parse (r14): the Column build of n_cells
+    # 64-literal folds cost ~1,100 py4j round trips per query BUILD;
+    # the parsed SQL is the identical Catalyst tree.
+    structs = ", ".join(
+        f"named_struct('s', {_dot_fold_sql(_qvec_sql(query_vec_col), c)}"
+        f" - {float(sum(x * x for x in c) / 2.0)!r}D, 'cell', {i})"
+        for i, c in enumerate(centroids)
     )
-    probe = F.transform(
-        F.slice(F.sort_array(scored_cells, asc=False), 1, n_probe),
-        lambda t: t["cell"],
+    probe = F.expr(
+        f"transform(slice(sort_array(array({structs}), false), 1, "
+        f"{n_probe}), t -> t.cell)"
     )
 
     qt = queries.select(

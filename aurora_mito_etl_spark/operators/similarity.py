@@ -616,32 +616,35 @@ def ivf_topk(
         model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
         centroids = [list(map(float, c)) for c in model.clusterCenters()]
 
-    def nearest_cells(vec: Column, n: int) -> Column:
+    def nearest_cells(vec_name: str, n: int) -> Column:
         """The n cell-ids by smallest squared distance, via the
-        dot(v,c) − ‖c‖²/2 identity (one dot per centroid)."""
-        scored_cells = F.array(
-            *[
-                F.struct(
-                    (
-                        dot(_to_double(vec), F.array(*[F.lit(x) for x in c]))
-                        - F.lit(sum(x * x for x in c) / 2.0)
-                    ).alias("s"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, c in enumerate(centroids)
-            ]
+        dot(v,c) − ‖c‖²/2 identity (one dot per centroid) — as ONE
+        ``F.expr`` parse instead of n_cells Column-API fold builds
+        (~1,100 py4j round trips per BUILD; identical Catalyst tree —
+        the r13 JL-projection lesson, guide §7.3)."""
+        from aurora_mito_etl_spark.operators.quantize import (
+            _dot_fold_sql,
+            _qvec_sql,
         )
-        top = F.slice(F.sort_array(scored_cells, asc=False), 1, n)
-        return F.transform(top, lambda t: t["cell"])
+
+        structs = ", ".join(
+            f"named_struct('s', {_dot_fold_sql(_qvec_sql(vec_name), c)}"
+            f" - {float(sum(x * x for x in c) / 2.0)!r}D, 'cell', {i})"
+            for i, c in enumerate(centroids)
+        )
+        return F.expr(
+            f"transform(slice(sort_array(array({structs}), false), 1, "
+            f"{n}), t -> t.cell)"
+        )
 
     def safe_norm(c: Column) -> Column:
         return F.when(c == 0, F.lit(1.0)).otherwise(c)
 
     vb = with_norm(vectors, vec_col, "__v", "__vn").withColumn(
-        "cell", nearest_cells(F.col(vec_col), 1)[0]
+        "cell", nearest_cells(vec_col, 1)[0]
     )
     qb = with_norm(queries, query_vec_col, "__q", "__qn").withColumn(
-        "cell", F.explode(nearest_cells(F.col(query_vec_col), n_probe))
+        "cell", F.explode(nearest_cells(query_vec_col, n_probe))
     )
     scored = vb.join(F.broadcast(qb), "cell").select(
         F.col(query_id_col),
